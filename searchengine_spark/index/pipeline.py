@@ -1,0 +1,268 @@
+"""Corpus → index tables, expressed Spark-first.
+
+Replaces the reference's single-threaded walk + in-RAM dict build
+(makeindex.py:49-266) with declarative DataFrame stages:
+
+  corpus (repo, path, commit, lang, content)     [input_hint shape]
+    → assign_docids        dense deterministic ids, no global-sort window
+    → empty filter         (makeindex.py:116-122; id already consumed)
+    → sha256 exact dedup   (input_hint invariant; keep lowest docid)
+    → simhash near-dup     (banded LSH self-join, local-min rule)
+    → analyze mapInPandas  postings w/ positions, map-side TF (no token shuffle)
+    → docs / termdict / edges / stats
+
+Scale notes (10^12 rows):
+ - docid assignment is two-phase (range-partition + per-partition offsets),
+   NOT a single-partition row_number window; cost = one range shuffle +
+   a P-row collect.
+ - dedup shuffles hash on sha256 / band values; AQE skew-join enabled.
+ - the analyze UDF emits per-doc aggregated (term, tf, positions) rows so
+   raw token occurrences never hit a shuffle.
+"""
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..params import (
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+    SIMHASH_HAMMING,
+)
+from ..text.udfs import (
+    POSTINGS_SCHEMA,
+    SIMHASH_SCHEMA,
+    analyze_partition,
+    simhash_partition,
+)
+
+CORPUS_KEY = ["repo", "path", "commit"]
+
+IMPORT_PATTERN = r"(?m)^import\s+(\S+):(\S+)\s*$"
+
+
+@dataclass
+class IndexTables:
+    ids: DataFrame         # (docid, repo, path, commit, lang) — ALL docs
+    survivors: DataFrame   # (docid, repo, path, commit, lang, content)
+    postings: DataFrame    # (docid, term, tf, positions, important)
+    docs: DataFrame        # (docid, url, total_tokens, pr/hub/auth_quality)
+    termdict: DataFrame    # (term, df, cf)
+    edges: DataFrame       # (src, dst)
+    stats: dict = field(default_factory=dict)
+
+
+def assign_docids(corpus: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """Dense 1-based docid = rank of (repo, path, commit) in canonical order.
+
+    Two-phase, cluster-size independent (SURVEY.md §1.2): range-partition
+    on the key, count rows per partition (P-row collect), then
+    docid = partition offset + intra-partition row_number.  Range
+    partitions are ordered by key, so offsets + local ranks reproduce the
+    exact global rank with no single-partition window.  Replaces the
+    reference's file-walk-order id (makeindex.py:108).
+    """
+    spark = corpus.sparkSession
+    if n_parts is None:
+        n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    part = (
+        corpus.repartitionByRange(n_parts, *CORPUS_KEY)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["cnt"] for r in
+              part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*CORPUS_KEY)
+    out = (
+        part.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("docid", (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+    return out
+
+
+def _dedup_exact(ids: DataFrame) -> DataFrame:
+    """sha256 exact dedup, keep lowest docid (input_hint invariant replaces
+    the reference's CRC32+length hash, lib/duphash.py:80-92)."""
+    w = Window.partitionBy("sha256").orderBy("docid")
+    return (
+        ids.withColumn("sha256", F.sha2(F.col("content"), 256))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def _dedup_simhash(alive: DataFrame) -> DataFrame:
+    """Near-dup removal: 32-bit simhash, Hamming<=3 (lib/duphash.py:97-141),
+    exhaustive banded self-join with the deterministic local-min rule
+    (keep a doc iff no similar doc has a smaller docid) — replaces the
+    reference's order-dependent 200-doc window (makeindex.py:72-78).
+    """
+    fps = alive.select("docid", "content").mapInPandas(
+        simhash_partition, schema=SIMHASH_SCHEMA
+    )
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << width) - 1
+    band_rows = fps.select(
+        "docid",
+        "fingerprint",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.shiftrightunsigned(
+                        F.col("fingerprint"), SIMHASH_BITS - width * (i + 1)
+                    ).bitwiseAND(F.lit(mask)).alias("band_val"),
+                )
+                for i in range(SIMHASH_BANDS)
+            ])
+        ).alias("band"),
+    ).select("docid", "fingerprint", "band.band_id", "band.band_val")
+
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.docid") < F.col("b.docid")),
+        )
+        .filter(
+            F.bit_count(
+                F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
+            )
+            <= SIMHASH_HAMMING
+        )
+        .select(F.col("b.docid").alias("docid"))
+        .distinct()
+    )
+    return alive.join(dropped, "docid", "left_anti")
+
+
+def build_tables(
+    spark: SparkSession,
+    corpus: DataFrame,
+    compute_quality: bool = True,
+    n_parts: int | None = None,
+) -> IndexTables:
+    """Run the full build pipeline; returns lazy DataFrames + stats."""
+    ids = assign_docids(corpus, n_parts=n_parts)
+    ids.persist()
+
+    # emptiness = no non-whitespace character (python str.strip() parity —
+    # F.trim strips spaces only, so a regex class is needed for \t\n)
+    nonempty = ids.filter(
+        F.length(F.regexp_replace(F.col("content"), r"\s", "")) > 0
+    )
+    alive = _dedup_exact(nonempty)
+    survivors = _dedup_simhash(alive).persist()
+
+    postings_full = (
+        survivors.select("docid", "content")
+        .mapInPandas(analyze_partition, schema=POSTINGS_SCHEMA)
+        .persist()
+    )
+    postings = postings_full.select(
+        "term", "docid", "tf", "positions", "important"
+    )
+
+    doc_lengths = postings_full.select("docid", "total_tokens").distinct()
+    docs = (
+        survivors.select(
+            "docid",
+            F.concat_ws(
+                "", F.col("repo"), F.lit("/"), F.col("path"),
+                F.lit("@"), F.col("commit"),
+            ).alias("url"),
+            "repo", "path", "commit",
+        )
+        .join(doc_lengths, "docid", "left")
+        .withColumn("total_tokens", F.coalesce("total_tokens", F.lit(0)))
+        .withColumn("pr_quality", F.lit(1.0))
+        .withColumn("hub_quality", F.lit(1.0))
+        .withColumn("auth_quality", F.lit(1.0))
+    )
+
+    termdict = postings.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+
+    # edges: import extraction (code-corpus analogue of <a href> links,
+    # makeindex.py:179-187) resolved against surviving (repo, path) —
+    # the reference drops dangling/unknown targets (lib/reader.py:136-143)
+    imports = (
+        survivors.select(
+            "docid",
+            F.arrays_zip(
+                F.regexp_extract_all(F.col("content"), F.lit(IMPORT_PATTERN), 1),
+                F.regexp_extract_all(F.col("content"), F.lit(IMPORT_PATTERN), 2),
+            ).alias("imp"),
+        )
+        .select("docid", F.explode("imp").alias("i"))
+        .select(
+            F.col("docid").alias("src"),
+            F.col("i")["0"].alias("t_repo"),
+            F.col("i")["1"].alias("t_path"),
+        )
+    )
+    targets = survivors.select(
+        F.col("docid").alias("dst"),
+        F.col("repo").alias("t_repo"),
+        F.col("path").alias("t_path"),
+    )
+    edges = (
+        imports.join(targets, ["t_repo", "t_path"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+
+    n_total = ids.count()
+    srow = docs.agg(
+        F.count("*").alias("n"), F.avg("total_tokens").alias("avgdl")
+    ).first()
+    stats = {
+        "n_total": n_total,
+        "n_survivors": srow["n"],
+        "avgdl": float(srow["avgdl"] or 0.0),
+    }
+
+    tables = IndexTables(
+        ids=ids.select("docid", *CORPUS_KEY, "lang"),
+        survivors=survivors,
+        postings=postings,
+        docs=docs,
+        termdict=termdict,
+        edges=edges,
+        stats=stats,
+    )
+
+    if compute_quality:
+        from ..graph.pagerank import pagerank_df
+        from ..graph.hits import hits_df
+
+        universe = tables.ids.select("docid")
+        pr = pagerank_df(spark, universe, edges, n_total)
+        ha = hits_df(spark, universe, edges)
+        tables.docs = (
+            tables.docs.drop("pr_quality", "hub_quality", "auth_quality")
+            .join(pr, "docid", "left")
+            .join(ha, "docid", "left")
+            .withColumn("pr_quality", F.coalesce("pr_quality", F.lit(1.0)))
+            .withColumn("hub_quality", F.coalesce("hub_quality", F.lit(1.0)))
+            .withColumn("auth_quality", F.coalesce("auth_quality", F.lit(1.0)))
+        )
+    tables.docs = tables.docs.persist()
+    return tables

@@ -1,0 +1,233 @@
+"""SQL-mirrorable text operators over the driver's ``documents`` table.
+
+Every operator here is expressed twice — as a Spark DataFrame builder (this
+module) and as ANSI SQL for DuckDB (__spark_entry__.oracle_sql) — with
+IDENTICAL semantics, so the driver's row-count/schema/value-hash compare
+passes bit-for-bit.  Tokenization is the engine's pinned regex spec
+(searchengine_spark/text/tokenizer.py): maximal [a-z0-9] runs over
+lowercased text.  These are unstemmed paths (DuckDB has no Porter stemmer
+offline); the stemmed engine path is verified against the Python oracle in
+tests/test_rank_identity.py instead.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..params import BM25_B, BM25_K1
+from ..text.tokenizer import TOKEN_PATTERN
+
+# small fixed stopword subset used by the SQL-checkable quality scorer
+QUALITY_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "are",
+]
+
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def doc_tokens(spark, sf_dir) -> DataFrame:
+    """(doc_id, pos, term) — posexplode gives positions for free
+    (SURVEY.md P4 [NORTH-EXT])."""
+    d = documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)
+        ).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "term")
+
+
+def term_tf(spark, sf_dir) -> DataFrame:
+    """Per-(doc, term) frequency — the postings TF aggregation (A2/P7)."""
+    return (
+        doc_tokens(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_length(spark, sf_dir) -> DataFrame:
+    """Distinct-term count per doc — the reference's quirky total_tokens
+    (makeindex.py:223-224)."""
+    return (
+        doc_tokens(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("total_tokens"))
+    )
+
+
+def term_dict(spark, sf_dir) -> DataFrame:
+    """Term dictionary: document frequency + collection frequency (A4)."""
+    return (
+        doc_tokens(spark, sf_dir)
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("cf"),
+        )
+    )
+
+
+def corpus_stats(spark, sf_dir) -> DataFrame:
+    """Mergeinfo analogue (lib/writer.py:284-291): corpus-level counters."""
+    toks = doc_tokens(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.countDistinct("term").alias("t"))
+    return dl.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("t"), 6).alias("avgdl"),
+    ).crossJoin(
+        toks.agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.count("*").alias("n_tokens"),
+        )
+    ).select("n_docs", "n_terms", "n_tokens", "avgdl")
+
+
+def dedup_exact(spark, sf_dir) -> DataFrame:
+    """Exact dedup by sha256(text) (input_hint invariant): keep min doc_id
+    per hash, report cluster size."""
+    d = documents(spark, sf_dir).withColumn("h", F.sha2(F.col("text"), 256))
+    return d.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("dup_count"),
+    ).select("doc_id", "dup_count")
+
+
+def bm25_topk(spark, sf_dir, terms=("spark", "query", "join"), k=10) -> DataFrame:
+    """Conjunctive BM25 top-k, unstemmed — the SQL-checkable twin of the
+    engine's scorer (k1/b from params.py; idf = ln((N-df+.5)/(df+.5)+1))."""
+    tf = term_tf(spark, sf_dir)
+    dl = tf.groupBy("doc_id").agg(F.count("*").alias("total_tokens"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg("total_tokens").alias("avgdl")
+    )
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    dft = tf.join(F.broadcast(qterms), "term").groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    hits = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    bm25 = (
+        idf
+        * F.col("tf").cast("double")
+        * F.lit(BM25_K1 + 1)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1 - BM25_B)
+                + F.lit(BM25_B)
+                * F.col("total_tokens").cast("double")
+                / F.col("avgdl")
+            )
+        )
+    )
+    scored = (
+        hits.withColumn("bm25", bm25)
+        .groupBy("doc_id")
+        .agg(F.sum("bm25").alias("s"), F.count("*").alias("nmatch"))
+        .filter(F.col("nmatch") == len(terms))
+        .select("doc_id", F.round(F.col("s"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return scored
+
+
+def lang_counts(spark, sf_dir) -> DataFrame:
+    return (
+        documents(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def text_quality(spark, sf_dir) -> DataFrame:
+    """Per-doc quality features: token count, char length, mean token
+    length, stopword ratio (training-data quality scoring)."""
+    toks = doc_tokens(spark, sf_dir)
+    per = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(F.length("term")), 6).alias("avg_token_len"),
+        F.round(
+            F.sum(
+                F.when(F.col("term").isin(QUALITY_STOPWORDS), 1).otherwise(0)
+            )
+            / F.count("*"),
+            6,
+        ).alias("stopword_ratio"),
+    )
+    chars = documents(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    return per.join(chars, "doc_id").select(
+        "doc_id", "n_tokens", "n_chars", "avg_token_len", "stopword_ratio"
+    )
+
+
+def doc_fingerprint(spark, sf_dir) -> DataFrame:
+    """Deterministic document fingerprint: md5 over the normalized token
+    stream (dedup/fingerprinting primitive, exactly mirrorable in SQL)."""
+    d = documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0),
+            )
+        ).alias("fp"),
+    )
+
+
+def ann_cosine_topk(spark, sf_dir, query_vec_id=0, k=10) -> DataFrame:
+    """Brute-force cosine top-k over the embedding column — the exact
+    baseline for similarity search (IVF/LSH variants build on this)."""
+    emb = embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    pairs = emb.filter(F.col("vec_id") != query_vec_id).crossJoin(
+        F.broadcast(q)
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    norm_q = F.sqrt(
+        F.aggregate(
+            F.transform("qv", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        pairs.select(
+            "vec_id", F.round(dot / (norm_a * norm_q), 5).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -59,14 +59,12 @@ from ..params import (
     PR_FACTOR,
     PR_MAX_ITER,
     PR_TOL,
-    PRUNE_ABORT_RATIO,
     QUALITY_FACTOR,
-    STOPWORD_SIGNIFICANCE,
     TFIDF_FACTOR,
 )
-from ..text.analyze import analyze, analyze_counts
+from ..query.prune import analyze_query, prune_query_terms
+from ..text.analyze import analyze_counts
 from ..text.simhash import is_similar, simhash32
-from ..text.stopwords import is_stopword
 from ..text.tokenizer import tokenize
 
 IMPORT_RE = re.compile(r"^import\s+(\S+):(\S+)\s*$", re.MULTILINE)
@@ -89,40 +87,9 @@ class OracleIndex:
         return len(self.postings.get(term, {}))
 
     def process_query(self, query, k=10):
-        memo = {}
-        terms = analyze(query, stem=True, _memo=memo)
-        frequencies = defaultdict(int)
-        for t in terms:
-            frequencies[t] += 1
-        frequencies = dict(frequencies)
-
-        prune_count = 0
-        valid_count = 0
-        num_valid_tokens = 0
-        stop_heap = []  # (df, tf, term) — heap order == sorted order here
-        for token in sorted(frequencies):
-            dfv = self.df(token)
-            if dfv == 0:
-                if token.isalnum():
-                    prune_count += frequencies[token]
-                del frequencies[token]
-                continue
-            num_valid_tokens += 1
-            valid_count += frequencies[token]
-            if is_stopword(token):
-                stop_heap.append((dfv, frequencies[token], token))
-                del frequencies[token]
-
-        if prune_count > valid_count * PRUNE_ABORT_RATIO:
-            return []
-
-        n_stop = len(stop_heap)
-        if n_stop > 0 and not (n_stop < num_valid_tokens * STOPWORD_SIGNIFICANCE):
-            stop_heap.sort()
-            for dfv, tf, token in stop_heap[: int(math.log2(n_stop))]:
-                frequencies[token] = tf
-
-        if not frequencies:
+        frequencies = analyze_query(query)
+        frequencies = prune_query_terms(frequencies, self.df)
+        if not frequencies:  # None (aborted) or empty after pruning
             return []
 
         qterms = sorted(frequencies)

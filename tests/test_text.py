@@ -1,0 +1,109 @@
+"""Unit tests for the text layer (SURVEY.md §5.1 golden vectors)."""
+
+from searchengine_spark.text import (
+    analyze,
+    analyze_counts,
+    is_stopword,
+    porter_stem,
+    tokenize,
+    tokenize_with_positions,
+)
+from searchengine_spark.text.simhash import (
+    bands,
+    crc64,
+    hamming32,
+    is_similar,
+    simhash32,
+)
+from searchengine_spark.text.tokenizer import ngrams
+
+PORTER_VECTORS = {
+    # classic published vectors from the 1980 paper's examples
+    "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+    "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+    "bled": "bled", "motoring": "motor", "sing": "sing",
+    "conflated": "conflat", "troubled": "troubl", "sized": "size",
+    "hopping": "hop", "tanned": "tan", "falling": "fall", "hissing": "hiss",
+    "failing": "fail", "filing": "file", "happy": "happi", "sky": "sky",
+    "relational": "relat", "conditional": "condit", "rational": "ration",
+    "digitizer": "digit", "operator": "oper", "feudalism": "feudal",
+    "decisiveness": "decis", "hopefulness": "hope", "callousness": "callous",
+    "formaliti": "formal", "sensitiviti": "sensit", "sensibiliti": "sensibl",
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good", "revival": "reviv", "allowance": "allow",
+    "inference": "infer", "airliner": "airlin", "gyroscopic": "gyroscop",
+    "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+    "replacement": "replac", "adjustment": "adjust", "dependent": "depend",
+    "adoption": "adopt", "communism": "commun", "activate": "activ",
+    "homologou": "homolog", "effective": "effect", "bowdlerize": "bowdler",
+    "probate": "probat", "rate": "rate", "cease": "ceas",
+    "controll": "control", "roll": "roll", "generalization": "gener",
+    "oscillator": "oscil",
+}
+
+
+def test_porter_vectors():
+    for word, expect in PORTER_VECTORS.items():
+        assert porter_stem(word) == expect, word
+
+
+def test_tokenizer_code_literal():
+    # reference fixture TEST.txt:301-316
+    assert tokenize('print("Hello world!")') == ["print", "hello", "world"]
+
+
+def test_tokenizer_positions():
+    assert tokenize_with_positions("a b a") == [("a", 1), ("b", 2), ("a", 3)]
+
+
+def test_tokenizer_empty_and_punct():
+    assert tokenize("") == []
+    assert tokenize("!!! ??? ...") == []
+
+
+def test_ngrams():
+    assert ngrams(["a", "b", "c"], 2) == ["a b", "b c"]
+    assert ngrams(["a"], 2) == []
+    assert ngrams(["a", "b"], 1) == []
+
+
+def test_analyze_counts_positions():
+    c = analyze_counts("run running runs", stem=True)
+    assert c == {"run": (3, [1, 2, 3])}
+    c2 = analyze_counts("tree binary tree", stem=True)
+    assert c2["tree"] == (2, [1, 3])
+    assert c2["binari"] == (1, [2])
+
+
+def test_stopwords():
+    assert is_stopword("the")
+    assert is_stopword("aren't")
+    assert not is_stopword("spark")
+
+
+def test_crc64_check_value():
+    # public CRC-64/XZ check value
+    assert crc64(b"123456789") == 0x995DC9BBDF1939FA
+
+
+def test_simhash_known_answer():
+    fp = simhash32({"hello": 3, "world": 2, "foo": 1})
+    assert fp == simhash32({"hello": 3, "world": 2, "foo": 1})
+    assert 0 <= fp < 2**32
+    assert hamming32(fp, fp) == 0
+    assert is_similar(fp, fp ^ 0b111)  # 3 differing bits
+    assert not is_similar(fp, fp ^ 0b1111)  # 4 differing bits
+
+
+def test_simhash_bands_cover_hamming3():
+    fp = simhash32({"alpha": 5, "beta": 2})
+    near = fp ^ 0b10100000000000000000000000000001  # 3 bits spread out
+    b1 = dict(bands(fp))
+    b2 = dict(bands(near))
+    assert any(b1[i] == b2[i] for i in range(4))
+
+
+def test_analyze_stem_consistency():
+    assert analyze("Running quickly", stem=True) == ["run", "quickli"]
+    assert analyze("Running quickly", stem=False) == ["running", "quickly"]
