@@ -1,0 +1,373 @@
+"""Sharded on-disk index: compressed posting blocks + term dictionary.
+
+Replaces the reference's first-char ``.bucket``/``.seek`` file pairs
+(lib/writer.py:217-247, lib/spec.md:119-160) with a Spark-native layout:
+
+    <index_dir>/
+      docs/                 parquet (docid, url, total_tokens, qualities)
+      postings/group=G/bucket=B/   parquet block rows
+      termdict/             parquet (term, bucket, df, cf, n_blocks,
+                                     max_weight)
+      _manifest.json        per-partition lineage + metrics (resume state)
+      mergeinfo.json        corpus stats (analogue of lib/writer.py:284-291)
+
+Block row = one compressed run of <= POSTING_BLOCK postings of one term:
+(term, bucket, n, docid_first, docid_last, cf, max_weight, payload) where
+payload is the delta+varbyte binary (varbyte.py) and (docid_first,
+docid_last) are the skip pointers — readers and the WAND scorer skip
+whole blocks on these columns without decoding, and parquet min/max
+stats prune at scan time.  ``max_weight`` is the block-max BM25
+*tf-side* bound  max tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)); multiplying
+by the term's query-time idf gives the block-max WAND upper bound.
+
+Skew (north rule): stopword-heavy terms have postings lists comparable
+to the corpus size.  The encode stage uses *salted repartitioning*: each
+term's postings are striped into contiguous docid ranges —
+``salt = (docid-1) div ceil(N / stripes)`` with
+``stripes = ceil(df / STRIPE_POSTINGS)`` — and shuffled by hash of
+``(term, salt)``, so a hot term spreads over ~df/8192 tasks while a rare
+term stays in one.  Stripes are a pure function of (df, N, docid):
+block layout is byte-identical across cluster sizes and across
+crash/resume runs (unlike ``repartitionByRange``, whose sampled
+boundaries are not deterministic).  Stripe contiguity preserves the
+skip-pointer invariant: blocks of one term have disjoint, ordered docid
+ranges even when produced by different tasks.
+
+Resume (north rule): buckets are written in RESUME_GROUPS independent
+jobs; ``_manifest.json`` records per-group, per-bucket row/block counts
+(lineage + metrics).  A crashed build re-runs only the incomplete groups
+(the reference's header-docid resume contract, lib/writer.py:40-57,
+makeindex.py:302-323, lifted from "skip files already indexed" to
+"skip partitions already committed").
+
+Reference parity notes: the first-char bucketing of the reference is
+catastrophically skewed ('s'/'c' dominate) and has the >=128-codepoint
+reachability bug (writer.py:222 vs reader.py:237); we bucket by
+``pmod(xxhash64(term), N_TERM_BUCKETS)`` on both sides instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..params import BM25_B, BM25_K1, N_TERM_BUCKETS, POSTING_BLOCK
+from .varbyte import encode_block
+
+RESUME_GROUPS = 8
+
+# target postings per stripe of a salted hot term (64 full blocks)
+STRIPE_POSTINGS = POSTING_BLOCK * 64
+
+BLOCK_SCHEMA = (
+    "term string, bucket int, n int, docid_first long, docid_last long, "
+    "cf long, max_weight double, payload binary"
+)
+
+DECODE_SCHEMA = "term string, docid long, tf int, positions array<int>"
+
+
+def term_bucket_col(term_col="term"):
+    """Deterministic term → shard bucket (identical at build & query)."""
+    return F.pmod(F.xxhash64(F.col(term_col)), F.lit(N_TERM_BUCKETS)).cast(
+        "int"
+    )
+
+
+def _encode_blocks(batches):
+    """mapInPandas over (term, salt, bucket, docid, tf, positions, weight)
+    rows sorted by (term, salt, docid) within the partition → block rows.
+
+    Carries an accumulator across Arrow batches; flushes at (term, salt)
+    change, at POSTING_BLOCK postings, and at partition end.  Flushing at
+    salt boundaries makes block layout independent of how (term, salt)
+    groups are packed into partitions — the determinism the resume test
+    asserts.
+    """
+    out_rows = []
+    cur_key = None
+    cur_term = None
+    cur_bucket = None
+    buf_docids, buf_tfs, buf_pos, buf_w = [], [], [], []
+
+    def flush():
+        if not buf_docids:
+            return
+        out_rows.append(
+            {
+                "term": cur_term,
+                "bucket": cur_bucket,
+                "n": len(buf_docids),
+                "docid_first": int(buf_docids[0]),
+                "docid_last": int(buf_docids[-1]),
+                "cf": int(sum(buf_tfs)),
+                "max_weight": float(max(buf_w)),
+                "payload": encode_block(buf_docids, buf_tfs, buf_pos),
+            }
+        )
+        buf_docids.clear()
+        buf_tfs.clear()
+        buf_pos.clear()
+        buf_w.clear()
+
+    for pdf in batches:
+        for term, salt, bucket, docid, tf, positions, weight in zip(
+            pdf["term"], pdf["salt"], pdf["bucket"], pdf["docid"],
+            pdf["tf"], pdf["positions"], pdf["weight"],
+        ):
+            if (term, salt) != cur_key:
+                flush()
+                cur_key = (term, salt)
+                cur_term, cur_bucket = term, int(bucket)
+            buf_docids.append(int(docid))
+            buf_tfs.append(int(tf))
+            buf_pos.append([int(p) for p in positions])
+            buf_w.append(float(weight))
+            if len(buf_docids) >= POSTING_BLOCK:
+                flush()
+        if len(out_rows) >= 2048:
+            yield pd.DataFrame(out_rows)
+            out_rows = []
+    flush()
+    if out_rows:
+        yield pd.DataFrame(out_rows)
+
+
+def decode_blocks(batches):
+    """mapInPandas inverse of _encode_blocks: block rows → posting rows."""
+    from .varbyte import decode_block
+
+    for pdf in batches:
+        terms, docids, tfs, poss = [], [], [], []
+        for term, payload in zip(pdf["term"], pdf["payload"]):
+            d, t, p = decode_block(bytes(payload))
+            terms.extend([term] * len(d))
+            docids.extend(d)
+            tfs.extend(t)
+            poss.extend(p)
+        yield pd.DataFrame(
+            {"term": terms, "docid": docids, "tf": tfs, "positions": poss}
+        )
+
+
+# --------------------------------------------------------------------------
+# manifest
+
+
+class Manifest:
+    """Per-partition lineage + metrics; the resume contract (S4)."""
+
+    def __init__(self, path):
+        self.path = path
+        self.data = {"version": 1, "stages": {}, "complete": False}
+        if os.path.exists(path):
+            with open(path) as f:
+                self.data = json.load(f)
+
+    def done(self, stage) -> bool:
+        return self.data["stages"].get(stage, {}).get("status") == "done"
+
+    def mark(self, stage, **metrics):
+        self.data["stages"][stage] = {"status": "done", **metrics}
+        self.save()
+
+    def save(self):
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.data, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.path)
+
+
+# --------------------------------------------------------------------------
+# writer
+
+
+def write_index(
+    spark: SparkSession,
+    tables,
+    index_dir: str,
+    fail_after_group: int | None = None,
+) -> dict:
+    """Materialize IndexTables into the sharded on-disk index.
+
+    Idempotent and resumable: stages already marked done in
+    ``_manifest.json`` are skipped; posting groups re-run only if
+    incomplete (their output dir is overwritten whole, so a half-written
+    group is safe).  ``fail_after_group`` injects a crash for the resume
+    test (SURVEY.md §5 item 4).
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    man = Manifest(os.path.join(index_dir, "_manifest.json"))
+
+    # -- stage: docs + stats ------------------------------------------------
+    docs_path = os.path.join(index_dir, "docs")
+    if not man.done("docs"):
+        tables.docs.write.mode("overwrite").parquet(docs_path)
+        n = spark.read.parquet(docs_path).count()
+        man.mark("docs", rows=n)
+    stats = dict(tables.stats)
+    avgdl = stats["avgdl"] or 1.0
+
+    # -- stage: posting blocks, RESUME_GROUPS independent jobs --------------
+    # weight = BM25 tf-side contribution; block max of it is the WAND bound
+    dl = F.col("total_tokens").cast("double")
+    weight = (
+        F.col("tf").cast("double")
+        * F.lit(BM25_K1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl / F.lit(avgdl))
+        )
+    )
+    # salted repartitioning (north rule): stripes = f(df); salt = docid
+    # stripe index.  df via partial-aggregating groupBy (map-side combine
+    # keeps hot terms cheap), joined back on term.
+    n_docs = int(stats["n_total"]) or 1
+    dfreq = tables.postings.groupBy("term").agg(F.count("*").alias("_df"))
+    stripes = F.ceil(F.col("_df") / F.lit(STRIPE_POSTINGS)).cast("long")
+    stripe_width = F.ceil(F.lit(n_docs) / stripes).cast("long")
+    enriched = (
+        tables.postings.join(
+            tables.docs.select("docid", "total_tokens"), "docid"
+        )
+        .join(dfreq, "term")
+        .withColumn("bucket", term_bucket_col())
+        .withColumn("weight", weight)
+        .withColumn(
+            "salt",
+            ((F.col("docid") - 1) / stripe_width).cast("long"),
+        )
+        .select("term", "salt", "bucket", "docid", "tf", "positions",
+                "weight")
+    )
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    for g in range(RESUME_GROUPS):
+        stage = f"postings_group_{g}"
+        gdir = os.path.join(index_dir, "postings", f"group={g}")
+        if man.done(stage):
+            continue
+        part = (
+            enriched.filter(F.col("bucket") % RESUME_GROUPS == g)
+            .repartition(n_parts, "term", "salt")
+            .sortWithinPartitions("term", "salt", "docid")
+            .mapInPandas(_encode_blocks, schema=BLOCK_SCHEMA)
+        )
+        part.write.mode("overwrite").partitionBy("bucket").parquet(gdir)
+        written = spark.read.parquet(gdir)
+        per_bucket = {
+            str(r["bucket"]): {"blocks": r["blocks"], "postings": r["postings"]}
+            for r in written.groupBy("bucket")
+            .agg(
+                F.count("*").alias("blocks"), F.sum("n").alias("postings")
+            )
+            .collect()
+        }
+        man.mark(
+            stage,
+            group=g,
+            buckets=per_bucket,
+            blocks=int(sum(b["blocks"] for b in per_bucket.values())),
+            postings=int(sum(b["postings"] for b in per_bucket.values())),
+        )
+        if fail_after_group is not None and g == fail_after_group:
+            raise RuntimeError(f"injected failure after group {g}")
+
+    # -- stage: term dictionary --------------------------------------------
+    postings_path = os.path.join(index_dir, "postings")
+    termdict_path = os.path.join(index_dir, "termdict")
+    if not man.done("termdict"):
+        blocks = spark.read.option("basePath", postings_path).parquet(
+            postings_path
+        )
+        td = blocks.groupBy("term").agg(
+            F.first("bucket").alias("bucket"),
+            F.sum("n").cast("long").alias("df"),
+            F.sum("cf").cast("long").alias("cf"),
+            F.count("*").cast("int").alias("n_blocks"),
+            F.max("max_weight").alias("max_weight"),
+        )
+        td.write.mode("overwrite").parquet(termdict_path)
+        man.mark("termdict", terms=spark.read.parquet(termdict_path).count())
+
+    # -- stage: mergeinfo ---------------------------------------------------
+    if not man.done("mergeinfo"):
+        n_terms = man.data["stages"]["termdict"]["terms"]
+        info = {
+            "version": 1,
+            "n_total": stats["n_total"],
+            "n_survivors": stats["n_survivors"],
+            "avgdl": stats["avgdl"],
+            "n_terms": n_terms,
+            "posting_block": POSTING_BLOCK,
+            "n_buckets": N_TERM_BUCKETS,
+        }
+        with open(os.path.join(index_dir, "mergeinfo.json"), "w") as f:
+            json.dump(info, f, indent=1, sort_keys=True)
+        man.mark("mergeinfo", **info)
+        man.data["complete"] = True
+        man.save()
+    return man.data
+
+
+# --------------------------------------------------------------------------
+# reader
+
+
+@dataclass
+class IndexShards:
+    """Query-side handle to an on-disk index (analogue of lib/reader.py's
+    ``initialize``, but every piece stays a lazy DataFrame)."""
+
+    blocks: DataFrame    # block rows incl. group/bucket partition columns
+    termdict: DataFrame
+    docs: DataFrame
+    stats: dict = field(default_factory=dict)
+
+
+def load_index(spark: SparkSession, index_dir: str) -> IndexShards:
+    with open(os.path.join(index_dir, "mergeinfo.json")) as f:
+        stats = json.load(f)
+    postings_path = os.path.join(index_dir, "postings")
+    return IndexShards(
+        blocks=spark.read.option("basePath", postings_path).parquet(
+            postings_path
+        ),
+        termdict=spark.read.parquet(os.path.join(index_dir, "termdict")),
+        docs=spark.read.parquet(os.path.join(index_dir, "docs")),
+        stats=stats,
+    )
+
+
+def fetch_postings(shards: IndexShards, terms) -> DataFrame:
+    """Decoded postings for a term set, with shard pruning.
+
+    The bucket filter prunes parquet partitions (group=G/bucket=B dirs);
+    the term filter prunes row groups via parquet min/max stats.  This is
+    the Spark-native replacement for the reference's in-RAM seek
+    dictionary + per-term fseek (lib/reader.py:229-259).
+    """
+    terms = list(terms)
+    if not terms:
+        return shards.blocks.sparkSession.createDataFrame([], DECODE_SCHEMA)
+    buckets = buckets_of(shards.blocks.sparkSession, terms)
+    want = shards.blocks.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    return want.select("term", "payload").mapInPandas(
+        decode_blocks, schema=DECODE_SCHEMA
+    )
+
+
+def buckets_of(spark: SparkSession, terms) -> list[int]:
+    """Shard buckets for a term list, computed with the SAME xxhash64 the
+    writer used (Spark's JVM implementation — evaluated on a tiny local
+    DataFrame so driver and executors can never disagree on the hash)."""
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    rows = tdf.select(term_bucket_col().alias("b")).distinct().collect()
+    return [r["b"] for r in rows]

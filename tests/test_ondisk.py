@@ -1,0 +1,177 @@
+"""On-disk index: varbyte codec, shard round-trip, resume (SURVEY.md §5)."""
+
+import glob
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from searchengine_spark.index.varbyte import (
+    decode_block,
+    decode_deltas,
+    encode_block,
+    encode_deltas,
+    vb_decode,
+    vb_encode,
+)
+from searchengine_spark.index.shards import (
+    RESUME_GROUPS,
+    Manifest,
+    fetch_postings,
+    load_index,
+    write_index,
+)
+from searchengine_spark.params import POSTING_BLOCK
+
+
+# -- codec (pure python, property-based) -----------------------------------
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62)))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(values):
+    data = vb_encode(values)
+    got, off = vb_decode(data)
+    assert got == values
+    assert off == len(data)
+
+
+@given(st.lists(st.integers(min_value=1, max_value=2**40), min_size=1,
+                unique=True).map(sorted))
+@settings(max_examples=200, deadline=None)
+def test_delta_roundtrip(values):
+    data = encode_deltas(values)
+    got, _ = decode_deltas(data, len(values))
+    assert got == values
+
+
+posting_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2**40),           # docid
+        st.integers(min_value=1, max_value=10_000),          # tf
+        st.lists(st.integers(min_value=1, max_value=10**6),  # positions
+                 max_size=8, unique=True).map(sorted),
+    ),
+    min_size=1, max_size=200,
+    unique_by=lambda t: t[0],
+).map(lambda rows: sorted(rows, key=lambda t: t[0]))
+
+
+@given(posting_lists)
+@settings(max_examples=100, deadline=None)
+def test_block_roundtrip(rows):
+    docids = [r[0] for r in rows]
+    tfs = [r[1] for r in rows]
+    poss = [r[2] for r in rows]
+    payload = encode_block(docids, tfs, poss)
+    d, t, p = decode_block(payload)
+    assert (d, t, p) == (docids, tfs, poss)
+
+
+def test_block_rejects_unsorted():
+    with pytest.raises(ValueError):
+        encode_block([5, 3], [1, 1], [[1], [1]])
+
+
+# -- on-disk index ---------------------------------------------------------
+
+@pytest.fixture(scope="session")
+def index_dir(spark, tables, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index") / "idx")
+    write_index(spark, tables, d)
+    return d
+
+
+def test_manifest_complete(index_dir):
+    man = Manifest(os.path.join(index_dir, "_manifest.json"))
+    assert man.data["complete"]
+    for g in range(RESUME_GROUPS):
+        st_ = man.data["stages"][f"postings_group_{g}"]
+        assert st_["status"] == "done"
+        # per-partition lineage: bucket-level metrics recorded
+        assert all(
+            b["postings"] >= b["blocks"] for b in st_["buckets"].values()
+        )
+
+
+def test_block_invariants(spark, index_dir):
+    sh = load_index(spark, index_dir)
+    rows = sh.blocks.select(
+        "term", "bucket", "n", "docid_first", "docid_last", "max_weight"
+    ).collect()
+    per_term = {}
+    for r in rows:
+        assert 1 <= r["n"] <= POSTING_BLOCK
+        assert r["docid_first"] <= r["docid_last"]
+        assert r["max_weight"] > 0
+        per_term.setdefault(r["term"], []).append(
+            (r["docid_first"], r["docid_last"])
+        )
+    # skip-pointer invariant: per-term block ranges disjoint & ordered
+    for spans in per_term.values():
+        spans.sort()
+        for (a1, a2), (b1, b2) in zip(spans, spans[1:]):
+            assert a2 < b1
+
+
+def test_termdict_matches_tables(spark, index_dir, tables):
+    sh = load_index(spark, index_dir)
+    got = {
+        r["term"]: (r["df"], r["cf"])
+        for r in sh.termdict.collect()
+    }
+    expect = {
+        r["term"]: (r["df"], r["cf"])
+        for r in tables.postings.groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_ondisk_postings_roundtrip(spark, index_dir, tables):
+    sh = load_index(spark, index_dir)
+    some_terms = [r["term"] for r in sh.termdict.limit(50).collect()]
+    got = {
+        (r["term"], r["docid"]): (r["tf"], list(r["positions"]))
+        for r in fetch_postings(sh, some_terms).collect()
+    }
+    expect = {
+        (r["term"], r["docid"]): (r["tf"], list(r["positions"]))
+        for r in tables.postings.filter(
+            F.col("term").isin(some_terms)
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_resume_after_injected_failure(spark, tables, tmp_path_factory,
+                                       index_dir):
+    d = str(tmp_path_factory.mktemp("resume") / "idx")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        write_index(spark, tables, d, fail_after_group=2)
+    man = Manifest(os.path.join(d, "_manifest.json"))
+    assert man.done("postings_group_2")
+    assert not man.done("postings_group_3")
+    assert not man.data["complete"]
+
+    # groups 0-2 must NOT be rewritten on resume (lineage honored)
+    g0_files = sorted(glob.glob(os.path.join(d, "postings", "group=0", "**",
+                                             "*.parquet"), recursive=True))
+    mtimes_before = [os.path.getmtime(f) for f in g0_files]
+    write_index(spark, tables, d)
+    assert [os.path.getmtime(f) for f in g0_files] == mtimes_before
+
+    # resumed index is identical to the clean build
+    a = load_index(spark, d)
+    b = load_index(spark, index_dir)
+    key = lambda r: (r["term"], r["docid_first"])  # noqa: E731
+    ga = sorted(
+        a.blocks.select("term", "docid_first", "docid_last", "n",
+                        "cf", "payload").collect(), key=key)
+    gb = sorted(
+        b.blocks.select("term", "docid_first", "docid_last", "n",
+                        "cf", "payload").collect(), key=key)
+    assert [tuple(r) for r in ga] == [tuple(r) for r in gb]
+    assert a.stats == b.stats
