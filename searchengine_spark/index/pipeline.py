@@ -44,12 +44,12 @@ IMPORT_PATTERN = r"(?m)^import\s+(\S+):(\S+)\s*$"
 
 @dataclass
 class IndexTables:
-    ids: DataFrame         # (docid, repo, path, commit, lang) — ALL docs
-    survivors: DataFrame   # (docid, repo, path, commit, lang, content)
-    postings: DataFrame    # (docid, term, tf, positions, important)
-    docs: DataFrame        # (docid, url, total_tokens, pr/hub/auth_quality)
-    termdict: DataFrame    # (term, df, cf)
-    edges: DataFrame       # (src, dst)
+    ids: DataFrame = None        # (docid, repo, path, commit, lang) — ALL
+    survivors: DataFrame = None  # (docid, repo, path, commit, lang, content)
+    postings: DataFrame = None   # (docid, term, tf, positions, important)
+    docs: DataFrame = None       # (docid, url, total_tokens, qualities)
+    termdict: DataFrame = None   # (term, df, cf)
+    edges: DataFrame = None      # (src, dst)
     stats: dict = field(default_factory=dict)
 
 

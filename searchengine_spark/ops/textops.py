@@ -10,11 +10,16 @@ offline); the stemmed engine path is verified against the Python oracle in
 tests/test_rank_identity.py instead.
 """
 
+import hashlib
+import os
+import tempfile
+from collections import Counter
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..params import BM25_B, BM25_K1
-from ..text.tokenizer import TOKEN_PATTERN
+from ..text.tokenizer import TOKEN_PATTERN, tokenize
 
 # small fixed stopword subset used by the SQL-checkable quality scorer
 QUALITY_STOPWORDS = [
@@ -145,6 +150,52 @@ def bm25_topk(spark, sf_dir, terms=("spark", "query", "join"), k=10) -> DataFram
         .limit(k)
     )
     return scored
+
+
+_FLAT_INDEX_CACHE = {}
+
+
+def _flat_index(spark, sf_dir):
+    """Unstemmed on-disk index over the documents table, built once per
+    (sf_dir, mtime) into a temp dir; write_index skips completed stages,
+    so repeated driver calls in one process or across runs are cheap."""
+    from ..index.light import build_flat_tables
+    from ..index.shards import load_index, write_index
+
+    src = f"{sf_dir}/documents.parquet"
+    key = (os.path.abspath(src), int(os.path.getmtime(src)))
+    if key in _FLAT_INDEX_CACHE:
+        return _FLAT_INDEX_CACHE[key]
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "searchengine_spark_idx",
+        hashlib.md5(repr(key).encode()).hexdigest()[:16],
+    )
+    tables = build_flat_tables(spark, documents(spark, sf_dir), stem=False)
+    write_index(spark, tables, d)
+    sh = load_index(spark, d)
+    _FLAT_INDEX_CACHE[key] = sh
+    return sh
+
+
+def wand_topk(spark, sf_dir, terms=("spark", "query", "join"), k=10) -> DataFrame:
+    """Block-max WAND conjunctive BM25 top-k over the on-disk compressed
+    index — must equal bm25_topk (and its DuckDB oracle) rank-for-rank
+    and score-for-score; the driver checks exactly that."""
+    from ..query.wand import wand_topk as _wand
+
+    sh = _flat_index(spark, sf_dir)
+    res = _wand(
+        spark,
+        sh,
+        [(1, " ".join(terms))],
+        k=k,
+        analyzer=lambda text: dict(Counter(tokenize(text))),
+    )
+    return res.select(
+        F.col("docid").alias("doc_id"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
 
 
 def lang_counts(spark, sf_dir) -> DataFrame:

@@ -214,3 +214,48 @@ def score_queries(spark, queries, tables, k=10) -> DataFrame:
         tables.stats["avgdl"],
         k=k,
     )
+
+
+def score_queries_ondisk(spark, queries, shards, k=10) -> DataFrame:
+    """Full blended scorer served from the on-disk index (SURVEY.md §7
+    step 4): broadcast termdict lookup → bucket-pruned shard reads →
+    decode UDF → the same score_candidates DAG as the in-memory path.
+
+    Rank-identical to :func:`score_queries` over the tables the index
+    was written from (asserted in tests/test_rank_identity.py).
+    """
+    from ..index.shards import fetch_postings
+
+    terms_needed = set()
+    for _, text in queries:
+        terms_needed.update(analyze_query(text))
+    df_map = {
+        r["term"]: r["df"]
+        for r in shards.termdict.filter(
+            F.col("term").isin(list(terms_needed))
+        ).collect()
+    }
+    rows, meta = plan_query_terms(
+        queries, lambda t: df_map.get(t, 0), shards.stats["n_survivors"]
+    )
+    if not rows:
+        return spark.createDataFrame(
+            [], "qid int, rank int, docid long, score double"
+        )
+    qterms = spark.createDataFrame(
+        rows, "qid int, term string, qweight double, idf double"
+    )
+    qmeta = spark.createDataFrame(
+        [(qid, m["nterms"], m["qnorm"]) for qid, m in meta.items()],
+        "qid int, nterms int, qnorm double",
+    )
+    postings = fetch_postings(shards, sorted({r[1] for r in rows}))
+    return score_candidates(
+        spark,
+        qterms,
+        qmeta,
+        postings,
+        shards.docs,
+        shards.stats["avgdl"],
+        k=k,
+    )

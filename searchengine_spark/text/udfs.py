@@ -23,32 +23,42 @@ POSTINGS_SCHEMA = (
 SIMHASH_SCHEMA = "docid long, fingerprint long"
 
 
-def analyze_partition(batches):
-    """mapInPandas: (docid, content) batches → postings rows.
+def make_analyze_partition(stem=True):
+    """Build a mapInPandas fn: (docid, content) batches → postings rows.
 
     Emits one row per (doc, distinct term) with tf, 1-based positions, the
     constant important=0 field (reference quirk, makeindex.py:229-241 —
     SURVEY.md P13), and the doc's total_tokens (distinct-term count,
     makeindex.py:223-224 quirk) denormalized onto every row so the docs
     table derives without a second content scan.
+
+    ``stem=False`` is the SQL-mirrorable variant (DuckDB has no Porter
+    stemmer) used by the driver-checked flat index path.
     """
-    memo = {}
-    for pdf in batches:
-        out = {
-            "docid": [], "term": [], "tf": [], "positions": [],
-            "important": [], "total_tokens": [],
-        }
-        for docid, content in zip(pdf["docid"], pdf["content"]):
-            counts = analyze_counts(content, stem=True, _memo=memo)
-            nterms = len(counts)
-            for term, (tf, positions) in counts.items():
-                out["docid"].append(docid)
-                out["term"].append(term)
-                out["tf"].append(tf)
-                out["positions"].append(positions)
-                out["important"].append(0)
-                out["total_tokens"].append(nterms)
-        yield pd.DataFrame(out)
+
+    def analyze_partition(batches):
+        memo = {}
+        for pdf in batches:
+            out = {
+                "docid": [], "term": [], "tf": [], "positions": [],
+                "important": [], "total_tokens": [],
+            }
+            for docid, content in zip(pdf["docid"], pdf["content"]):
+                counts = analyze_counts(content, stem=stem, _memo=memo)
+                nterms = len(counts)
+                for term, (tf, positions) in counts.items():
+                    out["docid"].append(docid)
+                    out["term"].append(term)
+                    out["tf"].append(tf)
+                    out["positions"].append(positions)
+                    out["important"].append(0)
+                    out["total_tokens"].append(nterms)
+            yield pd.DataFrame(out)
+
+    return analyze_partition
+
+
+analyze_partition = make_analyze_partition(stem=True)
 
 
 def simhash_partition(batches):

@@ -35,3 +35,12 @@ def tables(spark, corpus_df):
     from searchengine_spark.index import build_tables
 
     return build_tables(spark, corpus_df, compute_quality=True)
+
+
+@pytest.fixture(scope="session")
+def index_dir(spark, tables, tmp_path_factory):
+    from searchengine_spark.index.shards import write_index
+
+    d = str(tmp_path_factory.mktemp("index") / "idx")
+    write_index(spark, tables, d)
+    return d

@@ -74,14 +74,7 @@ def test_block_rejects_unsorted():
         encode_block([5, 3], [1, 1], [[1], [1]])
 
 
-# -- on-disk index ---------------------------------------------------------
-
-@pytest.fixture(scope="session")
-def index_dir(spark, tables, tmp_path_factory):
-    d = str(tmp_path_factory.mktemp("index") / "idx")
-    write_index(spark, tables, d)
-    return d
-
+# -- on-disk index (index_dir fixture in conftest.py) ----------------------
 
 def test_manifest_complete(index_dir):
     man = Manifest(os.path.join(index_dir, "_manifest.json"))

@@ -42,3 +42,17 @@ def test_k_cut(spark, tables):
     res = score_queries(spark, [(1, "parser notes")], tables, k=3).collect()
     assert len(res) == 3
     assert [r["rank"] for r in sorted(res, key=lambda r: r["rank"])] == [1, 2, 3]
+
+
+def test_ondisk_blended_rank_identity(spark, tables, index_dir):
+    """Blended scorer served from the compressed on-disk index must be
+    rank- and score-identical to the in-memory path (SURVEY.md §7.4)."""
+    from searchengine_spark.index.shards import load_index
+    from searchengine_spark.query.scoring import score_queries_ondisk
+
+    shards = load_index(spark, index_dir)
+    a = score_queries(spark, QUERIES, tables, k=K).collect()
+    b = score_queries_ondisk(spark, QUERIES, shards, k=K).collect()
+    ka = sorted((r["qid"], r["rank"], r["docid"], round(r["score"], 9)) for r in a)
+    kb = sorted((r["qid"], r["rank"], r["docid"], round(r["score"], 9)) for r in b)
+    assert ka == kb and len(ka) > 0

@@ -1,0 +1,143 @@
+"""Block-max WAND: unit pruning behavior + cluster equivalence
+(SURVEY.md §7 "WAND correctness: equivalence test vs exhaustive scorer")."""
+
+import math
+
+import pytest
+
+from searchengine_spark.corpus import QUERIES
+from searchengine_spark.index.shards import load_index
+from searchengine_spark.index.varbyte import encode_block
+from searchengine_spark.query.wand import (
+    bm25_weight,
+    bmw_range,
+    exhaustive_topk,
+    wand_topk,
+)
+
+
+def _mk_blocks(postings, avgdl, dl, block=4):
+    """postings: sorted (docid, tf) → block tuples with true maxima."""
+    out = []
+    for i in range(0, len(postings), block):
+        chunk = postings[i : i + block]
+        docids = [d for d, _ in chunk]
+        tfs = [t for _, t in chunk]
+        payload = encode_block(docids, tfs, [[] for _ in chunk])
+        mw = max(bm25_weight(t, dl[d], avgdl) for d, t in chunk)
+        out.append((docids[0], docids[-1], mw, payload))
+    return out
+
+
+def _brute(term_blocks_raw, idfs, dl, avgdl, k):
+    """Exhaustive conjunctive BM25 over raw postings dicts."""
+    sets = [set(p) for p in term_blocks_raw]
+    common = set.intersection(*sets)
+    scored = []
+    for d in common:
+        s = sum(
+            idf * bm25_weight(raw[d], dl[d], avgdl)
+            for raw, idf in zip(term_blocks_raw, idfs)
+        )
+        scored.append((s, d))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return scored[:k]
+
+
+def test_bmw_range_matches_brute_force():
+    import random
+
+    rng = random.Random(7)
+    dl = {d: rng.randint(5, 60) for d in range(1, 401)}
+    avgdl = sum(dl.values()) / len(dl)
+    raws = []
+    for df in (50, 180, 320):
+        docs = sorted(rng.sample(range(1, 401), df))
+        raws.append({d: rng.randint(1, 9) for d in docs})
+    idfs = [math.log((400 - len(r) + 0.5) / (len(r) + 0.5) + 1) for r in raws]
+    tbs = [
+        {"idf": idf, "blocks": _mk_blocks(sorted(r.items()), avgdl, dl)}
+        for r, idf in sorted(zip(raws, idfs), key=lambda x: len(x[0]))
+    ]
+    raws_sorted = sorted(raws, key=len)
+    idfs_sorted = [
+        math.log((400 - len(r) + 0.5) / (len(r) + 0.5) + 1)
+        for r in raws_sorted
+    ]
+    for k in (1, 5, 20, 1000):
+        got, _ = bmw_range(tbs, dl, avgdl, k)
+        expect = _brute(raws_sorted, idfs_sorted, dl, avgdl, k)
+        assert [d for _, d in got] == [d for _, d in expect]
+        for (gs, _), (es, _) in zip(got, expect):
+            assert abs(gs - es) < 1e-12
+
+
+def test_bmw_range_prunes_blocks():
+    """A rare first term + huge second term: most of the big term's
+    blocks must never be decoded (skip pointers / block-max at work)."""
+    import random
+
+    rng = random.Random(11)
+    dl = {d: 30 for d in range(1, 100_001)}
+    avgdl = 30.0
+    rare = {d: 3 for d in sorted(rng.sample(range(1, 100_001), 20))}
+    big = {d: rng.randint(1, 5) for d in range(1, 100_001)}
+    tbs = [
+        {"idf": 5.0, "blocks": _mk_blocks(sorted(rare.items()), avgdl, dl,
+                                          block=4)},
+        {"idf": 0.1, "blocks": _mk_blocks(sorted(big.items()), avgdl, dl,
+                                          block=128)},
+    ]
+    total_blocks = len(tbs[0]["blocks"]) + len(tbs[1]["blocks"])
+    got, decoded = bmw_range(tbs, dl, avgdl, 10)
+    assert len(got) == 10
+    # candidate-driven skipping: decode ≈ 5 rare blocks + ≤20 big blocks,
+    # out of ~787 total
+    assert decoded < total_blocks / 10
+
+
+def test_bmw_empty_and_single_term():
+    dl = {1: 10, 2: 20}
+    blocks = _mk_blocks([(1, 2), (2, 1)], 15.0, dl)
+    got, _ = bmw_range([{"idf": 1.0, "blocks": blocks}], dl, 15.0, 5)
+    assert [d for _, d in got] == sorted(
+        [1, 2],
+        key=lambda d: -1.0 * bm25_weight({1: 2, 2: 1}[d], dl[d], 15.0),
+    )
+    got, _ = bmw_range([], dl, 15.0, 5)
+    assert got == []
+
+
+# -- cluster equivalence ---------------------------------------------------
+
+@pytest.fixture(scope="session")
+def shards(spark, index_dir):
+    return load_index(spark, index_dir)
+
+
+def test_wand_equals_exhaustive_on_query_set(spark, shards):
+    queries = [(qid, q) for qid, q in QUERIES]
+    a = wand_topk(spark, shards, queries, k=10, docs_per_range=64)
+    b = exhaustive_topk(spark, shards, queries, k=10)
+    ga = [(r["qid"], r["rank"], r["docid"], round(r["score"], 9))
+          for r in a.collect()]
+    gb = [(r["qid"], r["rank"], r["docid"], round(r["score"], 9))
+          for r in b.collect()]
+    assert sorted(ga) == sorted(gb)
+    assert len(ga) > 0
+
+
+def test_wand_range_partition_invariance(spark, shards):
+    """Result must not depend on the docid-range cut (the distributed
+    seam of the WAND operator)."""
+    queries = [(1, "parser notes"), (8, "hash bucket")]
+    a = wand_topk(spark, shards, queries, k=10, docs_per_range=17)
+    b = wand_topk(spark, shards, queries, k=10, docs_per_range=100_000)
+    ka = sorted((r["qid"], r["rank"], r["docid"]) for r in a.collect())
+    kb = sorted((r["qid"], r["rank"], r["docid"]) for r in b.collect())
+    assert ka == kb
+
+
+def test_wand_unknown_term_gives_empty(spark, shards):
+    out = wand_topk(spark, shards, [(1, "zzzqx parser")], k=10)
+    assert out.count() == 0
