@@ -32,16 +32,9 @@ FLAGSHIP_QUERIES = [
 def _documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the driver's documents table to the input_hint corpus shape
     (repo, path, commit, lang, content)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select(
-        F.col("source").alias("repo"),
-        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
-        F.substring(F.sha2(F.concat_ws("|", "source", "doc_id"), 256), 1, 40).alias(
-            "commit"
-        ),
-        F.col("lang"),
-        F.col("text").alias("content"),
-    )
+    from searchengine_spark.corpus.ingest import documents_as_corpus
+
+    return documents_as_corpus(spark, sf_dir)
 
 
 _TABLES_CACHE = {}
@@ -97,8 +90,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from searchengine_spark.ops import textops as T
+    from searchengine_spark.ops import vectors as V
+    from searchengine_spark.ops import dedup as D
+    from searchengine_spark.ops import multimodal as M
+
+    def _docs(spark, sf):
+        return spark.read.parquet(f"{sf}/documents.parquet")
 
     return {
+        "dedup_minhash": lambda spark, sf: D.minhash_pairs(_docs(spark, sf)),
+        "ngram_jaccard": lambda spark, sf: D.jaccard_pairs(
+            _docs(spark, sf), threshold=0.5
+        ),
+        "embedding_neardup": V.embedding_neardup,
+        "ann_ivf_topk": V.ann_ivf_topk,
+        "lang_id": T.lang_id,
+        "token_counts": T.token_counts,
+        "media_stats": M.media_stats,
         "term_tf": T.term_tf,
         "doc_length": T.doc_length,
         "term_dict": T.term_dict,
@@ -124,9 +132,151 @@ _TOKS = (
     "FROM documents"
 )
 
+# distinct 3-token shingles per doc (dedup.py determinism contract)
+_SHINGLES = """
+    toks AS (SELECT doc_id,
+                    regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+             FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 2)) AS i
+      ) g
+      WHERE len(t) >= 3
+    )
+"""
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
 
 def oracle_sql() -> dict[str, str]:
+    from searchengine_spark.ops.textops import LANG_MARKERS
+
+    lang_score = ", ".join(
+        "sum(CASE WHEN term IN ({m}) THEN 1 ELSE 0 END) AS s_{lang}".format(
+            m=", ".join(f"'{w}'" for w in LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in sorted(LANG_MARKERS)
+    )
+    lang_max = "greatest(" + ", ".join(
+        f"s_{lang}" for lang in sorted(LANG_MARKERS)
+    ) + ")"
+    lang_case = "CASE WHEN mx = 0 THEN 'unknown' " + " ".join(
+        f"WHEN s_{lang} = mx THEN '{lang}'" for lang in sorted(LANG_MARKERS)
+    ) + " END"
+
     d = {
+        "dedup_minhash": f"""
+            WITH {_SHINGLES},
+            sig AS (
+              SELECT doc_id, seed,
+                     min(md5(seed::varchar || '|' || shingle)) AS sig
+              FROM sh CROSS JOIN (
+                SELECT unnest(generate_series(0, 7)) AS seed) seeds
+              GROUP BY doc_id, seed
+            ),
+            bands AS (
+              SELECT doc_id, seed // 2 AS band,
+                     md5(string_agg(sig, '' ORDER BY seed)) AS key
+              FROM sig GROUP BY doc_id, seed // 2
+            )
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        """,
+        "ngram_jaccard": f"""
+            WITH {_SHINGLES},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM sh x JOIN sh y
+                ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT a, b,
+                   round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
+        """,
+        "embedding_neardup": f"""
+            SELECT * FROM (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                     round({_COS.format(a="x.embedding::DOUBLE[]",
+                                        b="y.embedding::DOUBLE[]")}, 5)
+                       AS cosine
+              FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+            ) WHERE cosine >= 0.4
+        """,
+        "ann_ivf_topk": f"""
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                         FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM emb
+                     WHERE vec_id % 50 = 0),
+            scored AS (
+              SELECT e.vec_id, e.v, c.cid,
+                     {_COS.format(a="e.v", b="c.cv")} AS ccos
+              FROM emb e CROSS JOIN cent c
+            ),
+            assigned AS (
+              SELECT vec_id, v, cid FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+                FROM scored) WHERE rn = 1
+            ),
+            q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+            probes AS (
+              SELECT cid FROM cent CROSS JOIN q
+              ORDER BY {_COS.format(a="qv", b="cv")} DESC, cid
+              LIMIT 3
+            )
+            SELECT a.vec_id,
+                   round({_COS.format(a="a.v", b="q.qv")}, 5) AS cosine
+            FROM assigned a JOIN probes USING (cid) CROSS JOIN q
+            WHERE a.vec_id != 0
+            ORDER BY cosine DESC, a.vec_id LIMIT 10
+        """,
+        "lang_id": f"""
+            WITH toks AS ({_TOKS}),
+            per AS (
+              SELECT doc_id, {lang_score} FROM toks GROUP BY doc_id
+            ),
+            m AS (SELECT *, {lang_max} AS mx FROM per)
+            SELECT d.doc_id,
+                   coalesce({lang_case}, 'unknown') AS lang_pred
+            FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        """,
+        "media_stats": """
+            SELECT doc_id,
+                   CASE lang
+                     WHEN 'c' THEN 'text/x-c'
+                     WHEN 'java' THEN 'text/x-java'
+                     WHEN 'js' THEN 'text/javascript'
+                     WHEN 'md' THEN 'text/markdown'
+                     WHEN 'python' THEN 'text/x-python'
+                     ELSE 'application/octet-stream' END AS media_type,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS sha,
+                   (octet_length(encode(text)) * 10)::int AS duration_ms
+            FROM documents
+        """,
+        "token_counts": f"""
+            WITH toks AS ({_TOKS}),
+            per AS (
+              SELECT doc_id, count(*) AS n_words,
+                     sum(length(term)) AS n_token_chars,
+                     sum(ceil(length(term) / 4.0)::bigint) AS n_pieces_bpe
+              FROM toks GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+                   coalesce(n_token_chars, 0) AS n_token_chars,
+                   coalesce(n_pieces_bpe, 0) AS n_pieces_bpe
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
         "term_tf": f"""
             WITH toks AS ({_TOKS})
             SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term

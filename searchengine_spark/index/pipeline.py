@@ -34,7 +34,7 @@ from ..text.udfs import (
     POSTINGS_SCHEMA,
     SIMHASH_SCHEMA,
     analyze_partition,
-    simhash_partition,
+    make_simhash_partition,
 )
 
 CORPUS_KEY = ["repo", "path", "commit"]
@@ -53,25 +53,49 @@ class IndexTables:
     stats: dict = field(default_factory=dict)
 
 
-def assign_docids(corpus: DataFrame, n_parts: int | None = None) -> DataFrame:
-    """Dense 1-based docid = rank of (repo, path, commit) in canonical order.
+def assign_docids(
+    corpus: DataFrame, n_parts: int | None = None, order: str = "lexical"
+) -> DataFrame:
+    """Dense 1-based docid = rank of (repo, path, commit) in a canonical
+    total order.  Two-phase, cluster-size independent (SURVEY.md §1.2):
+    bucket the key space into contiguous ranges, count rows per bucket
+    (P-row collect), then docid = bucket offset + intra-bucket
+    row_number.  Replaces the reference's file-walk-order id
+    (makeindex.py:108).
 
-    Two-phase, cluster-size independent (SURVEY.md §1.2): range-partition
-    on the key, count rows per partition (P-row collect), then
-    docid = partition offset + intra-partition row_number.  Range
-    partitions are ordered by key, so offsets + local ranks reproduce the
-    exact global rank with no single-partition window.  Replaces the
-    reference's file-walk-order id (makeindex.py:108).
+    ``order='lexical'``: rank in (repo, path, commit) sort order via
+    ``repartitionByRange`` — human-meaningful ids, but the range
+    partitioner needs a sampling pass over the data to find boundaries.
+
+    ``order='hash'``: rank in xxhash64(key) order — the web-scale mode:
+    bucket = top-k bits of the hash, so boundaries are STATIC (uniform
+    hash → balanced buckets, no sampling pass, no skew by construction);
+    ids stay dense, deterministic, and independent of the partition
+    count, they just follow hash order instead of lexicographic.
     """
     spark = corpus.sparkSession
     if n_parts is None:
         n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    part = (
-        corpus.repartitionByRange(n_parts, *CORPUS_KEY)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    counts = {r["_pid"]: r["cnt"] for r in
+
+    if order == "hash":
+        k = max(4, (n_parts * 4 - 1).bit_length())
+        h = F.xxhash64(*CORPUS_KEY)
+        # xor with INT64_MIN maps unsigned order onto signed order, so
+        # ORDER BY _u == unsigned hash order == contiguous bucket ranges
+        bucketed = corpus.withColumn(
+            "_u", h.bitwiseXOR(F.lit(-(1 << 63)))
+        ).withColumn("_pid", F.shiftrightunsigned(h, 64 - k).cast("int"))
+        w = Window.partitionBy("_pid").orderBy("_u", *CORPUS_KEY)
+        part = bucketed.repartition(n_parts, "_pid").persist()
+    else:
+        part = (
+            corpus.repartitionByRange(n_parts, *CORPUS_KEY)
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()
+        )
+        w = Window.partitionBy("_pid").orderBy(*CORPUS_KEY)
+
+    counts ={r["_pid"]: r["cnt"] for r in
               part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
@@ -80,12 +104,11 @@ def assign_docids(corpus: DataFrame, n_parts: int | None = None) -> DataFrame:
     off_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
     )
-    w = Window.partitionBy("_pid").orderBy(*CORPUS_KEY)
     out = (
         part.withColumn("_rn", F.row_number().over(w))
         .join(F.broadcast(off_df), "_pid")
         .withColumn("docid", (F.col("_off") + F.col("_rn")).cast("long"))
-        .drop("_pid", "_rn", "_off")
+        .drop("_pid", "_rn", "_off", "_u")
     )
     return out
 
@@ -102,16 +125,21 @@ def _dedup_exact(ids: DataFrame) -> DataFrame:
     )
 
 
-def _dedup_simhash(alive: DataFrame) -> DataFrame:
-    """Near-dup removal: 32-bit simhash, Hamming<=3 (lib/duphash.py:97-141),
+def _dedup_simhash(alive: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-dup removal: simhash, Hamming<=3 (lib/duphash.py:97-141),
     exhaustive banded self-join with the deterministic local-min rule
     (keep a doc iff no similar doc has a smaller docid) — replaces the
     reference's order-dependent 200-doc window (makeindex.py:72-78).
+
+    ``bits=32`` is reference parity (the oracle's semantics); ``bits=64``
+    is the scale variant — same Hamming threshold, 4×16-bit bands, so
+    the LSH key space is 65536 per band instead of 256 (the 32-bit band
+    join degrades to O(n²/256) on large corpora, text/simhash.py).
     """
     fps = alive.select("docid", "content").mapInPandas(
-        simhash_partition, schema=SIMHASH_SCHEMA
+        make_simhash_partition(bits), schema=SIMHASH_SCHEMA
     )
-    width = SIMHASH_BITS // SIMHASH_BANDS
+    width = bits // SIMHASH_BANDS
     mask = (1 << width) - 1
     band_rows = fps.select(
         "docid",
@@ -121,7 +149,7 @@ def _dedup_simhash(alive: DataFrame) -> DataFrame:
                 F.struct(
                     F.lit(i).alias("band_id"),
                     F.shiftrightunsigned(
-                        F.col("fingerprint"), SIMHASH_BITS - width * (i + 1)
+                        F.col("fingerprint"), bits - width * (i + 1)
                     ).bitwiseAND(F.lit(mask)).alias("band_val"),
                 )
                 for i in range(SIMHASH_BANDS)
@@ -155,9 +183,17 @@ def build_tables(
     corpus: DataFrame,
     compute_quality: bool = True,
     n_parts: int | None = None,
+    simhash_bits: int = SIMHASH_BITS,
+    id_order: str = "lexical",
 ) -> IndexTables:
-    """Run the full build pipeline; returns lazy DataFrames + stats."""
-    ids = assign_docids(corpus, n_parts=n_parts)
+    """Run the full build pipeline; returns lazy DataFrames + stats.
+
+    ``simhash_bits``: 32 = reference/oracle parity (default); 64 = the
+    web-scale near-dup variant (see _dedup_simhash).
+    ``id_order``: 'lexical' = oracle parity; 'hash' = samplerless
+    web-scale id assignment (see assign_docids).
+    """
+    ids = assign_docids(corpus, n_parts=n_parts, order=id_order)
     ids.persist()
 
     # emptiness = no non-whitespace character (python str.strip() parity —
@@ -166,15 +202,18 @@ def build_tables(
         F.length(F.regexp_replace(F.col("content"), r"\s", "")) > 0
     )
     alive = _dedup_exact(nonempty)
-    survivors = _dedup_simhash(alive).persist()
+    survivors = _dedup_simhash(alive, bits=simhash_bits).persist()
 
     postings_full = (
         survivors.select("docid", "content")
         .mapInPandas(analyze_partition, schema=POSTINGS_SCHEMA)
         .persist()
     )
+    # total_tokens rides along so the index writer can compute BM25
+    # doc-length weights without re-joining docs (one less shuffle of
+    # the full postings set)
     postings = postings_full.select(
-        "term", "docid", "tf", "positions", "important"
+        "term", "docid", "tf", "positions", "important", "total_tokens"
     )
 
     doc_lengths = postings_full.select("docid", "total_tokens").distinct()

@@ -160,10 +160,15 @@ def decode_blocks(batches):
 
 
 class Manifest:
-    """Per-partition lineage + metrics; the resume contract (S4)."""
+    """Per-partition lineage + metrics; the resume contract (S4).
+
+    Thread-safe: posting groups commit from concurrent job threads."""
 
     def __init__(self, path):
+        import threading
+
         self.path = path
+        self._lock = threading.Lock()
         self.data = {"version": 1, "stages": {}, "complete": False}
         if os.path.exists(path):
             with open(path) as f:
@@ -173,10 +178,15 @@ class Manifest:
         return self.data["stages"].get(stage, {}).get("status") == "done"
 
     def mark(self, stage, **metrics):
-        self.data["stages"][stage] = {"status": "done", **metrics}
-        self.save()
+        with self._lock:
+            self.data["stages"][stage] = {"status": "done", **metrics}
+            self._save_locked()
 
     def save(self):
+        with self._lock:
+            self._save_locked()
+
+    def _save_locked(self):
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self.data, f, indent=1, sort_keys=True)
@@ -232,10 +242,17 @@ def write_index(
     dfreq = tables.postings.groupBy("term").agg(F.count("*").alias("_df"))
     stripes = F.ceil(F.col("_df") / F.lit(STRIPE_POSTINGS)).cast("long")
     stripe_width = F.ceil(F.lit(n_docs) / stripes).cast("long")
-    enriched = (
-        tables.postings.join(
+    # doc length: use the denormalized total_tokens column when the
+    # pipeline provides it (no shuffle join of the full postings set);
+    # fall back to a docs join for bare postings tables
+    if "total_tokens" in tables.postings.columns:
+        base = tables.postings
+    else:
+        base = tables.postings.join(
             tables.docs.select("docid", "total_tokens"), "docid"
         )
+    enriched = (
+        base
         .join(dfreq, "term")
         .withColumn("bucket", term_bucket_col())
         .withColumn("weight", weight)
@@ -247,36 +264,60 @@ def write_index(
                 "weight")
     )
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    for g in range(RESUME_GROUPS):
-        stage = f"postings_group_{g}"
-        gdir = os.path.join(index_dir, "postings", f"group={g}")
-        if man.done(stage):
-            continue
-        part = (
-            enriched.filter(F.col("bucket") % RESUME_GROUPS == g)
-            .repartition(n_parts, "term", "salt")
-            .sortWithinPartitions("term", "salt", "docid")
-            .mapInPandas(_encode_blocks, schema=BLOCK_SCHEMA)
-        )
-        part.write.mode("overwrite").partitionBy("bucket").parquet(gdir)
-        written = spark.read.parquet(gdir)
-        per_bucket = {
-            str(r["bucket"]): {"blocks": r["blocks"], "postings": r["postings"]}
-            for r in written.groupBy("bucket")
-            .agg(
-                F.count("*").alias("blocks"), F.sum("n").alias("postings")
+    todo = [g for g in range(RESUME_GROUPS)
+            if not man.done(f"postings_group_{g}")]
+    if todo:
+        # one materialization of the enriched postings feeds every group
+        # job (without this each group re-runs the full join pipeline)
+        enriched = enriched.persist()
+
+        def write_group(g):
+            stage = f"postings_group_{g}"
+            gdir = os.path.join(index_dir, "postings", f"group={g}")
+            part = (
+                enriched.filter(F.col("bucket") % RESUME_GROUPS == g)
+                .repartition(max(n_parts // 4, 4), "term", "salt")
+                .sortWithinPartitions("term", "salt", "docid")
+                .mapInPandas(_encode_blocks, schema=BLOCK_SCHEMA)
             )
-            .collect()
-        }
-        man.mark(
-            stage,
-            group=g,
-            buckets=per_bucket,
-            blocks=int(sum(b["blocks"] for b in per_bucket.values())),
-            postings=int(sum(b["postings"] for b in per_bucket.values())),
-        )
-        if fail_after_group is not None and g == fail_after_group:
-            raise RuntimeError(f"injected failure after group {g}")
+            part.write.mode("overwrite").partitionBy("bucket").parquet(gdir)
+            written = spark.read.parquet(gdir)
+            per_bucket = {
+                str(r["bucket"]): {
+                    "blocks": r["blocks"], "postings": r["postings"]
+                }
+                for r in written.groupBy("bucket")
+                .agg(
+                    F.count("*").alias("blocks"),
+                    F.sum("n").alias("postings"),
+                )
+                .collect()
+            }
+            man.mark(
+                stage,
+                group=g,
+                buckets=per_bucket,
+                blocks=int(sum(b["blocks"] for b in per_bucket.values())),
+                postings=int(
+                    sum(b["postings"] for b in per_bucket.values())
+                ),
+            )
+            if fail_after_group is not None and g == fail_after_group:
+                raise RuntimeError(f"injected failure after group {g}")
+
+        if fail_after_group is not None:
+            # deterministic sequential commits for the resume test
+            for g in todo:
+                write_group(g)
+        else:
+            # independent concurrent job submissions — the scheduler
+            # interleaves group stages so the cluster stays saturated;
+            # each group is still an independent commit point (resume)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=4) as ex:
+                list(ex.map(write_group, todo))
+        enriched.unpersist()
 
     # -- stage: term dictionary --------------------------------------------
     postings_path = os.path.join(index_dir, "postings")

@@ -1,0 +1,143 @@
+"""Near-duplicate detection operators for training-data pipelines.
+
+The engine's ingest pipeline ships exact-sha256 and simhash dedup
+(index/pipeline.py, reference lib/duphash.py).  This module adds the
+standard large-scale dedup family — MinHash+LSH and n-gram Jaccard —
+expressed as pure DataFrame ops so each has a value-identical DuckDB
+oracle (__spark_entry__.oracle_sql).
+
+Determinism contract shared with the SQL oracles:
+ * shingle = 3 consecutive tokens (engine tokenizer spec) joined by ' ';
+ * hash_i(s) = md5(i || '|' || s) compared LEXICOGRAPHICALLY — md5 hex
+   is identical everywhere, and string-min is a valid minhash (what
+   matters is a consistent total order over hashed shingles, not
+   integer arithmetic);
+ * LSH: 8 signatures, 4 bands × 2 rows; band key = md5 of the
+   concatenated (seed-ordered) signatures.
+
+Scale notes (10^12 rows): every step is a shuffle on (doc, shingle) /
+(band, key) hash keys — no driver-side state, no O(n²) pass; the LSH
+band join only materializes candidate pairs, and the Jaccard join is
+bounded by shingle df (a stopword-shingle cap can be added as a filter
+on a shingle-df aggregate if a corpus needs it).
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..text.tokenizer import TOKEN_PATTERN
+
+N_HASHES = 8
+BAND_ROWS = 2
+
+
+def doc_shingles(docs: DataFrame, id_col="doc_id", text_col="text",
+                 n=3) -> DataFrame:
+    """(id, shingle) — distinct n-token shingles per document."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0
+    )
+    # guard: F.sequence(0, negative) would generate a DESCENDING range,
+    # so short docs (< n tokens) must map to an empty shingle set
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), sh.alias("sh")
+    ).select("doc_id", F.explode(F.array_distinct("sh")).alias("shingle"))
+
+
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """(doc_id, seed, sig): sig = lexicographic min of seeded md5."""
+    seeds = F.explode(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1))
+    ).alias("seed")
+    h = F.md5(
+        F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))
+    )
+    return (
+        shingles.select("doc_id", "shingle", seeds)
+        .select("doc_id", "seed", h.alias("h"))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, key): band key = md5 of seed-ordered sigs."""
+    return (
+        sigs.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seed", "sig"))
+                        ),
+                        lambda x: x["sig"],
+                    ),
+                    "",
+                )
+            ).alias("key")
+        )
+    )
+
+
+def minhash_pairs(docs: DataFrame, id_col="doc_id",
+                  text_col="text") -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing >= 1 LSH band."""
+    bands = lsh_bands(
+        minhash_signatures(doc_shingles(docs, id_col, text_col))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
+                  threshold=0.5) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing >= 1 shingle.
+
+    (a, b, jaccard) with jaccard >= threshold, rounded to 6 places.
+    The shingle inverted join bounds the candidate set; exactness makes
+    this the verification stage downstream of minhash_pairs at scale.
+    """
+    sh = doc_shingles(docs, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    j = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("jaccard", F.round(j, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -244,6 +244,66 @@ def doc_fingerprint(spark, sf_dir) -> DataFrame:
     )
 
 
+# marker tokens per language for the heuristic language identifier;
+# CASE order below is the deterministic tie-break (alphabetical)
+LANG_MARKERS = {
+    "c": ["include", "int", "char", "printf", "struct", "sizeof"],
+    "java": ["public", "void", "static", "extends", "implements", "new"],
+    "js": ["function", "var", "const", "let", "console", "require"],
+    "md": ["http", "https", "www", "readme", "license", "usage"],
+    "python": ["def", "import", "self", "print", "lambda", "elif"],
+}
+
+
+def lang_id(spark, sf_dir) -> DataFrame:
+    """Heuristic language identification from marker-token counts
+    (training-data pipeline: language-ID without external models).
+    Tie-break: first language in alphabetical CASE order; all-zero →
+    'unknown'."""
+    toks = doc_tokens(spark, sf_dir)
+    aggs = [
+        F.sum(
+            F.when(F.col("term").isin(LANG_MARKERS[lang]), 1).otherwise(0)
+        ).alias(f"s_{lang}")
+        for lang in sorted(LANG_MARKERS)
+    ]
+    per = toks.groupBy("doc_id").agg(*aggs)
+    mx = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(LANG_MARKERS)])
+    pred = F.when(mx == 0, F.lit("unknown"))
+    for lang in sorted(LANG_MARKERS):
+        pred = pred.when(F.col(f"s_{lang}") == mx, F.lit(lang))
+    docs = documents(spark, sf_dir).select("doc_id")
+    return (
+        docs.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(pred, F.lit("unknown")).alias("lang_pred"),
+        )
+    )
+
+
+def token_counts(spark, sf_dir) -> DataFrame:
+    """Token-count statistics per doc: word tokens, token characters,
+    and a BPE-ish piece estimate (4-char pieces per word — the standard
+    chars/4 budget rule, computed exactly per token)."""
+    toks = doc_tokens(spark, sf_dir)
+    per = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("term")).alias("n_token_chars"),
+        F.sum(F.ceil(F.length("term") / 4)).alias("n_pieces_bpe"),
+    )
+    docs = documents(spark, sf_dir).select("doc_id")
+    return (
+        docs.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_token_chars", F.lit(0)).alias("n_token_chars"),
+            F.coalesce("n_pieces_bpe", F.lit(0)).alias("n_pieces_bpe"),
+        )
+    )
+
+
 def ann_cosine_topk(spark, sf_dir, query_vec_id=0, k=10) -> DataFrame:
     """Brute-force cosine top-k over the embedding column — the exact
     baseline for similarity search (IVF/LSH variants build on this)."""

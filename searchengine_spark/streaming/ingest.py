@@ -1,0 +1,79 @@
+"""Streaming corpus ingest → incremental postings (Structured Streaming).
+
+The reference has no streaming (SURVEY.md §2.8) — its only incremental
+mode is resume-from-checkpoint (lib/writer.py:40-57).  This module is
+the Spark-native upgrade: a file-source stream of corpus rows feeds
+``foreachBatch`` micro-batches through the SAME analyze UDF as the
+batch pipeline, appending per-batch postings/docs parquet.  Streaming
+checkpointing gives exactly-once per input file (a restart re-reads
+nothing already committed) — the streaming generalization of the
+build manifest's resume contract.
+
+Scale notes: per micro-batch work is the map-side analyze UDF plus one
+append write — no global shuffle, no unbounded state; watermark-style
+state is not needed because postings aggregation is per-doc (map-side)
+and the merge into the final compressed index is the batch write_index
+job over the accumulated staging dir.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..text.udfs import POSTINGS_SCHEMA, make_analyze_partition
+
+CORPUS_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def stream_corpus(spark: SparkSession, input_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    r = spark.readStream.schema(CORPUS_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(input_dir)
+
+
+def incremental_postings(
+    spark: SparkSession,
+    input_dir: str,
+    stage_dir: str,
+    checkpoint_dir: str,
+    stem: bool = True,
+):
+    """Run the streaming ingest until no new files remain (availableNow).
+
+    Appends to ``{stage_dir}/postings`` and ``{stage_dir}/docs``; doc
+    identity is content-addressed — ``docid = xxhash64(repo, path,
+    commit)`` — so ids are stable across micro-batches and restarts
+    without any global coordination (the batch pipeline's dense
+    range-rank ids need a full pass, which a stream by definition never
+    has; SURVEY.md §1.2 offers both keying rules).
+
+    Returns after the stream drains; call again after new files land —
+    the checkpoint skips everything already processed.
+    """
+    stream = stream_corpus(spark, input_dir)
+    analyze = make_analyze_partition(stem=stem)
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        ids = batch_df.withColumn(
+            "docid", F.xxhash64("repo", "path", "commit")
+        )
+        postings = ids.select("docid", "content").mapInPandas(
+            analyze, schema=POSTINGS_SCHEMA
+        )
+        postings.write.mode("append").parquet(f"{stage_dir}/postings")
+        ids.select(
+            "docid", "repo", "path", "commit", "lang",
+            F.sha2("content", 256).alias("sha256"),
+        ).write.mode("append").parquet(f"{stage_dir}/docs")
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

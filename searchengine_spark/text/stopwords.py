@@ -3,13 +3,13 @@
 174-word list shipped verbatim from the reference's rsrc/stopwords.txt.
 """
 
-from pathlib import Path
+from importlib.resources import files
 
-_RSRC = Path(__file__).resolve().parent.parent / "rsrc" / "stopwords.txt"
+# importlib.resources (not a filesystem Path) so the list resolves when
+# the package ships as a spark-submit --py-files zip
+_TEXT = files("searchengine_spark.rsrc").joinpath("stopwords.txt").read_text()
 
-STOPWORDS = frozenset(
-    w.strip() for w in _RSRC.read_text().splitlines() if w.strip()
-)
+STOPWORDS = frozenset(w.strip() for w in _TEXT.splitlines() if w.strip())
 
 
 def is_stopword(word):

@@ -61,18 +61,55 @@ def make_analyze_partition(stem=True):
 analyze_partition = make_analyze_partition(stem=True)
 
 
-def simhash_partition(batches):
-    """mapInPandas: (docid, content) → 32-bit simhash fingerprints.
+def make_simhash_partition(bits=32):
+    """mapInPandas factory: (docid, content) → simhash fingerprints.
 
     Fingerprint is over UNSTEMMED token counts, matching the reference's
     ordering (simhash at makeindex.py:201 runs before stemming at :221).
+    bits=32 is reference parity; bits=64 is the scale variant
+    (text/simhash.py).  64-bit fingerprints are emitted as signed int64
+    (two's complement) — band extraction uses shiftrightunsigned, so the
+    sign does not matter.
     """
-    for pdf in batches:
-        docids, fps = [], []
-        for docid, content in zip(pdf["docid"], pdf["content"]):
-            wc = {}
-            for t in tokenize(content):
-                wc[t] = wc.get(t, 0) + 1
-            docids.append(docid)
-            fps.append(simhash32(wc))
-        yield pd.DataFrame({"docid": docids, "fingerprint": fps})
+    from collections import Counter
+
+    import numpy as np
+
+    from .simhash import _simhash_from_arrays, crc64
+
+    if bits == 32:
+        def hfn(w):
+            return crc64(w.encode("utf-8")) % (1 << 32)
+    else:
+        def hfn(w):
+            return crc64(w.encode("utf-8"))
+
+    def simhash_partition(batches):
+        memo = {}  # word → hash, shared across the batch (Zipf reuse)
+        for pdf in batches:
+            docids, fps = [], []
+            for docid, content in zip(pdf["docid"], pdf["content"]):
+                wc = Counter(tokenize(content))
+                n = len(wc)
+                hashes = np.empty(n, dtype=np.uint64)
+                counts = np.empty(n, dtype=np.int64)
+                for i, (w, c) in enumerate(wc.items()):
+                    h = memo.get(w)
+                    if h is None:
+                        h = memo[w] = hfn(w)
+                    hashes[i] = h
+                    counts[i] = c
+                fp = _simhash_from_arrays(hashes, counts, bits)
+                if fp >= 1 << 63:
+                    fp -= 1 << 64
+                docids.append(docid)
+                fps.append(fp)
+            yield pd.DataFrame(
+                {"docid": docids,
+                 "fingerprint": pd.array(fps, dtype="int64")}
+            )
+
+    return simhash_partition
+
+
+simhash_partition = make_simhash_partition(32)

@@ -1,0 +1,159 @@
+"""Training-data ops: dedup family, vectors, multimodal, streaming."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# -- minhash / jaccard -----------------------------------------------------
+
+@pytest.fixture(scope="session")
+def tiny_docs(spark):
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (1, base),
+        (2, base),                                   # exact text twin
+        (3, base + " extraword"),                    # near-dup (J ≈ 0.95)
+        (4, "completely different tokens entirely unrelated content "
+            "nothing shared with the others at all in any way"),
+        (5, "short doc"),                            # < 3 tokens → no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_pairs(tiny_docs):
+    from searchengine_spark.ops.dedup import minhash_pairs
+
+    pairs = {(r["a"], r["b"]) for r in minhash_pairs(tiny_docs).collect()}
+    assert (1, 2) in pairs          # identical → all bands equal
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup shares bands
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_jaccard_exact_values(tiny_docs):
+    from searchengine_spark.ops.dedup import doc_shingles, jaccard_pairs
+
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in jaccard_pairs(tiny_docs, threshold=0.0).collect()
+    }
+    sh = {
+        d: set()
+        for d in (1, 2, 3, 4)
+    }
+    for r in doc_shingles(tiny_docs).collect():
+        sh.setdefault(r["doc_id"], set()).add(r["shingle"])
+    for (a, b), j in got.items():
+        expect = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        assert math.isclose(j, round(expect, 6), abs_tol=1e-9)
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] < 1.0
+
+
+# -- vectors ---------------------------------------------------------------
+
+def test_ivf_is_subset_of_brute_force_ranking(spark):
+    """IVF results must be genuine cosines (a subset of the exhaustive
+    ranking, correctly ordered) and achieve nonzero recall@10."""
+    from searchengine_spark.ops.textops import ann_cosine_topk
+    from searchengine_spark.ops.vectors import ann_ivf_topk
+
+    brute = [r["vec_id"] for r in ann_cosine_topk(spark, SF, k=10).collect()]
+    ivf_rows = ann_ivf_topk(spark, SF, k=10).collect()
+    ivf = [r["vec_id"] for r in ivf_rows]
+    cos = [r["cosine"] for r in ivf_rows]
+    assert cos == sorted(cos, reverse=True)
+    assert len(set(ivf) & set(brute)) >= 3  # recall >= 0.3 on this data
+
+
+# -- multimodal ------------------------------------------------------------
+
+def test_media_pipeline_deterministic(spark):
+    from searchengine_spark.ops.multimodal import (
+        extract_features,
+        fake_features,
+        frame_sample,
+        synth_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "python"), (2, "bye", "md")],
+        "doc_id long, text string, lang string",
+    )
+    media = synth_media(docs)
+    rows = {r["id"]: r for r in media.collect()}
+    assert bytes(rows[1]["media"]) == b"hello world"
+    assert rows[1]["media_type"] == "text/x-python"
+    assert rows[1]["meta"]["duration_ms"] == 110
+
+    feats = {r["id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == 11
+    expect = fake_features(b"hello world")
+    got = list(feats[1]["features"])
+    assert all(abs(a - b) < 1e-6 for a, b in zip(got, expect))
+    assert all(0.0 <= x < 1.0 for x in got)
+
+    frames = frame_sample(media, every_ms=50).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["id"], []).append((r["frame_idx"], r["t_ms"]))
+    assert len(by_id[1]) == 2  # 110ms at 50ms → 2 frames
+    assert by_id[1] == [(0, 0), (1, 50)]
+
+
+def test_real_decode_is_gated():
+    from searchengine_spark.ops import multimodal as M
+
+    if not M._HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            M.real_decode_image(b"\x89PNG")
+
+
+# -- streaming -------------------------------------------------------------
+
+def test_streaming_incremental_ingest(spark, tmp_path):
+    from searchengine_spark.streaming.ingest import incremental_postings
+    from searchengine_spark.text.analyze import analyze_counts
+
+    in_dir = str(tmp_path / "in")
+    stage = str(tmp_path / "stage")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows1 = [
+        ("r1", "a.py", "c1", "python", "spark streaming batch one"),
+        ("r1", "b.py", "c2", "python", "second document tokens here"),
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    incremental_postings(spark, in_dir, stage, ckpt)
+    p1 = spark.read.parquet(f"{stage}/postings")
+    docs1 = spark.read.parquet(f"{stage}/docs")
+    assert docs1.count() == 2
+    n1 = p1.count()
+    assert n1 == sum(len(analyze_counts(c)) for *_x, c in rows1)
+
+    # second wave: only the new file is processed (checkpoint resume)
+    rows2 = [("r2", "c.py", "c3", "python", "late arriving document")]
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    incremental_postings(spark, in_dir, stage, ckpt)
+    docs2 = spark.read.parquet(f"{stage}/docs")
+    assert docs2.count() == 3  # appended once, not reprocessed
+    assert docs2.select("docid").distinct().count() == 3
+    p2 = spark.read.parquet(f"{stage}/postings")
+    assert p2.count() == n1 + len(analyze_counts(rows2[0][-1]))
+
+    # content sha invariant carried through the stream
+    got = {r["repo"]: r["sha256"] for r in docs2.collect()}
+    import hashlib
+
+    assert got["r2"] == hashlib.sha256(rows2[0][-1].encode()).hexdigest()

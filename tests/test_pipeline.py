@@ -102,3 +102,21 @@ def test_sha256_invariant_spark(spark, corpus_df, corpus_rows):
     for row in corpus_rows[:100]:
         expect = hashlib.sha256(row["content"].encode("utf-8")).hexdigest()
         assert got[(row["repo"], row["path"])] == expect
+
+
+def test_docid_hash_order_dense_and_invariant(spark, corpus_df, corpus_rows):
+    """Web-scale id mode: dense 1..N, partition-count invariant, ordered
+    by xxhash64 (samplerless static bucketing — assign_docids)."""
+    a = {
+        r["docid"]: (r["repo"], r["path"], r["commit"])
+        for r in assign_docids(corpus_df, n_parts=3, order="hash").collect()
+    }
+    b = {
+        r["docid"]: (r["repo"], r["path"], r["commit"])
+        for r in assign_docids(corpus_df, n_parts=17, order="hash").collect()
+    }
+    assert a == b
+    assert sorted(a) == list(range(1, len(corpus_rows) + 1))
+    assert set(a.values()) == {
+        (r["repo"], r["path"], r["commit"]) for r in corpus_rows
+    }
