@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": T.bm25_topk,
         "wand_topk": T.wand_topk,
         "lang_counts": T.lang_counts,
+        "phrase_match": T.phrase_match,
         "text_quality": T.text_quality,
         "doc_fingerprint": T.doc_fingerprint,
         "ann_cosine_topk": T.ann_cosine_topk,
@@ -327,6 +328,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_counts": """
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "phrase_match": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+            pos AS (
+              SELECT doc_id, i AS pos, t[i] AS term
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(t))) AS i) g
+            )
+            SELECT a.doc_id, count(*) AS n_occurrences
+            FROM pos a JOIN pos b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = 'table' AND b.term = 'hash'
+            GROUP BY a.doc_id
+            ORDER BY n_occurrences DESC, a.doc_id LIMIT 20
         """,
         "text_quality": f"""
             WITH toks AS ({_TOKS}),

@@ -216,12 +216,16 @@ def write_index(
 
     # -- stage: docs + stats ------------------------------------------------
     docs_path = os.path.join(index_dir, "docs")
-    if not man.done("docs"):
-        tables.docs.write.mode("overwrite").parquet(docs_path)
-        n = spark.read.parquet(docs_path).count()
-        man.mark("docs", rows=n)
     stats = dict(tables.stats)
     avgdl = stats["avgdl"] or 1.0
+    if not man.done("docs"):
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        tables.docs.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(docs_path)
+        man.mark("docs", rows=int(obs.get["rows"]))
 
     # -- stage: posting blocks, RESUME_GROUPS independent jobs --------------
     # weight = BM25 tf-side contribution; block max of it is the WAND bound
@@ -267,9 +271,14 @@ def write_index(
     todo = [g for g in range(RESUME_GROUPS)
             if not man.done(f"postings_group_{g}")]
     if todo:
-        # one materialization of the enriched postings feeds every group
-        # job (without this each group re-runs the full join pipeline)
+        # ONE materialization of the enriched postings, completed BEFORE
+        # the group jobs launch: concurrent jobs over an unmaterialized
+        # .persist() would race and each recompute the full join
+        # pipeline (cache fills per-partition, not per-plan)
         enriched = enriched.persist()
+        enriched.count()
+
+        from pyspark.sql import Observation
 
         def write_group(g):
             stage = f"postings_group_{g}"
@@ -280,27 +289,24 @@ def write_index(
                 .sortWithinPartitions("term", "salt", "docid")
                 .mapInPandas(_encode_blocks, schema=BLOCK_SCHEMA)
             )
+            # lineage metrics ride on the write job itself (Observation)
+            # instead of a read-back job per group
+            obs = Observation()
+            part = part.observe(
+                obs,
+                F.count(F.lit(1)).alias("blocks"),
+                F.sum("n").alias("postings"),
+                F.approx_count_distinct("bucket").alias("n_buckets"),
+            )
             part.write.mode("overwrite").partitionBy("bucket").parquet(gdir)
-            written = spark.read.parquet(gdir)
-            per_bucket = {
-                str(r["bucket"]): {
-                    "blocks": r["blocks"], "postings": r["postings"]
-                }
-                for r in written.groupBy("bucket")
-                .agg(
-                    F.count("*").alias("blocks"),
-                    F.sum("n").alias("postings"),
-                )
-                .collect()
-            }
+            m = obs.get
             man.mark(
                 stage,
                 group=g,
-                buckets=per_bucket,
-                blocks=int(sum(b["blocks"] for b in per_bucket.values())),
-                postings=int(
-                    sum(b["postings"] for b in per_bucket.values())
-                ),
+                buckets=sorted(range(g, N_TERM_BUCKETS, RESUME_GROUPS)),
+                n_buckets_written=int(m["n_buckets"] or 0),
+                blocks=int(m["blocks"] or 0),
+                postings=int(m["postings"] or 0),
             )
             if fail_after_group is not None and g == fail_after_group:
                 raise RuntimeError(f"injected failure after group {g}")
@@ -333,8 +339,13 @@ def write_index(
             F.count("*").cast("int").alias("n_blocks"),
             F.max("max_weight").alias("max_weight"),
         )
-        td.write.mode("overwrite").parquet(termdict_path)
-        man.mark("termdict", terms=spark.read.parquet(termdict_path).count())
+        from pyspark.sql import Observation
+
+        tobs = Observation()
+        td.observe(tobs, F.count(F.lit(1)).alias("terms")).write.mode(
+            "overwrite"
+        ).parquet(termdict_path)
+        man.mark("termdict", terms=int(tobs.get["terms"] or 0))
 
     # -- stage: mergeinfo ---------------------------------------------------
     if not man.done("mergeinfo"):

@@ -244,6 +244,37 @@ def doc_fingerprint(spark, sf_dir) -> DataFrame:
     )
 
 
+def phrase_match(spark, sf_dir, phrase=("table", "hash"), k=20) -> DataFrame:
+    """Exact-phrase search via token positions (the [NORTH-EXT] positions
+    stored in every posting exist precisely for this): a doc matches
+    where the phrase's terms appear at consecutive positions.
+
+    Expressed as an adjacency self-join on (doc_id, pos): term_i at
+    position p must be followed by term_{i+1} at p+1.  Returns
+    (doc_id, n_occurrences) ordered by occurrences desc, doc_id asc.
+    """
+    toks = doc_tokens(spark, sf_dir)
+    first = toks.filter(F.col("term") == phrase[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    cur = first
+    for i, term in enumerate(phrase[1:], 1):
+        nxt = toks.filter(F.col("term") == term).select(
+            F.col("doc_id").alias("d"), F.col("pos").alias("pi")
+        )
+        cur = cur.join(
+            nxt,
+            (F.col("doc_id") == F.col("d"))
+            & (F.col("pi") == F.col("p0") + i),
+        ).select("doc_id", "p0")
+    return (
+        cur.groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 # marker tokens per language for the heuristic language identifier;
 # CASE order below is the deterministic tie-break (alphabetical)
 LANG_MARKERS = {

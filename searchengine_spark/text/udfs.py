@@ -23,14 +23,20 @@ POSTINGS_SCHEMA = (
 SIMHASH_SCHEMA = "docid long, fingerprint long"
 
 
-def make_analyze_partition(stem=True):
-    """Build a mapInPandas fn: (docid, content) batches → postings rows.
+def make_analyze_partition(stem=True, importance_fn=None):
+    """Build a mapInPandas fn: (docid, content [, path]) batches →
+    postings rows.
 
-    Emits one row per (doc, distinct term) with tf, 1-based positions, the
-    constant important=0 field (reference quirk, makeindex.py:229-241 —
-    SURVEY.md P13), and the doc's total_tokens (distinct-term count,
-    makeindex.py:223-224 quirk) denormalized onto every row so the docs
-    table derives without a second content scan.
+    Emits one row per (doc, distinct term) with tf, 1-based positions,
+    the important field, and the doc's total_tokens (distinct-term
+    count, makeindex.py:223-224 quirk) denormalized onto every row so
+    the docs table derives without a second content scan.
+
+    ``important`` defaults to the constant 0 — the reference's
+    load-bearing indexer typo (makeindex.py:229-241, SURVEY.md P13).
+    Pass ``importance_fn`` (e.g. text.importance.extract_importance) to
+    enable the working P2 analogue; it receives (content, path) and the
+    input batch must then carry a ``path`` column.
 
     ``stem=False`` is the SQL-mirrorable variant (DuckDB has no Porter
     stemmer) used by the driver-checked flat index path.
@@ -43,15 +49,37 @@ def make_analyze_partition(stem=True):
                 "docid": [], "term": [], "tf": [], "positions": [],
                 "important": [], "total_tokens": [],
             }
-            for docid, content in zip(pdf["docid"], pdf["content"]):
+            paths = pdf["path"] if importance_fn is not None else None
+            for i, (docid, content) in enumerate(
+                zip(pdf["docid"], pdf["content"])
+            ):
                 counts = analyze_counts(content, stem=stem, _memo=memo)
                 nterms = len(counts)
+                imp = None
+                if importance_fn is not None:
+                    raw = importance_fn(content, paths.iloc[i])
+                    if stem:
+                        # align with the stemmed term space (first/min
+                        # priority wins when stems collide)
+                        from .porter import porter_stem
+
+                        imp = {}
+                        for w, pr in raw.items():
+                            s = memo.get(w)
+                            if s is None:
+                                s = memo[w] = porter_stem(w)
+                            if s not in imp or pr < imp[s]:
+                                imp[s] = pr
+                    else:
+                        imp = raw
                 for term, (tf, positions) in counts.items():
                     out["docid"].append(docid)
                     out["term"].append(term)
                     out["tf"].append(tf)
                     out["positions"].append(positions)
-                    out["important"].append(0)
+                    out["important"].append(
+                        imp.get(term, 0) if imp is not None else 0
+                    )
                     out["total_tokens"].append(nterms)
             yield pd.DataFrame(out)
 

@@ -79,13 +79,17 @@ def test_block_rejects_unsorted():
 def test_manifest_complete(index_dir):
     man = Manifest(os.path.join(index_dir, "_manifest.json"))
     assert man.data["complete"]
+    from searchengine_spark.params import N_TERM_BUCKETS
+
     for g in range(RESUME_GROUPS):
         st_ = man.data["stages"][f"postings_group_{g}"]
         assert st_["status"] == "done"
-        # per-partition lineage: bucket-level metrics recorded
-        assert all(
-            b["postings"] >= b["blocks"] for b in st_["buckets"].values()
+        # per-partition lineage: group metrics + covered bucket ids
+        assert st_["postings"] >= st_["blocks"] > 0
+        assert st_["buckets"] == sorted(
+            range(g, N_TERM_BUCKETS, RESUME_GROUPS)
         )
+        assert 0 < st_["n_buckets_written"] <= len(st_["buckets"])
 
 
 def test_block_invariants(spark, index_dir):

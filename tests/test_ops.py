@@ -157,3 +157,94 @@ def test_streaming_incremental_ingest(spark, tmp_path):
     import hashlib
 
     assert got["r2"] == hashlib.sha256(rows2[0][-1].encode()).hexdigest()
+
+
+# -- summaries + importance (SURVEY.md S12/J5, P2) -------------------------
+
+def test_summarize_and_attach(spark):
+    from searchengine_spark.ops.summarize import (
+        attach_summaries,
+        summarize_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four"), (2, "  lots   of  space here ")],
+        "docid long, content string",
+    )
+    s = {r["docid"]: r["summary"] for r in summarize_docs(docs).collect()}
+    assert s[1] == "one two three four"
+    assert s[2] == "lots of space here"
+
+    res = spark.createDataFrame([(1, 1), (3, 2)], "docid long, rank int")
+    out = {
+        r["docid"]: r["summary"]
+        for r in attach_summaries(res, summarize_docs(docs)).collect()
+    }
+    assert out[1] == "one two three four"
+    assert out[3] == ""  # missing → empty string (lib/queryproc.py:295)
+
+
+def test_importance_extraction(spark):
+    from searchengine_spark.text.importance import extract_importance
+    from searchengine_spark.text.udfs import (
+        POSTINGS_SCHEMA,
+        make_analyze_partition,
+    )
+    from pyspark.sql import functions as F
+
+    code = "def hashmap_insert(key):\n    return bucket\nplain line tokens\n"
+    imp = extract_importance(code, "src/hashmap.py")
+    assert imp["hashmap"] == 1          # path token = title-analogue
+    assert imp["insert"] == 2           # def line = header-analogue
+    assert "plain" not in imp
+
+    df = spark.createDataFrame(
+        [(1, code, "src/hashmap.py")],
+        "docid long, content string, path string",
+    )
+    rows = df.mapInPandas(
+        make_analyze_partition(
+            stem=True, importance_fn=extract_importance
+        ),
+        schema=POSTINGS_SCHEMA,
+    ).collect()
+    by_term = {r["term"]: r["important"] for r in rows}
+    assert by_term["hashmap"] == 1
+    assert by_term["plain"] == 0
+    # default path stays bug-compatible: constant 0 (SURVEY.md P13)
+    rows0 = df.select("docid", "content").mapInPandas(
+        make_analyze_partition(stem=True), schema=POSTINGS_SCHEMA
+    ).collect()
+    assert {r["important"] for r in rows0} == {0}
+
+
+def test_streaming_queries_match_batch(spark, tables, index_dir, tmp_path):
+    """Streaming front-end must answer exactly like the batch engine."""
+    import json as _json
+
+    from searchengine_spark.index.shards import load_index
+    from searchengine_spark.query.scoring import score_queries_ondisk
+    from searchengine_spark.streaming.queries import serve_query_stream
+
+    shards = load_index(spark, index_dir)
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    queries = [(1, "parser notes"), (8, "hash bucket")]
+    (qdir / "batch1.json").write_text(
+        "\n".join(
+            _json.dumps({"qid": q, "query": t}) for q, t in queries
+        )
+    )
+    out = str(tmp_path / "res")
+    serve_query_stream(
+        spark, shards, str(qdir), out, str(tmp_path / "ck"), k=10
+    )
+    got = sorted(
+        (r["qid"], r["rank"], r["docid"])
+        for r in spark.read.parquet(out).collect()
+    )
+    expect = sorted(
+        (r["qid"], r["rank"], r["docid"])
+        for r in score_queries_ondisk(spark, queries, shards, k=10).collect()
+    )
+    assert got == expect and len(got) > 0
