@@ -122,24 +122,32 @@ def run_scaling():
     # tmpfs for shuffle spill + index output: the sandbox's /tmp disk
     # tops out at ~400 MB/s, which caps shuffle-heavy stages regardless
     # of cores; production executors get local NVMe, /dev/shm is the
-    # single-box stand-in.  Best-of-2 per config damps co-tenant noise.
+    # single-box stand-in.
     scratch = "/dev/shm/se_scale" if os.path.isdir("/dev/shm") else None
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+    # legs run INTERLEAVED (4,16,4,16,...) so time-varying host load hits
+    # both configurations symmetrically; best-of-N per leg then picks the
+    # quiet-window measurement for each
     out = {}
-    for cpus in SCALING_CORES:
-        best = None
-        for rep in range(repeats):
+    for rep in range(repeats):
+        for cpus in SCALING_CORES:
+            best = out.get(cpus)
             idx_dir = tempfile.mkdtemp(
                 prefix=f"se_scale_{cpus}_", dir=scratch and (
                     os.makedirs(scratch, exist_ok=True) or scratch
                 )
             )
             try:
+                # 8g measured best on this box: DataFrame caches are
+                # compressed columnar, and larger heaps (16/48g) ran
+                # consistently slower (likely THP/compaction stalls)
                 cmd = [
                     "spark-submit",
                     "--master", f"local[{cpus}]",
                     "--conf", f"spark.sql.shuffle.partitions={cpus}",
-                    "--conf", "spark.driver.memory=8g",
+                    "--conf", "spark.driver.memory="
+                              + os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                               "8g"),
                 ]
                 if scratch:
                     cmd += ["--conf", f"spark.local.dir={scratch}/local"]
@@ -162,10 +170,9 @@ def run_scaling():
                     )
                 r = json.loads(lines[-1])
                 if best is None or r["build_sec"] < best["build_sec"]:
-                    best = r
+                    out[cpus] = r
             finally:
                 shutil.rmtree(idx_dir, ignore_errors=True)
-        out[cpus] = best
     lo, hi = SCALING_CORES
     ratio = hi / lo
     thr_lo = out[lo]["value"]

@@ -1,0 +1,116 @@
+"""Stage-level scaling probe: the engine's hot kernels at N vs 4N cores.
+
+Supplementary evidence for BASELINE.md: whole-job wall-clock efficiency
+on this time-shared sandbox is dominated by host noise and per-job fixed
+cost, so this probe isolates the stages that dominate a 10^12-file build
+— the Arrow-batched analyze (tokenize+stem+count) and simhash UDFs over
+an in-memory corpus — where scaling reflects the engine, not the box.
+
+    python tools/stage_scaling_probe.py [n_docs=60000]
+
+Prints one JSON line with per-core-count stage times and efficiencies.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(cpus: int, n_docs: int):
+    from pyspark.sql import SparkSession
+
+    from searchengine_spark.corpus import synth_corpus
+    from searchengine_spark.text.udfs import (
+        POSTINGS_SCHEMA,
+        SIMHASH_SCHEMA,
+        analyze_partition,
+        make_simhash_partition,
+    )
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("stage-probe")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = [
+        (i + 1, r["content"]) for i, r in enumerate(synth_corpus(n_docs))
+    ]
+    df = (
+        spark.createDataFrame(rows, "docid long, content string")
+        .repartition(cpus * 2)
+        .persist()
+    )
+    df.count()  # materialize before timing
+
+    # two timed iterations per stage, keep the min: the first pays
+    # python-worker spin-up and JIT; the min is the steady-state figure
+    # a long cluster job actually runs at
+    t_analyze = []
+    n_postings = 0
+    for _ in range(2):
+        t0 = time.time()
+        n_postings = df.mapInPandas(
+            analyze_partition, schema=POSTINGS_SCHEMA
+        ).count()
+        t_analyze.append(time.time() - t0)
+
+    t_simhash = []
+    for _ in range(2):
+        t0 = time.time()
+        df.mapInPandas(
+            make_simhash_partition(64), schema=SIMHASH_SCHEMA
+        ).count()
+        t_simhash.append(time.time() - t0)
+
+    spark.stop()
+    return {"analyze": round(min(t_analyze), 2),
+            "simhash": round(min(t_simhash), 2),
+            "postings": n_postings}
+
+
+def main():
+    if "--single" in sys.argv:
+        i = sys.argv.index("--single")
+        print(json.dumps(run(int(sys.argv[i + 1]), int(sys.argv[i + 2]))))
+        return
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
+    lo, hi = 4, 16
+    # one subprocess per core count: driver memory only applies at JVM
+    # launch, and a fresh JVM per leg keeps the legs independent
+    import subprocess
+
+    res = {}
+    for c in (lo, hi):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--single", str(c), str(n_docs)],
+            capture_output=True, text=True,
+        )
+        lines = [ln for ln in p.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        if not lines:
+            sys.stderr.write(p.stderr[-3000:])
+            raise RuntimeError(f"probe failed at local[{c}]")
+        res[c] = json.loads(lines[-1])
+    out = {
+        "metric": f"hot-stage scaling (local[{lo}] vs local[{hi}])",
+        "n_docs": n_docs,
+        "stages": res,
+    }
+    for s in ("analyze", "simhash"):
+        speedup = res[lo][s] / res[hi][s]
+        out[f"{s}_speedup"] = round(speedup, 3)
+        out[f"{s}_efficiency"] = round(speedup / (hi / lo), 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
