@@ -13,7 +13,7 @@ path — no dedup, no graph, ids taken as given — used by
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..text.udfs import POSTINGS_SCHEMA, make_analyze_partition
+from ..text.udfs import POSTINGS_SCHEMA, make_analyze_partition_arrow
 from .pipeline import IndexTables
 
 
@@ -29,8 +29,8 @@ def build_flat_tables(
         F.col(docid_col).cast("long").alias("docid"),
         F.col(text_col).alias("content"),
     )
-    postings_full = src.mapInPandas(
-        make_analyze_partition(stem=stem), schema=POSTINGS_SCHEMA
+    postings_full = src.mapInArrow(
+        make_analyze_partition_arrow(stem=stem), schema=POSTINGS_SCHEMA
     ).persist()
     postings = postings_full.select(
         "term", "docid", "tf", "positions", "important"

@@ -204,9 +204,13 @@ def build_tables(
     alive = _dedup_exact(nonempty)
     survivors = _dedup_simhash(alive, bits=simhash_bits).persist()
 
+    from ..text.udfs import make_analyze_partition_arrow
+
     postings_full = (
         survivors.select("docid", "content")
-        .mapInPandas(analyze_partition, schema=POSTINGS_SCHEMA)
+        .mapInArrow(
+            make_analyze_partition_arrow(stem=True), schema=POSTINGS_SCHEMA
+        )
         .persist()
     )
     # total_tokens rides along so the index writer can compute BM25

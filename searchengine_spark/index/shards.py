@@ -80,16 +80,33 @@ def term_bucket_col(term_col="term"):
 
 
 def _encode_blocks(batches):
-    """mapInPandas over (term, salt, bucket, docid, tf, positions, weight)
+    """mapInArrow over (term, salt, bucket, docid, tf, positions, weight)
     rows sorted by (term, salt, docid) within the partition → block rows.
 
     Carries an accumulator across Arrow batches; flushes at (term, salt)
     change, at POSTING_BLOCK postings, and at partition end.  Flushing at
     salt boundaries makes block layout independent of how (term, salt)
     groups are packed into partitions — the determinism the resume test
-    asserts.
+    asserts.  Arrow-native in/out (columns via to_pylist, output arrays
+    built directly) — the pandas object-column round trip was the
+    dominant cost of this stage.
     """
-    out_rows = []
+    import pyarrow as pa
+
+    out_schema = pa.schema([
+        ("term", pa.string()),
+        ("bucket", pa.int32()),
+        ("n", pa.int32()),
+        ("docid_first", pa.int64()),
+        ("docid_last", pa.int64()),
+        ("cf", pa.int64()),
+        ("max_weight", pa.float64()),
+        ("payload", pa.binary()),
+    ])
+    cols = ("term", "salt", "bucket", "docid", "tf", "positions", "weight")
+    out = {k: [] for k in
+           ("term", "bucket", "n", "docid_first", "docid_last", "cf",
+            "max_weight", "payload")}
     cur_key = None
     cur_term = None
     cur_bucket = None
@@ -98,44 +115,51 @@ def _encode_blocks(batches):
     def flush():
         if not buf_docids:
             return
-        out_rows.append(
-            {
-                "term": cur_term,
-                "bucket": cur_bucket,
-                "n": len(buf_docids),
-                "docid_first": int(buf_docids[0]),
-                "docid_last": int(buf_docids[-1]),
-                "cf": int(sum(buf_tfs)),
-                "max_weight": float(max(buf_w)),
-                "payload": encode_block(buf_docids, buf_tfs, buf_pos),
-            }
-        )
+        out["term"].append(cur_term)
+        out["bucket"].append(cur_bucket)
+        out["n"].append(len(buf_docids))
+        out["docid_first"].append(buf_docids[0])
+        out["docid_last"].append(buf_docids[-1])
+        out["cf"].append(sum(buf_tfs))
+        out["max_weight"].append(max(buf_w))
+        out["payload"].append(encode_block(buf_docids, buf_tfs, buf_pos))
         buf_docids.clear()
         buf_tfs.clear()
         buf_pos.clear()
         buf_w.clear()
 
-    for pdf in batches:
+    def emit():
+        rb = pa.RecordBatch.from_arrays(
+            [pa.array(out[f.name], f.type) for f in out_schema],
+            schema=out_schema,
+        )
+        for k in out:
+            out[k] = []
+        return rb
+
+    for rb_in in batches:
+        data = {
+            c: rb_in.column(rb_in.schema.get_field_index(c)).to_pylist()
+            for c in cols
+        }
         for term, salt, bucket, docid, tf, positions, weight in zip(
-            pdf["term"], pdf["salt"], pdf["bucket"], pdf["docid"],
-            pdf["tf"], pdf["positions"], pdf["weight"],
+            *(data[c] for c in cols)
         ):
             if (term, salt) != cur_key:
                 flush()
                 cur_key = (term, salt)
-                cur_term, cur_bucket = term, int(bucket)
-            buf_docids.append(int(docid))
-            buf_tfs.append(int(tf))
-            buf_pos.append([int(p) for p in positions])
-            buf_w.append(float(weight))
+                cur_term, cur_bucket = term, bucket
+            buf_docids.append(docid)
+            buf_tfs.append(tf)
+            buf_pos.append(positions)
+            buf_w.append(weight)
             if len(buf_docids) >= POSTING_BLOCK:
                 flush()
-        if len(out_rows) >= 2048:
-            yield pd.DataFrame(out_rows)
-            out_rows = []
+        if len(out["term"]) >= 4096:
+            yield emit()
     flush()
-    if out_rows:
-        yield pd.DataFrame(out_rows)
+    if out["term"]:
+        yield emit()
 
 
 def decode_blocks(batches):
@@ -287,7 +311,7 @@ def write_index(
                 enriched.filter(F.col("bucket") % RESUME_GROUPS == g)
                 .repartition(max(n_parts // 4, 4), "term", "salt")
                 .sortWithinPartitions("term", "salt", "docid")
-                .mapInPandas(_encode_blocks, schema=BLOCK_SCHEMA)
+                .mapInArrow(_encode_blocks, schema=BLOCK_SCHEMA)
             )
             # lineage metrics ride on the write job itself (Observation)
             # instead of a read-back job per group

@@ -89,6 +89,64 @@ def make_analyze_partition(stem=True, importance_fn=None):
 analyze_partition = make_analyze_partition(stem=True)
 
 
+def make_analyze_partition_arrow(stem=True):
+    """Arrow-native analyze for ``mapInArrow`` — the hot-path variant.
+
+    Same values as make_analyze_partition (asserted by
+    tests/test_text.py::test_arrow_analyze_equivalence); the difference
+    is purely mechanical: output columns are built as flat buffers +
+    list offsets and handed to pyarrow directly, skipping the
+    pandas-object-column → Arrow inference pass, which dominates the
+    stage cost at ~130 output rows per document.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = pa.schema([
+        ("docid", pa.int64()),
+        ("term", pa.string()),
+        ("tf", pa.int32()),
+        ("positions", pa.list_(pa.int32())),
+        ("important", pa.int8()),
+        ("total_tokens", pa.int32()),
+    ])
+
+    def analyze_partition_arrow(batches):
+        memo = {}
+        for rb in batches:
+            docids_in = rb.column(rb.schema.get_field_index("docid")).to_pylist()
+            contents = rb.column(rb.schema.get_field_index("content")).to_pylist()
+            docids, terms, tfs, tot = [], [], [], []
+            pos_flat, pos_off = [], [0]
+            for docid, content in zip(docids_in, contents):
+                counts = analyze_counts(content, stem=stem, _memo=memo)
+                nterms = len(counts)
+                for term, (tf, positions) in counts.items():
+                    docids.append(docid)
+                    terms.append(term)
+                    tfs.append(tf)
+                    pos_flat.extend(positions)
+                    pos_off.append(len(pos_flat))
+                    tot.append(nterms)
+            n = len(docids)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(docids, pa.int64()),
+                    pa.array(terms, pa.string()),
+                    pa.array(tfs, pa.int32()),
+                    pa.ListArray.from_arrays(
+                        pa.array(pos_off, pa.int32()),
+                        pa.array(pos_flat, pa.int32()),
+                    ),
+                    pa.array(np.zeros(n, dtype=np.int8)),
+                    pa.array(tot, pa.int32()),
+                ],
+                schema=out_schema,
+            )
+
+    return analyze_partition_arrow
+
+
 def make_simhash_partition(bits=32):
     """mapInPandas factory: (docid, content) → simhash fingerprints.
 

@@ -107,3 +107,29 @@ def test_simhash_bands_cover_hamming3():
 def test_analyze_stem_consistency():
     assert analyze("Running quickly", stem=True) == ["run", "quickli"]
     assert analyze("Running quickly", stem=False) == ["running", "quickly"]
+
+
+def test_arrow_analyze_equivalence(spark, corpus_df):
+    """mapInArrow analyze must emit exactly the pandas variant's rows."""
+    from searchengine_spark.index import assign_docids
+    from searchengine_spark.text.udfs import (
+        POSTINGS_SCHEMA,
+        make_analyze_partition,
+        make_analyze_partition_arrow,
+    )
+
+    src = assign_docids(corpus_df).select("docid", "content").limit(80)
+    a = src.mapInPandas(
+        make_analyze_partition(stem=True), schema=POSTINGS_SCHEMA
+    ).collect()
+    b = src.mapInArrow(
+        make_analyze_partition_arrow(stem=True), schema=POSTINGS_SCHEMA
+    ).collect()
+    key = lambda r: (r["docid"], r["term"])  # noqa: E731
+    ka = sorted(
+        (r["docid"], r["term"], r["tf"], list(r["positions"]),
+         r["important"], r["total_tokens"]) for r in a)
+    kb = sorted(
+        (r["docid"], r["term"], r["tf"], list(r["positions"]),
+         r["important"], r["total_tokens"]) for r in b)
+    assert ka == kb and len(ka) > 0
