@@ -163,19 +163,45 @@ def _encode_blocks(batches):
 
 
 def decode_blocks(batches):
-    """mapInPandas inverse of _encode_blocks: block rows → posting rows."""
+    """mapInArrow inverse of _encode_blocks: block rows → posting rows.
+
+    Arrow-native like the encoder: positions rebuild as one flat buffer
+    + offsets instead of per-row python lists.
+    """
+    import pyarrow as pa
+
     from .varbyte import decode_block
 
-    for pdf in batches:
-        terms, docids, tfs, poss = [], [], [], []
-        for term, payload in zip(pdf["term"], pdf["payload"]):
+    out_schema = pa.schema([
+        ("term", pa.string()),
+        ("docid", pa.int64()),
+        ("tf", pa.int32()),
+        ("positions", pa.list_(pa.int32())),
+    ])
+    for rb in batches:
+        terms_in = rb.column(rb.schema.get_field_index("term")).to_pylist()
+        payloads = rb.column(rb.schema.get_field_index("payload")).to_pylist()
+        terms, docids, tfs = [], [], []
+        pos_flat, pos_off = [], [0]
+        for term, payload in zip(terms_in, payloads):
             d, t, p = decode_block(bytes(payload))
             terms.extend([term] * len(d))
             docids.extend(d)
             tfs.extend(t)
-            poss.extend(p)
-        yield pd.DataFrame(
-            {"term": terms, "docid": docids, "tf": tfs, "positions": poss}
+            for plist in p:
+                pos_flat.extend(plist)
+                pos_off.append(len(pos_flat))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(terms, pa.string()),
+                pa.array(docids, pa.int64()),
+                pa.array(tfs, pa.int32()),
+                pa.ListArray.from_arrays(
+                    pa.array(pos_off, pa.int32()),
+                    pa.array(pos_flat, pa.int32()),
+                ),
+            ],
+            schema=out_schema,
         )
 
 
@@ -435,7 +461,7 @@ def fetch_postings(shards: IndexShards, terms) -> DataFrame:
     want = shards.blocks.filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
     )
-    return want.select("term", "payload").mapInPandas(
+    return want.select("term", "payload").mapInArrow(
         decode_blocks, schema=DECODE_SCHEMA
     )
 
