@@ -269,13 +269,15 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS ({_TOKS}),
             per AS (
               SELECT doc_id, count(*) AS n_words,
-                     sum(length(term)) AS n_token_chars,
-                     sum(ceil(length(term) / 4.0)::bigint) AS n_pieces_bpe
+                     sum(length(term))::BIGINT AS n_token_chars,
+                     sum(ceil(length(term) / 4.0)::bigint)::BIGINT AS n_pieces_bpe
               FROM toks GROUP BY doc_id
             )
-            SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
-                   coalesce(n_token_chars, 0) AS n_token_chars,
-                   coalesce(n_pieces_bpe, 0) AS n_pieces_bpe
+            -- ::BIGINT everywhere: DuckDB sum(INTEGER) yields HUGEINT which
+            -- lands in pandas as float64 and breaks the driver's value hash
+            SELECT d.doc_id, coalesce(n_words, 0)::BIGINT AS n_words,
+                   coalesce(n_token_chars, 0)::BIGINT AS n_token_chars,
+                   coalesce(n_pieces_bpe, 0)::BIGINT AS n_pieces_bpe
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         """,
         "term_tf": f"""

@@ -55,8 +55,10 @@ def main(sf_dir="/root/testdata/sf0.01"):
         else:
             a, b = canon(sdf), canon(odf)
             try:
+                # check_dtype=True: the driver's value hash is dtype-sensitive
+                # (DuckDB HUGEINT→float64 vs Spark int64 was a round-1 red)
                 pd.testing.assert_frame_equal(
-                    a, b, check_dtype=False, check_exact=False, rtol=0, atol=0
+                    a, b, check_dtype=True, check_exact=False, rtol=0, atol=0
                 )
             except AssertionError as e:
                 status = "VALUES: " + str(e).split("\n")[0]
