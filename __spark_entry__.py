@@ -28,6 +28,18 @@ FLAGSHIP_QUERIES = [
     (3, "window agg stream"),
 ]
 
+# The SQL-oracle-able engine variant's query set, chosen to exercise every
+# prune branch (reference lib/queryproc.py:195-233): plain conjunctive,
+# stopword readmission (the/a), unknown-term prune without abort, full
+# abort (pruned > 2*valid), and a rare-term query.
+ENGINE_FLAT_QUERIES = [
+    (1, "spark query join"),
+    (2, "the data table a the sort"),
+    (3, "window agg stream zzzqx"),
+    (4, "zzzqx vvkwq qqqpt join"),
+    (5, "dup merge"),
+]
+
 
 def _documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the driver's documents table to the input_hint corpus shape
@@ -60,26 +72,79 @@ def _run_engine(spark: SparkSession, sf_dir: str, queries, k=10) -> DataFrame:
     return res.join(urls, "docid").select("qid", "rank", "docid", "url", "score")
 
 
-def _run_engine_ondisk(spark: SparkSession, sf_dir: str, queries, k=10) -> DataFrame:
-    """Full north-rule pipeline: corpus → build → compressed on-disk index
-    (resumable, salted) → blended top-k served from the shards."""
+def _index_cache_dir(sf_dir: str, tag: str) -> str:
+    """Temp index dir keyed by (path, source mtime) — a changed dataset at
+    the same path invalidates the cached on-disk index (a stale complete
+    manifest would otherwise serve the old index)."""
     import hashlib
     import os
     import tempfile
 
+    key = f"{os.path.abspath(sf_dir)}|{os.path.getmtime(sf_dir)}|{tag}"
+    return os.path.join(
+        tempfile.gettempdir(),
+        "searchengine_spark_idx",
+        tag + "_" + hashlib.md5(key.encode()).hexdigest()[:16],
+    )
+
+
+def _run_engine_ondisk(spark: SparkSession, sf_dir: str, queries, k=10) -> DataFrame:
+    """Full north-rule pipeline: corpus → build → compressed on-disk index
+    (resumable, salted) → blended top-k served from the shards."""
     from searchengine_spark.index.shards import load_index, write_index
     from searchengine_spark.query.scoring import score_queries_ondisk
 
     tables = _engine_tables(spark, sf_dir)
-    d = os.path.join(
-        tempfile.gettempdir(),
-        "searchengine_spark_idx",
-        "engine_" + hashlib.md5(sf_dir.encode()).hexdigest()[:16],
-    )
+    d = _index_cache_dir(sf_dir, "engine")
     write_index(spark, tables, d)  # stage-skipping: cheap when complete
     shards = load_index(spark, d)
     return score_queries_ondisk(spark, queries, shards, k=k).select(
         "qid", "rank", "docid", "score"
+    )
+
+
+def _engine_tables_flat(spark, sf_dir):
+    """SQL-expressible engine variant: unstemmed tokens, no simhash stage,
+    quality pinned at 1.0 — every remaining stage (lexical docid rank,
+    empty filter, sha256 dedup, analyze, stats, prune, BM25+cosine blend,
+    top-k) is mirrored term-for-term by the engine_topk_flat oracle."""
+    key = (sf_dir, "flat")
+    if key not in _TABLES_CACHE:
+        from searchengine_spark.index import build_tables
+
+        corpus = _documents_as_corpus(spark, sf_dir)
+        _TABLES_CACHE[key] = build_tables(
+            spark, corpus, compute_quality=False, stem=False, near_dup=False
+        )
+    return _TABLES_CACHE[key]
+
+
+def _run_engine_flat(spark: SparkSession, sf_dir: str, queries, k=10) -> DataFrame:
+    from searchengine_spark.query.scoring import score_queries
+
+    tables = _engine_tables_flat(spark, sf_dir)
+    res = score_queries(spark, queries, tables, k=k, stem=False)
+    return res.select(
+        "qid", "rank", "docid", F.round("score", 6).alias("score")
+    )
+
+
+def _run_engine_ondisk_flat(
+    spark: SparkSession, sf_dir: str, queries, k=10
+) -> DataFrame:
+    """The flat variant served from the compressed on-disk index — same
+    oracle as _run_engine_flat, proving write_index/fetch_postings
+    end-to-end against DuckDB."""
+    from searchengine_spark.index.shards import load_index, write_index
+    from searchengine_spark.query.scoring import score_queries_ondisk
+
+    tables = _engine_tables_flat(spark, sf_dir)
+    d = _index_cache_dir(sf_dir, "engineflat")
+    write_index(spark, tables, d)
+    shards = load_index(spark, d)
+    res = score_queries_ondisk(spark, queries, shards, k=k, stem=False)
+    return res.select(
+        "qid", "rank", "docid", F.round("score", 6).alias("score")
     )
 
 
@@ -103,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), threshold=0.5
         ),
         "embedding_neardup": V.embedding_neardup,
+        "embedding_neardup_lsh": V.embedding_neardup_lsh,
         "ann_ivf_topk": V.ann_ivf_topk,
         "lang_id": T.lang_id,
         "token_counts": T.token_counts,
@@ -124,6 +190,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "engine_topk_ondisk": lambda spark, sf: _run_engine_ondisk(
             spark, sf, FLAGSHIP_QUERIES, k=10
+        ),
+        "engine_topk_flat": lambda spark, sf: _run_engine_flat(
+            spark, sf, ENGINE_FLAT_QUERIES, k=10
+        ),
+        "engine_topk_ondisk_flat": lambda spark, sf: _run_engine_ondisk_flat(
+            spark, sf, ENGINE_FLAT_QUERIES, k=10
         ),
     }
 
@@ -151,6 +223,237 @@ _COS = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
+
+
+def _neardup_lsh_oracle_sql() -> str:
+    """DuckDB mirror of ops.vectors.embedding_neardup_lsh: identical
+    Rademacher hyperplane literals (shared generator), identical band
+    keys, identical exact-cosine filter."""
+    from searchengine_spark.ops.vectors import (
+        EMB_DIM,
+        LSH_BANDS,
+        LSH_BITS,
+        hyperplanes,
+    )
+
+    planes = hyperplanes(LSH_BANDS * LSH_BITS, EMB_DIM)
+
+    def plane_lit(p):
+        return "[" + ", ".join(str(x) for x in p) + "]"
+
+    band_rows = []
+    for bd in range(LSH_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {plane_lit(planes[bd * LSH_BITS + t])}) > 0 "
+            f"THEN {1 << t} ELSE 0 END)"
+            for t in range(LSH_BITS)
+        )
+        band_rows.append(f"({bd}, {bits})")
+    bands_values = ",\n            ".join(band_rows)
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        bands AS (
+          SELECT vec_id, v, bk.band, bk.key
+          FROM emb, LATERAL (VALUES
+            {bands_values}
+          ) bk(band, key)
+        ),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+        )
+        SELECT a, b, cosine FROM (
+          SELECT c.a, c.b,
+                 round({_COS.format(a="ea.v", b="eb.v")}, 5) AS cosine
+          FROM cand c
+          JOIN emb ea ON ea.vec_id = c.a
+          JOIN emb eb ON eb.vec_id = c.b
+        ) WHERE cosine >= 0.4
+    """
+
+
+def _engine_flat_oracle_sql() -> str:
+    """ANSI-SQL mirror of the ENTIRE flat engine: corpus mapping → lexical
+    docid rank → empty filter → sha256 dedup → unstemmed analyze → stats →
+    query prune (abort + stopword-heap readmission, lib/queryproc.py:195-233)
+    → BM25 (north rule) → query cosine → per-qid L2 norms → blend → top-k.
+
+    Float literals are interpolated with repr() so DuckDB parses the exact
+    same IEEE doubles the Spark engine uses; scores are rounded to 6
+    decimals on both sides (sum-order ulp noise).
+    """
+    from searchengine_spark.params import (
+        AUTH_FACTOR,
+        BM25_B,
+        BM25_K1,
+        COSINE_FACTOR,
+        COSINE_GATE,
+        HUB_FACTOR,
+        NET_RELEVANCE_FACTOR,
+        PR_FACTOR,
+        PRUNE_ABORT_RATIO,
+        QUALITY_FACTOR,
+        STOPWORD_SIGNIFICANCE,
+        TFIDF_FACTOR,
+    )
+    from searchengine_spark.text.stopwords import STOPWORDS
+
+    sw = ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS)
+    )
+    qvals = ", ".join(
+        f"({qid}, '{text}')" for qid, text in ENGINE_FLAT_QUERIES
+    )
+    k1, b = repr(BM25_K1), repr(BM25_B)
+    k1p1, one_minus_b = repr(BM25_K1 + 1), repr(1 - BM25_B)
+    return f"""
+        WITH corpus AS (
+          SELECT source AS repo,
+                 'doc/' || doc_id::VARCHAR AS path,
+                 substr(sha256(source || '|' || doc_id::VARCHAR), 1, 40) AS cmt,
+                 text AS content
+          FROM documents
+        ),
+        ids AS (
+          SELECT row_number() OVER (ORDER BY repo, path, cmt) AS docid, content
+          FROM corpus
+        ),
+        nonempty AS (
+          SELECT * FROM ids
+          WHERE length(regexp_replace(content, '\\s', '', 'g')) > 0
+        ),
+        alive AS (
+          SELECT docid, content FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY sha256(content) ORDER BY docid) AS rk
+            FROM nonempty) WHERE rk = 1
+        ),
+        toks AS (
+          SELECT docid,
+                 unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
+          FROM alive
+        ),
+        tf AS (SELECT docid, term, count(*) AS tf FROM toks GROUP BY docid, term),
+        dl AS (SELECT docid, count(*) AS total_tokens FROM tf GROUP BY docid),
+        docs AS (
+          SELECT a.docid, coalesce(dl.total_tokens, 0) AS total_tokens
+          FROM alive a LEFT JOIN dl USING (docid)
+        ),
+        stats AS (SELECT count(*) AS n, avg(total_tokens) AS avgdl FROM docs),
+        termdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        qraw AS (SELECT * FROM (VALUES {qvals}) v(qid, qtext)),
+        qtok AS (
+          SELECT qid,
+                 unnest(regexp_extract_all(lower(qtext), '[a-z0-9]+')) AS term
+          FROM qraw
+        ),
+        qfreq AS (SELECT qid, term, count(*) AS qtf FROM qtok GROUP BY qid, term),
+        qdf AS (
+          SELECT q.qid, q.term, q.qtf, coalesce(t.df, 0) AS df,
+                 q.term IN ({sw}) AS is_stop
+          FROM qfreq q LEFT JOIN termdf t USING (term)
+        ),
+        qstats AS (
+          SELECT qid,
+                 sum(CASE WHEN df = 0 THEN qtf ELSE 0 END) AS prune_count,
+                 sum(CASE WHEN df > 0 THEN qtf ELSE 0 END) AS valid_count,
+                 sum(CASE WHEN df > 0 THEN 1 ELSE 0 END) AS n_valid_uniq,
+                 sum(CASE WHEN df > 0 AND is_stop THEN 1 ELSE 0 END) AS n_stop
+          FROM qdf GROUP BY qid
+        ),
+        qok AS (
+          SELECT qid, n_stop, n_valid_uniq FROM qstats
+          WHERE prune_count <= {PRUNE_ABORT_RATIO} * valid_count
+        ),
+        qterms AS (
+          SELECT d.qid, d.term, d.qtf, d.df
+          FROM qdf d JOIN qok USING (qid)
+          WHERE d.df > 0 AND NOT d.is_stop
+          UNION ALL
+          SELECT qid, term, qtf, df FROM (
+            SELECT d.qid, d.term, d.qtf, d.df, o.n_stop, o.n_valid_uniq,
+                   row_number() OVER (PARTITION BY d.qid
+                                      ORDER BY d.df, d.qtf, d.term) AS rn
+            FROM qdf d JOIN qok o USING (qid)
+            WHERE d.df > 0 AND d.is_stop)
+          WHERE n_stop > 0
+                AND NOT (n_stop < {repr(STOPWORD_SIGNIFICANCE)} * n_valid_uniq)
+                AND rn <= floor(log2(n_stop))
+        ),
+        qplan AS (
+          SELECT qid, term, df,
+                 qtf::DOUBLE / sum(qtf) OVER (PARTITION BY qid) AS qfrac,
+                 count(*) OVER (PARTITION BY qid) AS nterms
+          FROM qterms
+        ),
+        qw AS (
+          SELECT q.qid, q.term, q.nterms,
+                 ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0) AS idf,
+                 q.qfrac * ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                   AS qweight
+          FROM qplan q CROSS JOIN stats s
+        ),
+        qmeta AS (
+          SELECT qid, max(nterms) AS nterms,
+                 sqrt(sum(qweight * qweight)) AS qnorm
+          FROM qw GROUP BY qid
+        ),
+        hits AS (
+          SELECT w.qid, t.docid, w.qweight,
+                 w.idf * t.tf * {k1p1}
+                   / (t.tf + {k1} * ({one_minus_b}
+                                     + {b} * d.total_tokens / s.avgdl)) AS bm25
+          FROM tf t JOIN qw w USING (term) JOIN docs d USING (docid)
+               CROSS JOIN stats s
+        ),
+        perdoc AS (
+          SELECT qid, docid, count(*) AS nmatch,
+                 sum(bm25) AS bm25_sum,
+                 sum(bm25 * qweight) AS dot,
+                 sum(bm25 * bm25) AS dnorm2
+          FROM hits GROUP BY qid, docid
+        ),
+        cand AS (
+          SELECT p.qid, p.docid, p.bm25_sum,
+                 p.dot / (sqrt(p.dnorm2) * m.qnorm) AS cosine
+          FROM perdoc p JOIN qmeta m USING (qid)
+          WHERE p.nmatch = m.nterms
+        ),
+        norms AS (
+          SELECT qid,
+                 sqrt(sum(bm25_sum * bm25_sum)) AS sum_norm,
+                 sqrt(sum(cosine * cosine)) AS cos_norm,
+                 sqrt(count(*)::DOUBLE) AS one_norm
+          FROM cand GROUP BY qid
+        ),
+        scored AS (
+          SELECT c.qid, c.docid,
+                 {repr(NET_RELEVANCE_FACTOR)} * (CASE WHEN c.cosine > {repr(COSINE_GATE)} THEN
+                     {repr(TFIDF_FACTOR)} * (CASE WHEN n.sum_norm > 0
+                        THEN c.bm25_sum / n.sum_norm ELSE 0.0 END)
+                   + {repr(COSINE_FACTOR)} * (CASE WHEN n.cos_norm > 0
+                        THEN c.cosine / n.cos_norm ELSE 0.0 END)
+                   ELSE 0.0 END)
+                 + {repr(QUALITY_FACTOR)} * (
+                     {repr(PR_FACTOR)} * (CASE WHEN n.one_norm > 0
+                        THEN 1.0 / n.one_norm ELSE 0.0 END)
+                   + {repr(HUB_FACTOR)} * (CASE WHEN n.one_norm > 0
+                        THEN 1.0 / n.one_norm ELSE 0.0 END)
+                   + {repr(AUTH_FACTOR)} * (CASE WHEN n.one_norm > 0
+                        THEN 1.0 / n.one_norm ELSE 0.0 END)) AS score
+          FROM cand c JOIN norms n USING (qid)
+        )
+        SELECT qid, rank::INTEGER AS rank, docid, round(score, 6) AS score
+        FROM (
+          SELECT qid, docid, score,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, docid) AS rank
+          FROM scored)
+        WHERE rank <= 10
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -384,4 +687,9 @@ def oracle_sql() -> dict[str, str]:
     # WAND is a lossless accelerator: same query, same oracle as the
     # exhaustive conjunctive BM25 — rank- and score-identity is the check
     d["wand_topk"] = d["bm25_topk"]
+    # the unstemmed engine twins share one full-chain oracle; the on-disk
+    # variant additionally proves write_index/fetch_postings end-to-end
+    d["engine_topk_flat"] = _engine_flat_oracle_sql()
+    d["engine_topk_ondisk_flat"] = d["engine_topk_flat"]
+    d["embedding_neardup_lsh"] = _neardup_lsh_oracle_sql()
     return d

@@ -47,7 +47,11 @@ def build_flat_tables(
         .withColumn("hub_quality", F.lit(1.0))
         .withColumn("auth_quality", F.lit(1.0))
     )
-    srow = docs.agg(
+    # stats over docs with >=1 token only — the flat path's SQL oracle
+    # derives N/avgdl from the tf table (which token-less docs never
+    # reach), so counting them here would skew idf/avgdl on any corpus
+    # containing an empty-token document
+    srow = docs.filter(F.col("total_tokens") > 0).agg(
         F.count("*").alias("n"), F.avg("total_tokens").alias("avgdl")
     ).first()
     stats = {

@@ -185,6 +185,8 @@ def build_tables(
     n_parts: int | None = None,
     simhash_bits: int = SIMHASH_BITS,
     id_order: str = "lexical",
+    stem: bool = True,
+    near_dup: bool = True,
 ) -> IndexTables:
     """Run the full build pipeline; returns lazy DataFrames + stats.
 
@@ -192,6 +194,11 @@ def build_tables(
     web-scale near-dup variant (see _dedup_simhash).
     ``id_order``: 'lexical' = oracle parity; 'hash' = samplerless
     web-scale id assignment (see assign_docids).
+    ``stem=False, near_dup=False``: the fully SQL-expressible variant —
+    unstemmed regex tokens (DuckDB has no Porter offline) and no simhash
+    stage (CRC-64 sign-sum isn't ANSI-SQL); exact sha256 dedup, docid
+    assignment, stats, and the whole query chain stay identical, so the
+    driver's DuckDB oracle can check the END-TO-END engine.
     """
     ids = assign_docids(corpus, n_parts=n_parts, order=id_order)
     ids.persist()
@@ -202,14 +209,17 @@ def build_tables(
         F.length(F.regexp_replace(F.col("content"), r"\s", "")) > 0
     )
     alive = _dedup_exact(nonempty)
-    survivors = _dedup_simhash(alive, bits=simhash_bits).persist()
+    if near_dup:
+        survivors = _dedup_simhash(alive, bits=simhash_bits).persist()
+    else:
+        survivors = alive.persist()
 
     from ..text.udfs import make_analyze_partition_arrow
 
     postings_full = (
         survivors.select("docid", "content")
         .mapInArrow(
-            make_analyze_partition_arrow(stem=True), schema=POSTINGS_SCHEMA
+            make_analyze_partition_arrow(stem=stem), schema=POSTINGS_SCHEMA
         )
         .persist()
     )

@@ -18,8 +18,8 @@ Determinism contract shared with the SQL oracles:
 Scale notes (10^12 rows): every step is a shuffle on (doc, shingle) /
 (band, key) hash keys — no driver-side state, no O(n²) pass; the LSH
 band join only materializes candidate pairs, and the Jaccard join is
-bounded by shingle df (a stopword-shingle cap can be added as a filter
-on a shingle-df aggregate if a corpus needs it).
+bounded by ``max_shingle_df`` (boilerplate shingles above the cap are
+dropped from the shingle sets, closing the d²-per-hot-key blowup).
 """
 
 from pyspark.sql import DataFrame
@@ -110,14 +110,37 @@ def minhash_pairs(docs: DataFrame, id_col="doc_id",
 
 
 def jaccard_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
-                  threshold=0.5) -> DataFrame:
+                  threshold=0.5, max_shingle_df=10_000,
+                  log_dropped=False) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing >= 1 shingle.
 
     (a, b, jaccard) with jaccard >= threshold, rounded to 6 places.
     The shingle inverted join bounds the candidate set; exactness makes
     this the verification stage downstream of minhash_pairs at scale.
+
+    ``max_shingle_df`` bounds the join: a boilerplate shingle appearing
+    in ``d`` docs creates a d² key in the self-join (license headers are
+    the classic killer), so shingles with df > cap are removed from the
+    shingle SETS before sizes/intersection — i.e. Jaccard is computed
+    over the boilerplate-free shingle sets of each doc, consistently in
+    numerator and denominator.  The hot-shingle list is at most
+    n_shingle_rows/cap entries, so the anti-join broadcasts.  Set
+    ``log_dropped=True`` to count and log the dropped shingles (one
+    extra aggregate job — off by default in the driver entry).
     """
     sh = doc_shingles(docs, id_col, text_col)
+    if max_shingle_df is not None:
+        sdf = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+        hot = sdf.filter(F.col("sdf") > max_shingle_df).select("shingle")
+        if log_dropped:
+            import logging
+
+            n_hot = hot.count()
+            logging.getLogger(__name__).warning(
+                "jaccard_pairs: dropping %d shingles with df > %d",
+                n_hot, max_shingle_df,
+            )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

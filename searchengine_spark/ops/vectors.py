@@ -19,6 +19,32 @@ from pyspark.sql.window import Window
 CENTROID_STRIDE = 50
 NPROBE = 3
 
+# sign-LSH blocking (embedding_neardup_lsh): bands × bits-per-band.
+# Recall at cosine c is 1-(1-p^BITS)^BANDS with p = 1 - acos(c)/pi; at
+# the test threshold 0.4 these defaults give ~0.94.  At web scale BITS
+# grows with log2(n) (collisions per band scale n²/2^BITS) — the knob
+# trades recall for candidate volume, the plan shape is unchanged.
+LSH_BANDS = 16
+LSH_BITS = 4
+EMB_DIM = 64
+
+
+def hyperplanes(n_planes: int, dim: int):
+    """Deterministic Rademacher (±1) hyperplanes from md5 — a pure
+    function with no RNG state, so the Spark engine and the DuckDB
+    oracle share the exact same projection literals."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{i}|{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for j in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -46,9 +72,11 @@ def embedding_neardup(spark: SparkSession, sf_dir: str,
                       threshold: float = 0.4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
-    Brute self-join at test scale; at 10^12 rows the identical predicate
-    runs after LSH/IVF blocking (ann_ivf_topk's assignment join) —
-    the scoring expression is shared.
+    TEST-SCALE EXACT VERIFIER ONLY: this is an unblocked all-pairs
+    self-join (O(n²)).  The scale path is :func:`embedding_neardup_lsh`
+    — same cosine predicate behind sign-LSH band blocking; this variant
+    exists as its recall baseline (tests/test_ops.py) and as the
+    exhaustive driver oracle entry at sf0.01.
     """
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     a = emb.select(
@@ -60,6 +88,74 @@ def embedding_neardup(spark: SparkSession, sf_dir: str,
     pairs = a.join(b, F.col("a") < F.col("b"))
     return (
         pairs.select(
+            "a", "b", F.round(_cosine("va", "vb"), 5).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def lsh_band_keys(emb: DataFrame, n_bands: int = LSH_BANDS,
+                  band_bits: int = LSH_BITS, dim: int = EMB_DIM,
+                  vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, embedding, band, key): sign-LSH bucket keys.
+
+    band b's key packs ``band_bits`` sign bits — bit t is set iff
+    dot(v, hyperplane[b*band_bits+t]) > 0.  Dot products are sequential
+    left-folds on both engines (F.aggregate here, list_dot_product in
+    DuckDB), so the signs are bit-identical across the oracle boundary.
+    """
+    planes = hyperplanes(n_bands * band_bits, dim)
+    band_structs = []
+    for bd in range(n_bands):
+        key = F.lit(0)
+        for t in range(band_bits):
+            p = planes[bd * band_bits + t]
+            dot = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in p]))
+            key = key + F.when(dot > 0, F.lit(1 << t)).otherwise(F.lit(0))
+        band_structs.append(
+            F.struct(F.lit(bd).alias("band"), key.alias("key"))
+        )
+    return emb.select(
+        "vec_id", vec_col, F.explode(F.array(*band_structs)).alias("bk")
+    ).select("vec_id", vec_col, F.col("bk.band"), F.col("bk.key"))
+
+
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
+                          threshold: float = 0.4,
+                          n_bands: int = LSH_BANDS,
+                          band_bits: int = LSH_BITS) -> DataFrame:
+    """Scale-path near-dup: sign-LSH band blocking → exact cosine filter.
+
+    Candidate pairs come from a shuffle join on (band, key) — the same
+    shape as dedup.minhash_pairs — so no all-pairs product ever
+    materializes; the exact cosine then keeps pairs >= threshold.
+    Output ⊆ embedding_neardup's with recall 1-(1-p^bits)^bands
+    (deterministic here — fixed hyperplanes — and pinned by
+    tests/test_ops.py against the exhaustive baseline).
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    bands = lsh_band_keys(emb, n_bands, band_bits)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a"),
+            F.col("a.embedding").alias("va"),
+            F.col("b.vec_id").alias("b"),
+            F.col("b.embedding").alias("vb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.select(
             "a", "b", F.round(_cosine("va", "vb"), 5).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)

@@ -25,10 +25,14 @@ from ..text.analyze import analyze
 from ..text.stopwords import is_stopword
 
 
-def analyze_query(query, _memo=None):
-    """Query string → {stemmed term: tf} (reference lib/queryproc.py:172-174)."""
+def analyze_query(query, _memo=None, stem=True):
+    """Query string → {stemmed term: tf} (reference lib/queryproc.py:172-174).
+
+    ``stem=False`` is the SQL-oracle-able variant: raw regex tokens, so
+    DuckDB can mirror the whole query pipeline (no Porter offline).
+    """
     freq = defaultdict(int)
-    for t in analyze(query, stem=True, _memo=_memo):
+    for t in analyze(query, stem=stem, _memo=_memo):
         freq[t] += 1
     return dict(freq)
 

@@ -41,19 +41,20 @@ from .prune import analyze_query, prune_query_terms
 TOPK_SALT_BUCKETS = 64
 
 
-def plan_query_terms(queries, df_lookup, n_docs):
+def plan_query_terms(queries, df_lookup, n_docs, stem=True):
     """Driver-side query planning (tiny data by nature).
 
     :param queries: list of (qid, text)
     :param df_lookup: callable term -> corpus df
     :param n_docs: survivor count N
+    :param stem: False = unstemmed (SQL-oracle-able) query analysis
     :return: (qterm_rows, qmeta) where qterm_rows is a list of
              (qid, term, qweight, idf) and qmeta maps qid ->
              {"nterms": int, "qnorm": float}
     """
     rows, meta = [], {}
     for qid, text in queries:
-        freq = prune_query_terms(analyze_query(text), df_lookup)
+        freq = prune_query_terms(analyze_query(text, stem=stem), df_lookup)
         if not freq:  # aborted (None) or empty
             continue
         qlen = sum(freq.values())
@@ -174,13 +175,14 @@ def score_candidates(
     )
 
 
-def score_queries(spark, queries, tables, k=10) -> DataFrame:
+def score_queries(spark, queries, tables, k=10, stem=True) -> DataFrame:
     """End-to-end batch scoring against in-memory IndexTables.
 
     :param queries: list of (qid, text)
+    :param stem: must match the analyzer the tables were built with
     """
     terms_needed = set()
-    analyzed = {qid: analyze_query(text) for qid, text in queries}
+    analyzed = {qid: analyze_query(text, stem=stem) for qid, text in queries}
     for freq in analyzed.values():
         terms_needed.update(freq)
     df_map = {
@@ -192,7 +194,7 @@ def score_queries(spark, queries, tables, k=10) -> DataFrame:
     df_lookup = lambda t: df_map.get(t, 0)  # noqa: E731
 
     rows, meta = plan_query_terms(
-        queries, df_lookup, tables.stats["n_survivors"]
+        queries, df_lookup, tables.stats["n_survivors"], stem=stem
     )
     if not rows:
         return spark.createDataFrame(
@@ -216,7 +218,7 @@ def score_queries(spark, queries, tables, k=10) -> DataFrame:
     )
 
 
-def score_queries_ondisk(spark, queries, shards, k=10) -> DataFrame:
+def score_queries_ondisk(spark, queries, shards, k=10, stem=True) -> DataFrame:
     """Full blended scorer served from the on-disk index (SURVEY.md §7
     step 4): broadcast termdict lookup → bucket-pruned shard reads →
     decode UDF → the same score_candidates DAG as the in-memory path.
@@ -228,7 +230,7 @@ def score_queries_ondisk(spark, queries, shards, k=10) -> DataFrame:
 
     terms_needed = set()
     for _, text in queries:
-        terms_needed.update(analyze_query(text))
+        terms_needed.update(analyze_query(text, stem=stem))
     df_map = {
         r["term"]: r["df"]
         for r in shards.termdict.filter(
@@ -236,7 +238,8 @@ def score_queries_ondisk(spark, queries, shards, k=10) -> DataFrame:
         ).collect()
     }
     rows, meta = plan_query_terms(
-        queries, lambda t: df_map.get(t, 0), shards.stats["n_survivors"]
+        queries, lambda t: df_map.get(t, 0), shards.stats["n_survivors"],
+        stem=stem,
     )
     if not rows:
         return spark.createDataFrame(

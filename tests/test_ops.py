@@ -56,7 +56,68 @@ def test_jaccard_exact_values(tiny_docs):
     assert got[(1, 3)] < 1.0
 
 
+def test_jaccard_hot_shingle_cap(spark):
+    """A boilerplate shingle shared by every doc must not create an
+    all-pairs key: with the cap it is dropped from the shingle sets, and
+    Jaccard over the remaining sets matches a hand computation."""
+    from searchengine_spark.ops.dedup import doc_shingles, jaccard_pairs
+
+    boiler = "copyright license header text "  # 4 tokens → hot shingles
+    rows = [
+        (i, boiler + f"unique{i} tokens{i} here{i} now{i}")
+        for i in range(1, 9)
+    ] + [(9, boiler + "unique1 tokens1 here1 extra9")]  # near-dups with 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = jaccard_pairs(docs, threshold=0.0, max_shingle_df=4,
+                           log_dropped=True)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in capped.collect()}
+
+    # hand-compute over shingle sets with df>4 shingles removed
+    sh = {}
+    for r in doc_shingles(docs).collect():
+        sh.setdefault(r["doc_id"], set()).add(r["shingle"])
+    from collections import Counter
+    dfc = Counter(s for v in sh.values() for s in v)
+    sh = {d: {s for s in v if dfc[s] <= 4} for d, v in sh.items()}
+    expect = {}
+    for a in sh:
+        for b in sh:
+            if a < b and sh[a] & sh[b]:
+                expect[(a, b)] = round(
+                    len(sh[a] & sh[b]) / len(sh[a] | sh[b]), 6
+                )
+    assert got == expect
+    # the bound: candidate pairs collapse from C(9,2)=36 (everything
+    # shares the boilerplate shingle) to only genuinely-similar pairs
+    assert len(got) < 36 and (1, 9) in got
+
+
 # -- vectors ---------------------------------------------------------------
+
+def test_neardup_lsh_subset_and_recall(spark):
+    """LSH-blocked near-dup must be a subset of the exhaustive all-pairs
+    result with high recall (deterministic: fixed Rademacher planes)."""
+    from searchengine_spark.ops.vectors import (
+        embedding_neardup,
+        embedding_neardup_lsh,
+    )
+
+    brute = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in embedding_neardup(spark, SF).collect()
+    }
+    lsh = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in embedding_neardup_lsh(spark, SF).collect()
+    }
+    assert set(lsh) <= set(brute)
+    for p, c in lsh.items():
+        assert c == brute[p]  # exact cosine, not an approximation
+    assert len(brute) > 0
+    recall = len(lsh) / len(brute)
+    assert recall >= 0.85, f"recall {recall:.3f} ({len(lsh)}/{len(brute)})"
+
 
 def test_ivf_is_subset_of_brute_force_ranking(spark):
     """IVF results must be genuine cosines (a subset of the exhaustive
