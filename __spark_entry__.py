@@ -57,8 +57,12 @@ def _engine_tables(spark, sf_dir):
         from searchengine_spark.index import build_tables
 
         corpus = _documents_as_corpus(spark, sf_dir)
+        # scale path by default: 64-bit simhash (16-bit LSH bands) and
+        # samplerless hash-order docids; the 32-bit/lexical parity mode
+        # lives where oracles assert it (pytest fixtures, *_flat twins)
         _TABLES_CACHE[sf_dir] = build_tables(
-            spark, corpus, compute_quality=True
+            spark, corpus, compute_quality=True,
+            simhash_bits=64, id_order="hash",
         )
     return _TABLES_CACHE[sf_dir]
 
@@ -182,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": T.wand_topk,
         "lang_counts": T.lang_counts,
         "phrase_match": T.phrase_match,
+        "phrase_match_indexed": T.phrase_match_indexed,
         "text_quality": T.text_quality,
         "doc_fingerprint": T.doc_fingerprint,
         "ann_cosine_topk": T.ann_cosine_topk,
@@ -692,4 +697,7 @@ def oracle_sql() -> dict[str, str]:
     d["engine_topk_flat"] = _engine_flat_oracle_sql()
     d["engine_topk_ondisk_flat"] = d["engine_topk_flat"]
     d["embedding_neardup_lsh"] = _neardup_lsh_oracle_sql()
+    # index-served phrase search must equal the text-derived operator —
+    # one oracle proves both (and the stored positions payload with it)
+    d["phrase_match_indexed"] = d["phrase_match"]
     return d

@@ -67,7 +67,12 @@ def run_bench():
     try:
         t0 = time.time()
         corpus = documents_as_corpus(spark, SF_DIR)
-        tables = build_tables(spark, corpus, compute_quality=True)
+        # scale path (64-bit simhash bands, samplerless hash-order ids):
+        # what a real 100-TB build would run; parity mode is test-only
+        tables = build_tables(
+            spark, corpus, compute_quality=True,
+            simhash_bits=64, id_order="hash",
+        )
         write_index(spark, tables, idx_dir)
         n_docs = tables.stats["n_total"]
         build_sec = time.time() - t0

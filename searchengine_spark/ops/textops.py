@@ -275,6 +275,40 @@ def phrase_match(spark, sf_dir, phrase=("table", "hash"), k=20) -> DataFrame:
     )
 
 
+def phrase_match_indexed(spark, sf_dir, phrase=("table", "hash"),
+                         k=20) -> DataFrame:
+    """Exact-phrase search served FROM THE INDEX's stored positions —
+    the payload written by encode_block (index/varbyte.py) consumed
+    end-to-end, no raw text touched at query time.
+
+    fetch_postings prunes shard buckets + parquet row groups down to the
+    phrase's terms, positions explode per phrase slot i as (docid,
+    pos - i), and an equi-join on (docid, p0) keeps exactly the
+    positions where every slot lines up consecutively.  Output is
+    equivalent to the text-derived :func:`phrase_match` (asserted by
+    tests/test_ops.py and by sharing its driver oracle).
+    """
+    from ..index.shards import fetch_postings
+
+    sh = _flat_index(spark, sf_dir)
+    posts = fetch_postings(sh, sorted(set(phrase)))
+    cur = None
+    for i, term in enumerate(phrase):
+        p = (
+            posts.filter(F.col("term") == term)
+            .select("docid", F.explode("positions").alias("pos"))
+            .select("docid", (F.col("pos") - i).alias("p0"))
+        )
+        cur = p if cur is None else cur.join(p, ["docid", "p0"])
+    return (
+        cur.groupBy("docid")
+        .agg(F.count("*").alias("n_occurrences"))
+        .select(F.col("docid").alias("doc_id"), "n_occurrences")
+        .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 # marker tokens per language for the heuristic language identifier;
 # CASE order below is the deterministic tie-break (alphabetical)
 LANG_MARKERS = {

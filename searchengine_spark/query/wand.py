@@ -26,17 +26,16 @@ DuckDB oracle (driver `wand_topk` entry).
 
 from __future__ import annotations
 
-import bisect
-import heapq
 import math
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..index.shards import IndexShards, buckets_of
-from ..index.varbyte import decode_block
+from ..index.varbyte import decode_block_np, decode_payloads_np
 from ..params import BM25_B, BM25_K1
 from .prune import analyze_query
 
@@ -56,108 +55,165 @@ def bm25_weight(tf: int, dl: int, avgdl: float) -> float:
     )
 
 
+def _dl_arrays(dl):
+    """dl as (sorted docid array, parallel length array); accepts the
+    dict form used by unit tests."""
+    if isinstance(dl, tuple):
+        return dl
+    ids = np.fromiter(dl.keys(), dtype=np.int64, count=len(dl))
+    lens = np.fromiter(dl.values(), dtype=np.float64, count=len(dl))
+    o = np.argsort(ids, kind="stable")
+    return ids[o], lens[o]
+
+
+def _topk_merge(top_s, top_d, s, d, k):
+    """Merge candidate (score, docid) vectors into the running top-k,
+    tie-break (score desc, docid asc)."""
+    all_s = np.concatenate([top_s, s])
+    all_d = np.concatenate([top_d, d])
+    if all_s.size > k:
+        order = np.lexsort((all_d, -all_s))[:k]
+        return all_s[order], all_d[order]
+    order = np.lexsort((all_d, -all_s))
+    return all_s[order], all_d[order]
+
+
 def bmw_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
-    """Conjunctive block-max intersection over one docid range.
+    """Conjunctive block-max intersection over one docid range
+    (numpy-vectorized kernel).
 
     :param term_blocks: list (rarest first) of per-term dicts
         ``{"idf": float, "blocks": [(docid_first, docid_last, max_weight,
         payload), ...]}`` with blocks sorted by docid_first;
-    :param dl: dict docid → doc length (total_tokens);
+    :param dl: dict docid → doc length, or a pre-built
+        ``(sorted_docids, lengths)`` array pair;
     :param lo/hi: optional docid clip (inclusive) for range boundaries;
     :return: (top list of (score, docid) best-first, n_blocks_decoded).
 
     Exact-score guarantee: pruning only ever skips (a) docids that
-    cannot contain every query term (skip pointers) and (b) candidates
-    whose optimistic upper bound — accumulated exact score plus the sum
-    of remaining terms' block-max contributions at that docid — is below
-    the current k-th score.  Survivors get exact BM25 sums.
+    cannot contain every query term (skip pointers: a candidate outside
+    every block span of some term), and (b) on the last term, whole
+    blocks in which every member candidate's optimistic upper bound —
+    accumulated exact score + idf·block_max — is strictly below the
+    running k-th score.  Survivors get exact BM25 sums, accumulated
+    rarest-term-first (a fixed, deterministic order).
     """
     decoded = 0
     if not term_blocks:
         return [], decoded
+    dl_ids, dl_lens = _dl_arrays(dl)
+    k1, b = BM25_K1, BM25_B
 
-    # candidates from the rarest term (conjunctive: every result has it)
+    def weights(tfs, docids):
+        dlv = dl_lens[np.searchsorted(dl_ids, docids)]
+        tff = tfs.astype(np.float64)
+        return tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dlv / avgdl))
+
+    # candidates from the rarest term (conjunctive: every result has it),
+    # bulk-decoded in one vectorized pass; block spans are disjoint and
+    # ascending, so the concatenated docids arrive sorted
     first = term_blocks[0]
-    cands = {}  # docid -> accumulated exact score
-    for d1, d2, _mw, payload in first["blocks"]:
-        if (hi is not None and d1 > hi) or (lo is not None and d2 < lo):
-            continue
-        docids, tfs, _pos = decode_block(bytes(payload))
-        decoded += 1
-        for docid, tf in zip(docids, tfs):
-            if (lo is None or docid >= lo) and (hi is None or docid <= hi):
-                cands[docid] = first["idf"] * bm25_weight(
-                    tf, dl[docid], avgdl
-                )
-    if not cands:
+    fpayloads = [
+        bytes(blk[3])
+        for blk in first["blocks"]
+        if not ((hi is not None and blk[0] > hi)
+                or (lo is not None and blk[1] < lo))
+    ]
+    if not fpayloads:
         return [], decoded
+    _, cand_ids, cand_tfs, _, _ = decode_payloads_np(
+        fpayloads, want_positions=False
+    )
+    decoded += len(fpayloads)
+    if lo is not None or hi is not None:
+        m = np.ones(cand_ids.size, dtype=bool)
+        if lo is not None:
+            m &= cand_ids >= lo
+        if hi is not None:
+            m &= cand_ids <= hi
+        cand_ids, cand_tfs = cand_ids[m], cand_tfs[m]
+    if cand_ids.size == 0:
+        return [], decoded
+    cand_scores = first["idf"] * weights(cand_tfs, cand_ids)
 
-    # remaining-terms optimistic bound per docid uses each term's
-    # block-max at that docid (block-max WAND upper bound)
-    heap = []  # min-heap of (score, -docid) for top-k threshold
-
-    def threshold():
-        return heap[0][0] if len(heap) >= k else float("-inf")
-
+    top_s = np.empty(0, dtype=np.float64)
+    top_d = np.empty(0, dtype=np.int64)
     rest = term_blocks[1:]
-    order = sorted(cands)
     for ti, tb in enumerate(rest):
         blocks = tb["blocks"]
-        starts = [b[0] for b in blocks]
-        # optimistic tail bound: for terms after this one, their global
-        # max block contribution (cheap, admissible)
-        tail_ub = sum(
-            t["idf"] * max((b[2] for b in t["blocks"]), default=0.0)
-            for t in rest[ti + 1 :]
-        )
-        nxt = {}
-        cache = {}
-        for docid in order:
-            i = bisect.bisect_right(starts, docid) - 1
-            if i < 0:
-                continue  # docid before this term's first block → no match
-            d1, d2, mw, payload = blocks[i]
-            if docid > d2:
-                continue  # falls in a gap between blocks → no match
-            ub = cands[docid] + tb["idf"] * mw + tail_ub
-            if ub < threshold():
-                # block-max pruned: strictly below the k-th score, so it
-                # can never reach the top-k (equality must survive for
-                # the docid-asc tie-break)
-                continue
-            if i not in cache:
-                ids, tfs, _pos = decode_block(bytes(payload))
-                decoded += 1
-                cache[i] = dict(zip(ids, tfs))
-            tf = cache[i].get(docid)
-            if tf is None:
-                continue  # inside block span but term absent for doc
-            s = cands[docid] + tb["idf"] * bm25_weight(
-                tf, dl[docid], avgdl
-            )
-            nxt[docid] = s
-            if ti == len(rest) - 1:
-                item = (s, -docid)
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
-        cands = nxt
-        order = sorted(cands)
-        if not cands:
+        idf = tb["idf"]
+        starts = np.fromiter((blk[0] for blk in blocks), np.int64,
+                             count=len(blocks))
+        ends = np.fromiter((blk[1] for blk in blocks), np.int64,
+                           count=len(blocks))
+        # skip pointers: candidates outside every block span → no match
+        bi = np.searchsorted(starts, cand_ids, side="right") - 1
+        in_span = (bi >= 0) & (cand_ids <= ends[np.maximum(bi, 0)])
+        cand_ids = cand_ids[in_span]
+        cand_scores = cand_scores[in_span]
+        bi = bi[in_span]
+        if cand_ids.size == 0:
             return [], decoded
+        last = ti == len(rest) - 1
+        if not last:
+            # every needed block will be decoded anyway (no threshold
+            # exists before the last term — the scalar algorithm's heap
+            # only fills there) → one bulk decode, one searchsorted
+            need = np.unique(bi)
+            payloads = [bytes(blocks[i][3]) for i in need]
+            _, ids_b, tfs_b, _, _ = decode_payloads_np(
+                payloads, want_positions=False
+            )
+            decoded += len(payloads)
+            pos = np.minimum(np.searchsorted(ids_b, cand_ids),
+                             ids_b.size - 1)
+            present = ids_b[pos] == cand_ids
+            if not present.any():
+                return [], decoded
+            cand_ids = cand_ids[present]
+            cand_scores = cand_scores[present] + idf * weights(
+                tfs_b[pos[present]], cand_ids
+            )
+            continue
+        # last term: per needed block in ascending docid order, so the
+        # top-k threshold tightens as candidates stream through and
+        # later blocks can be skipped without decoding
+        cut = np.flatnonzero(np.diff(bi)) + 1
+        seg_starts = np.concatenate([[0], cut])
+        seg_ends = np.concatenate([cut, [bi.size]])
+        for s0, s1 in zip(seg_starts, seg_ends):
+            blk = blocks[bi[s0]]
+            ids_m = cand_ids[s0:s1]
+            sc_m = cand_scores[s0:s1]
+            if top_s.size >= k:
+                # block-max prune: strictly below the k-th score can
+                # never reach the top-k (equality survives for the
+                # docid-asc tie-break)
+                thr = top_s[k - 1]
+                keep = sc_m + idf * blk[2] >= thr
+                if not keep.any():
+                    continue
+                ids_m, sc_m = ids_m[keep], sc_m[keep]
+            ids_b, tfs_b, _, _ = decode_block_np(
+                bytes(blk[3]), want_positions=False
+            )
+            decoded += 1
+            pos = np.minimum(np.searchsorted(ids_b, ids_m),
+                             ids_b.size - 1)
+            present = ids_b[pos] == ids_m
+            if not present.any():
+                continue
+            ids_p = ids_m[present]
+            s_p = sc_m[present] + idf * weights(
+                tfs_b[pos[present]], ids_p
+            )
+            top_s, top_d = _topk_merge(top_s, top_d, s_p, ids_p, k)
+        break
 
     if not rest:  # single-term query: top-k straight from candidates
-        for docid, s in cands.items():
-            item = (s, -docid)
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
+        top_s, top_d = _topk_merge(top_s, top_d, cand_scores, cand_ids, k)
 
-    out = sorted(((s, -nd) for s, nd in heap),
-                 key=lambda t: (-t[0], t[1]))
-    return [(s, d) for s, d in out], decoded
+    return [(float(s), int(d)) for s, d in zip(top_s, top_d)], decoded
 
 
 def plan_terms(spark, shards: IndexShards, queries, analyzer=analyze_query):
@@ -254,7 +310,12 @@ def wand_topk(
         (range_id,) = keys
         lo = int(range_id) * dpr + 1
         hi = lo + dpr - 1
-        dl = dict(zip(right["docid"], right["total_tokens"]))
+        if len(right) == 0:
+            return pd.DataFrame({"qid": [], "docid": [], "score": []})
+        dl_ids = right["docid"].to_numpy(np.int64)
+        dl_lens = right["total_tokens"].to_numpy(np.float64)
+        o = np.argsort(dl_ids, kind="stable")
+        dl = (dl_ids[o], dl_lens[o])
         by_term = {}
         for t, d1, d2, mw, payload in zip(
             left["term"], left["docid_first"], left["docid_last"],

@@ -74,6 +74,29 @@ def test_block_rejects_unsorted():
         encode_block([5, 3], [1, 1], [[1], [1]])
 
 
+@given(st.lists(st.integers(min_value=0, max_value=2**62)))
+@settings(max_examples=200, deadline=None)
+def test_vectorized_decode_matches_streaming(values):
+    """vb_decode_all (numpy kernel) vs vb_decode (independent
+    byte-at-a-time implementation) on the same stream."""
+    from searchengine_spark.index.varbyte import vb_decode_all
+
+    data = vb_encode(values)
+    assert vb_decode_all(data).tolist() == values
+
+
+@given(posting_lists)
+@settings(max_examples=100, deadline=None)
+def test_vectorized_block_decode_matches_reference(rows):
+    from searchengine_spark.index.varbyte import decode_block_py
+
+    docids = [r[0] for r in rows]
+    tfs = [r[1] for r in rows]
+    poss = [r[2] for r in rows]
+    payload = encode_block(docids, tfs, poss)
+    assert decode_block(payload) == decode_block_py(payload)
+
+
 # -- on-disk index (index_dir fixture in conftest.py) ----------------------
 
 def test_manifest_complete(index_dir):

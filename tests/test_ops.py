@@ -93,6 +93,31 @@ def test_jaccard_hot_shingle_cap(spark):
     assert len(got) < 36 and (1, 9) in got
 
 
+def test_phrase_match_indexed_equals_text_derived(spark):
+    """The index's stored positions payload, served end-to-end: the
+    index-backed phrase operator must reproduce the text-derived one
+    for every probed phrase (incl. 3-term and absent phrases)."""
+    from searchengine_spark.ops.textops import (
+        phrase_match,
+        phrase_match_indexed,
+    )
+
+    for phrase in [("table", "hash"), ("hash", "table", "scan"),
+                   ("zzzqx", "table")]:
+        a = sorted(
+            (r["doc_id"], r["n_occurrences"])
+            for r in phrase_match(spark, SF, phrase=phrase, k=50).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["n_occurrences"])
+            for r in phrase_match_indexed(
+                spark, SF, phrase=phrase, k=50
+            ).collect()
+        )
+        assert a == b, phrase
+    assert len(a) == 0  # absent-term phrase → empty both ways
+
+
 # -- vectors ---------------------------------------------------------------
 
 def test_neardup_lsh_subset_and_recall(spark):

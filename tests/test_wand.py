@@ -119,12 +119,19 @@ def test_wand_equals_exhaustive_on_query_set(spark, shards):
     queries = [(qid, q) for qid, q in QUERIES]
     a = wand_topk(spark, shards, queries, k=10, docs_per_range=64)
     b = exhaustive_topk(spark, shards, queries, k=10)
-    ga = [(r["qid"], r["rank"], r["docid"], round(r["score"], 9))
-          for r in a.collect()]
-    gb = [(r["qid"], r["rank"], r["docid"], round(r["score"], 9))
-          for r in b.collect()]
-    assert sorted(ga) == sorted(gb)
-    assert len(ga) > 0
+    ga = {(r["qid"], r["rank"]): (r["docid"], r["score"])
+          for r in a.collect()}
+    gb = {(r["qid"], r["rank"]): (r["docid"], r["score"])
+          for r in b.collect()}
+    # same (qid, rank) → docid identity; scores compared with a relative
+    # tolerance — WAND accumulates rarest-first while the exhaustive
+    # scorer sums in Spark's reduction order, and float64 addition is
+    # non-associative
+    assert set(ga) == set(gb) and len(ga) > 0
+    for key, (da, sa) in ga.items():
+        db, sb = gb[key]
+        assert da == db, key
+        assert math.isclose(sa, sb, rel_tol=1e-9, abs_tol=1e-12), key
 
 
 def test_wand_range_partition_invariance(spark, shards):

@@ -34,14 +34,15 @@ def main():
     ap.add_argument("--queries", action="store_true",
                     help="run the fixture query set against the index")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
-    ap.add_argument("--simhash-bits", type=int, default=32,
+    ap.add_argument("--simhash-bits", type=int, default=64,
                     choices=(32, 64),
-                    help="32 = reference-parity near-dup (default); "
-                         "64 = web-scale banding (text/simhash.py)")
-    ap.add_argument("--id-order", default="lexical",
+                    help="64 = web-scale banding (default, "
+                         "text/simhash.py); 32 = reference-parity")
+    ap.add_argument("--id-order", default="hash",
                     choices=("lexical", "hash"),
-                    help="docid assignment order: lexical = oracle "
-                         "parity; hash = samplerless web-scale mode")
+                    help="docid assignment order: hash = samplerless "
+                         "web-scale mode (default); lexical = oracle "
+                         "parity")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession

@@ -70,9 +70,41 @@ def run(cpus: int, n_docs: int):
         ).count()
         t_simhash.append(time.time() - t0)
 
+    # block-decode kernel (the WAND/fetch_postings hot path): synthetic
+    # 128-posting blocks with positions, decoded via the Arrow-native
+    # decode_blocks (numpy varbyte kernel underneath)
+    import random
+
+    from searchengine_spark.index.shards import DECODE_SCHEMA, decode_blocks
+    from searchengine_spark.index.varbyte import encode_block
+
+    rng = random.Random(5)
+    n_blocks = max(2000, n_docs // 2)
+    payloads = []
+    base = 0
+    for i in range(n_blocks):
+        ids = sorted(rng.sample(range(base + 1, base + 100_000), 128))
+        base += 100_000
+        tfs = [rng.randint(1, 9) for _ in ids]
+        poss = [sorted(rng.sample(range(1, 500), 4)) for _ in ids]
+        payloads.append((f"t{i % 97}", bytearray(encode_block(ids, tfs, poss))))
+    bdf = (
+        spark.createDataFrame(payloads, "term string, payload binary")
+        .repartition(cpus * 2)
+        .persist()
+    )
+    bdf.count()
+    t_decode = []
+    for _ in range(2):
+        t0 = time.time()
+        bdf.mapInArrow(decode_blocks, schema=DECODE_SCHEMA).count()
+        t_decode.append(time.time() - t0)
+
     spark.stop()
     return {"analyze": round(min(t_analyze), 2),
             "simhash": round(min(t_simhash), 2),
+            "decode": round(min(t_decode), 2),
+            "n_blocks": n_blocks,
             "postings": n_postings}
 
 
@@ -105,7 +137,7 @@ def main():
         "n_docs": n_docs,
         "stages": res,
     }
-    for s in ("analyze", "simhash"):
+    for s in ("analyze", "simhash", "decode"):
         speedup = res[lo][s] / res[hi][s]
         out[f"{s}_speedup"] = round(speedup, 3)
         out[f"{s}_efficiency"] = round(speedup / (hi / lo), 3)
