@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": V.embedding_neardup,
         "embedding_neardup_lsh": V.embedding_neardup_lsh,
         "ann_ivf_topk": V.ann_ivf_topk,
+        "ann_ivf_kmeans_topk": V.ann_ivf_kmeans_topk,
         "lang_id": T.lang_id,
         "token_counts": T.token_counts,
         "media_stats": M.media_stats,
@@ -277,6 +278,79 @@ def _neardup_lsh_oracle_sql() -> str:
           JOIN emb ea ON ea.vec_id = c.a
           JOIN emb eb ON eb.vec_id = c.b
         ) WHERE cosine >= 0.4
+    """
+
+
+def _ivf_kmeans_oracle_sql() -> str:
+    """DuckDB mirror of ops.vectors.ann_ivf_kmeans_topk: the k-means
+    iterations are unrolled into chained CTEs (stride init, max-cosine
+    assignment with lowest-cid tie-break, per-dimension mean rounded to
+    KMEANS_ROUND — the same cross-engine determinism contract the Spark
+    trainer implements), then the standard IVF probe/scan."""
+    from searchengine_spark.ops.vectors import (
+        CENTROID_STRIDE,
+        KMEANS_ITERS,
+        KMEANS_ROUND,
+        NPROBE,
+    )
+
+    cos = _COS
+    parts = [f"""
+        emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent0 AS (
+          SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
+                 v AS cv
+          FROM emb WHERE vec_id % {CENTROID_STRIDE} = 0
+        )"""]
+    for i in range(1, KMEANS_ITERS + 1):
+        prev = f"cent{i - 1}"
+        parts.append(f"""
+        asg{i} AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {cos.format(a="e.v", b="c.cv")} DESC, c.cid
+                   ) AS rn
+            FROM emb e CROSS JOIN {prev} c) WHERE rn = 1
+        ),
+        m{i} AS (
+          SELECT cid, pos, round(avg(v[pos]), {KMEANS_ROUND}) AS m
+          FROM asg{i}, LATERAL (
+            SELECT unnest(generate_series(1, len(v))) AS pos) g
+          GROUP BY cid, pos
+        ),
+        u{i} AS (SELECT cid, list(m ORDER BY pos) AS cv
+                 FROM m{i} GROUP BY cid),
+        cent{i} AS (
+          SELECT p.cid, coalesce(u.cv, p.cv) AS cv
+          FROM {prev} p LEFT JOIN u{i} u ON p.cid = u.cid
+        )""")
+    last = f"cent{KMEANS_ITERS}"
+    parts.append(f"""
+        asgf AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {cos.format(a="e.v", b="c.cv")} DESC, c.cid
+                   ) AS rn
+            FROM emb e CROSS JOIN {last} c) WHERE rn = 1
+        ),
+        q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+        probes AS (
+          SELECT cid FROM {last} CROSS JOIN q
+          ORDER BY {cos.format(a="qv", b="cv")} DESC, cid
+          LIMIT {NPROBE}
+        )""")
+    body = ",".join(parts)
+    return f"""
+        WITH {body}
+        SELECT a.vec_id,
+               round({cos.format(a="a.v", b="q.qv")}, 5) AS cosine
+        FROM asgf a JOIN probes USING (cid) CROSS JOIN q
+        WHERE a.vec_id != 0
+        ORDER BY cosine DESC, a.vec_id LIMIT 10
     """
 
 
@@ -700,4 +774,5 @@ def oracle_sql() -> dict[str, str]:
     # index-served phrase search must equal the text-derived operator —
     # one oracle proves both (and the stored positions payload with it)
     d["phrase_match_indexed"] = d["phrase_match"]
+    d["ann_ivf_kmeans_topk"] = _ivf_kmeans_oracle_sql()
     return d

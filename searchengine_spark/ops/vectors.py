@@ -163,6 +163,132 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
     )
 
 
+KMEANS_ITERS = 3
+KMEANS_ROUND = 6
+
+
+def kmeans_centroids(spark: SparkSession, emb: DataFrame,
+                     stride: int = CENTROID_STRIDE,
+                     iters: int = KMEANS_ITERS,
+                     dim: int = EMB_DIM):
+    """Deterministic distributed k-means (cosine assignment, mean
+    update) for IVF coarse quantization.
+
+    Fully join/agg — no driver-side data pass: each iteration broadcasts
+    the k×dim centroid literals, assigns every vector to its max-cosine
+    centroid (tie: lowest cid), and recomputes means via posexplode →
+    groupBy(cid, pos) → avg (k×dim rows collected — centroid-sized, not
+    data-sized).  Determinism contract with the SQL oracle: init =
+    first n_clusters vectors in vec_id order, fixed iteration count,
+    means rounded to KMEANS_ROUND decimals each iteration (absorbs
+    sum-order ulp noise across engines); empty clusters keep their
+    previous centroid.
+
+    Init = the fixed-stride vectors ann_ivf_topk uses as-is (cid = rank
+    of vec_id among the stride ids), so the trained variant is a strict
+    refinement of the stand-in quantizer.
+
+    :return: list of python float lists (row i = centroid of cid i).
+    """
+    init = (
+        emb.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in init]
+    for _ in range(iters):
+        cent_structs = [
+            F.struct(
+                F.lit(ci).alias("cid"),
+                F.array(*[F.lit(x) for x in cv]).alias("cv"),
+            )
+            for ci, cv in enumerate(cents)
+        ]
+        cdf = emb.select(
+            "vec_id", "embedding",
+            F.explode(F.array(*cent_structs)).alias("c"),
+        ).select(
+            "vec_id", "embedding", F.col("c.cid"),
+            _cosine("embedding", F.col("c.cv")).alias("ccos"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+        assigned = (
+            cdf.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cid", F.posexplode("embedding").alias("pos", "x"))
+        )
+        rows = (
+            assigned.groupBy("cid", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")),
+                         KMEANS_ROUND).alias("m"))
+            .collect()
+        )
+        nxt = [list(c) for c in cents]  # empty cluster → keep previous
+        upd = {}
+        for r in rows:
+            upd.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        for cid, d in upd.items():
+            nxt[cid] = [d[j] for j in range(dim)]
+        cents = nxt
+    return cents
+
+
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str,
+                        query_vec_id: int = 0, k: int = 10,
+                        nprobe: int = NPROBE) -> DataFrame:
+    """IVF ANN with TRAINED coarse quantizer: deterministic k-means
+    centroids (kmeans_centroids) instead of ann_ivf_topk's fixed-stride
+    stand-ins; probe/scan structure is identical (broadcast assignment →
+    nprobe-pruned exact rescoring, no driver loop over data)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_centroids(spark, emb)
+    cent_structs = [
+        F.struct(
+            F.lit(ci).alias("cid"),
+            F.array(*[F.lit(x) for x in cv]).alias("cv"),
+        )
+        for ci, cv in enumerate(cents)
+    ]
+    cdf = emb.select(
+        "vec_id", "embedding", F.explode(F.array(*cent_structs)).alias("c")
+    ).select(
+        "vec_id", "embedding", F.col("c.cid"),
+        _cosine("embedding", F.col("c.cv")).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assigned = (
+        cdf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    probes = (
+        assigned.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("qv"))
+        .crossJoin(
+            spark.createDataFrame(
+                [(ci, cv) for ci, cv in enumerate(cents)],
+                "cid int, cv array<double>",
+            )
+        )
+        .select("cid", "qv", _cosine("qv", "cv").alias("qcos"))
+        .orderBy(F.desc("qcos"), F.asc("cid"))
+        .limit(nprobe)
+    )
+    cands = assigned.filter(F.col("vec_id") != query_vec_id).join(
+        F.broadcast(probes.select("cid", "qv")), "cid"
+    )
+    return (
+        cands.select(
+            "vec_id",
+            F.round(_cosine("embedding", "qv"), 5).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
                  k: int = 10) -> DataFrame:
     """IVF-style ANN: coarse quantize → probe NPROBE nearest lists.

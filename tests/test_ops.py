@@ -144,6 +144,24 @@ def test_neardup_lsh_subset_and_recall(spark):
     assert recall >= 0.85, f"recall {recall:.3f} ({len(lsh)}/{len(brute)})"
 
 
+def test_ivf_kmeans_recall(spark):
+    """Trained-quantizer IVF: genuine cosines (correctly ordered) with
+    high recall@10 vs brute force.  Deterministic (fixed init/iters/
+    rounding), so the floor is pinned below the observed value; recall
+    is not asserted to dominate the stride quantizer — with nprobe=3 on
+    near-random vectors the two trade individual neighbors."""
+    from searchengine_spark.ops.textops import ann_cosine_topk
+    from searchengine_spark.ops.vectors import ann_ivf_kmeans_topk
+
+    brute = [r["vec_id"] for r in ann_cosine_topk(spark, SF, k=10).collect()]
+    rows = ann_ivf_kmeans_topk(spark, SF, k=10).collect()
+    trained = [r["vec_id"] for r in rows]
+    cos = [r["cosine"] for r in rows]
+    assert cos == sorted(cos, reverse=True)
+    r_trained = len(set(trained) & set(brute))
+    assert r_trained >= 6, r_trained
+
+
 def test_ivf_is_subset_of_brute_force_ranking(spark):
     """IVF results must be genuine cosines (a subset of the exhaustive
     ranking, correctly ordered) and achieve nonzero recall@10."""
