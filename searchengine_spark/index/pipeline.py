@@ -54,8 +54,9 @@ class IndexTables:
 
 
 def assign_docids(
-    corpus: DataFrame, n_parts: int | None = None, order: str = "lexical"
-) -> DataFrame:
+    corpus: DataFrame, n_parts: int | None = None, order: str = "lexical",
+    with_count: bool = False,
+):
     """Dense 1-based docid = rank of (repo, path, commit) in a canonical
     total order.  Two-phase, cluster-size independent (SURVEY.md §1.2):
     bucket the key space into contiguous ranges, count rows per bucket
@@ -110,7 +111,9 @@ def assign_docids(
         .withColumn("docid", (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_pid", "_rn", "_off", "_u")
     )
-    return out
+    # the bucket-count collect already knows the corpus size — callers
+    # take it here instead of paying a separate count() job
+    return (out, acc) if with_count else out
 
 
 def _dedup_exact(ids: DataFrame) -> DataFrame:
@@ -200,7 +203,9 @@ def build_tables(
     assignment, stats, and the whole query chain stay identical, so the
     driver's DuckDB oracle can check the END-TO-END engine.
     """
-    ids = assign_docids(corpus, n_parts=n_parts, order=id_order)
+    ids, n_total = assign_docids(
+        corpus, n_parts=n_parts, order=id_order, with_count=True
+    )
     ids.persist()
 
     # emptiness = no non-whitespace character (python str.strip() parity —
@@ -282,7 +287,6 @@ def build_tables(
         .persist()
     )
 
-    n_total = ids.count()
     srow = docs.agg(
         F.count("*").alias("n"), F.avg("total_tokens").alias("avgdl")
     ).first()

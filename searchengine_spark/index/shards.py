@@ -272,7 +272,10 @@ def write_index(
     docs_path = os.path.join(index_dir, "docs")
     stats = dict(tables.stats)
     avgdl = stats["avgdl"] or 1.0
-    if not man.done("docs"):
+
+    def docs_stage():
+        if man.done("docs"):
+            return
         from pyspark.sql import Observation
 
         obs = Observation()
@@ -328,9 +331,16 @@ def write_index(
         # ONE materialization of the enriched postings, completed BEFORE
         # the group jobs launch: concurrent jobs over an unmaterialized
         # .persist() would race and each recompute the full join
-        # pipeline (cache fills per-partition, not per-plan)
+        # pipeline (cache fills per-partition, not per-plan).  The docs
+        # write shares no lineage with `enriched` beyond already-cached
+        # tables, so it runs concurrently on a second job thread.
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
         enriched = enriched.persist()
-        enriched.count()
+        with _TPE(max_workers=1) as _ex:
+            _docs_f = _ex.submit(docs_stage)
+            enriched.count()
+            _docs_f.result()
 
         from pyspark.sql import Observation
 
@@ -378,6 +388,8 @@ def write_index(
             with ThreadPoolExecutor(max_workers=4) as ex:
                 list(ex.map(write_group, todo))
         enriched.unpersist()
+    else:
+        docs_stage()
 
     # -- stage: term dictionary --------------------------------------------
     postings_path = os.path.join(index_dir, "postings")
@@ -436,16 +448,35 @@ class IndexShards:
     stats: dict = field(default_factory=dict)
 
 
-def load_index(spark: SparkSession, index_dir: str) -> IndexShards:
+def load_index(spark: SparkSession, index_dir: str,
+               cache_meta: bool = True) -> IndexShards:
+    """Open an on-disk index.
+
+    ``cache_meta`` persists the termdict and docs tables (compressed
+    columnar, MEMORY_AND_DISK): every query batch hits both — termdict
+    for df lookups, docs for lengths/quality — so keeping them resident
+    is the Spark-native analogue of the reference's in-RAM seek dict +
+    LRU postings cache (lib/reader.py:229-259).  Lazy: the first batch
+    fills the cache, later batches skip the parquet scan.  Block
+    payloads stay on disk — bucket/row-group pruning already bounds
+    what a query reads, and at web scale they don't fit memory.
+    """
     with open(os.path.join(index_dir, "mergeinfo.json")) as f:
         stats = json.load(f)
     postings_path = os.path.join(index_dir, "postings")
+    termdict = spark.read.parquet(os.path.join(index_dir, "termdict"))
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    if cache_meta:
+        from pyspark import StorageLevel
+
+        termdict = termdict.persist(StorageLevel.MEMORY_AND_DISK)
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     return IndexShards(
         blocks=spark.read.option("basePath", postings_path).parquet(
             postings_path
         ),
-        termdict=spark.read.parquet(os.path.join(index_dir, "termdict")),
-        docs=spark.read.parquet(os.path.join(index_dir, "docs")),
+        termdict=termdict,
+        docs=docs,
         stats=stats,
     )
 
