@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": T.dedup_exact,
         "bm25_topk": T.bm25_topk,
         "wand_topk": T.wand_topk,
+        "wand_or_topk": T.wand_or_topk,
         "lang_counts": T.lang_counts,
         "phrase_match": T.phrase_match,
         "phrase_match_indexed": T.phrase_match_indexed,
@@ -766,6 +767,29 @@ def oracle_sql() -> dict[str, str]:
     # WAND is a lossless accelerator: same query, same oracle as the
     # exhaustive conjunctive BM25 — rank- and score-identity is the check
     d["wand_topk"] = d["bm25_topk"]
+    # disjunctive (classic-WAND) variant: exhaustive OR scorer in SQL —
+    # the conjunctive oracle minus its nmatch filter
+    d["wand_or_topk"] = f"""
+            WITH toks AS ({_TOKS}),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*) AS total_tokens FROM tf GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n, avg(total_tokens) AS avgdl FROM dl),
+            qterms AS (SELECT unnest(['spark', 'query', 'join']) AS term),
+            dft AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM tf JOIN qterms USING (term) GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.total_tokens / stats.avgdl))
+                     ) AS s
+              FROM tf JOIN qterms USING (term) JOIN dft USING (term)
+                   JOIN dl USING (doc_id) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(s, 6) AS score FROM scored
+            ORDER BY score DESC, doc_id LIMIT 10
+        """
     # the unstemmed engine twins share one full-chain oracle; the on-disk
     # variant additionally proves write_index/fetch_postings end-to-end
     d["engine_topk_flat"] = _engine_flat_oracle_sql()

@@ -198,6 +198,29 @@ def wand_topk(spark, sf_dir, terms=("spark", "query", "join"), k=10) -> DataFram
     )
 
 
+def wand_or_topk(spark, sf_dir, terms=("spark", "query", "join"),
+                 k=10) -> DataFrame:
+    """Disjunctive (classic-WAND) BM25 top-k over the on-disk index —
+    score sums whichever query terms a doc contains (no AND filter).
+    Served by the event-sweep block-max kernel (query/wand.bmw_or_range);
+    the driver oracle is the exhaustive OR scorer in SQL."""
+    from ..query.wand import wand_topk as _wand
+
+    sh = _flat_index(spark, sf_dir)
+    res = _wand(
+        spark,
+        sh,
+        [(1, " ".join(terms))],
+        k=k,
+        analyzer=lambda text: dict(Counter(tokenize(text))),
+        mode="or",
+    )
+    return res.select(
+        F.col("docid").alias("doc_id"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
 def lang_counts(spark, sf_dir) -> DataFrame:
     return (
         documents(spark, sf_dir)

@@ -216,14 +216,160 @@ def bmw_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
     return [(float(s), int(d)) for s, d in zip(top_s, top_d)], decoded
 
 
-def plan_terms(spark, shards: IndexShards, queries, analyzer=analyze_query):
+def bmw_or_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
+    """DISJUNCTIVE (OR-mode) block-max top-k over one docid range — the
+    classic WAND semantics the reference never had: score = Σ over the
+    query terms a doc contains; no conjunctive filter.
+
+    Pruning strategy (lossless, fully vectorized):
+      1. seed: exact-score the term with the largest idf·block_max
+         (bulk decode); the k-th best PARTIAL score is a valid lower
+         bound on the final k-th score (a subset sum ≤ the total);
+      2. upper-bound step function: every block contributes
+         ±idf·block_max events at [docid_first, docid_last+1); the
+         event-sweep prefix sum gives UB(d) ≥ true score for every
+         docid WITHOUT decoding anything;
+      3. only blocks overlapping an interval with UB ≥ threshold are
+         decoded (prefix-sum-of-survivors range test);
+      4. exact aggregation: concat (docid, idf·weight) over decoded
+         terms → sort → add.reduceat → top-k (score desc, docid asc).
+
+    A pruned doc has UB < thr ≤ k-th exact score, so it cannot be in
+    the top-k (equality survives, preserving the docid tie-break).
+    :return: (top list of (score, docid) best-first, n_blocks_decoded).
+    """
+    decoded = 0
+    if not term_blocks:
+        return [], decoded
+    dl_ids, dl_lens = _dl_arrays(dl)
+    k1, b = BM25_K1, BM25_B
+
+    def weights(tfs, docids):
+        dlv = dl_lens[np.searchsorted(dl_ids, docids)]
+        tff = tfs.astype(np.float64)
+        return tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dlv / avgdl))
+
+    def clipped_blocks(tb):
+        return [
+            blk for blk in tb["blocks"]
+            if not ((hi is not None and blk[0] > hi)
+                    or (lo is not None and blk[1] < lo))
+        ]
+
+    def clip_mask(ids):
+        m = np.ones(ids.size, dtype=bool)
+        if lo is not None:
+            m &= ids >= lo
+        if hi is not None:
+            m &= ids <= hi
+        return m
+
+    per_term = [(tb["idf"], clipped_blocks(tb)) for tb in term_blocks]
+    per_term = [(idf, bl) for idf, bl in per_term if bl]
+    if not per_term:
+        return [], decoded
+
+    # 1. seed term = largest potential single contribution
+    seed_i = max(
+        range(len(per_term)),
+        key=lambda i: per_term[i][0] * max(b2[2] for b2 in per_term[i][1]),
+    )
+    seed_idf, seed_blocks = per_term[seed_i]
+    _, s_ids, s_tfs, _, _ = decode_payloads_np(
+        [bytes(b2[3]) for b2 in seed_blocks], want_positions=False
+    )
+    decoded += len(seed_blocks)
+    m = clip_mask(s_ids)
+    s_ids, s_tfs = s_ids[m], s_tfs[m]
+    seed_contrib = (
+        seed_idf * weights(s_tfs, s_ids) if s_ids.size
+        else np.empty(0, np.float64)
+    )
+    thr = -np.inf
+    if seed_contrib.size >= k:
+        thr = np.partition(
+            seed_contrib, seed_contrib.size - k
+        )[seed_contrib.size - k]
+
+    # 2. event-sweep UB(d): non-seed terms contribute block-span events
+    # (columnar maxima, no decode); the seed term is already decoded, so
+    # it contributes EXACT point events at its actual docids — a sparse
+    # high-idf seed block would otherwise smear its max over the whole
+    # span and keep every overlapping block alive
+    rest_terms = [
+        (idf, bl) for ti, (idf, bl) in enumerate(per_term) if ti != seed_i
+    ]
+    d1 = np.concatenate(
+        [[b2[0] for b2 in bl] for _, bl in rest_terms] or [[]]
+    ).astype(np.int64)
+    d2 = np.concatenate(
+        [[b2[1] for b2 in bl] for _, bl in rest_terms] or [[]]
+    ).astype(np.int64)
+    ubs = np.concatenate(
+        [[idf * b2[2] for b2 in bl] for idf, bl in rest_terms] or [[]]
+    ).astype(np.float64)
+    pts = np.concatenate([d1, s_ids, d2 + 1, s_ids + 1])
+    dv = np.concatenate([ubs, seed_contrib, -ubs, -seed_contrib])
+    order = np.argsort(pts, kind="stable")
+    pts_s, cum = pts[order], np.cumsum(dv[order])
+    uniq = np.unique(pts_s)
+    level = cum[np.searchsorted(pts_s, uniq, side="right") - 1]
+    # 3. survivor intervals → which blocks must be decoded
+    surv = (level >= thr).astype(np.int64)
+    psum = np.concatenate([[0], np.cumsum(surv)])
+    i1 = np.searchsorted(uniq, d1, side="right") - 1
+    i2 = np.searchsorted(uniq, d2, side="right") - 1
+    need = (psum[i2 + 1] - psum[np.maximum(i1, 0)]) > 0
+
+    # 4. decode needed blocks, aggregate exactly
+    id_ch, c_ch = [], []
+    if s_ids.size:
+        id_ch.append(s_ids)
+        c_ch.append(seed_contrib)
+    off = 0
+    for idf, bl in rest_terms:
+        nb = len(bl)
+        sel = need[off : off + nb]
+        off += nb
+        payloads = [bytes(b2[3]) for b2, want in zip(bl, sel) if want]
+        if not payloads:
+            continue
+        _, ids, tfs, _, _ = decode_payloads_np(
+            payloads, want_positions=False
+        )
+        decoded += len(payloads)
+        m = clip_mask(ids)
+        ids, tfs = ids[m], tfs[m]
+        if ids.size:
+            id_ch.append(ids)
+            c_ch.append(idf * weights(tfs, ids))
+    if not id_ch:
+        return [], decoded
+    ids_all = np.concatenate(id_ch)
+    c_all = np.concatenate(c_ch)
+    order = np.argsort(ids_all, kind="stable")
+    ids_s, c_s = ids_all[order], c_all[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], ids_s[1:] != ids_s[:-1]])
+    )
+    docids = ids_s[starts]
+    scores = np.add.reduceat(c_s, starts)
+    top_s, top_d = _topk_merge(
+        np.empty(0, np.float64), np.empty(0, np.int64), scores, docids, k
+    )
+    return [(float(s), int(d)) for s, d in zip(top_s, top_d)], decoded
+
+
+def plan_terms(spark, shards: IndexShards, queries, analyzer=analyze_query,
+               require_all=True):
     """Driver-side planning: per-qid pruned terms with idf + df.
 
     Returns (plans, all_terms) where plans[qid] = [(term, idf, df), ...]
-    rarest-first; qids whose terms are not all present are dropped
-    (conjunctive semantics: a missing term ⇒ empty result — unknown-term
-    *pruning* for the blended engine lives in prune.py; the BM25 top-k
-    contract here matches the oracle's strict AND).
+    rarest-first.  ``require_all=True`` (conjunctive): qids with any
+    absent term are dropped (a missing term ⇒ empty AND result — the
+    BM25 top-k contract matches the oracle's strict AND).
+    ``require_all=False`` (disjunctive): absent terms are dropped from
+    the plan; the qid survives while ≥1 term exists.
 
     ``analyzer`` maps query text → {term: tf}; the default is the
     engine's stemmed analyzer, the flat (unstemmed) index passes its own.
@@ -246,8 +392,13 @@ def plan_terms(spark, shards: IndexShards, queries, analyzer=analyze_query):
     plans = {}
     needed = set()
     for qid, terms in analyzed.items():
-        if not terms or any(t not in dfmap for t in terms):
-            continue
+        if require_all:
+            if not terms or any(t not in dfmap for t in terms):
+                continue
+        else:
+            terms = [t for t in terms if t in dfmap]
+            if not terms:
+                continue
         plan = sorted(
             ((t, bm25_idf(n_docs, dfmap[t]), dfmap[t]) for t in terms),
             key=lambda x: (x[2], x[0]),
@@ -264,13 +415,20 @@ def wand_topk(
     k: int = 10,
     docs_per_range: int = DOCS_PER_RANGE,
     analyzer=analyze_query,
+    mode: str = "and",
 ) -> DataFrame:
-    """Batch conjunctive BM25 top-k with block-max pruning.
+    """Batch BM25 top-k with block-max pruning.
 
-    Returns (qid, rank, docid, score) — rank-identical to the exhaustive
-    conjunctive BM25 scorer.
+    ``mode="and"`` (default): conjunctive — rank-identical to the
+    exhaustive conjunctive BM25 scorer (reference semantics).
+    ``mode="or"``: disjunctive — classic WAND; score sums the terms a
+    doc contains, served by the event-sweep kernel (bmw_or_range).
+    Returns (qid, rank, docid, score).
     """
-    plans, needed = plan_terms(spark, shards, queries, analyzer=analyzer)
+    plans, needed = plan_terms(
+        spark, shards, queries, analyzer=analyzer,
+        require_all=(mode == "and"),
+    )
     empty = spark.createDataFrame(
         [], "qid int, rank int, docid long, score double"
     )
@@ -305,6 +463,7 @@ def wand_topk(
     )
     kk = k
     dpr = docs_per_range
+    conjunctive = mode == "and"
 
     def run_range(keys, left, right):
         (range_id,) = keys
@@ -328,12 +487,20 @@ def wand_topk(
             blist.sort(key=lambda b: b[0])
         rows = {"qid": [], "docid": [], "score": []}
         for qid, plan in plans_b.value.items():
-            if any(t not in by_term for t, _ in plan):
-                continue  # some term absent in this range → no AND match
-            tbs = [
-                {"idf": idf, "blocks": by_term[t]} for t, idf in plan
-            ]
-            top, _ = bmw_range(tbs, dl, avgdl, kk, lo=lo, hi=hi)
+            if conjunctive:
+                if any(t not in by_term for t, _ in plan):
+                    continue  # term absent in range → no AND match
+                tbs = [
+                    {"idf": idf, "blocks": by_term[t]} for t, idf in plan
+                ]
+                top, _ = bmw_range(tbs, dl, avgdl, kk, lo=lo, hi=hi)
+            else:
+                tbs = [
+                    {"idf": idf, "blocks": by_term[t]}
+                    for t, idf in plan
+                    if t in by_term
+                ]
+                top, _ = bmw_or_range(tbs, dl, avgdl, kk, lo=lo, hi=hi)
             for s, d in top:
                 rows["qid"].append(qid)
                 rows["docid"].append(d)
@@ -359,15 +526,20 @@ def exhaustive_topk(
     queries,
     k: int = 10,
     analyzer=analyze_query,
+    mode: str = "and",
 ) -> DataFrame:
     """Reference semantics without pruning: decode → join → agg → top-k.
 
     The A/B partner of :func:`wand_topk` (SURVEY.md §7 step 4) and the
-    shape the DuckDB oracle checks directly.
+    shape the DuckDB oracle checks directly.  ``mode="or"`` drops the
+    conjunctive nmatch filter (disjunctive scoring).
     """
     from ..index.shards import fetch_postings
 
-    plans, needed = plan_terms(spark, shards, queries, analyzer=analyzer)
+    plans, needed = plan_terms(
+        spark, shards, queries, analyzer=analyzer,
+        require_all=(mode == "and"),
+    )
     if not plans:
         return spark.createDataFrame(
             [], "qid int, rank int, docid long, score double"
@@ -406,8 +578,9 @@ def exhaustive_topk(
             F.count("*").alias("nmatch"),
             F.first("nterms").alias("nterms"),
         )
-        .filter(F.col("nmatch") == F.col("nterms"))
     )
+    if mode == "and":
+        scored = scored.filter(F.col("nmatch") == F.col("nterms"))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -10,6 +10,7 @@ from searchengine_spark.index.shards import load_index
 from searchengine_spark.index.varbyte import encode_block
 from searchengine_spark.query.wand import (
     bm25_weight,
+    bmw_or_range,
     bmw_range,
     exhaustive_topk,
     wand_topk,
@@ -96,6 +97,69 @@ def test_bmw_range_prunes_blocks():
     assert decoded < total_blocks / 10
 
 
+def _brute_or(term_blocks_raw, idfs, dl, avgdl, k):
+    """Exhaustive disjunctive BM25 over raw postings dicts."""
+    union = set().union(*(set(p) for p in term_blocks_raw))
+    scored = []
+    for d in union:
+        s = sum(
+            idf * bm25_weight(raw[d], dl[d], avgdl)
+            for raw, idf in zip(term_blocks_raw, idfs)
+            if d in raw
+        )
+        scored.append((s, d))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return scored[:k]
+
+
+def test_bmw_or_range_matches_brute_force():
+    import random
+
+    rng = random.Random(7)
+    dl = {d: rng.randint(5, 60) for d in range(1, 401)}
+    avgdl = sum(dl.values()) / len(dl)
+    raws = []
+    for df in (50, 180, 320):
+        docs = sorted(rng.sample(range(1, 401), df))
+        raws.append({d: rng.randint(1, 9) for d in docs})
+    idfs = [math.log((400 - len(r) + 0.5) / (len(r) + 0.5) + 1) for r in raws]
+    tbs = [
+        {"idf": idf, "blocks": _mk_blocks(sorted(r.items()), avgdl, dl)}
+        for r, idf in zip(raws, idfs)
+    ]
+    for k in (1, 5, 20, 1000):
+        got, _ = bmw_or_range(tbs, dl, avgdl, k)
+        expect = _brute_or(raws, idfs, dl, avgdl, k)
+        assert [d for _, d in got] == [d for _, d in expect], k
+        for (gs, _), (es, _) in zip(got, expect):
+            assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_bmw_or_range_prunes_blocks():
+    """OR-mode pruning: the seed term's partial top-k raises the
+    threshold above the weak term's upper bound everywhere outside the
+    rare docs' neighborhoods — most of the big term's blocks must never
+    be decoded."""
+    import random
+
+    rng = random.Random(11)
+    dl = {d: 30 for d in range(1, 100_001)}
+    avgdl = 30.0
+    rare = {d: 3 for d in sorted(rng.sample(range(1, 100_001), 20))}
+    big = {d: rng.randint(1, 5) for d in range(1, 100_001)}
+    tbs = [
+        {"idf": 5.0, "blocks": _mk_blocks(sorted(rare.items()), avgdl, dl,
+                                          block=4)},
+        {"idf": 0.01, "blocks": _mk_blocks(sorted(big.items()), avgdl, dl,
+                                           block=128)},
+    ]
+    total_blocks = len(tbs[0]["blocks"]) + len(tbs[1]["blocks"])
+    got, decoded = bmw_or_range(tbs, dl, avgdl, 10)
+    expect = _brute_or([rare, big], [5.0, 0.01], dl, avgdl, 10)
+    assert [d for _, d in got] == [d for _, d in expect]
+    assert decoded < total_blocks / 10, (decoded, total_blocks)
+
+
 def test_bmw_empty_and_single_term():
     dl = {1: 10, 2: 20}
     blocks = _mk_blocks([(1, 2), (2, 1)], 15.0, dl)
@@ -128,6 +192,22 @@ def test_wand_equals_exhaustive_on_query_set(spark, shards):
     # scorer sums in Spark's reduction order, and float64 addition is
     # non-associative
     assert set(ga) == set(gb) and len(ga) > 0
+    for key, (da, sa) in ga.items():
+        db, sb = gb[key]
+        assert da == db, key
+        assert math.isclose(sa, sb, rel_tol=1e-9, abs_tol=1e-12), key
+
+
+def test_wand_or_equals_exhaustive_or(spark, shards):
+    queries = [(qid, q) for qid, q in QUERIES]
+    a = wand_topk(spark, shards, queries, k=10, docs_per_range=64,
+                  mode="or")
+    b = exhaustive_topk(spark, shards, queries, k=10, mode="or")
+    ga = {(r["qid"], r["rank"]): (r["docid"], r["score"])
+          for r in a.collect()}
+    gb = {(r["qid"], r["rank"]): (r["docid"], r["score"])
+          for r in b.collect()}
+    assert set(ga) == set(gb) and len(ga) > len(QUERIES)
     for key, (da, sa) in ga.items():
         db, sb = gb[key]
         assert da == db, key
