@@ -190,6 +190,8 @@ def build_tables(
     id_order: str = "lexical",
     stem: bool = True,
     near_dup: bool = True,
+    docid_offset: int = 0,
+    known_sha: DataFrame | None = None,
 ) -> IndexTables:
     """Run the full build pipeline; returns lazy DataFrames + stats.
 
@@ -202,10 +204,18 @@ def build_tables(
     stage (CRC-64 sign-sum isn't ANSI-SQL); exact sha256 dedup, docid
     assignment, stats, and the whole query chain stay identical, so the
     driver's DuckDB oracle can check the END-TO-END engine.
+    ``docid_offset`` / ``known_sha``: incremental-segment hooks
+    (index/segments.py) — ids continue an existing dense space, and docs
+    whose sha256 already exists in prior segments are dropped (their
+    ids consumed, the same rule as every other filter stage).
     """
     ids, n_total = assign_docids(
         corpus, n_parts=n_parts, order=id_order, with_count=True
     )
+    if docid_offset:
+        ids = ids.withColumn(
+            "docid", F.col("docid") + F.lit(int(docid_offset))
+        )
     ids.persist()
 
     # emptiness = no non-whitespace character (python str.strip() parity —
@@ -214,6 +224,10 @@ def build_tables(
         F.length(F.regexp_replace(F.col("content"), r"\s", "")) > 0
     )
     alive = _dedup_exact(nonempty)
+    if known_sha is not None:
+        alive = alive.join(
+            known_sha.select("sha256"), "sha256", "left_anti"
+        )
     if near_dup:
         survivors = _dedup_simhash(alive, bits=simhash_bits).persist()
     else:
@@ -243,7 +257,7 @@ def build_tables(
                 "", F.col("repo"), F.lit("/"), F.col("path"),
                 F.lit("@"), F.col("commit"),
             ).alias("url"),
-            "repo", "path", "commit",
+            "repo", "path", "commit", "sha256",
         )
         .join(doc_lengths, "docid", "left")
         .withColumn("total_tokens", F.coalesce("total_tokens", F.lit(0)))

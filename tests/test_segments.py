@@ -1,0 +1,135 @@
+"""Incremental segmented index: append == monolithic rebuild on the
+same corpus (modulo float avgdl composition), cross-segment exact
+dedup, and dense-id continuity (SURVEY.md §2.8 extension)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.corpus import QUERIES, synth_corpus
+from searchengine_spark.index import build_tables
+from searchengine_spark.index.segments import (
+    append_segment,
+    init_segmented,
+    load_segments,
+)
+from searchengine_spark.index.shards import load_index, write_index
+from searchengine_spark.query.scoring import score_queries_ondisk
+
+
+@pytest.fixture(scope="module")
+def split_corpora(spark):
+    """synth corpus split at the lexical (repo,path,commit) median, so
+    segment-by-segment docid assignment reproduces the monolithic one."""
+    rows = sorted(
+        synth_corpus(200), key=lambda r: (r["repo"], r["path"], r["commit"])
+    )
+    half = len(rows) // 2
+    full = spark.createDataFrame(rows)
+    a = spark.createDataFrame(rows[:half])
+    b = spark.createDataFrame(rows[half:])
+    return full, a, b
+
+
+def test_segmented_equals_monolithic(spark, split_corpora, tmp_path_factory):
+    """near_dup=False here: simhash deliberately does not span segments
+    (documented in index/segments.py), so exact equivalence holds for
+    the sha256-dedup pipeline; the planted cross-half near-dups are
+    exactly what the monolithic build would additionally drop."""
+    full, a, b = split_corpora
+    base = tmp_path_factory.mktemp("seg")
+
+    mono_dir = str(base / "mono")
+    write_index(
+        spark,
+        build_tables(spark, full, compute_quality=False, near_dup=False),
+        mono_dir,
+    )
+    mono = load_index(spark, mono_dir)
+
+    seg_dir = str(base / "segmented")
+    init_segmented(
+        spark,
+        build_tables(spark, a, compute_quality=False, near_dup=False),
+        seg_dir,
+    )
+    append_segment(
+        spark, seg_dir, b, compute_quality=False, near_dup=False
+    )
+    seg = load_segments(spark, seg_dir)
+
+    assert seg.stats["n_total"] == mono.stats["n_total"]
+    assert seg.stats["n_survivors"] == mono.stats["n_survivors"]
+    assert math.isclose(
+        seg.stats["avgdl"], mono.stats["avgdl"], rel_tol=1e-12
+    )
+
+    # same docid universe (lexical split ⇒ identical id assignment)
+    ma = sorted(r["docid"] for r in mono.docs.select("docid").collect())
+    sa = sorted(r["docid"] for r in seg.docs.select("docid").collect())
+    assert ma == sa
+
+    # identical term statistics after the lazy cross-segment re-agg
+    mt = {r["term"]: (r["df"], r["cf"])
+          for r in mono.termdict.collect()}
+    st = {r["term"]: (r["df"], r["cf"])
+          for r in seg.termdict.collect()}
+    assert mt == st
+
+    # identical blended top-k on the full query set (scores to 1e-9 —
+    # avgdl composes by weighted mean, float-identical only to rounding)
+    queries = [(qid, q) for qid, q in QUERIES]
+    rm = {(r["qid"], r["rank"]): (r["docid"], r["score"])
+          for r in score_queries_ondisk(spark, queries, mono, k=10).collect()}
+    rs = {(r["qid"], r["rank"]): (r["docid"], r["score"])
+          for r in score_queries_ondisk(spark, queries, seg, k=10).collect()}
+    assert set(rm) == set(rs) and len(rm) > 0
+    for key, (dm, sm) in rm.items():
+        ds, ss = rs[key]
+        assert dm == ds, key
+        assert math.isclose(sm, ss, rel_tol=1e-9, abs_tol=1e-12), key
+
+
+def test_append_drops_cross_segment_exact_dups(
+    spark, split_corpora, tmp_path_factory
+):
+    _, a, b = split_corpora
+    seg_dir = str(tmp_path_factory.mktemp("seg") / "dup")
+    init_segmented(
+        spark, build_tables(spark, a, compute_quality=False), seg_dir
+    )
+    n_a = load_segments(spark, seg_dir).stats["n_survivors"]
+
+    # second batch = fresh docs PLUS exact re-sends of first-batch
+    # content under new keys: the re-sends must consume ids but index
+    # nothing
+    resend = a.limit(5).select(
+        F.concat(F.lit("re/"), F.col("repo")).alias("repo"),
+        "path", "commit", "lang", "content",
+    )
+    appended = append_segment(
+        spark, seg_dir, b.unionByName(resend), compute_quality=False
+    )
+    assert appended == "seg=1"
+    seg = load_segments(spark, seg_dir)
+    n_b_input = b.count() + 5
+    assert seg.stats["n_total"] == a.count() + n_b_input
+    # survivors exclude the 5 exact re-sends (plus any dups inside b
+    # itself: the synth halves are dup-free except planted pairs)
+    assert seg.stats["n_survivors"] <= n_a + b.count()
+    shas = [r["sha256"] for r in seg.docs.select("sha256").collect()]
+    assert len(shas) == len(set(shas))  # no duplicate content indexed
+
+    # docid spaces are disjoint and dense-continuing
+    seg0_max = (
+        load_index(spark, f"{seg_dir}/seg=0").docs.agg(
+            F.max("docid")
+        ).first()[0]
+    )
+    seg1_min = (
+        load_index(spark, f"{seg_dir}/seg=1").docs.agg(
+            F.min("docid")
+        ).first()[0]
+    )
+    assert seg1_min > seg0_max
