@@ -109,6 +109,15 @@ def run_bench():
         result["wand_rows"] = wand_rows
         total += el
 
+        tw = time.time()
+        or_rows = wand_topk(
+            spark, shards, BENCH_QUERIES, k=10, mode="or"
+        ).count()
+        el = time.time() - tw
+        result["queries"]["wand_or_batch"] = round(el, 3)
+        result["wand_or_rows"] = or_rows
+        total += el
+
         result["value"] = round(total, 3)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)

@@ -77,3 +77,52 @@ def incremental_postings(
     )
     q.awaitTermination()
     return q
+
+
+def compact_stream_to_segment(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    processed_marker: str,
+    **build_kwargs,
+):
+    """Fold newly-arrived corpus files into the segmented index.
+
+    The streaming half of the segment story (index/segments.py): corpus
+    parquet accumulates under ``input_dir``; each compaction call reads
+    the files not covered by the previous call (tracked in a marker
+    file, the same exactly-once idea as the streaming checkpoint),
+    builds ONE new generation from them via append_segment — which
+    dedups against every earlier generation and continues the dense
+    docid space — and advances the marker atomically.
+
+    Returns the new segment name, or None when nothing new arrived.
+    This is the batch-compaction companion to incremental_postings:
+    micro-batch appends stage raw postings for low-latency serving,
+    while compaction periodically folds the backlog into first-class
+    compressed, WAND-servable segments.
+    """
+    import json
+    import os
+
+    from ..index.segments import append_segment
+
+    seen = set()
+    if os.path.exists(processed_marker):
+        with open(processed_marker) as f:
+            seen = set(json.load(f)["files"])
+    files = sorted(
+        os.path.join(input_dir, f)
+        for f in os.listdir(input_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    new = [f for f in files if f not in seen]
+    if not new:
+        return None
+    corpus = spark.read.schema(CORPUS_SCHEMA).parquet(*new)
+    name = append_segment(spark, index_dir, corpus, **build_kwargs)
+    tmp = processed_marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": 1, "files": sorted(seen | set(new))}, f)
+    os.replace(tmp, processed_marker)
+    return name

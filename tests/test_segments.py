@@ -133,3 +133,55 @@ def test_append_drops_cross_segment_exact_dups(
         ).first()[0]
     )
     assert seg1_min > seg0_max
+
+
+def test_stream_compaction_to_segments(spark, split_corpora, tmp_path_factory):
+    """Corpus parquet lands over time; each compaction folds ONLY the
+    new files into one new generation (exactly-once via the marker),
+    dedup'd against everything earlier."""
+    from searchengine_spark.streaming.ingest import (
+        compact_stream_to_segment,
+    )
+
+    _, a, b = split_corpora
+    base = tmp_path_factory.mktemp("stream_seg")
+    inbox = base / "inbox"
+    inbox.mkdir()
+    seg_dir = str(base / "idx")
+    marker = str(base / "processed.json")
+
+    init_segmented(
+        spark, build_tables(spark, a, compute_quality=False), seg_dir
+    )
+    n0 = load_segments(spark, seg_dir).stats["n_total"]
+
+    b.coalesce(1).write.mode("overwrite").parquet(str(base / "tmp_b"))
+    import glob
+    import shutil
+
+    (pfile,) = glob.glob(str(base / "tmp_b" / "*.parquet"))
+    shutil.copy(pfile, str(inbox / "batch1.parquet"))
+
+    name = compact_stream_to_segment(
+        spark, str(inbox), seg_dir, marker, compute_quality=False
+    )
+    assert name == "seg=1"
+    n1 = load_segments(spark, seg_dir).stats["n_total"]
+    assert n1 == n0 + b.count()
+
+    # no new files → no new segment (exactly-once)
+    assert compact_stream_to_segment(
+        spark, str(inbox), seg_dir, marker, compute_quality=False
+    ) is None
+
+    # re-sending the SAME file content as a new file: ids consumed,
+    # nothing re-indexed (cross-segment sha dedup)
+    shutil.copy(pfile, str(inbox / "batch2.parquet"))
+    name = compact_stream_to_segment(
+        spark, str(inbox), seg_dir, marker, compute_quality=False
+    )
+    assert name == "seg=2"
+    seg = load_segments(spark, seg_dir)
+    assert seg.stats["n_total"] == n1 + b.count()
+    shas = [r["sha256"] for r in seg.docs.select("sha256").collect()]
+    assert len(shas) == len(set(shas))
