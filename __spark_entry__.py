@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_counts": T.lang_counts,
         "phrase_match": T.phrase_match,
         "phrase_match_indexed": T.phrase_match_indexed,
+        "proximity_topk": T.proximity_topk,
         "text_quality": T.text_quality,
         "doc_fingerprint": T.doc_fingerprint,
         "ann_cosine_topk": T.ann_cosine_topk,
@@ -799,4 +800,49 @@ def oracle_sql() -> dict[str, str]:
     # one oracle proves both (and the stored positions payload with it)
     d["phrase_match_indexed"] = d["phrase_match"]
     d["ann_ivf_kmeans_topk"] = _ivf_kmeans_oracle_sql()
+    # proximity ranking (positions consumer #2): conjunctive BM25 +
+    # 1/(1+min pair distance) boost, recomputed from text in SQL
+    d["proximity_topk"] = f"""
+            WITH rawtoks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+            ptoks AS (
+              SELECT doc_id, i AS pos, t[i] AS term
+              FROM rawtoks, LATERAL (
+                SELECT unnest(generate_series(1, len(t))) AS i) g
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM ptoks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*) AS total_tokens
+                   FROM tf GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n, avg(total_tokens) AS avgdl
+                      FROM dl),
+            qterms AS (SELECT unnest(['table', 'hash']) AS term),
+            dft AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM tf JOIN qterms USING (term) GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.total_tokens / stats.avgdl))
+                     ) AS s,
+                     count(*) AS nmatch
+              FROM tf JOIN qterms USING (term) JOIN dft USING (term)
+                   JOIN dl USING (doc_id) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            ),
+            prox AS (
+              SELECT a.doc_id, min(abs(a.pos - b.pos)) AS min_dist
+              FROM ptoks a JOIN ptoks b
+                ON a.doc_id = b.doc_id
+               AND a.term = 'table' AND b.term = 'hash'
+              GROUP BY a.doc_id
+            )
+            SELECT s.doc_id, p.min_dist,
+                   round(s.s + 1.0 / (1 + p.min_dist), 6) AS score
+            FROM scored s JOIN prox p USING (doc_id)
+            WHERE s.nmatch = 2
+            ORDER BY score DESC, s.doc_id LIMIT 10
+        """
     return d

@@ -221,6 +221,92 @@ def wand_or_topk(spark, sf_dir, terms=("spark", "query", "join"),
     )
 
 
+def proximity_topk(spark, sf_dir, terms=("table", "hash"),
+                   k=10) -> DataFrame:
+    """Proximity-boosted conjunctive ranking served from the index's
+    stored positions: BM25 over docs containing BOTH terms, plus a
+    1/(1+min_distance) boost where min_distance is the closest pair of
+    occurrences.  (doc_id, min_dist, score); score desc, doc_id asc.
+
+    The second positions-payload consumer after phrase_match_indexed —
+    postings arrive via fetch_postings (bucket + row-group pruned), no
+    raw text at query time; the driver oracle recomputes the identical
+    semantics from the text in SQL.
+    """
+    from ..index.shards import fetch_postings
+    from ..query.wand import bm25_idf
+
+    sh = _flat_index(spark, sf_dir)
+    n = sh.stats["n_survivors"]
+    avgdl = sh.stats["avgdl"] or 1.0
+    dfmap = {
+        r["term"]: r["df"]
+        for r in sh.termdict.filter(
+            F.col("term").isin(list(set(terms)))
+        ).collect()
+    }
+    if any(t not in dfmap for t in terms):
+        return spark.createDataFrame(
+            [], "doc_id long, min_dist long, score double"
+        )
+    posts = fetch_postings(sh, sorted(set(terms))).persist()
+    qterms = spark.createDataFrame(
+        [(t, bm25_idf(n, dfmap[t])) for t in set(terms)],
+        "term string, idf double",
+    )
+    from ..params import BM25_B, BM25_K1
+
+    hits = posts.join(F.broadcast(qterms), "term").join(
+        sh.docs.select("docid", "total_tokens"), "docid"
+    )
+    w8 = (
+        F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B)
+                * F.col("total_tokens").cast("double") / F.lit(avgdl)
+            )
+        )
+    )
+    scored = (
+        hits.withColumn("contrib", F.col("idf") * w8)
+        .groupBy("docid")
+        .agg(F.sum("contrib").alias("s"), F.count("*").alias("nmatch"))
+        .filter(F.col("nmatch") == len(set(terms)))
+    )
+    pa = posts.filter(F.col("term") == terms[0]).select(
+        "docid", F.explode("positions").alias("pa")
+    )
+    pb = posts.filter(F.col("term") == terms[1]).select(
+        "docid", F.explode("positions").alias("pb")
+    )
+    prox = (
+        pa.join(pb, "docid")
+        .groupBy("docid")
+        .agg(
+            F.min(F.abs(F.col("pa") - F.col("pb")))
+            .cast("long")
+            .alias("min_dist")
+        )
+    )
+    return (
+        scored.join(prox, "docid")
+        .select(
+            F.col("docid").alias("doc_id"),
+            "min_dist",
+            F.round(
+                F.col("s") + F.lit(1.0) / (F.lit(1) + F.col("min_dist")),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def lang_counts(spark, sf_dir) -> DataFrame:
     return (
         documents(spark, sf_dir)
