@@ -135,6 +135,32 @@ def test_append_drops_cross_segment_exact_dups(
     assert seg1_min > seg0_max
 
 
+def test_segment_union_preserves_pruning(spark, split_corpora,
+                                         tmp_path_factory):
+    """The physical plan over the segment union must keep per-segment
+    bucket partition pruning AND term predicate pushdown — the scan
+    properties the single-index reader has (else queries over a
+    many-generation index would read every bucket of every segment)."""
+    from searchengine_spark.index.shards import fetch_postings
+
+    _, a, b = split_corpora
+    seg_dir = str(tmp_path_factory.mktemp("seg") / "plan")
+    init_segmented(
+        spark, build_tables(spark, a, compute_quality=False), seg_dir
+    )
+    append_segment(spark, seg_dir, b, compute_quality=False)
+    sh = load_segments(spark, seg_dir)
+    plan = fetch_postings(sh, ["parser", "hash"])._jdf.queryExecution(
+    ).explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # one pruned scan per segment
+    assert plan.count("PartitionFilters: [bucket") == 2, plan
+    assert plan.count("PushedFilters: [In(term") == 2, plan
+
+
 def test_stream_compaction_to_segments(spark, split_corpora, tmp_path_factory):
     """Corpus parquet lands over time; each compaction folds ONLY the
     new files into one new generation (exactly-once via the marker),
