@@ -30,12 +30,7 @@ from ..params import (
     SIMHASH_BITS,
     SIMHASH_HAMMING,
 )
-from ..text.udfs import (
-    POSTINGS_SCHEMA,
-    SIMHASH_SCHEMA,
-    analyze_partition,
-    make_simhash_partition,
-)
+from ..text.udfs import POSTINGS_SCHEMA, make_simhash_partition
 
 CORPUS_KEY = ["repo", "path", "commit"]
 
@@ -138,10 +133,28 @@ def _dedup_simhash(alive: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     is the scale variant — same Hamming threshold, 4×16-bit bands, so
     the LSH key space is 65536 per band instead of 256 (the 32-bit band
     join degrades to O(n²/256) on large corpora, text/simhash.py).
+
+    Survivors keep their ``fingerprint`` column — stored in the docs
+    table so cross-segment compaction (index/segments.py) can re-run
+    the band join across generations without re-reading content.
     """
-    fps = alive.select("docid", "content").mapInPandas(
-        make_simhash_partition(bits), schema=SIMHASH_SCHEMA
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    fps_full = alive.mapInPandas(
+        make_simhash_partition(bits, passthrough=True),
+        schema=StructType(
+            alive.schema.fields + [StructField("fingerprint", LongType())]
+        ),
     )
+    fps = fps_full.select("docid", "fingerprint")
+    return fps_full.join(simhash_dropped(fps, bits), "docid", "left_anti")
+
+
+def simhash_dropped(fps: DataFrame, bits: int) -> DataFrame:
+    """(docid) of every doc with a similar (Hamming<=SIMHASH_HAMMING)
+    doc of SMALLER docid in ``fps`` (docid, fingerprint) — the banded
+    LSH self-join + local-min rule, shared by the build-time dedup and
+    cross-segment compaction (index/segments.py)."""
     width = bits // SIMHASH_BANDS
     mask = (1 << width) - 1
     band_rows = fps.select(
@@ -162,7 +175,7 @@ def _dedup_simhash(alive: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
     a = band_rows.alias("a")
     b = band_rows.alias("b")
-    dropped = (
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -178,7 +191,6 @@ def _dedup_simhash(alive: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
         .select(F.col("b.docid").alias("docid"))
         .distinct()
     )
-    return alive.join(dropped, "docid", "left_anti")
 
 
 def build_tables(
@@ -231,7 +243,9 @@ def build_tables(
     if near_dup:
         survivors = _dedup_simhash(alive, bits=simhash_bits).persist()
     else:
-        survivors = alive.persist()
+        survivors = alive.withColumn(
+            "fingerprint", F.lit(None).cast("long")
+        ).persist()
 
     from ..text.udfs import make_analyze_partition_arrow
 
@@ -257,7 +271,7 @@ def build_tables(
                 "", F.col("repo"), F.lit("/"), F.col("path"),
                 F.lit("@"), F.col("commit"),
             ).alias("url"),
-            "repo", "path", "commit", "sha256",
+            "repo", "path", "commit", "sha256", "fingerprint",
         )
         .join(doc_lengths, "docid", "left")
         .withColumn("total_tokens", F.coalesce("total_tokens", F.lit(0)))

@@ -21,9 +21,11 @@ Append semantics:
    segments (sha256 anti-join on the stored docs.sha256 column); a doc
    already present consumes its id and is dropped, the same rule as
    every other filter stage;
- * cross-segment NEAR-dup (simhash) is deliberately not applied — the
-   fingerprints of prior segments are not re-read; at 100 TB that
-   re-comparison is its own compaction job, not an append-time filter.
+ * cross-segment NEAR-dup (simhash) is deliberately not an append-time
+   filter — at 100 TB that re-comparison is its own job:
+   ``compact_near_dups`` runs the banded self-join over the stored
+   fingerprints of all generations and tombstones the losers, without
+   rewriting a single segment.
 
 Query-side: ``load_segments`` returns the same IndexShards handle the
 single-index reader produces — blocks/docs are lazy unions (parquet
@@ -43,22 +45,33 @@ from pyspark.sql import functions as F
 from .shards import IndexShards, load_index, write_index
 
 SEGMENTS_FILE = "segments.json"
+TOMBSTONES_DIR = "tombstones"
 
 
-def _read_segments(index_dir: str) -> list[str]:
+def _read_meta(index_dir: str) -> dict:
     p = os.path.join(index_dir, SEGMENTS_FILE)
     if not os.path.exists(p):
-        return []
+        return {"version": 1, "segments": []}
     with open(p) as f:
-        return json.load(f)["segments"]
+        return json.load(f)
 
 
-def _save_segments(index_dir: str, segs: list[str]) -> None:
+def _save_meta(index_dir: str, meta: dict) -> None:
     p = os.path.join(index_dir, SEGMENTS_FILE)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"version": 1, "segments": segs}, f, indent=1)
+        json.dump(meta, f, indent=1)
     os.replace(tmp, p)  # atomic: readers see old or new list, never half
+
+
+def _read_segments(index_dir: str) -> list[str]:
+    return _read_meta(index_dir)["segments"]
+
+
+def _save_segments(index_dir: str, segs: list[str]) -> None:
+    meta = _read_meta(index_dir)
+    meta["segments"] = segs
+    _save_meta(index_dir, meta)
 
 
 def init_segmented(spark: SparkSession, tables, index_dir: str) -> str:
@@ -160,6 +173,22 @@ def load_segments(spark: SparkSession, index_dir: str,
             "posting_block": parts[0].stats.get("posting_block"),
             "n_buckets": parts[0].stats.get("n_buckets"),
         }
+    meta = _read_meta(index_dir)
+    n_tomb = int(meta.get("n_tombstones", 0))
+    if n_tomb:
+        tombs = spark.read.parquet(
+            os.path.join(index_dir, TOMBSTONES_DIR)
+        )
+        docs = docs.join(tombs, "docid", "left_anti")
+        n_before = stats["n_survivors"]
+        n_after = n_before - n_tomb
+        stats["avgdl"] = (
+            (stats["avgdl"] * n_before - meta.get("tomb_tokens", 0))
+            / n_after
+            if n_after
+            else 0.0
+        )
+        stats["n_survivors"] = n_after
     if cache_meta:
         from pyspark import StorageLevel
 
@@ -168,3 +197,58 @@ def load_segments(spark: SparkSession, index_dir: str,
     return IndexShards(
         blocks=blocks, termdict=termdict, docs=docs, stats=stats
     )
+
+
+def compact_near_dups(spark: SparkSession, index_dir: str,
+                      bits: int = 64) -> int:
+    """Cross-segment near-dup compaction from STORED fingerprints.
+
+    Build-time simhash dedup is per-segment (append_segment docstring);
+    this job closes the cross-generation gap: the banded LSH self-join +
+    local-min rule (pipeline.simhash_dropped) runs over the fingerprint
+    column of every surviving doc across ALL generations, and newly
+    caught docs land in a tombstone list — removed from serving (every
+    query path joins postings against docs, so their postings become
+    inert) without rewriting any segment.  Stats are adjusted exactly
+    (survivor count and token sum of the tombstoned docs).
+
+    ``bits`` must match what the segments were built with (64 = scale
+    default).  Idempotent: already-tombstoned docs are invisible to the
+    next run.  NOTE vs a monolithic rebuild: comparisons see surviving
+    docs only — a chain A~B(dropped at build), B~C, A≁C keeps C where
+    the monolithic pass might not; the standard segmented tradeoff.
+
+    :return: number of newly tombstoned docs.
+    """
+    from .pipeline import simhash_dropped
+
+    cur = load_segments(spark, index_dir, cache_meta=False)
+    if "fingerprint" not in cur.docs.columns:
+        raise ValueError("segments were built without fingerprints")
+    fps = cur.docs.filter(F.col("fingerprint").isNotNull()).select(
+        "docid", "fingerprint"
+    )
+    dropped = simhash_dropped(fps, bits).persist()
+    row = (
+        cur.docs.join(dropped, "docid")
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("total_tokens"), F.lit(0)).alias("tok"),
+        )
+        .first()
+    )
+    n_new = int(row["n"])
+    if n_new:
+        # old tombstones are already excluded from cur.docs, so the new
+        # set is disjoint — append is safe
+        dropped.write.mode("append").parquet(
+            os.path.join(index_dir, TOMBSTONES_DIR)
+        )
+        meta = _read_meta(index_dir)
+        meta["n_tombstones"] = int(meta.get("n_tombstones", 0)) + n_new
+        meta["tomb_tokens"] = int(meta.get("tomb_tokens", 0)) + int(
+            row["tok"]
+        )
+        _save_meta(index_dir, meta)
+    dropped.unpersist()
+    return n_new

@@ -147,7 +147,7 @@ def make_analyze_partition_arrow(stem=True):
     return analyze_partition_arrow
 
 
-def make_simhash_partition(bits=32):
+def make_simhash_partition(bits=32, passthrough=False):
     """mapInPandas factory: (docid, content) → simhash fingerprints.
 
     Fingerprint is over UNSTEMMED token counts, matching the reference's
@@ -156,6 +156,12 @@ def make_simhash_partition(bits=32):
     (text/simhash.py).  64-bit fingerprints are emitted as signed int64
     (two's complement) — band extraction uses shiftrightunsigned, so the
     sign does not matter.
+
+    ``passthrough=True`` echoes every input column and APPENDS
+    ``fingerprint`` — lets the dedup stage keep content+fingerprint
+    together without a docid shuffle join back (content flows through
+    the Python worker either way; an Arrow copy out beats a full-width
+    shuffle).
     """
     from collections import Counter
 
@@ -190,10 +196,15 @@ def make_simhash_partition(bits=32):
                     fp -= 1 << 64
                 docids.append(docid)
                 fps.append(fp)
-            yield pd.DataFrame(
-                {"docid": docids,
-                 "fingerprint": pd.array(fps, dtype="int64")}
-            )
+            if passthrough:
+                out = pdf.copy()
+                out["fingerprint"] = pd.array(fps, dtype="int64")
+                yield out
+            else:
+                yield pd.DataFrame(
+                    {"docid": docids,
+                     "fingerprint": pd.array(fps, dtype="int64")}
+                )
 
     return simhash_partition
 

@@ -161,6 +161,58 @@ def test_segment_union_preserves_pruning(spark, split_corpora,
     assert plan.count("PushedFilters: [In(term") == 2, plan
 
 
+def test_compact_near_dups_across_segments(spark, split_corpora,
+                                           tmp_path_factory):
+    """A near-dup twin arriving in a LATER generation survives append
+    (cross-segment simhash is not an append-time filter) and is then
+    tombstoned by compaction, with stats adjusted exactly."""
+    from searchengine_spark.index.segments import compact_near_dups
+
+    _, a, b = split_corpora
+    seg_dir = str(tmp_path_factory.mktemp("seg") / "compact")
+    init_segmented(
+        spark,
+        build_tables(spark, a, compute_quality=False, simhash_bits=32),
+        seg_dir,
+    )
+
+    # twin = an a-doc's content + 2 tokens (the synth corpus's own
+    # near-dup recipe), under a key that lands in the later segment
+    src = a.orderBy("repo", "path", "commit").limit(1).collect()[0]
+    twin = spark.createDataFrame(
+        [("zz-twin", src["path"], src["commit"], src["lang"],
+          src["content"] + " zzextra zzmore")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    append_segment(
+        spark, seg_dir, b.unionByName(twin),
+        compute_quality=False, simhash_bits=32,
+    )
+
+    before = load_segments(spark, seg_dir)
+    n_before = before.stats["n_survivors"]
+    twin_row = before.docs.filter(F.col("repo") == "zz-twin").collect()
+    assert len(twin_row) == 1  # survived the per-segment dedup
+
+    n_dropped = compact_near_dups(spark, seg_dir, bits=32)
+    assert n_dropped >= 1
+
+    after = load_segments(spark, seg_dir)
+    assert after.stats["n_survivors"] == n_before - n_dropped
+    assert after.docs.filter(F.col("repo") == "zz-twin").count() == 0
+    # stats adjustment is exact: avgdl == direct mean over served docs
+    direct = after.docs.agg(F.avg("total_tokens")).first()[0]
+    assert math.isclose(after.stats["avgdl"], direct, rel_tol=1e-9)
+    # idempotent
+    assert compact_near_dups(spark, seg_dir, bits=32) == 0
+    # queries over the compacted index never return a tombstoned doc
+    res = score_queries_ondisk(
+        spark, [(qid, q) for qid, q in QUERIES], after, k=10
+    )
+    served = {r["docid"] for r in res.collect()}
+    assert int(twin_row[0]["docid"]) not in served
+
+
 def test_stream_compaction_to_segments(spark, split_corpora, tmp_path_factory):
     """Corpus parquet lands over time; each compaction folds ONLY the
     new files into one new generation (exactly-once via the marker),
