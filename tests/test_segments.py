@@ -213,6 +213,45 @@ def test_compact_near_dups_across_segments(spark, split_corpora,
     assert int(twin_row[0]["docid"]) not in served
 
 
+def test_streaming_queries_over_segments(spark, split_corpora,
+                                         tmp_path_factory):
+    """The streaming query front-end serves a segmented index through
+    the same IndexShards handle — streamed answers must equal the batch
+    scorer's over the union."""
+    import json as _json
+
+    from searchengine_spark.streaming.queries import serve_query_stream
+
+    _, a, b = split_corpora
+    base = tmp_path_factory.mktemp("seg_q")
+    seg_dir = str(base / "idx")
+    init_segmented(
+        spark, build_tables(spark, a, compute_quality=False), seg_dir
+    )
+    append_segment(spark, seg_dir, b, compute_quality=False)
+    seg = load_segments(spark, seg_dir)
+
+    qdir = base / "queries"
+    qdir.mkdir()
+    qs = [(qid, q) for qid, q in QUERIES[:5]]
+    with open(qdir / "batch.json", "w") as f:
+        for qid, q in qs:
+            f.write(_json.dumps({"qid": qid, "query": q}) + "\n")
+    out = str(base / "answers")
+    serve_query_stream(
+        spark, seg, str(qdir), out, str(base / "ckpt"), k=10
+    )
+    streamed = {
+        (r["qid"], r["rank"], r["docid"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r["qid"], r["rank"], r["docid"])
+        for r in score_queries_ondisk(spark, qs, seg, k=10).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+
+
 def test_stream_compaction_to_segments(spark, split_corpora, tmp_path_factory):
     """Corpus parquet lands over time; each compaction folds ONLY the
     new files into one new generation (exactly-once via the marker),
