@@ -9,8 +9,12 @@ SURVEY.md §2 over the driver's parquet tables; each pair is
 semantically identical Spark-vs-DuckDB (same tokenizer regex, same
 literals, same rounding, same column names).  Engine paths that depend
 on Porter stemming are verified against the in-repo Python oracle by
-pytest instead (DuckDB's stemmer is unavailable offline); ``engine_topk``
-is exposed rows-only here.
+pytest instead (DuckDB's stemmer is unavailable offline); the stemmed
+``engine_topk`` twins are rows-only here, while ``engine_topk_flat`` /
+``engine_topk_ondisk_flat`` run the SAME pipeline unstemmed so the
+entire engine — docid assignment, dedup, analyze, stats, query prune /
+abort / stopword readmission, BM25+cosine blend, top-k — is
+value-checked against one full-chain DuckDB oracle.
 """
 
 from __future__ import annotations
