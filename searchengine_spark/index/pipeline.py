@@ -204,6 +204,7 @@ def build_tables(
     near_dup: bool = True,
     docid_offset: int = 0,
     known_sha: DataFrame | None = None,
+    importance_fn=None,
 ) -> IndexTables:
     """Run the full build pipeline; returns lazy DataFrames + stats.
 
@@ -220,6 +221,11 @@ def build_tables(
     (index/segments.py) — ids continue an existing dense space, and docs
     whose sha256 already exists in prior segments are dropped (their
     ids consumed, the same rule as every other filter stage).
+    ``importance_fn``: opt-in field extraction (e.g.
+    text.importance.extract_importance) — postings carry the per-term
+    priority in ``important`` instead of the reference-parity constant
+    0, enabling the BM25F-style scorer (query/scoring.py,
+    params.IMPORTANCE).
     """
     ids, n_total = assign_docids(
         corpus, n_parts=n_parts, order=id_order, with_count=True
@@ -249,10 +255,16 @@ def build_tables(
 
     from ..text.udfs import make_analyze_partition_arrow
 
+    analyze_cols = ["docid", "content"] + (
+        ["path"] if importance_fn is not None else []
+    )
     postings_full = (
-        survivors.select("docid", "content")
+        survivors.select(*analyze_cols)
         .mapInArrow(
-            make_analyze_partition_arrow(stem=stem), schema=POSTINGS_SCHEMA
+            make_analyze_partition_arrow(
+                stem=stem, importance_fn=importance_fn
+            ),
+            schema=POSTINGS_SCHEMA,
         )
         .persist()
     )
@@ -316,12 +328,20 @@ def build_tables(
     )
 
     srow = docs.agg(
-        F.count("*").alias("n"), F.avg("total_tokens").alias("avgdl")
+        F.count("*").alias("n"),
+        F.avg("total_tokens").alias("avgdl"),
+        F.sum("total_tokens").alias("tok"),
     ).first()
+    # token_sum: the integer numerator of avgdl.  Segment readers
+    # (index/segments.py) compose the union avgdl from per-segment
+    # integer sums — Σtok/Σn is then bit-identical to a monolithic
+    # rebuild's mean, where a weighted mean of per-segment avgdl floats
+    # would not be.
     stats = {
         "n_total": n_total,
         "n_survivors": srow["n"],
         "avgdl": float(srow["avgdl"] or 0.0),
+        "token_sum": int(srow["tok"] or 0),
     }
 
     tables = IndexTables(

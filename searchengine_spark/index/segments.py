@@ -9,18 +9,24 @@ independently resumable and byte-deterministic), and readers serve the
 union:
 
     index_dir/
-      segments.json          ordered generation list
+      segments.json          ordered generation list + tombstone meta
       seg=0/  docs/ termdict/ postings/ mergeinfo.json _manifest.json
       seg=1/  ...
+      tombstones/            (docid) parquet — docs removed from serving
+      df_corrections/        (term, df_sub, cf_sub) parquet — the
+                             tombstoned docs' term counts, subtracted
+                             from the union termdict so idf is computed
+                             from SURVIVING df (a monolithic rebuild of
+                             the survivor set scores identically)
 
 Append semantics:
  * new docids continue the dense space (docid_offset = Σ prior n_total),
    so segment docid ranges are disjoint and ascending — WAND's
    sorted-block invariants hold across the union for free;
  * exact dedup runs within the new batch AND against all prior
-   segments (sha256 anti-join on the stored docs.sha256 column); a doc
-   already present consumes its id and is dropped, the same rule as
-   every other filter stage;
+   segments (sha256 anti-join on the stored docs.sha256 column,
+   INCLUDING tombstoned docs: tombstoned content must not re-enter
+   while its surviving near-dup twin is still being served);
  * cross-segment NEAR-dup (simhash) is deliberately not an append-time
    filter — at 100 TB that re-comparison is its own job:
    ``compact_near_dups`` runs the banded self-join over the stored
@@ -31,7 +37,32 @@ Query-side: ``load_segments`` returns the same IndexShards handle the
 single-index reader produces — blocks/docs are lazy unions (parquet
 scans still prune per segment via bucket/term pushdown) and the
 termdict re-aggregates lazily, so score_queries_ondisk / wand_topk /
-fetch_postings work unchanged.
+fetch_postings work unchanged.  Serving-state exactness:
+
+ * avgdl composes from per-segment INTEGER token sums minus the
+   tombstoned docs' tokens — bit-identical to a monolithic rebuild's
+   mean over the survivor set;
+ * termdict df/cf subtract the stored df_corrections, so idf matches
+   the rebuild;
+ * each segment's block ``max_weight`` (written under that segment's
+   own build avgdl, shards.py) is scaled by max(1, avgdl_serve /
+   avgdl_build) so WAND's upper bound stays valid when the serving
+   avgdl drifts above a segment's build avgdl.  Proof of safety: the
+   tf-side weight w(tf,dl,A) = tf(k1+1)/(tf + k1(1-b+b·dl/A)) is
+   increasing in A, and for A' ≥ A the ratio w(A')/w(A) =
+   (tf + c_A)/(tf + c_A') with c_A ≥ c_A' is decreasing in tf, so it
+   is maximized at tf→0 where it equals c_A/c_A' =
+   (1-b+b·dl/A)/(1-b+b·dl/A'), which is increasing in dl with
+   supremum A'/A.  Hence w(A') ≤ w(A)·A'/A ≤ stored_max·A'/A for
+   every posting in the block, and tombstoned docids that decode from
+   blocks are masked against the docs table inside the WAND kernels
+   (query/wand._dl_member) before they can score.
+
+``merge_segments`` is the physical analogue of the reference's merge
+step (lib/writer.py:166-300): all generations minus tombstones are
+rewritten into ONE fresh segment through the ordinary build/write path
+(byte-deterministic, resumable), tombstone + correction state resets,
+and the termdict is recomputed exactly.
 """
 
 from __future__ import annotations
@@ -46,6 +77,7 @@ from .shards import IndexShards, load_index, write_index
 
 SEGMENTS_FILE = "segments.json"
 TOMBSTONES_DIR = "tombstones"
+DF_CORRECTIONS_DIR = "df_corrections"
 
 
 def _read_meta(index_dir: str) -> dict:
@@ -68,20 +100,51 @@ def _read_segments(index_dir: str) -> list[str]:
     return _read_meta(index_dir)["segments"]
 
 
-def _save_segments(index_dir: str, segs: list[str]) -> None:
-    meta = _read_meta(index_dir)
-    meta["segments"] = segs
+def _next_name(meta: dict) -> str:
+    """Generation names come from a monotonic counter (survives merges:
+    a merged index must never reuse a deleted generation's name)."""
+    return f"seg={int(meta.get('next_seg', len(meta['segments'])))}"
+
+
+def _commit_segment(index_dir: str, meta: dict, name: str) -> None:
+    meta["segments"] = meta["segments"] + [name]
+    meta["next_seg"] = int(name.split("=", 1)[1]) + 1
     _save_meta(index_dir, meta)
+
+
+def _seg_stats(index_dir: str, segs: list[str]) -> list[dict]:
+    out = []
+    for s in segs:
+        with open(os.path.join(index_dir, s, "mergeinfo.json")) as f:
+            st = json.load(f)
+        if "token_sum" not in st:  # pre-token_sum index
+            st["token_sum"] = round(st["avgdl"] * st["n_survivors"])
+        out.append(st)
+    return out
+
+
+def _raw_docs(spark: SparkSession, index_dir: str,
+              segs: list[str]) -> DataFrame:
+    """Union of the STORED docs of every generation — pre-tombstone.
+    The dedup universe for appends: tombstoned content stays known."""
+    from functools import reduce
+
+    parts = [
+        spark.read.parquet(os.path.join(index_dir, s, "docs"))
+        for s in segs
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def init_segmented(spark: SparkSession, tables, index_dir: str) -> str:
     """Write the first generation from built IndexTables."""
     os.makedirs(index_dir, exist_ok=True)
-    if _read_segments(index_dir):
+    meta = _read_meta(index_dir)
+    if meta["segments"]:
         raise ValueError(f"{index_dir} already has segments")
-    name = "seg=0"
+    name = _next_name(meta)
     write_index(spark, tables, os.path.join(index_dir, name))
-    _save_segments(index_dir, [name])
+    _commit_segment(index_dir, meta, name)
     return name
 
 
@@ -95,100 +158,145 @@ def append_segment(
 
     The new segment's docids start after every existing segment's
     (dense space continues); content whose sha256 already exists in any
-    prior segment is dropped.  ``build_kwargs`` pass through to
-    build_tables (stem/simhash_bits/id_order/compute_quality...).
+    prior segment — INCLUDING tombstoned docs — is dropped.
+    ``build_kwargs`` pass through to build_tables
+    (stem/simhash_bits/id_order/compute_quality...).
     """
     from .pipeline import build_tables
 
-    segs = _read_segments(index_dir)
+    meta = _read_meta(index_dir)
+    segs = meta["segments"]
     if not segs:
         raise ValueError(f"{index_dir} has no segments; init_segmented first")
-    cur = load_segments(spark, index_dir, cache_meta=False)
-    known = (
-        cur.docs.select("sha256") if "sha256" in cur.docs.columns else None
-    )
+    # dedup against the STORED segment docs, not the serving view:
+    # load_segments anti-joins tombstones, and a new doc whose content
+    # equals a tombstoned doc's must NOT re-enter while the near-dup
+    # twin that caused the tombstone is still alive
+    raw = _raw_docs(spark, index_dir, segs)
+    known = raw.select("sha256") if "sha256" in raw.columns else None
+    n_total = sum(st["n_total"] for st in _seg_stats(index_dir, segs))
     tables = build_tables(
         spark,
         corpus,
-        docid_offset=int(cur.stats["n_total"]),
+        docid_offset=int(n_total),
         known_sha=known,
         **build_kwargs,
     )
-    name = f"seg={len(segs)}"
+    name = _next_name(meta)
     write_index(spark, tables, os.path.join(index_dir, name))
-    _save_segments(index_dir, segs + [name])
+    _commit_segment(index_dir, meta, name)
     return name
 
 
 def load_segments(spark: SparkSession, index_dir: str,
                   cache_meta: bool = True) -> IndexShards:
-    """Open all generations as ONE IndexShards handle."""
-    segs = _read_segments(index_dir)
+    """Open all generations as ONE IndexShards handle (serving view:
+    tombstones removed, stats and termdict corrected, block maxima
+    rescaled — see module docstring)."""
+    meta = _read_meta(index_dir)
+    segs = meta["segments"]
     if not segs:
         raise ValueError(f"{index_dir} has no segments")
     parts = [
         load_index(spark, os.path.join(index_dir, s), cache_meta=False)
         for s in segs
     ]
-    if len(parts) == 1:
-        one = parts[0]
-        blocks, termdict, docs = one.blocks, one.termdict, one.docs
-        stats = dict(one.stats)
-    else:
-        blocks = parts[0].blocks
-        docs = parts[0].docs
-        for p in parts[1:]:
-            blocks = blocks.unionByName(p.blocks)
-            docs = docs.unionByName(p.docs)
-        from functools import reduce
+    seg_stats = _seg_stats(index_dir, segs)
 
-        termdict = (
-            reduce(
-                lambda a, b2: a.unionByName(b2),
-                (p.termdict for p in parts),
-            )
-            .groupBy("term")
-            .agg(
-                F.first("bucket").alias("bucket"),
-                F.sum("df").cast("long").alias("df"),
-                F.sum("cf").cast("long").alias("cf"),
-                F.sum("n_blocks").cast("int").alias("n_blocks"),
-                F.max("max_weight").alias("max_weight"),
-            )
-        )
-        n_total = sum(p.stats["n_total"] for p in parts)
-        n_surv = sum(p.stats["n_survivors"] for p in parts)
-        # exact global mean: per-segment avgdl weighted by survivor count
-        avgdl = (
-            sum(p.stats["avgdl"] * p.stats["n_survivors"] for p in parts)
-            / n_surv
-            if n_surv
-            else 0.0
-        )
-        stats = {
-            "n_total": n_total,
-            "n_survivors": n_surv,
-            "avgdl": avgdl,
-            "n_terms": None,  # unknown without an agg job; unused by queries
-            "posting_block": parts[0].stats.get("posting_block"),
-            "n_buckets": parts[0].stats.get("n_buckets"),
-        }
-    meta = _read_meta(index_dir)
+    # ---- serving stats, computed FIRST (block-max scaling needs them)
+    n_total = sum(st["n_total"] for st in seg_stats)
+    n_surv = sum(st["n_survivors"] for st in seg_stats)
+    token_sum = sum(st["token_sum"] for st in seg_stats)
     n_tomb = int(meta.get("n_tombstones", 0))
+    if n_tomb:
+        n_surv -= n_tomb
+        token_sum -= int(meta.get("tomb_tokens", 0))
+    avgdl = token_sum / n_surv if n_surv else 0.0
+    stats = {
+        "n_total": n_total,
+        "n_survivors": n_surv,
+        "avgdl": avgdl,
+        "token_sum": token_sum,
+        "n_terms": None,  # unknown without an agg job; unused by queries
+        "posting_block": seg_stats[0].get("posting_block"),
+        "n_buckets": seg_stats[0].get("n_buckets"),
+    }
+
+    # ---- blocks: lazy union, per-segment max_weight correction.
+    # factor = max(1, avgdl_serve / avgdl_build) keeps the stored bound
+    # an upper bound under the serving avgdl (proof: module docstring);
+    # factor 1 when avgdl only shrank (weights shrink with it).
+    def corrected_blocks(p, st):
+        build_avgdl = st["avgdl"] or 1.0
+        factor = max(1.0, avgdl / build_avgdl) if avgdl else 1.0
+        if factor == 1.0:
+            return p.blocks
+        return p.blocks.withColumn(
+            "max_weight", F.col("max_weight") * F.lit(factor)
+        )
+
+    blocks = corrected_blocks(parts[0], seg_stats[0])
+    docs = parts[0].docs
+    for p, st in zip(parts[1:], seg_stats[1:]):
+        blocks = blocks.unionByName(corrected_blocks(p, st))
+        docs = docs.unionByName(p.docs)
+
+    from functools import reduce
+
+    termdict = (
+        reduce(
+            lambda a, b2: a.unionByName(b2),
+            (p.termdict for p in parts),
+        )
+        .groupBy("term")
+        .agg(
+            F.first("bucket").alias("bucket"),
+            F.sum("df").cast("long").alias("df"),
+            F.sum("cf").cast("long").alias("cf"),
+            F.sum("n_blocks").cast("int").alias("n_blocks"),
+            F.max("max_weight").alias("max_weight"),
+        )
+        if len(parts) > 1
+        else parts[0].termdict
+    )
+
     if n_tomb:
         tombs = spark.read.parquet(
             os.path.join(index_dir, TOMBSTONES_DIR)
         )
         docs = docs.join(tombs, "docid", "left_anti")
-        n_before = stats["n_survivors"]
-        n_after = n_before - n_tomb
-        stats["avgdl"] = (
-            (stats["avgdl"] * n_before - meta.get("tomb_tokens", 0))
-            / n_after
-            if n_after
-            else 0.0
-        )
-        stats["n_survivors"] = n_after
+        corr_dir = os.path.join(index_dir, DF_CORRECTIONS_DIR)
+        if os.path.isdir(corr_dir):
+            # subtract the tombstoned docs' per-term counts so idf is
+            # computed from SURVIVING df (compact_near_dups stores the
+            # corrections from one pruned postings scan); a term whose
+            # df drops to 0 has no surviving postings and must vanish
+            # from the dictionary like it would in a rebuild
+            corr = (
+                spark.read.parquet(corr_dir)
+                .groupBy("term")
+                .agg(
+                    F.sum("df_sub").alias("_dfs"),
+                    F.sum("cf_sub").alias("_cfs"),
+                )
+            )
+            termdict = (
+                termdict.join(corr, "term", "left")
+                .withColumn(
+                    "df",
+                    (
+                        F.col("df") - F.coalesce(F.col("_dfs"), F.lit(0))
+                    ).cast("long"),
+                )
+                .withColumn(
+                    "cf",
+                    (
+                        F.col("cf") - F.coalesce(F.col("_cfs"), F.lit(0))
+                    ).cast("long"),
+                )
+                .drop("_dfs", "_cfs")
+                .filter(F.col("df") > 0)
+            )
     if cache_meta:
         from pyspark import StorageLevel
 
@@ -196,6 +304,88 @@ def load_segments(spark: SparkSession, index_dir: str,
         docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     return IndexShards(
         blocks=blocks, termdict=termdict, docs=docs, stats=stats
+    )
+
+
+def _tombstone_corrections(spark: SparkSession, blocks: DataFrame,
+                           tomb_ids) -> DataFrame:
+    """Per-term (df_sub, cf_sub) of the tombstoned docs, from ONE
+    docid-range-pruned pass over the block metadata + payloads.
+
+    Block-level pruning is vectorized against the broadcast sorted
+    tombstone array (searchsorted range-overlap on the skip-pointer
+    columns, no decode); only overlapping payloads are decoded, and
+    membership is a second searchsorted.  Output is term-count-sized —
+    the whole point vs a physical rewrite: the index is read once (the
+    salted striping keeps block spans tight, so most blocks prune) but
+    nothing is rewritten.
+    """
+    import numpy as np
+
+    tomb = np.asarray(sorted(int(d) for d in tomb_ids), dtype=np.int64)
+    tomb_b = spark.sparkContext.broadcast(tomb)
+
+    def scan(batches):
+        import pyarrow as pa
+
+        from .varbyte import decode_payloads_np
+
+        t = tomb_b.value
+        out_schema = pa.schema([
+            ("term", pa.string()),
+            ("df_sub", pa.int64()),
+            ("cf_sub", pa.int64()),
+        ])
+        for rb in batches:
+            d1 = rb.column(
+                rb.schema.get_field_index("docid_first")
+            ).to_numpy()
+            d2 = rb.column(
+                rb.schema.get_field_index("docid_last")
+            ).to_numpy()
+            hit = np.searchsorted(t, d1, "left") != np.searchsorted(
+                t, d2, "right"
+            )
+            if not hit.any():
+                continue
+            idx = np.flatnonzero(hit)
+            terms = rb.column(rb.schema.get_field_index("term")).take(
+                pa.array(idx)
+            ).to_pylist()
+            payloads = rb.column(
+                rb.schema.get_field_index("payload")
+            ).take(pa.array(idx)).to_pylist()
+            n, ids, tfs, _, _ = decode_payloads_np(
+                [bytes(p) for p in payloads], want_positions=False
+            )
+            pos = np.minimum(np.searchsorted(t, ids), t.size - 1)
+            mem = t[pos] == ids
+            off = np.zeros(n.size, dtype=np.int64)
+            np.cumsum(n[:-1], out=off[1:])
+            df_sub = np.add.reduceat(mem.astype(np.int64), off)
+            cf_sub = np.add.reduceat(
+                np.where(mem, tfs, 0).astype(np.int64), off
+            )
+            keep = df_sub > 0
+            if not keep.any():
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        [terms[i] for i in np.flatnonzero(keep)],
+                        pa.string(),
+                    ),
+                    pa.array(df_sub[keep], pa.int64()),
+                    pa.array(cf_sub[keep], pa.int64()),
+                ],
+                schema=out_schema,
+            )
+
+    partial = blocks.select(
+        "term", "docid_first", "docid_last", "payload"
+    ).mapInArrow(scan, schema="term string, df_sub long, cf_sub long")
+    return partial.groupBy("term").agg(
+        F.sum("df_sub").alias("df_sub"), F.sum("cf_sub").alias("cf_sub")
     )
 
 
@@ -207,10 +397,14 @@ def compact_near_dups(spark: SparkSession, index_dir: str,
     this job closes the cross-generation gap: the banded LSH self-join +
     local-min rule (pipeline.simhash_dropped) runs over the fingerprint
     column of every surviving doc across ALL generations, and newly
-    caught docs land in a tombstone list — removed from serving (every
-    query path joins postings against docs, so their postings become
-    inert) without rewriting any segment.  Stats are adjusted exactly
-    (survivor count and token sum of the tombstoned docs).
+    caught docs land in a tombstone list — removed from serving (the
+    exhaustive scorers join postings against docs; the WAND kernels
+    mask decoded docids against docs, query/wand._dl_member) without
+    rewriting any segment.  Serving state is adjusted exactly: survivor
+    count, token sum, AND the term dictionary (per-term df/cf of the
+    tombstoned docs, aggregated from one pruned postings scan into
+    ``df_corrections/``) — so scores equal a monolithic rebuild of the
+    survivor set (asserted by tests/test_segments.py rank-identity).
 
     ``bits`` must match what the segments were built with (64 = scale
     default).  Idempotent: already-tombstoned docs are invisible to the
@@ -229,26 +423,97 @@ def compact_near_dups(spark: SparkSession, index_dir: str,
         "docid", "fingerprint"
     )
     dropped = simhash_dropped(fps, bits).persist()
-    row = (
-        cur.docs.join(dropped, "docid")
-        .agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.sum("total_tokens"), F.lit(0)).alias("tok"),
-        )
-        .first()
-    )
-    n_new = int(row["n"])
+    rows = cur.docs.join(dropped, "docid").select(
+        "docid", "total_tokens"
+    ).collect()
+    n_new = len(rows)
     if n_new:
-        # old tombstones are already excluded from cur.docs, so the new
-        # set is disjoint — append is safe
+        corr = _tombstone_corrections(
+            spark, cur.blocks, [r["docid"] for r in rows]
+        )
+        # append-mode state: multiple compactions touch disjoint doc
+        # sets (old tombstones are already excluded from cur.docs), so
+        # corrections sum and tombstones union
+        corr.write.mode("append").parquet(
+            os.path.join(index_dir, DF_CORRECTIONS_DIR)
+        )
         dropped.write.mode("append").parquet(
             os.path.join(index_dir, TOMBSTONES_DIR)
         )
         meta = _read_meta(index_dir)
         meta["n_tombstones"] = int(meta.get("n_tombstones", 0)) + n_new
-        meta["tomb_tokens"] = int(meta.get("tomb_tokens", 0)) + int(
-            row["tok"]
+        meta["tomb_tokens"] = int(meta.get("tomb_tokens", 0)) + sum(
+            int(r["total_tokens"]) for r in rows
         )
         _save_meta(index_dir, meta)
     dropped.unpersist()
     return n_new
+
+
+def merge_segments(spark: SparkSession, index_dir: str) -> str:
+    """Physically rewrite all generations (minus tombstones) into ONE
+    fresh segment — the analogue of the reference's k-way merge
+    (lib/writer.py:166-300), expressed as a rebuild through the
+    ordinary write path.
+
+    The surviving postings are decoded from the block union, filtered
+    against the serving docs view, and re-encoded by write_index — so
+    the output is byte-deterministic (same salted striping contract as
+    any build) and independently resumable via its own manifest.
+    Docids are PRESERVED (the dense space keeps its tombstone holes —
+    ids are never reused, the same rule as every filter stage), the
+    termdict is recomputed exactly from the surviving postings, and
+    tombstone/correction state resets.  Commit is atomic: the new
+    segment is fully written (manifest complete) before segments.json
+    swaps; old generation dirs are deleted after the swap.
+
+    :return: the new single segment's name.
+    """
+    import shutil
+
+    from .shards import decode_blocks
+
+    meta = _read_meta(index_dir)
+    segs = meta["segments"]
+    if not segs:
+        raise ValueError(f"{index_dir} has no segments")
+    cur = load_segments(spark, index_dir, cache_meta=False)
+
+    postings = (
+        cur.blocks.select("term", "payload")
+        .mapInArrow(
+            decode_blocks,
+            schema="term string, docid long, tf int, positions array<int>",
+        )
+        # liveness + doc length in one join against the serving docs
+        .join(
+            cur.docs.select("docid", "total_tokens"), "docid"
+        )
+    )
+
+    from .pipeline import IndexTables
+
+    tables = IndexTables(
+        postings=postings,
+        docs=cur.docs,
+        stats={
+            "n_total": cur.stats["n_total"],
+            "n_survivors": cur.stats["n_survivors"],
+            "avgdl": cur.stats["avgdl"],
+            "token_sum": cur.stats["token_sum"],
+        },
+    )
+    name = _next_name(meta)
+    write_index(spark, tables, os.path.join(index_dir, name))
+
+    old_segs = list(segs)
+    meta["segments"] = [name]
+    meta["next_seg"] = int(name.split("=", 1)[1]) + 1
+    meta["n_tombstones"] = 0
+    meta["tomb_tokens"] = 0
+    _save_meta(index_dir, meta)
+    for s in old_segs:
+        shutil.rmtree(os.path.join(index_dir, s), ignore_errors=True)
+    for d in (TOMBSTONES_DIR, DF_CORRECTIONS_DIR):
+        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+    return name

@@ -421,6 +421,15 @@ def write_index(
             "n_total": stats["n_total"],
             "n_survivors": stats["n_survivors"],
             "avgdl": stats["avgdl"],
+            # integer avgdl numerator; lets segment readers compose the
+            # union mean exactly (index/segments.py).  Falls back to
+            # round(avgdl*n) for indexes written before this field.
+            "token_sum": int(
+                stats.get(
+                    "token_sum",
+                    round(stats["avgdl"] * stats["n_survivors"]),
+                )
+            ),
             "n_terms": n_terms,
             "posting_block": POSTING_BLOCK,
             "n_buckets": N_TERM_BUCKETS,

@@ -66,6 +66,21 @@ def _dl_arrays(dl):
     return ids[o], lens[o]
 
 
+def _dl_member(dl_ids, ids):
+    """Boolean mask: which decoded docids exist in the docs table.
+
+    Postings are not rewritten when a doc is tombstoned (segment
+    compaction, index/segments.py) — the docs table is the source of
+    truth for liveness, exactly like the exhaustive scorer's inner join
+    against docs.  Without this mask a tombstoned docid would be scored
+    with a neighbor's doc length (or crash searchsorted at the array
+    end)."""
+    if dl_ids.size == 0:
+        return np.zeros(ids.size, dtype=bool)
+    pos = np.minimum(np.searchsorted(dl_ids, ids), dl_ids.size - 1)
+    return dl_ids[pos] == ids
+
+
 def _topk_merge(top_s, top_d, s, d, k):
     """Merge candidate (score, docid) vectors into the running top-k,
     tie-break (score desc, docid asc)."""
@@ -125,13 +140,12 @@ def bmw_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
         fpayloads, want_positions=False
     )
     decoded += len(fpayloads)
-    if lo is not None or hi is not None:
-        m = np.ones(cand_ids.size, dtype=bool)
-        if lo is not None:
-            m &= cand_ids >= lo
-        if hi is not None:
-            m &= cand_ids <= hi
-        cand_ids, cand_tfs = cand_ids[m], cand_tfs[m]
+    m = _dl_member(dl_ids, cand_ids)
+    if lo is not None:
+        m &= cand_ids >= lo
+    if hi is not None:
+        m &= cand_ids <= hi
+    cand_ids, cand_tfs = cand_ids[m], cand_tfs[m]
     if cand_ids.size == 0:
         return [], decoded
     cand_scores = first["idf"] * weights(cand_tfs, cand_ids)
@@ -257,7 +271,9 @@ def bmw_or_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
         ]
 
     def clip_mask(ids):
-        m = np.ones(ids.size, dtype=bool)
+        # range clip AND docs-table liveness (tombstoned docids decode
+        # from blocks but must never score — see _dl_member)
+        m = _dl_member(dl_ids, ids)
         if lo is not None:
             m &= ids >= lo
         if hi is not None:
@@ -360,6 +376,55 @@ def bmw_or_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
     return [(float(s), int(d)) for s, d in zip(top_s, top_d)], decoded
 
 
+class BlockCache:
+    """LRU of persisted block-row DataFrames keyed by term set — the
+    Spark-native analogue of the reference's LRU(256) postings cache
+    (lib/reader.py:229-259, behavior spec only).
+
+    A repeated (or subset) query batch skips the parquet bucket scan
+    entirely: the filtered block rows are persisted in the executors'
+    block managers on first use, and later batches run their term
+    filter over the in-memory rows.  Entries evict least-recently-used
+    with an explicit unpersist, so executor memory is bounded by
+    ``capacity`` × (blocks of one batch's terms)."""
+
+    def __init__(self, capacity: int = 32):
+        from collections import OrderedDict
+
+        self.capacity = capacity
+        self._entries = OrderedDict()  # frozenset(terms) -> persisted DF
+
+    def get(self, shards: IndexShards, terms) -> DataFrame:
+        """Block rows covering ``terms`` (possibly a superset — callers
+        keep their own term filter on top)."""
+        key = frozenset(terms)
+        hit = None
+        if key in self._entries:
+            hit = key
+        else:
+            for k2 in reversed(self._entries):
+                if key <= k2:
+                    hit = k2
+                    break
+        if hit is not None:
+            self._entries.move_to_end(hit)
+            return self._entries[hit]
+        buckets = buckets_of(shards.blocks.sparkSession, sorted(key))
+        df = shards.blocks.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(sorted(key))
+        ).persist()
+        self._entries[key] = df
+        if len(self._entries) > self.capacity:
+            _, old = self._entries.popitem(last=False)
+            old.unpersist()
+        return df
+
+    def clear(self):
+        while self._entries:
+            _, old = self._entries.popitem()
+            old.unpersist()
+
+
 def plan_terms(spark, shards: IndexShards, queries, analyzer=analyze_query,
                require_all=True):
     """Driver-side planning: per-qid pruned terms with idf + df.
@@ -416,6 +481,7 @@ def wand_topk(
     docs_per_range: int = DOCS_PER_RANGE,
     analyzer=analyze_query,
     mode: str = "and",
+    cache: BlockCache | None = None,
 ) -> DataFrame:
     """Batch BM25 top-k with block-max pruning.
 
@@ -423,6 +489,8 @@ def wand_topk(
     exhaustive conjunctive BM25 scorer (reference semantics).
     ``mode="or"``: disjunctive — classic WAND; score sums the terms a
     doc contains, served by the event-sweep kernel (bmw_or_range).
+    ``cache``: optional BlockCache — repeated-batch workloads serve
+    block rows from executor memory instead of re-scanning parquet.
     Returns (qid, rank, docid, score).
     """
     plans, needed = plan_terms(
@@ -439,10 +507,16 @@ def wand_topk(
     n_ranges = max(1, -(-n_docs_total // docs_per_range))
     avgdl = shards.stats["avgdl"] or 1.0
 
-    buckets = buckets_of(spark, needed)
-    blocks = shards.blocks.filter(
-        F.col("bucket").isin(buckets) & F.col("term").isin(needed)
-    ).select("term", "docid_first", "docid_last", "max_weight", "payload")
+    if cache is not None:
+        base = cache.get(shards, needed)  # may cover a superset
+    else:
+        buckets = buckets_of(spark, needed)
+        base = shards.blocks.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(needed)
+        )
+    blocks = base.filter(F.col("term").isin(needed)).select(
+        "term", "docid_first", "docid_last", "max_weight", "payload"
+    )
     # a block joins every range its [first,last] span overlaps
     rng = F.sequence(
         ((F.col("docid_first") - 1) / docs_per_range).cast("long"),

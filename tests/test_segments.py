@@ -213,6 +213,222 @@ def test_compact_near_dups_across_segments(spark, split_corpora,
     assert int(twin_row[0]["docid"]) not in served
 
 
+@pytest.fixture(scope="module")
+def compacted(spark, split_corpora, tmp_path_factory):
+    """A 2-generation index with a cross-segment near-dup compacted
+    away, PLUS the monolithic rebuild of the exact survivor set — the
+    pair every serving-state-exactness test compares."""
+    from searchengine_spark.index.segments import (
+        compact_near_dups,
+        load_segments,
+    )
+
+    _, a, b = split_corpora
+    base = tmp_path_factory.mktemp("seg_exact")
+    seg_dir = str(base / "idx")
+    init_segmented(
+        spark,
+        build_tables(spark, a, compute_quality=False, simhash_bits=32),
+        seg_dir,
+    )
+    src = a.orderBy("repo", "path", "commit").limit(1).collect()[0]
+    twin = spark.createDataFrame(
+        [("zz-twin", src["path"], src["commit"], src["lang"],
+          src["content"] + " zzextra zzmore")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    full = a.unionByName(b).unionByName(twin)
+    append_segment(
+        spark, seg_dir, b.unionByName(twin),
+        compute_quality=False, simhash_bits=32,
+    )
+    n_dropped = compact_near_dups(spark, seg_dir, bits=32)
+    assert n_dropped >= 1
+    seg = load_segments(spark, seg_dir)
+
+    # monolithic rebuild of the EXACT survivor set (near_dup off: the
+    # content set is already the compacted survivor set)
+    keys = seg.docs.select("repo", "path", "commit")
+    survivors_corpus = full.join(keys, ["repo", "path", "commit"])
+    mono_dir = str(base / "mono")
+    write_index(
+        spark,
+        build_tables(
+            spark, survivors_corpus, compute_quality=False, near_dup=False
+        ),
+        mono_dir,
+    )
+    mono = load_index(spark, mono_dir)
+    return seg_dir, seg, mono, twin
+
+
+def _by_url(res, docs):
+    """(qid, rank) → (url, score): docid spaces differ between a
+    compacted index (holes) and a rebuild (dense), urls don't."""
+    rows = res.join(docs.select("docid", "url"), "docid").collect()
+    return {(r["qid"], r["rank"]): (r["url"], r["score"]) for r in rows}
+
+
+def _assert_rank_identity(ra, rb):
+    assert set(ra) == set(rb) and len(ra) > 0
+    for key, (ua, sa) in ra.items():
+        ub, sb = rb[key]
+        assert ua == ub, key
+        assert math.isclose(sa, sb, rel_tol=1e-9, abs_tol=1e-12), key
+
+
+def test_compacted_termdict_equals_rebuild(spark, compacted):
+    """df_corrections make the union termdict's df/cf EXACTLY the
+    monolithic rebuild's over the survivor set (stale idf was the one
+    way the engine returned wrong scores — VERDICT r2 #1)."""
+    _, seg, mono, _ = compacted
+    st = {r["term"]: (r["df"], r["cf"]) for r in seg.termdict.collect()}
+    mt = {r["term"]: (r["df"], r["cf"]) for r in mono.termdict.collect()}
+    assert st == mt
+    # and the integer-composed avgdl is bit-identical, not merely close
+    assert seg.stats["avgdl"] == mono.stats["avgdl"]
+    assert seg.stats["n_survivors"] == mono.stats["n_survivors"]
+
+
+def test_compacted_scores_match_rebuild(spark, compacted):
+    """Blended scorer rank identity: compacted 2-generation index vs
+    monolithic rebuild of the survivor set, matched by url."""
+    _, seg, mono, _ = compacted
+    qs = [(qid, q) for qid, q in QUERIES]
+    ra = _by_url(score_queries_ondisk(spark, qs, seg, k=10), seg.docs)
+    rb = _by_url(score_queries_ondisk(spark, qs, mono, k=10), mono.docs)
+    _assert_rank_identity(ra, rb)
+
+
+def test_wand_lossless_over_compacted_segments(spark, compacted):
+    """WAND (both modes) over a compacted multi-segment index must stay
+    lossless vs the exhaustive scorer: exercises the docs-liveness mask
+    in the kernels AND the avgdl-drift block-max correction (each
+    segment's maxima were written under its own build avgdl)."""
+    from searchengine_spark.query.wand import exhaustive_topk, wand_topk
+
+    _, seg, mono, twin = compacted
+    qs = [(qid, q) for qid, q in QUERIES]
+    for mode in ("and", "or"):
+        a = wand_topk(spark, seg, qs, k=10, docs_per_range=64, mode=mode)
+        b = exhaustive_topk(spark, seg, qs, k=10, mode=mode)
+        ga = {(r["qid"], r["rank"]): (r["docid"], r["score"])
+              for r in a.collect()}
+        gb = {(r["qid"], r["rank"]): (r["docid"], r["score"])
+              for r in b.collect()}
+        assert set(ga) == set(gb) and len(ga) > 0, mode
+        for key, (da, sa) in ga.items():
+            db, sb = gb[key]
+            assert da == db, (mode, key)
+            assert math.isclose(sa, sb, rel_tol=1e-9, abs_tol=1e-12)
+        # cross-check against the rebuild by url (same ranking universe)
+        ra = _by_url(a, seg.docs)
+        rb = _by_url(
+            wand_topk(spark, mono, qs, k=10, docs_per_range=64, mode=mode),
+            mono.docs,
+        )
+        _assert_rank_identity(ra, rb)
+
+
+def test_append_rejects_tombstoned_content(spark, compacted,
+                                           split_corpora):
+    """Content identical to a TOMBSTONED doc must not re-enter on
+    append (the dedup universe is the stored segment docs, not the
+    tombstone-filtered serving view)."""
+    from searchengine_spark.index.segments import load_segments
+
+    seg_dir, seg, _, twin = compacted
+    before = load_segments(spark, seg_dir)
+    n_before = before.stats["n_survivors"]
+    resend = twin.select(
+        F.lit("zz-resend").alias("repo"), "path", "commit", "lang",
+        "content",
+    )
+    fresh = twin.select(
+        F.lit("zz-fresh").alias("repo"), "path", "commit", "lang",
+        F.lit("entirely new content tokens qqfresh").alias("content"),
+    )
+    append_segment(
+        spark, seg_dir, resend.unionByName(fresh),
+        compute_quality=False, simhash_bits=32,
+    )
+    after = load_segments(spark, seg_dir)
+    # resend's id consumed but nothing indexed; fresh doc survives
+    assert after.stats["n_total"] == before.stats["n_total"] + 2
+    assert after.stats["n_survivors"] == n_before + 1
+    assert after.docs.filter(F.col("repo") == "zz-resend").count() == 0
+    assert after.docs.filter(F.col("repo") == "zz-fresh").count() == 1
+
+
+def test_merge_segments_physical(spark, compacted, tmp_path_factory):
+    """merge_segments rewrites the generations into one segment:
+    deterministic output, exact termdict, rank identity with the
+    pre-merge serving view, tombstone state reset."""
+    import shutil
+
+    from searchengine_spark.index.segments import (
+        _read_meta,
+        load_segments,
+        merge_segments,
+    )
+    from searchengine_spark.query.wand import wand_topk
+
+    seg_dir, _, _, _ = compacted
+    base = tmp_path_factory.mktemp("merge")
+    d1, d2 = str(base / "m1"), str(base / "m2")
+    shutil.copytree(seg_dir, d1)
+    shutil.copytree(seg_dir, d2)
+
+    pre = load_segments(spark, d1)
+    qs = [(qid, q) for qid, q in QUERIES]
+    pre_blend = _by_url(score_queries_ondisk(spark, qs, pre, k=10),
+                        pre.docs)
+    pre_wand = _by_url(
+        wand_topk(spark, pre, qs, k=10, docs_per_range=64), pre.docs
+    )
+    pre_docids = sorted(r["docid"] for r in pre.docs.collect())
+    pre_td = {r["term"]: (r["df"], r["cf"]) for r in pre.termdict.collect()}
+
+    name = merge_segments(spark, d1)
+    meta = _read_meta(d1)
+    assert meta["segments"] == [name]
+    assert meta["n_tombstones"] == 0
+    assert not (base / "m1" / "tombstones").exists()
+
+    post = load_segments(spark, d1)
+    # docids preserved (holes kept — ids are never reused)
+    assert sorted(r["docid"] for r in post.docs.collect()) == pre_docids
+    assert post.stats["n_total"] == pre.stats["n_total"]
+    assert post.stats["avgdl"] == pre.stats["avgdl"]
+    # termdict recomputed from surviving postings == corrected union
+    post_td = {r["term"]: (r["df"], r["cf"])
+               for r in post.termdict.collect()}
+    assert post_td == pre_td
+    # rank identity through both query paths
+    _assert_rank_identity(
+        _by_url(score_queries_ondisk(spark, qs, post, k=10), post.docs),
+        pre_blend,
+    )
+    _assert_rank_identity(
+        _by_url(wand_topk(spark, post, qs, k=10, docs_per_range=64),
+                post.docs),
+        pre_wand,
+    )
+
+    # byte-determinism: merging an identical copy yields identical blocks
+    merge_segments(spark, d2)
+    key = lambda r: (r["term"], r["docid_first"])  # noqa: E731
+    b1 = sorted(
+        load_segments(spark, d1).blocks.select(
+            "term", "docid_first", "docid_last", "n", "cf", "payload"
+        ).collect(), key=key)
+    b2 = sorted(
+        load_segments(spark, d2).blocks.select(
+            "term", "docid_first", "docid_last", "n", "cf", "payload"
+        ).collect(), key=key)
+    assert [tuple(r) for r in b1] == [tuple(r) for r in b2]
+
+
 def test_streaming_queries_over_segments(spark, split_corpora,
                                          tmp_path_factory):
     """The streaming query front-end serves a segmented index through

@@ -160,6 +160,43 @@ def test_bmw_or_range_prunes_blocks():
     assert decoded < total_blocks / 10, (decoded, total_blocks)
 
 
+def test_bmw_kernels_mask_docids_missing_from_docs():
+    """Tombstoned docs (segment compaction) stay in posting blocks but
+    vanish from the docs table; both kernels must drop them — including
+    the largest docid, where an unmasked searchsorted would read past
+    the dl array (or alias a neighbor's doc length)."""
+    dl_build = {d: 30 for d in range(1, 401)}
+    # serving view: docid 400 (max) and 7 tombstoned
+    dl_serve = {d: 30 for d in range(1, 401) if d not in (7, 400)}
+    avgdl = 30.0
+    a = {d: 2 for d in range(1, 401)}
+    b = {d: 1 for d in range(5, 401, 5)}
+    tbs = [
+        {"idf": 2.0,
+         "blocks": _mk_blocks(sorted(a.items()), avgdl, dl_build)},
+        {"idf": 1.0,
+         "blocks": _mk_blocks(sorted(b.items()), avgdl, dl_build)},
+    ]
+    a_live = {d: t for d, t in a.items() if d in dl_serve}
+    b_live = {d: t for d, t in b.items() if d in dl_serve}
+
+    got, _ = bmw_range(tbs, dl_serve, avgdl, 1000)
+    expect = _brute([a_live, b_live], [2.0, 1.0], dl_serve, avgdl, 1000)
+    assert [d for _, d in got] == [d for _, d in expect]
+    assert not {7, 400} & {d for _, d in got}
+
+    got, _ = bmw_or_range(tbs, dl_serve, avgdl, 1000)
+    expect = _brute_or([a_live, b_live], [2.0, 1.0], dl_serve, avgdl, 1000)
+    assert [d for _, d in got] == [d for _, d in expect]
+    assert not {7, 400} & {d for _, d in got}
+
+    # degenerate: every doc tombstoned → empty, no crash
+    got, _ = bmw_range(tbs, {}, avgdl, 10)
+    assert got == []
+    got, _ = bmw_or_range(tbs, {}, avgdl, 10)
+    assert got == []
+
+
 def test_bmw_empty_and_single_term():
     dl = {1: 10, 2: 20}
     blocks = _mk_blocks([(1, 2), (2, 1)], 15.0, dl)
@@ -228,3 +265,40 @@ def test_wand_range_partition_invariance(spark, shards):
 def test_wand_unknown_term_gives_empty(spark, shards):
     out = wand_topk(spark, shards, [(1, "zzzqx parser")], k=10)
     assert out.count() == 0
+
+
+def test_wand_block_cache_preserves_results(spark, shards):
+    """Repeated batches through BlockCache must equal the uncached path
+    — including a subset batch served from a cached superset entry —
+    and the cache must hold persisted entries it can evict."""
+    from searchengine_spark.query.wand import BlockCache
+
+    queries = [(qid, q) for qid, q in QUERIES[:6]]
+    cache = BlockCache(capacity=2)
+    plain = sorted(
+        (r["qid"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in wand_topk(spark, shards, queries, k=10).collect()
+    )
+    for _ in range(2):  # second pass = cache hit
+        cached = sorted(
+            (r["qid"], r["rank"], r["docid"], round(r["score"], 9))
+            for r in wand_topk(
+                spark, shards, queries, k=10, cache=cache
+            ).collect()
+        )
+        assert cached == plain
+    assert len(cache._entries) == 1
+    # subset batch: served from the cached superset, same answers
+    sub = queries[:2]
+    plain_sub = sorted(
+        (r["qid"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in wand_topk(spark, shards, sub, k=10).collect()
+    )
+    got_sub = sorted(
+        (r["qid"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in wand_topk(spark, shards, sub, k=10, cache=cache).collect()
+    )
+    assert got_sub == plain_sub
+    assert len(cache._entries) == 1  # superset reused, no new entry
+    cache.clear()
+    assert not cache._entries

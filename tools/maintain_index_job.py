@@ -1,0 +1,85 @@
+"""spark-submit job: segmented-index maintenance (compact / merge).
+
+The operational companion to build_index_job.py for the incremental
+path (index/segments.py): a cron-style job a deployment runs against a
+generations directory —
+
+    spark-submit --master <cluster> \
+        --py-files dist/searchengine_spark.zip \
+        tools/maintain_index_job.py --index /path/to/segments \
+        [--compact] [--merge] [--simhash-bits 64]
+
+``--compact``: cross-segment near-dup compaction from stored
+fingerprints — tombstones only, no segment rewrite; serving state
+(stats, termdict df, block maxima) stays exact (segments.py).
+``--merge``: physical rewrite of all generations minus tombstones into
+one fresh segment (the reference's merge step, lib/writer.py:166-300
+behavior), resetting tombstone state.  ``--compact --merge`` runs both
+in order — the typical maintenance window.
+
+Prints ONE JSON line with what changed.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True,
+                    help="segmented index dir (segments.json inside)")
+    ap.add_argument("--compact", action="store_true",
+                    help="tombstone cross-segment near-dups")
+    ap.add_argument("--merge", action="store_true",
+                    help="physically merge generations (minus tombstones)")
+    ap.add_argument("--simhash-bits", type=int, default=64,
+                    choices=(32, 64),
+                    help="must match the bits the segments were built with")
+    args = ap.parse_args()
+    if not (args.compact or args.merge):
+        ap.error("nothing to do: pass --compact and/or --merge")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("searchengine-maintain")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from searchengine_spark.index.segments import (
+        _read_meta,
+        compact_near_dups,
+        load_segments,
+        merge_segments,
+    )
+
+    out = {"metric": "segment maintenance", "index": args.index,
+           "segments_before": list(_read_meta(args.index)["segments"])}
+    t0 = time.time()
+    if args.compact:
+        out["tombstoned"] = compact_near_dups(
+            spark, args.index, bits=args.simhash_bits
+        )
+    if args.merge:
+        out["merged_into"] = merge_segments(spark, args.index)
+    out["segments_after"] = list(_read_meta(args.index)["segments"])
+    st = load_segments(spark, args.index, cache_meta=False).stats
+    out.update({
+        "n_total": st["n_total"],
+        "n_survivors": st["n_survivors"],
+        "wall_sec": round(time.time() - t0, 3),
+        "value": round(time.time() - t0, 3),
+        "unit": "sec",
+    })
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
