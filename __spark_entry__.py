@@ -81,14 +81,21 @@ def _run_engine(spark: SparkSession, sf_dir: str, queries, k=10) -> DataFrame:
 
 
 def _index_cache_dir(sf_dir: str, tag: str) -> str:
-    """Temp index dir keyed by (path, source mtime) — a changed dataset at
-    the same path invalidates the cached on-disk index (a stale complete
-    manifest would otherwise serve the old index)."""
+    """Temp index dir keyed by the source files' (name, mtime, size) — a
+    changed dataset at the same path invalidates the cached on-disk index
+    (a stale complete manifest would otherwise serve the old index).
+    Keying on the files INSIDE the dir matters: overwriting a parquet
+    file in place does not touch the directory mtime."""
     import hashlib
     import os
     import tempfile
 
-    key = f"{os.path.abspath(sf_dir)}|{os.path.getmtime(sf_dir)}|{tag}"
+    sig = ";".join(
+        f"{name}:{st.st_mtime_ns}:{st.st_size}"
+        for name in sorted(os.listdir(sf_dir))
+        for st in [os.stat(os.path.join(sf_dir, name))]
+    )
+    key = f"{os.path.abspath(sf_dir)}|{sig}|{tag}"
     return os.path.join(
         tempfile.gettempdir(),
         "searchengine_spark_idx",
@@ -156,6 +163,108 @@ def _run_engine_ondisk_flat(
     )
 
 
+def _run_engine_flat_bm25f(
+    spark: SparkSession, sf_dir: str, queries, k=10
+) -> DataFrame:
+    """BM25F field-weight variant of the flat engine: tables built with
+    the live importance extractor (path/def/sig-line priorities,
+    text/importance.py) and scored with params.IMPORTANCE multipliers —
+    the reference's per-tag machinery (lib/queryproc.py:74) switched ON
+    instead of the parity constant-0.  Checked end-to-end by the
+    importance-extended full-chain DuckDB oracle."""
+    from searchengine_spark.query.scoring import score_queries
+
+    key = (sf_dir, "flatimp")
+    if key not in _TABLES_CACHE:
+        from searchengine_spark.index import build_tables
+        from searchengine_spark.text.importance import (
+            extract_importance_text,
+        )
+
+        corpus = _documents_as_corpus(spark, sf_dir)
+        _TABLES_CACHE[key] = build_tables(
+            spark, corpus, compute_quality=False, stem=False,
+            near_dup=False, importance_fn=extract_importance_text,
+        )
+    res = score_queries(
+        spark, queries, _TABLES_CACHE[key], k=k, stem=False,
+        importance=True,
+    )
+    return res.select(
+        "qid", "rank", "docid", F.round("score", 6).alias("score")
+    )
+
+
+def _run_engine_segments_flat(
+    spark: SparkSession, sf_dir: str, queries, k=10
+) -> DataFrame:
+    """The flat engine served from a 2-GENERATION segmented index
+    (index/segments.py): the corpus splits at its lexical midpoint,
+    seg=0 is built from the first half, seg=1 is APPENDED from the
+    second (cross-segment sha256 dedup, dense docids continuing across
+    the boundary), and queries run over the segment union.
+
+    Because lexical docid assignment per half reproduces the monolithic
+    ranks exactly (the halves are contiguous in the global order) and
+    append-time dedup keeps the same keep-lowest-docid rule, the result
+    is semantically identical to the monolithic flat index — so the
+    SAME full-chain DuckDB oracle checks it.  That invariance is the
+    point: segments change the physical layout, never the answers.
+
+    (The midpoint split uses a global row_number window — fine for a
+    correctness harness at driver scale; production appends arrive
+    pre-batched by time, no global sort exists in the serving path.)
+    """
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from searchengine_spark.index import build_tables
+    from searchengine_spark.index.segments import (
+        append_segment,
+        init_segmented,
+        load_segments,
+    )
+    from searchengine_spark.query.scoring import score_queries_ondisk
+
+    d = _index_cache_dir(sf_dir, "engineflatseg")
+    meta_ok = False
+    meta_path = os.path.join(d, "segments.json")
+    if os.path.exists(meta_path):
+        import json
+
+        with open(meta_path) as f:
+            meta_ok = len(json.load(f)["segments"]) == 2
+    if not meta_ok:
+        shutil.rmtree(d, ignore_errors=True)  # half-built cache
+        corpus = _documents_as_corpus(spark, sf_dir)
+        ranked = corpus.withColumn(
+            "_rk",
+            F.row_number().over(Window.orderBy("repo", "path", "commit")),
+        ).persist()
+        half = ranked.count() // 2
+        kwargs = dict(compute_quality=False, stem=False, near_dup=False)
+        init_segmented(
+            spark,
+            build_tables(
+                spark, ranked.filter(F.col("_rk") <= half).drop("_rk"),
+                **kwargs,
+            ),
+            d,
+        )
+        append_segment(
+            spark, d, ranked.filter(F.col("_rk") > half).drop("_rk"),
+            **kwargs,
+        )
+        ranked.unpersist()
+    shards = load_segments(spark, d)
+    res = score_queries_ondisk(spark, queries, shards, k=k, stem=False)
+    return res.select(
+        "qid", "rank", "docid", F.round("score", 6).alias("score")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _run_engine(spark, SF0001, FLAGSHIP_QUERIES, k=10)
@@ -207,6 +316,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf, ENGINE_FLAT_QUERIES, k=10
         ),
         "engine_topk_ondisk_flat": lambda spark, sf: _run_engine_ondisk_flat(
+            spark, sf, ENGINE_FLAT_QUERIES, k=10
+        ),
+        "segments_topk_flat": lambda spark, sf: _run_engine_segments_flat(
+            spark, sf, ENGINE_FLAT_QUERIES, k=10
+        ),
+        "engine_topk_flat_bm25f": lambda spark, sf: _run_engine_flat_bm25f(
             spark, sf, ENGINE_FLAT_QUERIES, k=10
         ),
     }
@@ -360,7 +475,7 @@ def _ivf_kmeans_oracle_sql() -> str:
     """
 
 
-def _engine_flat_oracle_sql() -> str:
+def _engine_flat_oracle_sql(importance: bool = False) -> str:
     """ANSI-SQL mirror of the ENTIRE flat engine: corpus mapping → lexical
     docid rank → empty filter → sha256 dedup → unstemmed analyze → stats →
     query prune (abort + stopword-heap readmission, lib/queryproc.py:195-233)
@@ -369,6 +484,13 @@ def _engine_flat_oracle_sql() -> str:
     Float literals are interpolated with repr() so DuckDB parses the exact
     same IEEE doubles the Spark engine uses; scores are rounded to 6
     decimals on both sides (sum-order ulp noise).
+
+    ``importance=True`` mirrors the BM25F field-weight variant: per
+    (doc, term) priorities — path tokens = 1, def-line tokens = 2,
+    sig-line tokens = 5, min wins (text/importance.py semantics in SQL)
+    — multiply each hit's BM25 through params.IMPORTANCE, feeding both
+    the accumulation and the doc-vector cosine like the reference's
+    doc_tfidfs (lib/queryproc.py:74).
     """
     from searchengine_spark.params import (
         AUTH_FACTOR,
@@ -394,6 +516,62 @@ def _engine_flat_oracle_sql() -> str:
     )
     k1, b = repr(BM25_K1), repr(BM25_B)
     k1p1, one_minus_b = repr(BM25_K1 + 1), repr(1 - BM25_B)
+
+    imp_ctes = ""
+    imp_mult = ""
+    if importance:
+        from searchengine_spark.params import IMPORTANCE
+        from searchengine_spark.text.importance import (
+            DEF_PRIORITY,
+            PATH_PRIORITY,
+            SIG_PRIORITY,
+        )
+
+        defpat = (
+            r"(?i)^\s*(def|class|function|struct|interface|public"
+            r"|protected|private)\b"
+        )
+        sigpat = r"(?i)^\s*(static|void|const|export|module)\b"
+        mult_case = "CASE coalesce(i.pr, 0) " + " ".join(
+            f"WHEN {p} THEN {repr(float(m))}"
+            for p, m in enumerate(IMPORTANCE)
+        ) + f" ELSE {repr(float(IMPORTANCE[0]))} END"
+        from searchengine_spark.text.importance import TITLE_TOKENS
+
+        imp_ctes = f"""
+        imp_src AS (
+          SELECT docid,
+                 unnest(regexp_extract_all(lower(path), '[a-z0-9]+')) AS term,
+                 {PATH_PRIORITY} AS pr
+          FROM alive
+          UNION ALL
+          SELECT docid,
+                 unnest(regexp_extract_all(
+                   lower(content), '[a-z0-9]+')[1:{TITLE_TOKENS}]) AS term,
+                 {PATH_PRIORITY} AS pr
+          FROM alive
+          UNION ALL
+          SELECT docid,
+                 unnest(regexp_extract_all(lower(line), '[a-z0-9]+')) AS term,
+                 CASE WHEN regexp_matches(line, '{defpat}')
+                      THEN {DEF_PRIORITY} ELSE {SIG_PRIORITY} END AS pr
+          FROM (
+            SELECT docid, unnest(string_split(content, chr(10))) AS line
+            FROM alive
+          )
+          WHERE regexp_matches(line, '{defpat}')
+             OR regexp_matches(line, '{sigpat}')
+        ),
+        imp AS (
+          SELECT docid, term, min(pr) AS pr
+          FROM imp_src GROUP BY docid, term
+        ),"""
+        imp_mult = f" * ({mult_case})"
+    imp_join = (
+        " LEFT JOIN imp i ON i.docid = t.docid AND i.term = t.term"
+        if importance
+        else ""
+    )
     return f"""
         WITH corpus AS (
           SELECT source AS repo,
@@ -403,7 +581,8 @@ def _engine_flat_oracle_sql() -> str:
           FROM documents
         ),
         ids AS (
-          SELECT row_number() OVER (ORDER BY repo, path, cmt) AS docid, content
+          SELECT row_number() OVER (ORDER BY repo, path, cmt) AS docid,
+                 path, content
           FROM corpus
         ),
         nonempty AS (
@@ -411,11 +590,11 @@ def _engine_flat_oracle_sql() -> str:
           WHERE length(regexp_replace(content, '\\s', '', 'g')) > 0
         ),
         alive AS (
-          SELECT docid, content FROM (
+          SELECT docid, path, content FROM (
             SELECT *, row_number() OVER (
               PARTITION BY sha256(content) ORDER BY docid) AS rk
             FROM nonempty) WHERE rk = 1
-        ),
+        ),{imp_ctes}
         toks AS (
           SELECT docid,
                  unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
@@ -490,9 +669,10 @@ def _engine_flat_oracle_sql() -> str:
           SELECT w.qid, t.docid, w.qweight,
                  w.idf * t.tf * {k1p1}
                    / (t.tf + {k1} * ({one_minus_b}
-                                     + {b} * d.total_tokens / s.avgdl)) AS bm25
+                                     + {b} * d.total_tokens / s.avgdl))
+                 {imp_mult} AS bm25
           FROM tf t JOIN qw w USING (term) JOIN docs d USING (docid)
-               CROSS JOIN stats s
+               CROSS JOIN stats s{imp_join}
         ),
         perdoc AS (
           SELECT qid, docid, count(*) AS nmatch,
@@ -799,6 +979,13 @@ def oracle_sql() -> dict[str, str]:
     # variant additionally proves write_index/fetch_postings end-to-end
     d["engine_topk_flat"] = _engine_flat_oracle_sql()
     d["engine_topk_ondisk_flat"] = d["engine_topk_flat"]
+    # a segmented index must answer EXACTLY like the monolithic one —
+    # same oracle proves the append/union/dedup machinery end-to-end
+    d["segments_topk_flat"] = d["engine_topk_flat"]
+    # BM25F variant: same chain with the importance extraction + per-tag
+    # multipliers live (proves the carried field machinery, not just
+    # the constant-0 parity path)
+    d["engine_topk_flat_bm25f"] = _engine_flat_oracle_sql(importance=True)
     d["embedding_neardup_lsh"] = _neardup_lsh_oracle_sql()
     # index-served phrase search must equal the text-derived operator —
     # one oracle proves both (and the stored positions payload with it)

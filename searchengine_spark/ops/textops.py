@@ -221,6 +221,39 @@ def wand_or_topk(spark, sf_dir, terms=("spark", "query", "join"),
     )
 
 
+def min_pair_distance_udf():
+    """Arrow-batched kernel: min |pa − pb| over two SORTED position
+    arrays in O(tf_a + tf_b) per doc (searchsorted merge scan).
+
+    The naive expression — explode both arrays and join on docid — is
+    tf_a×tf_b rows PER DOC: a term-repetition-heavy doc (tf ≈ 10⁴)
+    would make 10⁸ intermediate rows for one docid.  Here the two
+    posting rows meet in ONE row per doc and the distance never
+    materializes a pair."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _min_dist(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a), dtype=np.int64)
+        for i, (xa, xb) in enumerate(zip(a, b)):
+            x = np.asarray(xa, dtype=np.int64)
+            y = np.asarray(xb, dtype=np.int64)
+            j = np.searchsorted(x, y)
+            best = np.iinfo(np.int64).max
+            left = j > 0
+            if left.any():
+                best = min(best, int(np.min(y[left] - x[j[left] - 1])))
+            right = j < x.size
+            if right.any():
+                best = min(best, int(np.min(x[j[right]] - y[right])))
+            out[i] = best
+        return pd.Series(out)
+
+    return _min_dist
+
+
 def proximity_topk(spark, sf_dir, terms=("table", "hash"),
                    k=10) -> DataFrame:
     """Proximity-boosted conjunctive ranking served from the index's
@@ -231,75 +264,76 @@ def proximity_topk(spark, sf_dir, terms=("table", "hash"),
     The second positions-payload consumer after phrase_match_indexed —
     postings arrive via fetch_postings (bucket + row-group pruned), no
     raw text at query time; the driver oracle recomputes the identical
-    semantics from the text in SQL.
+    semantics from the text in SQL.  The min distance is computed by a
+    merge scan over the two sorted position arrays joined side by side
+    (one row per doc), NOT a position×position explode join — see
+    min_pair_distance_udf for why that matters at scale.
     """
     from ..index.shards import fetch_postings
     from ..query.wand import bm25_idf
 
+    terms = list(terms)
+    if len(terms) != 2 or terms[0] == terms[1]:
+        raise ValueError(
+            "proximity_topk ranks the closest pair of two DISTINCT terms"
+        )
     sh = _flat_index(spark, sf_dir)
     n = sh.stats["n_survivors"]
     avgdl = sh.stats["avgdl"] or 1.0
     dfmap = {
         r["term"]: r["df"]
         for r in sh.termdict.filter(
-            F.col("term").isin(list(set(terms)))
+            F.col("term").isin(terms)
         ).collect()
     }
     if any(t not in dfmap for t in terms):
         return spark.createDataFrame(
             [], "doc_id long, min_dist long, score double"
         )
-    posts = fetch_postings(sh, sorted(set(terms))).persist()
-    qterms = spark.createDataFrame(
-        [(t, bm25_idf(n, dfmap[t])) for t in set(terms)],
-        "term string, idf double",
+    posts = fetch_postings(sh, sorted(terms))
+    sides = [
+        posts.filter(F.col("term") == t).select(
+            "docid",
+            F.col("tf").alias(f"tf_{s}"),
+            F.col("positions").alias(f"pos_{s}"),
+        )
+        for s, t in zip(("a", "b"), terms)
+    ]
+    # conjunctive: one row per doc containing BOTH terms, posting rows
+    # side by side (tf + sorted positions), lengths joined once
+    both = (
+        sides[0]
+        .join(sides[1], "docid")
+        .join(sh.docs.select("docid", "total_tokens"), "docid")
     )
     from ..params import BM25_B, BM25_K1
 
-    hits = posts.join(F.broadcast(qterms), "term").join(
-        sh.docs.select("docid", "total_tokens"), "docid"
-    )
-    w8 = (
-        F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)
-        / (
-            F.col("tf").cast("double")
-            + F.lit(BM25_K1)
-            * (
-                F.lit(1.0 - BM25_B)
-                + F.lit(BM25_B)
-                * F.col("total_tokens").cast("double") / F.lit(avgdl)
+    def w8(tf_col):
+        return (
+            F.col(tf_col).cast("double") * F.lit(BM25_K1 + 1.0)
+            / (
+                F.col(tf_col).cast("double")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B)
+                    * F.col("total_tokens").cast("double") / F.lit(avgdl)
+                )
             )
         )
+
+    s = (
+        F.lit(bm25_idf(n, dfmap[terms[0]])) * w8("tf_a")
+        + F.lit(bm25_idf(n, dfmap[terms[1]])) * w8("tf_b")
     )
-    scored = (
-        hits.withColumn("contrib", F.col("idf") * w8)
-        .groupBy("docid")
-        .agg(F.sum("contrib").alias("s"), F.count("*").alias("nmatch"))
-        .filter(F.col("nmatch") == len(set(terms)))
-    )
-    pa = posts.filter(F.col("term") == terms[0]).select(
-        "docid", F.explode("positions").alias("pa")
-    )
-    pb = posts.filter(F.col("term") == terms[1]).select(
-        "docid", F.explode("positions").alias("pb")
-    )
-    prox = (
-        pa.join(pb, "docid")
-        .groupBy("docid")
-        .agg(
-            F.min(F.abs(F.col("pa") - F.col("pb")))
-            .cast("long")
-            .alias("min_dist")
-        )
-    )
+    mind = min_pair_distance_udf()
     return (
-        scored.join(prox, "docid")
+        both.withColumn("min_dist", mind("pos_a", "pos_b"))
         .select(
             F.col("docid").alias("doc_id"),
             "min_dist",
             F.round(
-                F.col("s") + F.lit(1.0) / (F.lit(1) + F.col("min_dist")),
-                6,
+                s + F.lit(1.0) / (F.lit(1) + F.col("min_dist")), 6
             ).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))

@@ -195,21 +195,22 @@ def kmeans_centroids(spark: SparkSession, emb: DataFrame,
         .orderBy("vec_id")
         .collect()
     )
+    spark_ = emb.sparkSession
     cents = [[float(x) for x in r["embedding"]] for r in init]
     for _ in range(iters):
-        cent_structs = [
-            F.struct(
-                F.lit(ci).alias("cid"),
-                F.array(*[F.lit(x) for x in cv]).alias("cv"),
-            )
-            for ci, cv in enumerate(cents)
-        ]
-        cdf = emb.select(
-            "vec_id", "embedding",
-            F.explode(F.array(*cent_structs)).alias("c"),
-        ).select(
-            "vec_id", "embedding", F.col("c.cid"),
-            _cosine("embedding", F.col("c.cv")).alias("ccos"),
+        # centroids enter the plan as a BROADCAST-JOINED DataFrame, not
+        # k×dim exploded literals: at k in the thousands the literal
+        # arrays bloat the plan (analysis/codegen cost), while a
+        # broadcast of k rows is exactly what the executor needs.
+        # Values are identical either way (python floats are exact
+        # float64 through createDataFrame and F.lit alike).
+        cent_df = spark_.createDataFrame(
+            [(ci, cv) for ci, cv in enumerate(cents)],
+            "cid int, cv array<double>",
+        )
+        cdf = emb.crossJoin(F.broadcast(cent_df)).select(
+            "vec_id", "embedding", "cid",
+            _cosine("embedding", F.col("cv")).alias("ccos"),
         )
         w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
         assigned = (
@@ -244,18 +245,14 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str,
         "vec_id", "embedding"
     )
     cents = kmeans_centroids(spark, emb)
-    cent_structs = [
-        F.struct(
-            F.lit(ci).alias("cid"),
-            F.array(*[F.lit(x) for x in cv]).alias("cv"),
-        )
-        for ci, cv in enumerate(cents)
-    ]
-    cdf = emb.select(
-        "vec_id", "embedding", F.explode(F.array(*cent_structs)).alias("c")
-    ).select(
-        "vec_id", "embedding", F.col("c.cid"),
-        _cosine("embedding", F.col("c.cv")).alias("ccos"),
+    cent_df = spark.createDataFrame(
+        [(ci, cv) for ci, cv in enumerate(cents)],
+        "cid int, cv array<double>",
+    )
+    # broadcast join, not k×dim literals — see kmeans_centroids
+    cdf = emb.crossJoin(F.broadcast(cent_df)).select(
+        "vec_id", "embedding", "cid",
+        _cosine("embedding", F.col("cv")).alias("ccos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
     assigned = (

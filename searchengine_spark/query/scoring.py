@@ -77,6 +77,7 @@ def score_candidates(
     docs: DataFrame,
     avgdl: float,
     k: int = 10,
+    importance: bool = False,
 ) -> DataFrame:
     """Score and rank candidates given planned query terms.
 
@@ -84,10 +85,19 @@ def score_candidates(
     postings needs (term, docid, tf); docs needs (docid, total_tokens,
     pr_quality, hub_quality, auth_quality).
     Returns (qid, rank, docid, score).
+
+    ``importance=True`` (BM25F-style field weights): each hit's BM25
+    contribution is multiplied by params.IMPORTANCE[important] — the
+    reference's per-tag multiplier (lib/queryproc.py:74), live instead
+    of constant-0 (postings must carry a real ``important`` column:
+    build_tables(importance_fn=...)).  The multiplied value flows into
+    the accumulation AND the doc-vector cosine, exactly like the
+    reference's doc_tfidfs.
     """
-    hits = postings.join(F.broadcast(qterms), "term").select(
-        "qid", "term", "docid", "tf", "qweight", "idf"
+    cols = ["qid", "term", "docid", "tf", "qweight", "idf"] + (
+        ["important"] if importance else []
     )
+    hits = postings.join(F.broadcast(qterms), "term").select(*cols)
     hits = hits.join(
         docs.select(
             "docid", "total_tokens", "pr_quality", "hub_quality", "auth_quality"
@@ -104,6 +114,14 @@ def score_candidates(
         * F.lit(BM25_K1 + 1)
         / (F.col("tf").cast("double") + dl_norm)
     )
+    if importance:
+        from ..params import IMPORTANCE
+
+        mult = F.element_at(
+            F.array(*[F.lit(float(m)) for m in IMPORTANCE]),
+            F.col("important").cast("int") + 1,
+        )
+        bm25 = bm25 * mult
     per_doc = (
         hits.withColumn("bm25", bm25)
         .groupBy("qid", "docid")
@@ -175,11 +193,17 @@ def score_candidates(
     )
 
 
-def score_queries(spark, queries, tables, k=10, stem=True) -> DataFrame:
+def score_queries(spark, queries, tables, k=10, stem=True,
+                  importance: bool = False) -> DataFrame:
     """End-to-end batch scoring against in-memory IndexTables.
 
     :param queries: list of (qid, text)
     :param stem: must match the analyzer the tables were built with
+    :param importance: BM25F field weights (see score_candidates);
+        requires tables built with ``importance_fn``.  In-memory path
+        only — the compressed block payload deliberately does not carry
+        the field bits (the reference's on-disk format doesn't either:
+        its indexer writes important=0 always, SURVEY.md P13).
     """
     terms_needed = set()
     analyzed = {qid: analyze_query(text, stem=stem) for qid, text in queries}
@@ -215,6 +239,7 @@ def score_queries(spark, queries, tables, k=10, stem=True) -> DataFrame:
         tables.docs,
         tables.stats["avgdl"],
         k=k,
+        importance=importance,
     )
 
 

@@ -32,6 +32,22 @@ _SIG_LINE = re.compile(r"^\s*(static|void|const|export|module)\b",
 _PATH_SPLIT = re.compile(r"[a-z0-9]+")
 
 
+TITLE_TOKENS = 8
+
+
+def extract_importance_text(content: str, path: str = "",
+                            n_title: int = TITLE_TOKENS) -> dict:
+    """Plain-text variant: the document's first ``n_title`` tokens rank
+    like ``<title>`` (the reference's highest tag) in addition to the
+    code-corpus rules — untagged prose has no markup, but its opening
+    tokens play the title's role.  Min priority wins, as everywhere."""
+    out = extract_importance(content, path)
+    for tok in _PATH_SPLIT.findall(content.lower())[:n_title]:
+        if tok not in out or PATH_PRIORITY < out[tok]:
+            out[tok] = PATH_PRIORITY
+    return out
+
+
 def extract_importance(content: str, path: str = "") -> dict:
     """token → 4-bit priority (first match wins, makeindex.py:229-235).
 

@@ -89,7 +89,7 @@ def make_analyze_partition(stem=True, importance_fn=None):
 analyze_partition = make_analyze_partition(stem=True)
 
 
-def make_analyze_partition_arrow(stem=True):
+def make_analyze_partition_arrow(stem=True, importance_fn=None):
     """Arrow-native analyze for ``mapInArrow`` — the hot-path variant.
 
     Same values as make_analyze_partition (asserted by
@@ -98,6 +98,11 @@ def make_analyze_partition_arrow(stem=True):
     list offsets and handed to pyarrow directly, skipping the
     pandas-object-column → Arrow inference pass, which dominates the
     stage cost at ~130 output rows per document.
+
+    ``importance_fn`` mirrors make_analyze_partition: when set, the
+    input batch must carry a ``path`` column and the ``important``
+    field carries the extracted per-term priority instead of the
+    reference-parity constant 0.
     """
     import numpy as np
     import pyarrow as pa
@@ -116,11 +121,31 @@ def make_analyze_partition_arrow(stem=True):
         for rb in batches:
             docids_in = rb.column(rb.schema.get_field_index("docid")).to_pylist()
             contents = rb.column(rb.schema.get_field_index("content")).to_pylist()
-            docids, terms, tfs, tot = [], [], [], []
+            paths = (
+                rb.column(rb.schema.get_field_index("path")).to_pylist()
+                if importance_fn is not None
+                else None
+            )
+            docids, terms, tfs, tot, imps = [], [], [], [], []
             pos_flat, pos_off = [], [0]
-            for docid, content in zip(docids_in, contents):
+            for i, (docid, content) in enumerate(zip(docids_in, contents)):
                 counts = analyze_counts(content, stem=stem, _memo=memo)
                 nterms = len(counts)
+                imp = None
+                if importance_fn is not None:
+                    raw = importance_fn(content, paths[i])
+                    if stem:
+                        from .porter import porter_stem
+
+                        imp = {}
+                        for w, pr in raw.items():
+                            s = memo.get(w)
+                            if s is None:
+                                s = memo[w] = porter_stem(w)
+                            if s not in imp or pr < imp[s]:
+                                imp[s] = pr
+                    else:
+                        imp = raw
                 for term, (tf, positions) in counts.items():
                     docids.append(docid)
                     terms.append(term)
@@ -128,6 +153,8 @@ def make_analyze_partition_arrow(stem=True):
                     pos_flat.extend(positions)
                     pos_off.append(len(pos_flat))
                     tot.append(nterms)
+                    if imp is not None:
+                        imps.append(imp.get(term, 0))
             n = len(docids)
             yield pa.RecordBatch.from_arrays(
                 [
@@ -138,7 +165,9 @@ def make_analyze_partition_arrow(stem=True):
                         pa.array(pos_off, pa.int32()),
                         pa.array(pos_flat, pa.int32()),
                     ),
-                    pa.array(np.zeros(n, dtype=np.int8)),
+                    pa.array(imps, pa.int8())
+                    if importance_fn is not None
+                    else pa.array(np.zeros(n, dtype=np.int8)),
                     pa.array(tot, pa.int32()),
                 ],
                 schema=out_schema,

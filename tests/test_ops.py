@@ -118,6 +118,48 @@ def test_phrase_match_indexed_equals_text_derived(spark):
     assert len(a) == 0  # absent-term phrase → empty both ways
 
 
+def test_min_pair_distance_kernel_matches_brute_force():
+    """Merge-scan min |pa−pb| == brute-force min over all pairs —
+    including tf≈10³ arrays where the brute pair set is 10⁶ rows (the
+    blowup the kernel exists to avoid)."""
+    import random
+
+    import pandas as pd
+
+    from searchengine_spark.ops.textops import min_pair_distance_udf
+
+    # exercise the wrapped pandas function directly
+    fn = min_pair_distance_udf().func
+    rng = random.Random(3)
+    cases = []
+    for m, n in [(1, 1), (3, 5), (50, 7), (1000, 1000), (1, 1000)]:
+        a = sorted(rng.sample(range(1, 50_000), m))
+        b = sorted(rng.sample(range(1, 50_000), n))
+        cases.append((a, b))
+    got = fn(
+        pd.Series([c[0] for c in cases]), pd.Series([c[1] for c in cases])
+    )
+    for g, (a, b) in zip(got, cases):
+        brute = min(abs(x - y) for x in a for y in b)
+        assert int(g) == brute
+
+
+def test_proximity_plan_has_no_position_explode(spark):
+    """proximity_topk must join the two posting rows per doc and scan
+    the position arrays — never explode positions into pair rows (a
+    tf-heavy doc would make tf_a×tf_b rows)."""
+    from searchengine_spark.ops.textops import proximity_topk
+
+    df = proximity_topk(spark, SF)
+    plan = df._jdf.queryExecution().toString().lower()
+    assert "explode(positions" not in plan and "posexplode" not in plan
+    assert df.count() > 0
+    with pytest.raises(ValueError):
+        proximity_topk(spark, SF, terms=("one", "two", "three"))
+    with pytest.raises(ValueError):
+        proximity_topk(spark, SF, terms=("same", "same"))
+
+
 # -- vectors ---------------------------------------------------------------
 
 def test_neardup_lsh_subset_and_recall(spark):

@@ -133,3 +133,64 @@ def test_arrow_analyze_equivalence(spark, corpus_df):
         (r["docid"], r["term"], r["tf"], list(r["positions"]),
          r["important"], r["total_tokens"]) for r in b)
     assert ka == kb and len(ka) > 0
+
+
+def test_arrow_analyze_equivalence_with_importance(spark, corpus_df):
+    """Arrow analyze with the importance extractor live must match the
+    pandas variant row-for-row (including the priority field)."""
+    from searchengine_spark.index import assign_docids
+    from searchengine_spark.text.importance import extract_importance_text
+    from searchengine_spark.text.udfs import (
+        POSTINGS_SCHEMA,
+        make_analyze_partition,
+        make_analyze_partition_arrow,
+    )
+    from pyspark.sql import functions as F
+
+    src = (
+        assign_docids(corpus_df)
+        .select("docid", "content", F.col("path"))
+        .limit(60)
+    )
+    a = src.mapInPandas(
+        make_analyze_partition(
+            stem=True, importance_fn=extract_importance_text
+        ),
+        schema=POSTINGS_SCHEMA,
+    ).collect()
+    b = src.mapInArrow(
+        make_analyze_partition_arrow(
+            stem=True, importance_fn=extract_importance_text
+        ),
+        schema=POSTINGS_SCHEMA,
+    ).collect()
+    ka = sorted(
+        (r["docid"], r["term"], r["tf"], list(r["positions"]),
+         r["important"], r["total_tokens"]) for r in a)
+    kb = sorted(
+        (r["docid"], r["term"], r["tf"], list(r["positions"]),
+         r["important"], r["total_tokens"]) for r in b)
+    assert ka == kb and len(ka) > 0
+    assert any(r[4] > 0 for r in ka)  # priorities actually fire
+
+
+def test_extract_importance_text_title_tokens():
+    """First-N tokens rank as title (priority 1); min-priority rule
+    holds against the def-line rule."""
+    from searchengine_spark.text.importance import (
+        TITLE_TOKENS,
+        extract_importance_text,
+    )
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    imp = extract_importance_text(body, "x/y.py")
+    toks = body.split()
+    for t in toks[:TITLE_TOKENS]:
+        assert imp[t] == 1, t
+    for t in toks[TITLE_TOKENS:]:
+        assert t not in imp, t
+    # def-line priority 2 loses to title priority 1 on the same token;
+    # past the title window the def-line rule stands alone
+    eight = "one two three four five six seven eight"
+    assert extract_importance_text(f"{eight}\ndef one():\n")["one"] == 1
+    assert extract_importance_text(f"{eight}\ndef alpha():\n")["alpha"] == 2
