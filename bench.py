@@ -164,6 +164,30 @@ def _run_leg(spark):
         }
         total += cold + warm
 
+        # single-query LATENCY tier: the Spark-free local reader over
+        # the same index files (query/serve_local.py — the reference's
+        # RAM-resident serving model; its baseline is ~11.7 ms/query)
+        import statistics
+
+        from searchengine_spark.query.serve_local import LocalSearcher
+
+        tq = time.time()
+        searcher = LocalSearcher(idx_dir, stem=True)
+        load_sec = time.time() - tq
+        for q in (q for _, q in qs100):  # warm the per-term LRU
+            searcher.topk(q, k=10, analyzer=ident)
+        lat = []
+        for _, q in qs100:
+            t1 = time.perf_counter()
+            searcher.topk(q, k=10, analyzer=ident)
+            lat.append((time.perf_counter() - t1) * 1000)
+        lat.sort()
+        result["latency"] = {
+            "local_load_sec": round(load_sec, 3),
+            "single_query_ms_p50": round(statistics.median(lat), 2),
+            "single_query_ms_p95": round(lat[int(len(lat) * 0.95)], 2),
+        }
+
         result["value"] = round(total, 3)
         return result
     finally:

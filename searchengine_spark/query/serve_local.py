@@ -1,0 +1,232 @@
+"""Millisecond single-query serving from the on-disk index — no Spark.
+
+The reference serves queries from a single RAM-resident process: seek
+dicts + docinfo loaded up front, postings fetched per query through an
+LRU cache (lib/reader.py:33-101, 229-259), ~12 ms per query warm.  The
+Spark engine beats it on BATCH throughput (one DAG amortizes scheduling
+across hundreds of queries) but a single query pays seconds of DAG
+fixed cost.  This module is the missing serving tier: the SAME on-disk
+index (monolithic or segmented), read directly with pyarrow and scored
+by the SAME numpy WAND kernels (query/wand.bmw_range / bmw_or_range) —
+rank- and score-identical to wand_topk (asserted in
+tests/test_serve_local.py), at single-digit-millisecond warm latency.
+
+Division of labor at scale: executors answer bulk/batch workloads via
+wand_topk; latency-sensitive front-ends run LocalSearcher replicas
+against the same index files (parquet on shared storage) — the index
+is the contract, not the process.  Loaded state is the same as the
+reference's: term dictionary + doc lengths in RAM (both columnar
+reads), block payloads fetched per query with bucket-directory pruning
+(pure-Python Spark-compatible xxhash64) + parquet row-group min/max
+pruning on ``term``, behind a per-term LRU.
+
+Segmented dirs reproduce index/segments.load_segments' serving state
+exactly: integer-token-sum avgdl, tombstone liveness (dropped from the
+doc-length table — the kernels' _dl_member mask does the rest),
+df_corrections subtracted from the termdict, and per-segment block-max
+rescaling by max(1, avgdl_serve/avgdl_build).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import OrderedDict
+
+import numpy as np
+
+from ..index.xxhash64 import term_bucket
+from ..params import N_TERM_BUCKETS
+from .prune import analyze_query
+from .wand import bm25_idf, bmw_or_range, bmw_range
+
+
+class LocalSearcher:
+    """RAM-resident query server over an index directory.
+
+    :param index_dir: a write_index output dir, or a segmented dir
+        (containing ``segments.json``).
+    :param stem: must match the analyzer the index was built with.
+    :param cache_terms: per-term postings LRU capacity (the reference's
+        LRU(256), lib/reader.py:229).
+    """
+
+    def __init__(self, index_dir: str, stem: bool = True,
+                 cache_terms: int = 256):
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        self.index_dir = index_dir
+        self.stem = stem
+        self._cache_terms = cache_terms
+        self._blocks_lru: OrderedDict[str, list] = OrderedDict()
+
+        seg_meta_path = os.path.join(index_dir, "segments.json")
+        if os.path.exists(seg_meta_path):
+            with open(seg_meta_path) as f:
+                meta = json.load(f)
+            seg_dirs = [os.path.join(index_dir, s)
+                        for s in meta["segments"]]
+            n_tomb = int(meta.get("n_tombstones", 0))
+            tomb_tokens = int(meta.get("tomb_tokens", 0))
+        else:
+            seg_dirs = [index_dir]
+            meta, n_tomb, tomb_tokens = {}, 0, 0
+
+        # ---- stats (exactly index/segments.load_segments' math)
+        seg_stats = []
+        for d in seg_dirs:
+            with open(os.path.join(d, "mergeinfo.json")) as f:
+                st = json.load(f)
+            if "token_sum" not in st:
+                st["token_sum"] = round(st["avgdl"] * st["n_survivors"])
+            seg_stats.append(st)
+        n_surv = sum(st["n_survivors"] for st in seg_stats) - n_tomb
+        token_sum = sum(st["token_sum"] for st in seg_stats) - tomb_tokens
+        self.n_survivors = n_surv
+        self.avgdl = token_sum / n_surv if n_surv else 1.0
+
+        # ---- per-segment block datasets + avgdl-drift max_weight factor
+        self._segments = []
+        for d, st in zip(seg_dirs, seg_stats):
+            build_avgdl = st["avgdl"] or 1.0
+            factor = max(1.0, self.avgdl / build_avgdl)
+            dset = pads.dataset(
+                os.path.join(d, "postings"), format="parquet",
+                partitioning="hive",
+            )
+            self._segments.append((dset, factor))
+
+        # ---- doc lengths (docid → total_tokens), tombstones removed
+        ids_parts, len_parts = [], []
+        for d in seg_dirs:
+            t = pq.read_table(
+                os.path.join(d, "docs"),
+                columns=["docid", "total_tokens"],
+            )
+            ids_parts.append(t.column("docid").to_numpy())
+            len_parts.append(
+                t.column("total_tokens").to_numpy().astype(np.float64)
+            )
+        dl_ids = np.concatenate(ids_parts)
+        dl_lens = np.concatenate(len_parts)
+        tomb_dir = os.path.join(index_dir, "tombstones")
+        if n_tomb and os.path.isdir(tomb_dir):
+            tombs = np.sort(
+                pq.read_table(tomb_dir, columns=["docid"])
+                .column("docid").to_numpy()
+            )
+            pos = np.minimum(
+                np.searchsorted(tombs, dl_ids), max(tombs.size - 1, 0)
+            )
+            keep = tombs[pos] != dl_ids if tombs.size else np.ones(
+                dl_ids.size, dtype=bool
+            )
+            dl_ids, dl_lens = dl_ids[keep], dl_lens[keep]
+        order = np.argsort(dl_ids, kind="stable")
+        self._dl = (dl_ids[order], dl_lens[order])
+
+        # ---- term dictionary: df summed across segments, corrections
+        # subtracted (stale-idf rule, index/segments.py)
+        self._df: dict[str, int] = {}
+        for d in seg_dirs:
+            t = pq.read_table(
+                os.path.join(d, "termdict"), columns=["term", "df"]
+            )
+            for term, df in zip(
+                t.column("term").to_pylist(), t.column("df").to_pylist()
+            ):
+                self._df[term] = self._df.get(term, 0) + int(df)
+        corr_dir = os.path.join(index_dir, "df_corrections")
+        if os.path.isdir(corr_dir):
+            t = pq.read_table(corr_dir, columns=["term", "df_sub"])
+            for term, sub in zip(
+                t.column("term").to_pylist(),
+                t.column("df_sub").to_pylist(),
+            ):
+                left = self._df.get(term, 0) - int(sub)
+                if left > 0:
+                    self._df[term] = left
+                else:
+                    self._df.pop(term, None)
+
+    # -- postings ---------------------------------------------------------
+
+    def refresh(self) -> None:
+        """Re-read index state — call after append/compact/merge jobs
+        commit (segments.json swap is atomic, so a refresh always sees
+        a consistent generation list).  Termdict + doc lengths reload;
+        the decoded-block LRU resets."""
+        self.__init__(self.index_dir, stem=self.stem,
+                      cache_terms=self._cache_terms)
+
+    def _blocks_for(self, term: str) -> list:
+        """Block tuples (d1, d2, max_weight, (ids, tfs)) for one term,
+        ascending by docid span; bucket-dir + row-group pruned reads.
+        Payloads are varbyte-DECODED on first fetch and the decoded
+        arrays live in the LRU (the reference caches decoded postings,
+        lib/reader.py:229-259) — repeat queries on a hot term skip the
+        decode entirely (the WAND kernels accept either form)."""
+        import pyarrow.dataset as pads
+
+        from ..index.varbyte import decode_block_np
+
+        hit = self._blocks_lru.get(term)
+        if hit is not None:
+            self._blocks_lru.move_to_end(term)
+            return hit
+        bucket = term_bucket(term, N_TERM_BUCKETS)
+        out = []
+        for dset, factor in self._segments:
+            t = dset.to_table(
+                filter=(pads.field("bucket") == bucket)
+                & (pads.field("term") == term),
+                columns=["docid_first", "docid_last", "max_weight",
+                         "payload"],
+            )
+            for d1, d2, mw, payload in zip(
+                t.column("docid_first").to_pylist(),
+                t.column("docid_last").to_pylist(),
+                t.column("max_weight").to_pylist(),
+                t.column("payload").to_pylist(),
+            ):
+                ids, tfs, _, _ = decode_block_np(
+                    payload, want_positions=False
+                )
+                out.append((d1, d2, mw * factor, (ids, tfs)))
+        out.sort(key=lambda b: b[0])
+        self._blocks_lru[term] = out
+        if len(self._blocks_lru) > self._cache_terms:
+            self._blocks_lru.popitem(last=False)
+        return out
+
+    # -- queries ----------------------------------------------------------
+
+    def topk(self, text: str, k: int = 10, mode: str = "and",
+             analyzer=None):
+        """[(rank, docid, score)] — identical semantics (and scores) to
+        wand_topk over the same index: conjunctive by default, classic
+        disjunctive WAND with ``mode="or"``.  ``analyzer`` overrides the
+        stemmed default (same contract as wand_topk's)."""
+        if analyzer is None:
+            freq = analyze_query(text, stem=self.stem)
+        else:
+            freq = analyzer(text)
+        terms = sorted(freq)
+        known = [t for t in terms if t in self._df]
+        if mode == "and":
+            if not terms or len(known) != len(terms):
+                return []
+        elif not known:
+            return []
+        plan = sorted(known, key=lambda t: (self._df[t], t))
+        tbs = [
+            {
+                "idf": bm25_idf(self.n_survivors, self._df[t]),
+                "blocks": self._blocks_for(t),
+            }
+            for t in plan
+        ]
+        kernel = bmw_range if mode == "and" else bmw_or_range
+        top, _ = kernel(tbs, self._dl, self.avgdl, k)
+        return [(r + 1, d, s) for r, (s, d) in enumerate(top)]

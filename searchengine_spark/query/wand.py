@@ -66,6 +66,30 @@ def _dl_arrays(dl):
     return ids[o], lens[o]
 
 
+def _blk_decode(blk):
+    """(ids, tfs) of one block — payload bytes, or a pre-decoded
+    (ids, tfs) tuple (LocalSearcher's decoded LRU, the reference's
+    cache-decoded-postings design, lib/reader.py:229-259)."""
+    p = blk[3]
+    if isinstance(p, tuple):
+        return p
+    ids, tfs, _, _ = decode_block_np(bytes(p), want_positions=False)
+    return ids, tfs
+
+
+def _blks_decode(blks):
+    """Concatenated (ids, tfs) over blocks (bulk path)."""
+    if blks and isinstance(blks[0][3], tuple):
+        return (
+            np.concatenate([b[3][0] for b in blks]),
+            np.concatenate([b[3][1] for b in blks]),
+        )
+    _, ids, tfs, _, _ = decode_payloads_np(
+        [bytes(b[3]) for b in blks], want_positions=False
+    )
+    return ids, tfs
+
+
 def _dl_member(dl_ids, ids):
     """Boolean mask: which decoded docids exist in the docs table.
 
@@ -128,18 +152,16 @@ def bmw_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
     # bulk-decoded in one vectorized pass; block spans are disjoint and
     # ascending, so the concatenated docids arrive sorted
     first = term_blocks[0]
-    fpayloads = [
-        bytes(blk[3])
+    fblocks = [
+        blk
         for blk in first["blocks"]
         if not ((hi is not None and blk[0] > hi)
                 or (lo is not None and blk[1] < lo))
     ]
-    if not fpayloads:
+    if not fblocks:
         return [], decoded
-    _, cand_ids, cand_tfs, _, _ = decode_payloads_np(
-        fpayloads, want_positions=False
-    )
-    decoded += len(fpayloads)
+    cand_ids, cand_tfs = _blks_decode(fblocks)
+    decoded += len(fblocks)
     m = _dl_member(dl_ids, cand_ids)
     if lo is not None:
         m &= cand_ids >= lo
@@ -174,11 +196,8 @@ def bmw_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
             # exists before the last term — the scalar algorithm's heap
             # only fills there) → one bulk decode, one searchsorted
             need = np.unique(bi)
-            payloads = [bytes(blocks[i][3]) for i in need]
-            _, ids_b, tfs_b, _, _ = decode_payloads_np(
-                payloads, want_positions=False
-            )
-            decoded += len(payloads)
+            ids_b, tfs_b = _blks_decode([blocks[i] for i in need])
+            decoded += len(need)
             pos = np.minimum(np.searchsorted(ids_b, cand_ids),
                              ids_b.size - 1)
             present = ids_b[pos] == cand_ids
@@ -208,9 +227,7 @@ def bmw_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
                 if not keep.any():
                     continue
                 ids_m, sc_m = ids_m[keep], sc_m[keep]
-            ids_b, tfs_b, _, _ = decode_block_np(
-                bytes(blk[3]), want_positions=False
-            )
+            ids_b, tfs_b = _blk_decode(blk)
             decoded += 1
             pos = np.minimum(np.searchsorted(ids_b, ids_m),
                              ids_b.size - 1)
@@ -291,9 +308,7 @@ def bmw_or_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
         key=lambda i: per_term[i][0] * max(b2[2] for b2 in per_term[i][1]),
     )
     seed_idf, seed_blocks = per_term[seed_i]
-    _, s_ids, s_tfs, _, _ = decode_payloads_np(
-        [bytes(b2[3]) for b2 in seed_blocks], want_positions=False
-    )
+    s_ids, s_tfs = _blks_decode(seed_blocks)
     decoded += len(seed_blocks)
     m = clip_mask(s_ids)
     s_ids, s_tfs = s_ids[m], s_tfs[m]
@@ -347,13 +362,11 @@ def bmw_or_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
         nb = len(bl)
         sel = need[off : off + nb]
         off += nb
-        payloads = [bytes(b2[3]) for b2, want in zip(bl, sel) if want]
-        if not payloads:
+        needed_blocks = [b2 for b2, want in zip(bl, sel) if want]
+        if not needed_blocks:
             continue
-        _, ids, tfs, _, _ = decode_payloads_np(
-            payloads, want_positions=False
-        )
-        decoded += len(payloads)
+        ids, tfs = _blks_decode(needed_blocks)
+        decoded += len(needed_blocks)
         m = clip_mask(ids)
         ids, tfs = ids[m], tfs[m]
         if ids.size:

@@ -1,0 +1,148 @@
+"""Local (Spark-free) serving front-end: hash parity, rank identity
+with the cluster WAND path, and segmented serving-state exactness."""
+
+import math
+import random
+import string
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.corpus import QUERIES
+from searchengine_spark.index.shards import load_index
+from searchengine_spark.query.serve_local import LocalSearcher
+from searchengine_spark.query.wand import wand_topk
+
+
+def test_xxhash64_matches_spark(spark):
+    """The pure-Python XXH64 must equal Spark's JVM implementation —
+    bucket pruning would silently miss terms otherwise.  Probes every
+    length class of the algorithm (empty, <4, <8, <32, >=32 bytes) plus
+    unicode."""
+    from searchengine_spark.index.xxhash64 import spark_xxhash64
+
+    rng = random.Random(5)
+    words = ["", "a", "ab", "abc", "abcd", "hash", "parser",
+             "länger-ünïcode", "日本語トークン", "x" * 31, "y" * 32,
+             "z" * 100]
+    words += [
+        "".join(rng.choices(string.ascii_lowercase + string.digits,
+                            k=rng.randint(1, 40)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "term string")
+    got = {
+        r["term"]: r["h"]
+        for r in df.select(
+            "term", F.xxhash64("term").alias("h")
+        ).collect()
+    }
+    for w in words:
+        assert spark_xxhash64(w) == got[w], repr(w)
+
+
+@pytest.fixture(scope="module")
+def searcher(index_dir):
+    return LocalSearcher(index_dir, stem=True)
+
+
+@pytest.fixture(scope="module")
+def split_corpora(spark):
+    """Lexical-median split (same recipe as tests/test_segments.py)."""
+    from searchengine_spark.corpus import synth_corpus
+
+    rows = sorted(
+        synth_corpus(200), key=lambda r: (r["repo"], r["path"], r["commit"])
+    )
+    half = len(rows) // 2
+    return (
+        spark.createDataFrame(rows),
+        spark.createDataFrame(rows[:half]),
+        spark.createDataFrame(rows[half:]),
+    )
+
+
+def _spark_rows(spark, shards, queries, mode):
+    res = wand_topk(spark, shards, queries, k=10, mode=mode)
+    out = {}
+    for r in res.collect():
+        out.setdefault(r["qid"], []).append(
+            (r["rank"], r["docid"], r["score"])
+        )
+    return out
+
+
+def test_local_serving_equals_wand(spark, index_dir, searcher):
+    """Single-query local answers must be rank- and score-identical to
+    the cluster WAND path over the same index files, both modes."""
+    shards = load_index(spark, index_dir)
+    queries = [(qid, q) for qid, q in QUERIES]
+    for mode in ("and", "or"):
+        expect = _spark_rows(spark, shards, queries, mode)
+        n_nonempty = 0
+        for qid, q in queries:
+            got = searcher.topk(q, k=10, mode=mode)
+            exp = expect.get(qid, [])
+            assert len(got) == len(exp), (mode, qid)
+            for (gr, gd, gs), (er, ed, es) in zip(got, exp):
+                assert (gr, gd) == (er, ed), (mode, qid)
+                assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+            n_nonempty += bool(got)
+        assert n_nonempty > len(queries) // 2
+
+
+def test_local_serving_unknown_and_empty_queries(searcher):
+    assert searcher.topk("zzzqx parser") == []          # AND, missing
+    assert searcher.topk("") == []
+    assert searcher.topk("zzzqx vvkwq", mode="or") == []  # all missing
+
+
+def test_local_serving_over_compacted_segments(spark, split_corpora,
+                                               tmp_path_factory):
+    """A segmented dir with tombstones + df corrections must serve the
+    SAME answers locally as wand_topk over load_segments — the whole
+    serving-state contract (stats, idf, block maxima, liveness) redone
+    without Spark."""
+    from searchengine_spark.index import build_tables
+    from searchengine_spark.index.segments import (
+        append_segment,
+        compact_near_dups,
+        init_segmented,
+        load_segments,
+    )
+
+    _, a, b = split_corpora
+    seg_dir = str(tmp_path_factory.mktemp("local_seg") / "idx")
+    init_segmented(
+        spark,
+        build_tables(spark, a, compute_quality=False, simhash_bits=32),
+        seg_dir,
+    )
+    src = a.orderBy("repo", "path", "commit").limit(1).collect()[0]
+    twin = spark.createDataFrame(
+        [("zz-twin2", src["path"], src["commit"], src["lang"],
+          src["content"] + " zzextra zzmore")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    append_segment(
+        spark, seg_dir, b.unionByName(twin),
+        compute_quality=False, simhash_bits=32,
+    )
+    assert compact_near_dups(spark, seg_dir, bits=32) >= 1
+
+    seg = load_segments(spark, seg_dir)
+    local = LocalSearcher(seg_dir, stem=True)
+    assert local.n_survivors == seg.stats["n_survivors"]
+    assert local.avgdl == seg.stats["avgdl"]
+
+    queries = [(qid, q) for qid, q in QUERIES]
+    for mode in ("and", "or"):
+        expect = _spark_rows(spark, seg, queries, mode)
+        for qid, q in queries:
+            got = local.topk(q, k=10, mode=mode)
+            exp = expect.get(qid, [])
+            assert [(r, d) for r, d, _ in got] == [
+                (r, d) for r, d, _ in exp
+            ], (mode, qid)
+            for (_, _, gs), (_, _, es) in zip(got, exp):
+                assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
