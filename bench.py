@@ -182,10 +182,22 @@ def _run_leg(spark):
             searcher.topk(q, k=10, analyzer=ident)
             lat.append((time.perf_counter() - t1) * 1000)
         lat.sort()
+        # blended end-user chain (prune → BM25+cosine → quality blend)
+        for _, q in BENCH_QUERIES:  # warm
+            searcher.blended_topk(q, k=10)
+        blat = []
+        for _ in range(20):
+            for _, q in BENCH_QUERIES:
+                t1 = time.perf_counter()
+                searcher.blended_topk(q, k=10)
+                blat.append((time.perf_counter() - t1) * 1000)
+        blat.sort()
         result["latency"] = {
             "local_load_sec": round(load_sec, 3),
             "single_query_ms_p50": round(statistics.median(lat), 2),
             "single_query_ms_p95": round(lat[int(len(lat) * 0.95)], 2),
+            "blended_ms_p50": round(statistics.median(blat), 2),
+            "blended_ms_p95": round(blat[int(len(blat) * 0.95)], 2),
         }
 
         result["value"] = round(total, 3)

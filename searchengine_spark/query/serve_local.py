@@ -97,19 +97,26 @@ class LocalSearcher:
             )
             self._segments.append((dset, factor))
 
-        # ---- doc lengths (docid → total_tokens), tombstones removed
+        # ---- doc lengths + quality columns, tombstones removed
+        qual_cols = ("pr_quality", "hub_quality", "auth_quality")
         ids_parts, len_parts = [], []
+        qual_parts = {c: [] for c in qual_cols}
         for d in seg_dirs:
             t = pq.read_table(
                 os.path.join(d, "docs"),
-                columns=["docid", "total_tokens"],
+                columns=["docid", "total_tokens", *qual_cols],
             )
             ids_parts.append(t.column("docid").to_numpy())
             len_parts.append(
                 t.column("total_tokens").to_numpy().astype(np.float64)
             )
+            for c in qual_cols:
+                qual_parts[c].append(
+                    t.column(c).to_numpy().astype(np.float64)
+                )
         dl_ids = np.concatenate(ids_parts)
         dl_lens = np.concatenate(len_parts)
+        quals = {c: np.concatenate(qual_parts[c]) for c in qual_cols}
         tomb_dir = os.path.join(index_dir, "tombstones")
         if n_tomb and os.path.isdir(tomb_dir):
             tombs = np.sort(
@@ -123,8 +130,10 @@ class LocalSearcher:
                 dl_ids.size, dtype=bool
             )
             dl_ids, dl_lens = dl_ids[keep], dl_lens[keep]
+            quals = {c: v[keep] for c, v in quals.items()}
         order = np.argsort(dl_ids, kind="stable")
         self._dl = (dl_ids[order], dl_lens[order])
+        self._quals = {c: v[order] for c, v in quals.items()}
 
         # ---- term dictionary: df summed across segments, corrections
         # subtracted (stale-idf rule, index/segments.py)
@@ -230,3 +239,110 @@ class LocalSearcher:
         kernel = bmw_range if mode == "and" else bmw_or_range
         top, _ = kernel(tbs, self._dl, self.avgdl, k)
         return [(r + 1, d, s) for r, (s, d) in enumerate(top)]
+
+    def blended_topk(self, text: str, k: int = 10):
+        """The reference's END-USER surface (search.py → queryproc):
+        prune/abort/stopword readmission → conjunctive BM25 → query
+        cosine → candidate L2 norms → quality blend → top-k — rank-
+        and score-identical to scoring.score_queries_ondisk over the
+        same index (asserted in tests), all numpy, per-query
+        milliseconds.  Returns [(rank, docid, score)]."""
+        from ..params import (
+            AUTH_FACTOR,
+            BM25_B,
+            BM25_K1,
+            COSINE_FACTOR,
+            COSINE_GATE,
+            HUB_FACTOR,
+            NET_RELEVANCE_FACTOR,
+            PR_FACTOR,
+            QUALITY_FACTOR,
+            TFIDF_FACTOR,
+        )
+        from .scoring import plan_query_terms
+
+        rows, meta = plan_query_terms(
+            [(0, text)], lambda t: self._df.get(t, 0),
+            self.n_survivors, stem=self.stem,
+        )
+        if not rows:
+            return []
+        dl_ids, dl_lens = self._dl
+        if dl_ids.size == 0:
+            return []
+        nterms = meta[0]["nterms"]
+        qnorm = meta[0]["qnorm"]
+        k1, b = BM25_K1, BM25_B
+
+        id_ch, bm_ch, dot_ch, sq_ch = [], [], [], []
+        for _, term, qw, idf in rows:
+            blocks = self._blocks_for(term)
+            if not blocks:
+                return []  # df > 0 but no blocks: conjunctive miss
+            ids = np.concatenate([bl[3][0] for bl in blocks])
+            tfs = np.concatenate([bl[3][1] for bl in blocks])
+            pos = np.minimum(
+                np.searchsorted(dl_ids, ids), dl_ids.size - 1
+            )
+            mem = dl_ids[pos] == ids  # tombstone liveness
+            ids, pos = ids[mem], pos[mem]
+            tff = tfs[mem].astype(np.float64)
+            w = (
+                tff * (k1 + 1.0)
+                / (tff + k1 * (1.0 - b + b * dl_lens[pos] / self.avgdl))
+            )
+            bm = idf * w
+            id_ch.append(ids)
+            bm_ch.append(bm)
+            dot_ch.append(bm * qw)
+            sq_ch.append(bm * bm)
+
+        ids_all = np.concatenate(id_ch)
+        order = np.argsort(ids_all, kind="stable")
+        ids_s = ids_all[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], ids_s[1:] != ids_s[:-1]])
+        )
+        counts = np.diff(np.concatenate([starts, [ids_s.size]]))
+        # conjunctive: docs containing every planned term
+        keep = counts == nterms
+        if not keep.any():
+            return []
+        docids = ids_s[starts][keep]
+        bm25_sum = np.add.reduceat(
+            np.concatenate(bm_ch)[order], starts
+        )[keep]
+        dot = np.add.reduceat(np.concatenate(dot_ch)[order], starts)[keep]
+        dnorm2 = np.add.reduceat(np.concatenate(sq_ch)[order], starts)[keep]
+        cosine = dot / (np.sqrt(dnorm2) * qnorm)
+
+        pos = np.searchsorted(dl_ids, docids)  # candidates ⊂ docs
+        pr = self._quals["pr_quality"][pos]
+        hub = self._quals["hub_quality"][pos]
+        auth = self._quals["auth_quality"][pos]
+
+        def safe(x, norm):
+            return x / norm if norm > 0 else np.zeros_like(x)
+
+        sum_norm = float(np.sqrt(np.sum(bm25_sum * bm25_sum)))
+        cos_norm = float(np.sqrt(np.sum(cosine * cosine)))
+        pr_norm = float(np.sqrt(np.sum(pr * pr)))
+        hub_norm = float(np.sqrt(np.sum(hub * hub)))
+        auth_norm = float(np.sqrt(np.sum(auth * auth)))
+        rel = np.where(
+            cosine > COSINE_GATE,
+            TFIDF_FACTOR * safe(bm25_sum, sum_norm)
+            + COSINE_FACTOR * safe(cosine, cos_norm),
+            0.0,
+        )
+        qual = (
+            PR_FACTOR * safe(pr, pr_norm)
+            + HUB_FACTOR * safe(hub, hub_norm)
+            + AUTH_FACTOR * safe(auth, auth_norm)
+        )
+        score = NET_RELEVANCE_FACTOR * rel + QUALITY_FACTOR * qual
+        top = np.lexsort((docids, -score))[:k]
+        return [
+            (r + 1, int(docids[i]), float(score[i]))
+            for r, i in enumerate(top)
+        ]

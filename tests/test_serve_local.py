@@ -95,6 +95,36 @@ def test_local_serving_unknown_and_empty_queries(searcher):
     assert searcher.topk("zzzqx parser") == []          # AND, missing
     assert searcher.topk("") == []
     assert searcher.topk("zzzqx vvkwq", mode="or") == []  # all missing
+    # blended path shares the prune/abort heuristics
+    assert searcher.blended_topk("zzzqx vvkwq qqqpt parser") == []
+    assert searcher.blended_topk("") == []
+
+
+def test_local_blended_equals_ondisk_scorer(spark, index_dir, searcher):
+    """blended_topk must reproduce the full end-user scoring chain
+    (prune → BM25 → cosine → norms → quality blend) rank- and
+    score-identically to score_queries_ondisk over the same index."""
+    from searchengine_spark.query.scoring import score_queries_ondisk
+
+    shards = load_index(spark, index_dir)
+    queries = [(qid, q) for qid, q in QUERIES]
+    expect = {}
+    res = score_queries_ondisk(spark, queries, shards, k=10)
+    for r in res.collect():
+        expect.setdefault(r["qid"], []).append(
+            (r["rank"], r["docid"], r["score"])
+        )
+    n_nonempty = 0
+    for qid, q in queries:
+        got = searcher.blended_topk(q, k=10)
+        exp = expect.get(qid, [])
+        assert [(r, d) for r, d, _ in got] == [
+            (r, d) for r, d, _ in exp
+        ], (qid, q)
+        for (_, _, gs), (_, _, es) in zip(got, exp):
+            assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+        n_nonempty += bool(got)
+    assert n_nonempty > len(queries) // 2
 
 
 def test_local_serving_over_compacted_segments(spark, split_corpora,
