@@ -158,6 +158,7 @@ class LocalSearcher:
                     self._df[term] = left
                 else:
                     self._df.pop(term, None)
+        self._loaded_stamp = self._commit_stamp()
 
     # -- postings ---------------------------------------------------------
 
@@ -168,6 +169,26 @@ class LocalSearcher:
         the decoded-block LRU resets."""
         self.__init__(self.index_dir, stem=self.stem,
                       cache_terms=self._cache_terms)
+
+    def _commit_stamp(self):
+        """(mtime_ns, size) of the commit point: segments.json for a
+        generations dir, mergeinfo.json for a single index."""
+        for name in ("segments.json", "mergeinfo.json"):
+            p = os.path.join(self.index_dir, name)
+            if os.path.exists(p):
+                st = os.stat(p)
+                return (st.st_mtime_ns, st.st_size)
+        return None
+
+    def maybe_refresh(self) -> bool:
+        """Refresh only if a maintenance/append job committed since
+        load (cheap stat poll — a serving loop calls this between
+        queries).  Returns True when a reload happened."""
+        stamp = self._commit_stamp()
+        if stamp == getattr(self, "_loaded_stamp", None):
+            return False
+        self.refresh()
+        return True
 
     def _blocks_for(self, term: str) -> list:
         """Block tuples (d1, d2, max_weight, (ids, tfs)) for one term,

@@ -127,6 +127,43 @@ def test_local_blended_equals_ondisk_scorer(spark, index_dir, searcher):
     assert n_nonempty > len(queries) // 2
 
 
+def test_local_searcher_refresh_on_append(spark, split_corpora,
+                                          tmp_path_factory):
+    """A serving replica must pick up committed appends: maybe_refresh
+    is a no-op until segments.json swaps, then the new generation's
+    docs become searchable."""
+    from searchengine_spark.index import build_tables
+    from searchengine_spark.index.segments import (
+        append_segment,
+        init_segmented,
+    )
+
+    _, a, b = split_corpora
+    seg_dir = str(tmp_path_factory.mktemp("refresh") / "idx")
+    init_segmented(
+        spark, build_tables(spark, a, compute_quality=False), seg_dir
+    )
+    ls = LocalSearcher(seg_dir, stem=True)
+    n0 = ls.n_survivors
+    assert ls.maybe_refresh() is False  # nothing committed
+
+    marker = spark.createDataFrame(
+        [("zz-live", "p", "c", "python",
+          "qqlivemarker qqlivemarker fresh tokens arriving now")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    append_segment(
+        spark, seg_dir, b.unionByName(marker), compute_quality=False
+    )
+    # stale replica: new content invisible until refresh
+    assert ls.topk("qqlivemarker", mode="or") == []
+    assert ls.maybe_refresh() is True
+    assert ls.n_survivors > n0
+    hits = ls.topk("qqlivemarker", mode="or")
+    assert len(hits) == 1
+    assert ls.maybe_refresh() is False  # idempotent
+
+
 def test_local_serving_over_compacted_segments(spark, split_corpora,
                                                tmp_path_factory):
     """A segmented dir with tombstones + df corrections must serve the
