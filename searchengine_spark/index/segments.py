@@ -100,16 +100,29 @@ def _read_segments(index_dir: str) -> list[str]:
     return _read_meta(index_dir)["segments"]
 
 
-def _next_name(meta: dict) -> str:
-    """Generation names come from a monotonic counter (survives merges:
-    a merged index must never reuse a deleted generation's name)."""
-    return f"seg={int(meta.get('next_seg', len(meta['segments'])))}"
-
-
-def _commit_segment(index_dir: str, meta: dict, name: str) -> None:
-    meta["segments"] = meta["segments"] + [name]
-    meta["next_seg"] = int(name.split("=", 1)[1]) + 1
+def _reserve_name(index_dir: str, meta: dict) -> str:
+    """Allocate a generation name and PERSIST the bumped counter before
+    anything is written under it.  A crashed append/merge leaves an
+    orphan directory whose name is never reused — a rerun writes a
+    fresh name — so a later write_index can never resume from a half-
+    written manifest that belongs to a DIFFERENT operation (the
+    stage-skip in write_index is only safe when the inputs match).
+    Orphans are ignored by readers (only meta-listed segments load) and
+    reclaimed at the next merge's cleanup."""
+    n = int(meta.get("next_seg", len(meta["segments"])))
+    meta["next_seg"] = n + 1
     _save_meta(index_dir, meta)
+    return f"seg={n}"
+
+
+def _commit_segment(index_dir: str, name: str,
+                    replace: bool = False) -> dict:
+    """Atomically publish a fully-written generation (fresh meta read:
+    single-writer for appends, but tombstone state may have advanced)."""
+    meta = _read_meta(index_dir)
+    meta["segments"] = [name] if replace else meta["segments"] + [name]
+    _save_meta(index_dir, meta)
+    return meta
 
 
 def _seg_stats(index_dir: str, segs: list[str]) -> list[dict]:
@@ -142,9 +155,9 @@ def init_segmented(spark: SparkSession, tables, index_dir: str) -> str:
     meta = _read_meta(index_dir)
     if meta["segments"]:
         raise ValueError(f"{index_dir} already has segments")
-    name = _next_name(meta)
+    name = _reserve_name(index_dir, meta)
     write_index(spark, tables, os.path.join(index_dir, name))
-    _commit_segment(index_dir, meta, name)
+    _commit_segment(index_dir, name)
     return name
 
 
@@ -182,9 +195,9 @@ def append_segment(
         known_sha=known,
         **build_kwargs,
     )
-    name = _next_name(meta)
+    name = _reserve_name(index_dir, meta)
     write_index(spark, tables, os.path.join(index_dir, name))
-    _commit_segment(index_dir, meta, name)
+    _commit_segment(index_dir, name)
     return name
 
 
@@ -260,20 +273,30 @@ def load_segments(spark: SparkSession, index_dir: str,
         else parts[0].termdict
     )
 
-    if n_tomb:
-        tombs = spark.read.parquet(
-            os.path.join(index_dir, TOMBSTONES_DIR)
-        )
+    # tombstone state loads ONLY from meta-listed compaction generations
+    # (tomb_gens): an orphan directory from a crashed compaction — data
+    # written, meta save never reached — is invisible, and the rerun
+    # overwrites it before committing (crash-idempotent)
+    tomb_gens = meta.get("tomb_gens", [])
+    if n_tomb and tomb_gens:
+        tombs = spark.read.parquet(*[
+            os.path.join(index_dir, TOMBSTONES_DIR, g) for g in tomb_gens
+        ])
         docs = docs.join(tombs, "docid", "left_anti")
-        corr_dir = os.path.join(index_dir, DF_CORRECTIONS_DIR)
-        if os.path.isdir(corr_dir):
+        corr_paths = [
+            p for g in tomb_gens
+            if os.path.isdir(
+                p := os.path.join(index_dir, DF_CORRECTIONS_DIR, g)
+            )
+        ]
+        if corr_paths:
             # subtract the tombstoned docs' per-term counts so idf is
             # computed from SURVIVING df (compact_near_dups stores the
             # corrections from one pruned postings scan); a term whose
             # df drops to 0 has no surviving postings and must vanish
             # from the dictionary like it would in a rebuild
             corr = (
-                spark.read.parquet(corr_dir)
+                spark.read.parquet(*corr_paths)
                 .groupBy("term")
                 .agg(
                     F.sum("df_sub").alias("_dfs"),
@@ -408,9 +431,16 @@ def compact_near_dups(spark: SparkSession, index_dir: str,
 
     ``bits`` must match what the segments were built with (64 = scale
     default).  Idempotent: already-tombstoned docs are invisible to the
-    next run.  NOTE vs a monolithic rebuild: comparisons see surviving
-    docs only — a chain A~B(dropped at build), B~C, A≁C keeps C where
-    the monolithic pass might not; the standard segmented tradeoff.
+    next run.  Crash-safe: each compaction writes its tombstones and
+    corrections into a fresh generation subdir (``tombstones/g<N>``,
+    ``df_corrections/g<N>``, mode=overwrite) and COMMITS by listing the
+    generation in segments.json last — a crash before the commit leaves
+    an invisible orphan that the rerun (which recomputes the identical
+    dropped set from unchanged serving state) simply overwrites, so
+    corrections can never be applied twice.  NOTE vs a monolithic
+    rebuild: comparisons see surviving docs only — a chain A~B(dropped
+    at build), B~C, A≁C keeps C where the monolithic pass might not;
+    the standard segmented tradeoff.
 
     :return: number of newly tombstoned docs.
     """
@@ -431,16 +461,19 @@ def compact_near_dups(spark: SparkSession, index_dir: str,
         corr = _tombstone_corrections(
             spark, cur.blocks, [r["docid"] for r in rows]
         )
-        # append-mode state: multiple compactions touch disjoint doc
-        # sets (old tombstones are already excluded from cur.docs), so
-        # corrections sum and tombstones union
-        corr.write.mode("append").parquet(
-            os.path.join(index_dir, DF_CORRECTIONS_DIR)
-        )
-        dropped.write.mode("append").parquet(
-            os.path.join(index_dir, TOMBSTONES_DIR)
-        )
         meta = _read_meta(index_dir)
+        gen = f"g{int(meta.get('next_tomb_gen', 0))}"
+        # overwrite, not append: a rerun after a crashed commit lands on
+        # the same (still-uncommitted) generation dir
+        corr.write.mode("overwrite").parquet(
+            os.path.join(index_dir, DF_CORRECTIONS_DIR, gen)
+        )
+        dropped.write.mode("overwrite").parquet(
+            os.path.join(index_dir, TOMBSTONES_DIR, gen)
+        )
+        # single atomic commit: generation listed + counters advanced
+        meta["tomb_gens"] = meta.get("tomb_gens", []) + [gen]
+        meta["next_tomb_gen"] = int(meta.get("next_tomb_gen", 0)) + 1
         meta["n_tombstones"] = int(meta.get("n_tombstones", 0)) + n_new
         meta["tomb_tokens"] = int(meta.get("tomb_tokens", 0)) + sum(
             int(r["total_tokens"]) for r in rows
@@ -459,13 +492,15 @@ def merge_segments(spark: SparkSession, index_dir: str) -> str:
     The surviving postings are decoded from the block union, filtered
     against the serving docs view, and re-encoded by write_index — so
     the output is byte-deterministic (same salted striping contract as
-    any build) and independently resumable via its own manifest.
-    Docids are PRESERVED (the dense space keeps its tombstone holes —
-    ids are never reused, the same rule as every filter stage), the
-    termdict is recomputed exactly from the surviving postings, and
-    tombstone/correction state resets.  Commit is atomic: the new
-    segment is fully written (manifest complete) before segments.json
-    swaps; old generation dirs are deleted after the swap.
+    any build).  Docids are PRESERVED (the dense space keeps its
+    tombstone holes — ids are never reused, the same rule as every
+    filter stage), the termdict is recomputed exactly from the
+    surviving postings, and tombstone/correction state resets.  Commit
+    is atomic: the target name is RESERVED (counter persisted) before
+    any write — a crashed merge leaves an orphan dir whose name no
+    later append or merge can collide with (reclaimed at the next
+    successful merge's cleanup) — and segments.json swaps only after
+    the new segment is fully written.
 
     :return: the new single segment's name.
     """
@@ -503,17 +538,24 @@ def merge_segments(spark: SparkSession, index_dir: str) -> str:
             "token_sum": cur.stats["token_sum"],
         },
     )
-    name = _next_name(meta)
+    # name reserved (counter persisted) BEFORE any write: a crashed
+    # merge leaves an orphan dir a later append can never collide with
+    name = _reserve_name(index_dir, meta)
     write_index(spark, tables, os.path.join(index_dir, name))
 
-    old_segs = list(segs)
+    meta = _read_meta(index_dir)
     meta["segments"] = [name]
-    meta["next_seg"] = int(name.split("=", 1)[1]) + 1
     meta["n_tombstones"] = 0
     meta["tomb_tokens"] = 0
+    meta["tomb_gens"] = []
     _save_meta(index_dir, meta)
-    for s in old_segs:
-        shutil.rmtree(os.path.join(index_dir, s), ignore_errors=True)
+    # delete every non-live seg dir: the merged-away generations AND
+    # any orphans left by crashed appends/merges (reserved names whose
+    # commit never happened)
+    for entry in os.listdir(index_dir):
+        if entry.startswith("seg=") and entry != name:
+            shutil.rmtree(os.path.join(index_dir, entry),
+                          ignore_errors=True)
     for d in (TOMBSTONES_DIR, DF_CORRECTIONS_DIR):
         shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
     return name

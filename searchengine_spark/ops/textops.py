@@ -290,9 +290,12 @@ def proximity_topk(spark, sf_dir, terms=("table", "hash"),
         return spark.createDataFrame(
             [], "doc_id long, min_dist long, score double"
         )
-    posts = fetch_postings(sh, sorted(terms))
+    # one bucket-pruned fetch PER term: each side's scan decodes only
+    # its own term's blocks (a single shared fetch would be scanned
+    # twice, doubling the decode, unless persisted — and a persist here
+    # would leak executor cache across driver invocations)
     sides = [
-        posts.filter(F.col("term") == t).select(
+        fetch_postings(sh, [t]).select(
             "docid",
             F.col("tf").alias(f"tf_{s}"),
             F.col("positions").alias(f"pos_{s}"),

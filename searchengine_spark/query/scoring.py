@@ -117,10 +117,17 @@ def score_candidates(
     if importance:
         from ..params import IMPORTANCE
 
-        mult = F.element_at(
-            F.array(*[F.lit(float(m)) for m in IMPORTANCE]),
-            F.col("important").cast("int") + 1,
-        )
+        # out-of-table priorities (custom extractors may emit up to 15)
+        # fall back to the untagged multiplier — matching the SQL
+        # oracle's CASE ... ELSE, and never a NULL that would silently
+        # drop the term's contribution while nmatch still counts it
+        mult = F.when(
+            F.col("important").between(0, len(IMPORTANCE) - 1),
+            F.element_at(
+                F.array(*[F.lit(float(m)) for m in IMPORTANCE]),
+                F.col("important").cast("int") + 1,
+            ),
+        ).otherwise(F.lit(float(IMPORTANCE[0])))
         bm25 = bm25 * mult
     per_doc = (
         hits.withColumn("bm25", bm25)

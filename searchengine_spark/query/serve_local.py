@@ -72,6 +72,10 @@ class LocalSearcher:
         else:
             seg_dirs = [index_dir]
             meta, n_tomb, tomb_tokens = {}, 0, 0
+        # tombstone/correction state is read ONLY from meta-listed
+        # compaction generations — orphan dirs from a crashed
+        # compaction are invisible (same rule as index/segments.py)
+        tomb_gens = meta.get("tomb_gens", [])
 
         # ---- stats (exactly index/segments.load_segments' math)
         seg_stats = []
@@ -85,6 +89,12 @@ class LocalSearcher:
         token_sum = sum(st["token_sum"] for st in seg_stats) - tomb_tokens
         self.n_survivors = n_surv
         self.avgdl = token_sum / n_surv if n_surv else 1.0
+        # bucket count from the index's OWN mergeinfo, not the live
+        # params module — serving an index built under a different
+        # bucket config would otherwise silently miss every term
+        self._n_buckets = int(
+            seg_stats[0].get("n_buckets") or N_TERM_BUCKETS
+        )
 
         # ---- per-segment block datasets + avgdl-drift max_weight factor
         self._segments = []
@@ -117,11 +127,15 @@ class LocalSearcher:
         dl_ids = np.concatenate(ids_parts)
         dl_lens = np.concatenate(len_parts)
         quals = {c: np.concatenate(qual_parts[c]) for c in qual_cols}
-        tomb_dir = os.path.join(index_dir, "tombstones")
-        if n_tomb and os.path.isdir(tomb_dir):
+        if n_tomb and tomb_gens:
             tombs = np.sort(
-                pq.read_table(tomb_dir, columns=["docid"])
-                .column("docid").to_numpy()
+                np.concatenate([
+                    pq.read_table(
+                        os.path.join(index_dir, "tombstones", g),
+                        columns=["docid"],
+                    ).column("docid").to_numpy()
+                    for g in tomb_gens
+                ])
             )
             pos = np.minimum(
                 np.searchsorted(tombs, dl_ids), max(tombs.size - 1, 0)
@@ -146,18 +160,21 @@ class LocalSearcher:
                 t.column("term").to_pylist(), t.column("df").to_pylist()
             ):
                 self._df[term] = self._df.get(term, 0) + int(df)
-        corr_dir = os.path.join(index_dir, "df_corrections")
-        if os.path.isdir(corr_dir):
-            t = pq.read_table(corr_dir, columns=["term", "df_sub"])
-            for term, sub in zip(
-                t.column("term").to_pylist(),
-                t.column("df_sub").to_pylist(),
-            ):
-                left = self._df.get(term, 0) - int(sub)
-                if left > 0:
-                    self._df[term] = left
-                else:
-                    self._df.pop(term, None)
+        if n_tomb and tomb_gens:
+            for g in tomb_gens:
+                cdir = os.path.join(index_dir, "df_corrections", g)
+                if not os.path.isdir(cdir):
+                    continue
+                t = pq.read_table(cdir, columns=["term", "df_sub"])
+                for term, sub in zip(
+                    t.column("term").to_pylist(),
+                    t.column("df_sub").to_pylist(),
+                ):
+                    left = self._df.get(term, 0) - int(sub)
+                    if left > 0:
+                        self._df[term] = left
+                    else:
+                        self._df.pop(term, None)
         self._loaded_stamp = self._commit_stamp()
 
     # -- postings ---------------------------------------------------------
@@ -205,7 +222,7 @@ class LocalSearcher:
         if hit is not None:
             self._blocks_lru.move_to_end(term)
             return hit
-        bucket = term_bucket(term, N_TERM_BUCKETS)
+        bucket = term_bucket(term, self._n_buckets)
         out = []
         for dset, factor in self._segments:
             t = dset.to_table(

@@ -406,10 +406,22 @@ class BlockCache:
 
         self.capacity = capacity
         self._entries = OrderedDict()  # frozenset(terms) -> persisted DF
+        self._shards_key = None
 
     def get(self, shards: IndexShards, terms) -> DataFrame:
         """Block rows covering ``terms`` (possibly a superset — callers
-        keep their own term filter on top)."""
+        keep their own term filter on top).
+
+        Entries are valid only for the shards handle they were built
+        from: a reload after append/compact/merge produces a NEW handle
+        (different blocks lineage, possibly rescaled max_weight), and
+        serving stale persisted rows would miss new segments or break
+        the block-max bound — so a handle change flushes the cache."""
+        skey = (id(shards.blocks), shards.stats.get("n_survivors"),
+                shards.stats.get("avgdl"))
+        if skey != self._shards_key:
+            self.clear()
+            self._shards_key = skey
         key = frozenset(terms)
         hit = None
         if key in self._entries:

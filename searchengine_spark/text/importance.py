@@ -57,7 +57,11 @@ def extract_importance(content: str, path: str = "") -> dict:
     out = {}
     for tok in _PATH_SPLIT.findall(path.lower()):
         out.setdefault(tok, PATH_PRIORITY)
-    for line in content.splitlines():
+    # line = '\n'-separated, pinned: the SQL oracle mirrors this with
+    # string_split(content, chr(10)), and str.splitlines() would also
+    # split on \r \v \f  … — a doc with a lone \r before 'def'
+    # would then diverge between the engines
+    for line in content.split("\n"):
         if _DEF_LINE.match(line):
             pr = DEF_PRIORITY
         elif _SIG_LINE.match(line):

@@ -429,6 +429,101 @@ def test_merge_segments_physical(spark, compacted, tmp_path_factory):
     assert [tuple(r) for r in b1] == [tuple(r) for r in b2]
 
 
+def test_compaction_crash_does_not_double_apply(spark, split_corpora,
+                                                tmp_path_factory,
+                                                monkeypatch):
+    """A compaction that crashes AFTER writing tombstones/corrections
+    but BEFORE the meta commit must leave serving state untouched, and
+    a rerun must apply the corrections exactly once (the commit lists
+    the generation dir last; the rerun overwrites the orphan)."""
+    from searchengine_spark.index import segments as segmod
+
+    _, a, b = split_corpora
+    seg_dir = str(tmp_path_factory.mktemp("crash") / "idx")
+    init_segmented(
+        spark,
+        build_tables(spark, a, compute_quality=False, simhash_bits=32),
+        seg_dir,
+    )
+    src = a.orderBy("repo", "path", "commit").limit(1).collect()[0]
+    twin = spark.createDataFrame(
+        [("zz-ctwin", src["path"], src["commit"], src["lang"],
+          src["content"] + " zzextra zzmore")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    append_segment(
+        spark, seg_dir, b.unionByName(twin),
+        compute_quality=False, simhash_bits=32,
+    )
+    before = load_segments(spark, seg_dir)
+    td_before = {r["term"]: (r["df"], r["cf"])
+                 for r in before.termdict.collect()}
+
+    real_save = segmod._save_meta
+
+    def crash_save(index_dir, meta):
+        raise RuntimeError("injected crash before compaction commit")
+
+    monkeypatch.setattr(segmod, "_save_meta", crash_save)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        segmod.compact_near_dups(spark, seg_dir, bits=32)
+    monkeypatch.setattr(segmod, "_save_meta", real_save)
+
+    # orphan written but uncommitted → serving state unchanged
+    mid = load_segments(spark, seg_dir)
+    assert mid.stats["n_survivors"] == before.stats["n_survivors"]
+    td_mid = {r["term"]: (r["df"], r["cf"])
+              for r in mid.termdict.collect()}
+    assert td_mid == td_before
+
+    # rerun commits exactly once; a second run is a no-op
+    n1 = segmod.compact_near_dups(spark, seg_dir, bits=32)
+    assert n1 >= 1
+    assert segmod.compact_near_dups(spark, seg_dir, bits=32) == 0
+    meta = segmod._read_meta(seg_dir)
+    assert meta["tomb_gens"] == ["g0"]
+    after = load_segments(spark, seg_dir)
+    # corrections applied once: df strictly below the uncompacted value
+    # and consistent (no term double-subtracted to extinction that the
+    # rebuild would keep) — cross-checked by the rank-identity tests
+    assert after.stats["n_survivors"] == before.stats["n_survivors"] - n1
+
+
+def test_crashed_merge_never_collides_with_append(spark, split_corpora,
+                                                 tmp_path_factory):
+    """The generation counter is persisted at reservation time, so a
+    merge that died mid-write leaves an orphan dir a later append can
+    never reuse (write_index would otherwise resume from the orphan's
+    half-written manifest and mix two operations' data)."""
+    import os
+
+    from searchengine_spark.index import segments as segmod
+
+    _, a, b = split_corpora
+    seg_dir = str(tmp_path_factory.mktemp("collide") / "idx")
+    init_segmented(
+        spark, build_tables(spark, a, compute_quality=False), seg_dir
+    )
+    # emulate a crashed merge: the name was reserved and a partial dir
+    # exists, but segments.json still lists only seg=0
+    meta = segmod._read_meta(seg_dir)
+    orphan = segmod._reserve_name(seg_dir, meta)
+    os.makedirs(os.path.join(seg_dir, orphan))
+    with open(os.path.join(seg_dir, orphan, "_manifest.json"), "w") as f:
+        f.write('{"version": 1, "stages": {}, "complete": false}')
+
+    name = append_segment(spark, seg_dir, b, compute_quality=False)
+    assert name != orphan  # fresh name, no manifest mixing
+    seg = load_segments(spark, seg_dir)
+    assert segmod._read_meta(seg_dir)["segments"] == ["seg=0", name]
+    assert seg.stats["n_total"] == a.count() + b.count()
+
+    # a successful merge reclaims the orphan
+    segmod.merge_segments(spark, seg_dir)
+    live = [d for d in os.listdir(seg_dir) if d.startswith("seg=")]
+    assert live == segmod._read_meta(seg_dir)["segments"]
+
+
 def test_streaming_queries_over_segments(spark, split_corpora,
                                          tmp_path_factory):
     """The streaming query front-end serves a segmented index through
