@@ -63,6 +63,16 @@ step (lib/writer.py:166-300): all generations minus tombstones are
 rewritten into ONE fresh segment through the ordinary build/write path
 (byte-deterministic, resumable), tombstone + correction state resets,
 and the termdict is recomputed exactly.
+
+Concurrency contract: maintenance operations (append / compact /
+merge) are SINGLE-WRITER — run one at a time (the deploy shape is a
+periodic tools/maintain_index_job.py run).  Readers are unrestricted:
+every commit is one atomic segments.json swap, so a concurrent
+load_segments / LocalSearcher always sees a consistent before-or-after
+state, and crashed writers leave only invisible orphans (see
+_reserve_name / compact_near_dups).  Two concurrent WRITERS are not
+safe: a compaction committing in the middle of a merge would be wiped
+by the merge's state reset.
 """
 
 from __future__ import annotations
