@@ -25,6 +25,16 @@ exactly: integer-token-sum avgdl, tombstone liveness (dropped from the
 doc-length table — the kernels' _dl_member mask does the rest),
 df_corrections subtracted from the termdict, and per-segment block-max
 rescaling by max(1, avgdl_serve/avgdl_build).
+
+Scale envelope (stated, not hidden): a replica holds the term
+dictionary and per-doc (length, qualities) arrays in RAM — ~40 B/doc
+and ~50 B/term, i.e. tens of GB per 10⁹ docs — the same residency
+model as the reference's seek-dict + docinfo load, which this tier
+re-expresses.  Posting blocks do NOT load up front (pyarrow fetch +
+LRU), so the block store can be arbitrarily large.  Beyond one
+replica's RAM, shard replicas by docid range (the index's bucket/
+segment layout already partitions cleanly) or route to the Spark batch
+tier, which has no single-process limit.
 """
 
 from __future__ import annotations

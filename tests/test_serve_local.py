@@ -213,3 +213,16 @@ def test_local_serving_over_compacted_segments(spark, split_corpora,
             ], (mode, qid)
             for (_, _, gs), (_, _, es) in zip(got, exp):
                 assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+
+    # physical merge: the replica refreshes onto the single merged
+    # generation and keeps answering identically
+    from searchengine_spark.index.segments import merge_segments
+
+    pre = {qid: local.topk(q, k=10) for qid, q in queries}
+    merge_segments(spark, seg_dir)
+    assert local.maybe_refresh() is True
+    for qid, q in queries:
+        got = local.topk(q, k=10)
+        assert [(r, d) for r, d, _ in got] == [
+            (r, d) for r, d, _ in pre[qid]
+        ], qid
