@@ -32,9 +32,9 @@ and ~50 B/term, i.e. tens of GB per 10⁹ docs — the same residency
 model as the reference's seek-dict + docinfo load, which this tier
 re-expresses.  Posting blocks do NOT load up front (pyarrow fetch +
 LRU), so the block store can be arbitrarily large.  Beyond one
-replica's RAM, shard replicas by docid range (the index's bucket/
-segment layout already partitions cleanly) or route to the Spark batch
-tier, which has no single-process limit.
+replica's RAM, ``ShardedSearcher`` (below) shards replicas by docid
+range — contiguous segment subsets — with global stats, losslessly;
+or route to the Spark batch tier, which has no single-process limit.
 """
 
 from __future__ import annotations
@@ -59,16 +59,26 @@ class LocalSearcher:
     :param stem: must match the analyzer the index was built with.
     :param cache_terms: per-term postings LRU capacity (the reference's
         LRU(256), lib/reader.py:229).
+    :param segments: serve only these segment subdir names (a docid-range
+        shard of a segmented index — generations carry contiguous dense
+        docid ranges, so a contiguous segment subset IS a docid range).
+        Corpus stats and the term dictionary stay GLOBAL (read from every
+        segment) so per-doc scores are identical to an unsharded replica;
+        only the per-doc state (lengths, qualities) and posting blocks —
+        the O(corpus) part of the RAM envelope — restrict to the subset.
+        ``ShardedSearcher`` composes these into a lossless router.
     """
 
     def __init__(self, index_dir: str, stem: bool = True,
-                 cache_terms: int = 256):
+                 cache_terms: int = 256,
+                 segments: list[str] | None = None):
         import pyarrow.dataset as pads
         import pyarrow.parquet as pq
 
         self.index_dir = index_dir
         self.stem = stem
         self._cache_terms = cache_terms
+        self._segments_subset = segments
         self._blocks_lru: OrderedDict[str, list] = OrderedDict()
 
         seg_meta_path = os.path.join(index_dir, "segments.json")
@@ -80,8 +90,19 @@ class LocalSearcher:
             n_tomb = int(meta.get("n_tombstones", 0))
             tomb_tokens = int(meta.get("tomb_tokens", 0))
         else:
+            if segments is not None:
+                raise ValueError(
+                    "segments= sharding needs a segmented index dir"
+                )
             seg_dirs = [index_dir]
             meta, n_tomb, tomb_tokens = {}, 0, 0
+        if segments is not None:
+            unknown = set(segments) - set(meta.get("segments", []))
+            if unknown:
+                raise ValueError(f"unknown segments: {sorted(unknown)}")
+            serve_dirs = [os.path.join(index_dir, s) for s in segments]
+        else:
+            serve_dirs = seg_dirs
         # tombstone/correction state is read ONLY from meta-listed
         # compaction generations — orphan dirs from a crashed
         # compaction are invisible (same rule as index/segments.py)
@@ -107,9 +128,11 @@ class LocalSearcher:
         )
 
         # ---- per-segment block datasets + avgdl-drift max_weight factor
+        # (served subset only; the factor still uses the GLOBAL avgdl)
+        stats_by_dir = dict(zip(seg_dirs, seg_stats))
         self._segments = []
-        for d, st in zip(seg_dirs, seg_stats):
-            build_avgdl = st["avgdl"] or 1.0
+        for d in serve_dirs:
+            build_avgdl = stats_by_dir[d]["avgdl"] or 1.0
             factor = max(1.0, self.avgdl / build_avgdl)
             dset = pads.dataset(
                 os.path.join(d, "postings"), format="parquet",
@@ -121,7 +144,7 @@ class LocalSearcher:
         qual_cols = ("pr_quality", "hub_quality", "auth_quality")
         ids_parts, len_parts = [], []
         qual_parts = {c: [] for c in qual_cols}
-        for d in seg_dirs:
+        for d in serve_dirs:
             t = pq.read_table(
                 os.path.join(d, "docs"),
                 columns=["docid", "total_tokens", *qual_cols],
@@ -134,9 +157,15 @@ class LocalSearcher:
                 qual_parts[c].append(
                     t.column(c).to_numpy().astype(np.float64)
                 )
-        dl_ids = np.concatenate(ids_parts)
-        dl_lens = np.concatenate(len_parts)
-        quals = {c: np.concatenate(qual_parts[c]) for c in qual_cols}
+        dl_ids = (np.concatenate(ids_parts) if ids_parts
+                  else np.empty(0, np.int64))
+        dl_lens = (np.concatenate(len_parts) if len_parts
+                   else np.empty(0, np.float64))
+        quals = {
+            c: (np.concatenate(qual_parts[c]) if qual_parts[c]
+                else np.empty(0, np.float64))
+            for c in qual_cols
+        }
         if n_tomb and tomb_gens:
             tombs = np.sort(
                 np.concatenate([
@@ -193,9 +222,12 @@ class LocalSearcher:
         """Re-read index state — call after append/compact/merge jobs
         commit (segments.json swap is atomic, so a refresh always sees
         a consistent generation list).  Termdict + doc lengths reload;
-        the decoded-block LRU resets."""
+        the decoded-block LRU resets.  A shard replica keeps its
+        segment subset — new generations are the router's job to
+        assign (ShardedSearcher.refresh re-partitions)."""
         self.__init__(self.index_dir, stem=self.stem,
-                      cache_terms=self._cache_terms)
+                      cache_terms=self._cache_terms,
+                      segments=self._segments_subset)
 
     def _commit_stamp(self):
         """(mtime_ns, size) of the commit point: segments.json for a
@@ -295,29 +327,32 @@ class LocalSearcher:
         and score-identical to scoring.score_queries_ondisk over the
         same index (asserted in tests), all numpy, per-query
         milliseconds.  Returns [(rank, docid, score)]."""
-        from ..params import (
-            AUTH_FACTOR,
-            BM25_B,
-            BM25_K1,
-            COSINE_FACTOR,
-            COSINE_GATE,
-            HUB_FACTOR,
-            NET_RELEVANCE_FACTOR,
-            PR_FACTOR,
-            QUALITY_FACTOR,
-            TFIDF_FACTOR,
-        )
+        return _blend_rank(*self._blended_candidates(text), k=k)
+
+    def _blended_candidates(self, text: str):
+        """Raw per-candidate blend components over THIS replica's docid
+        partition: ``(docids, bm25_sum, cosine, pr, hub, auth)`` float
+        arrays (empty when the planner aborts or no doc matches).
+
+        Normalization is deliberately NOT applied here: the blend's L2
+        norms span the query's WHOLE candidate set, so a sharded
+        deployment must pool candidates across replicas first
+        (``_blend_rank`` — see ShardedSearcher.blended_topk)."""
+        from ..params import BM25_B, BM25_K1
         from .scoring import plan_query_terms
 
+        empty = (np.empty(0, np.int64),) + tuple(
+            np.empty(0, np.float64) for _ in range(5)
+        )
         rows, meta = plan_query_terms(
             [(0, text)], lambda t: self._df.get(t, 0),
             self.n_survivors, stem=self.stem,
         )
         if not rows:
-            return []
+            return empty
         dl_ids, dl_lens = self._dl
         if dl_ids.size == 0:
-            return []
+            return empty
         nterms = meta[0]["nterms"]
         qnorm = meta[0]["qnorm"]
         k1, b = BM25_K1, BM25_B
@@ -326,7 +361,9 @@ class LocalSearcher:
         for _, term, qw, idf in rows:
             blocks = self._blocks_for(term)
             if not blocks:
-                return []  # df > 0 but no blocks: conjunctive miss
+                # df > 0 globally but no postings in THIS partition:
+                # conjunctive miss for every doc the replica serves
+                return empty
             ids = np.concatenate([bl[3][0] for bl in blocks])
             tfs = np.concatenate([bl[3][1] for bl in blocks])
             pos = np.minimum(
@@ -346,6 +383,8 @@ class LocalSearcher:
             sq_ch.append(bm * bm)
 
         ids_all = np.concatenate(id_ch)
+        if ids_all.size == 0:
+            return empty
         order = np.argsort(ids_all, kind="stable")
         ids_s = ids_all[order]
         starts = np.flatnonzero(
@@ -355,7 +394,7 @@ class LocalSearcher:
         # conjunctive: docs containing every planned term
         keep = counts == nterms
         if not keep.any():
-            return []
+            return empty
         docids = ids_s[starts][keep]
         bm25_sum = np.add.reduceat(
             np.concatenate(bm_ch)[order], starts
@@ -368,29 +407,146 @@ class LocalSearcher:
         pr = self._quals["pr_quality"][pos]
         hub = self._quals["hub_quality"][pos]
         auth = self._quals["auth_quality"][pos]
+        return (docids, bm25_sum, cosine, pr, hub, auth)
 
-        def safe(x, norm):
-            return x / norm if norm > 0 else np.zeros_like(x)
 
-        sum_norm = float(np.sqrt(np.sum(bm25_sum * bm25_sum)))
-        cos_norm = float(np.sqrt(np.sum(cosine * cosine)))
-        pr_norm = float(np.sqrt(np.sum(pr * pr)))
-        hub_norm = float(np.sqrt(np.sum(hub * hub)))
-        auth_norm = float(np.sqrt(np.sum(auth * auth)))
-        rel = np.where(
-            cosine > COSINE_GATE,
-            TFIDF_FACTOR * safe(bm25_sum, sum_norm)
-            + COSINE_FACTOR * safe(cosine, cos_norm),
-            0.0,
-        )
-        qual = (
-            PR_FACTOR * safe(pr, pr_norm)
-            + HUB_FACTOR * safe(hub, hub_norm)
-            + AUTH_FACTOR * safe(auth, auth_norm)
-        )
-        score = NET_RELEVANCE_FACTOR * rel + QUALITY_FACTOR * qual
-        top = np.lexsort((docids, -score))[:k]
-        return [
-            (r + 1, int(docids[i]), float(score[i]))
-            for r, i in enumerate(top)
+def _blend_rank(docids, bm25_sum, cosine, pr, hub, auth, k):
+    """Candidate-set normalization + quality blend + top-k — the
+    query-GLOBAL half of blended scoring (norms are L2 over the full
+    candidate set, so this runs once over pooled shard candidates).
+    Returns [(rank, docid, score)] tie-broken (score desc, docid asc),
+    matching scoring.score_queries_ondisk exactly."""
+    from ..params import (
+        AUTH_FACTOR,
+        COSINE_FACTOR,
+        COSINE_GATE,
+        HUB_FACTOR,
+        NET_RELEVANCE_FACTOR,
+        PR_FACTOR,
+        QUALITY_FACTOR,
+        TFIDF_FACTOR,
+    )
+
+    if docids.size == 0:
+        return []
+
+    def safe(x, norm):
+        return x / norm if norm > 0 else np.zeros_like(x)
+
+    sum_norm = float(np.sqrt(np.sum(bm25_sum * bm25_sum)))
+    cos_norm = float(np.sqrt(np.sum(cosine * cosine)))
+    pr_norm = float(np.sqrt(np.sum(pr * pr)))
+    hub_norm = float(np.sqrt(np.sum(hub * hub)))
+    auth_norm = float(np.sqrt(np.sum(auth * auth)))
+    rel = np.where(
+        cosine > COSINE_GATE,
+        TFIDF_FACTOR * safe(bm25_sum, sum_norm)
+        + COSINE_FACTOR * safe(cosine, cos_norm),
+        0.0,
+    )
+    qual = (
+        PR_FACTOR * safe(pr, pr_norm)
+        + HUB_FACTOR * safe(hub, hub_norm)
+        + AUTH_FACTOR * safe(auth, auth_norm)
+    )
+    score = NET_RELEVANCE_FACTOR * rel + QUALITY_FACTOR * qual
+    top = np.lexsort((docids, -score))[:k]
+    return [
+        (r + 1, int(docids[i]), float(score[i]))
+        for r, i in enumerate(top)
+    ]
+
+
+class ShardedSearcher:
+    """Docid-range-sharded serving over ONE segmented index dir — the
+    scale-out path past a single replica's RAM envelope (module
+    docstring): each shard is a LocalSearcher restricted to a
+    contiguous run of segments (generations carry contiguous dense
+    docid ranges, index/segments.append_segment), so per-doc state and
+    posting blocks split ~evenly while corpus stats and the term
+    dictionary stay global in every shard.
+
+    Losslessness: BM25/blended scores depend only on global stats
+    (n_survivors, avgdl, df) plus the doc's own length/qualities —
+    never on which shard a doc lives in — so per-shard answers are
+    exact.  WAND top-k merges by (score desc, docid asc): the global
+    top-k is a subset of the union of per-shard top-k's.  The blended
+    chain normalizes over the query's whole candidate set, so shards
+    return RAW candidates (_blended_candidates) and the router blends
+    once over the pool.  Both surfaces are rank-identical to an
+    unsharded LocalSearcher with scores equal to float round-off
+    (OR-mode picks its seed term from shard-local block maxima, which
+    can permute the per-term accumulation order — observed ≤1e-14,
+    within the repo-wide 1e-9 score tolerance; AND-mode accumulates
+    rarest-global-df-first in every shard, bit-identical).
+    Asserted in tests/test_serve_local.py.
+
+    In production each shard is its own replica process/host fed the
+    same parquet index off shared storage, and the router fans out
+    over RPC; here the shards are in-process objects — the state
+    partitioning, not the transport, is what this demonstrates.
+    """
+
+    def __init__(self, index_dir: str, n_shards: int, stem: bool = True,
+                 cache_terms: int = 256):
+        if n_shards < 1:
+            raise ValueError("n_shards must be >= 1")
+        self.index_dir = index_dir
+        self.stem = stem
+        self._cache_terms = cache_terms
+        self._n_shards_req = n_shards
+        self._build()
+
+    def _build(self) -> None:
+        with open(os.path.join(self.index_dir, "segments.json")) as f:
+            names = json.load(f)["segments"]
+        n = min(self._n_shards_req, len(names))
+        # contiguous runs = docid-range shards (append order is docid
+        # order); sizes differ by at most one segment
+        bounds = [round(i * len(names) / n) for i in range(n + 1)]
+        self.shards = [
+            LocalSearcher(self.index_dir, stem=self.stem,
+                          cache_terms=self._cache_terms,
+                          segments=names[bounds[i]:bounds[i + 1]])
+            for i in range(n)
         ]
+        self._loaded_stamp = self.shards[0]._loaded_stamp
+
+    @property
+    def n_survivors(self) -> int:
+        return self.shards[0].n_survivors  # global in every shard
+
+    def refresh(self) -> None:
+        """Reload and RE-PARTITION: segments committed since load (or
+        removed by merge) are reassigned across shards."""
+        self._build()
+
+    def maybe_refresh(self) -> bool:
+        stamp = self.shards[0]._commit_stamp()
+        if stamp == self._loaded_stamp:
+            return False
+        self.refresh()
+        return True
+
+    def topk(self, text: str, k: int = 10, mode: str = "and",
+             analyzer=None):
+        """Global [(rank, docid, score)] — merge of per-shard WAND
+        top-k's, identical to an unsharded replica's answer."""
+        cands = []
+        for sh in self.shards:
+            cands.extend(
+                (s, d) for _, d, s in sh.topk(text, k=k, mode=mode,
+                                              analyzer=analyzer)
+            )
+        cands.sort(key=lambda sd: (-sd[0], sd[1]))
+        return [(r + 1, d, s) for r, (s, d) in enumerate(cands[:k])]
+
+    def blended_topk(self, text: str, k: int = 10):
+        """Global blended top-k: pool every shard's raw candidates,
+        then normalize + blend ONCE (the norms are candidate-set-wide,
+        so blending per shard and merging would be wrong)."""
+        parts = [sh._blended_candidates(text) for sh in self.shards]
+        pooled = tuple(
+            np.concatenate([p[i] for p in parts]) for i in range(6)
+        )
+        return _blend_rank(*pooled, k=k)

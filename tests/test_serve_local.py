@@ -226,3 +226,97 @@ def test_local_serving_over_compacted_segments(spark, split_corpora,
         assert [(r, d) for r, d, _ in got] == [
             (r, d) for r, d, _ in pre[qid]
         ], qid
+
+
+def test_sharded_serving_equals_unsharded(spark, tmp_path_factory):
+    """Docid-range sharding must be invisible to callers: a
+    ShardedSearcher over a 3-generation dir (with tombstones from
+    compaction) answers rank- AND score-identically to one unsharded
+    LocalSearcher on both WAND modes and the blended chain — including
+    after a physical merge collapses the generations under it."""
+    from searchengine_spark.corpus import synth_corpus
+    from searchengine_spark.index import build_tables
+    from searchengine_spark.index.segments import (
+        append_segment,
+        compact_near_dups,
+        init_segmented,
+        merge_segments,
+    )
+    from searchengine_spark.query.serve_local import ShardedSearcher
+
+    rows = sorted(
+        synth_corpus(210), key=lambda r: (r["repo"], r["path"], r["commit"])
+    )
+    thirds = [rows[:70], rows[70:140], rows[140:]]
+    seg_dir = str(tmp_path_factory.mktemp("sharded") / "idx")
+    init_segmented(
+        spark,
+        build_tables(spark, spark.createDataFrame(thirds[0]),
+                     compute_quality=False, simhash_bits=32),
+        seg_dir,
+    )
+    for part in thirds[1:]:
+        append_segment(
+            spark, seg_dir, spark.createDataFrame(part),
+            compute_quality=False, simhash_bits=32,
+        )
+    # a near-dup twin of an early doc lands in the LAST generation so
+    # compaction tombstones across the shard boundary
+    src = rows[0]
+    twin = spark.createDataFrame(
+        [("zz-shard-twin", src["path"], src["commit"], src["lang"],
+          src["content"] + " zzshardextra")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    append_segment(spark, seg_dir, twin, compute_quality=False,
+                   simhash_bits=32)
+    assert compact_near_dups(spark, seg_dir, bits=32) >= 1
+
+    whole = LocalSearcher(seg_dir, stem=True)
+    for n_shards in (2, 3, 8):  # 8 > n_segments: clamps, stays exact
+        router = ShardedSearcher(seg_dir, n_shards=n_shards, stem=True)
+        assert router.n_survivors == whole.n_survivors
+        assert len(router.shards) <= 4
+        # every segment served exactly once
+        served = [
+            s for sh in router.shards for s in sh._segments_subset
+        ]
+        assert len(served) == len(set(served)) == 4
+        n_nonempty = 0
+        for qid, q in QUERIES:
+            for mode in ("and", "or"):
+                exp = whole.topk(q, k=10, mode=mode)
+                got = router.topk(q, k=10, mode=mode)
+                assert [(r, d) for r, d, _ in got] == [
+                    (r, d) for r, d, _ in exp
+                ], (n_shards, mode, qid)
+                for (_, _, gs), (_, _, es) in zip(got, exp):
+                    assert math.isclose(gs, es, rel_tol=1e-9,
+                                        abs_tol=1e-12)
+                n_nonempty += bool(got)
+            exp_b = whole.blended_topk(q, k=10)
+            got_b = router.blended_topk(q, k=10)
+            assert [(r, d) for r, d, _ in got_b] == [
+                (r, d) for r, d, _ in exp_b
+            ], (n_shards, qid)
+            for (_, _, gs), (_, _, es) in zip(got_b, exp_b):
+                assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+        assert n_nonempty > len(QUERIES) // 2
+
+    # physical merge under a live router: refresh re-partitions onto
+    # the single merged generation, answers unchanged
+    router = ShardedSearcher(seg_dir, n_shards=2, stem=True)
+    pre = {qid: router.topk(q, k=10) for qid, q in QUERIES}
+    merge_segments(spark, seg_dir)
+    assert router.maybe_refresh() is True
+    assert len(router.shards) == 1
+    for qid, q in QUERIES:
+        assert [
+            (r, d) for r, d, _ in router.topk(q, k=10)
+        ] == [(r, d) for r, d, _ in pre[qid]], qid
+    assert router.maybe_refresh() is False
+
+
+def test_shard_param_validation(index_dir):
+    with pytest.raises(ValueError):
+        LocalSearcher(index_dir, segments=["g0"])  # not a segmented dir
