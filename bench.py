@@ -58,8 +58,11 @@ def _sf_label(sf_dir):
 BENCH_CONFIG = {
     "simhash_bits": 64,
     "id_order": "hash",
+    "io_codec": "zstd",
     "note": "scale path (64-bit banded simhash, samplerless hash ids); "
-            "pinned since round 2",
+            "pinned since round 2; round 3 switched shuffle compression "
+            "lz4->zstd and narrowed the exact-dedup shuffle (same "
+            "workload, faster walls)",
 }
 
 

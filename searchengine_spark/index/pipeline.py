@@ -30,7 +30,11 @@ from ..params import (
     SIMHASH_BITS,
     SIMHASH_HAMMING,
 )
-from ..text.udfs import POSTINGS_SCHEMA, make_simhash_partition
+from ..text.udfs import (
+    POSTINGS_SCHEMA,
+    SIMHASH_SCHEMA,
+    make_simhash_partition,
+)
 
 CORPUS_KEY = ["repo", "path", "commit"]
 
@@ -40,7 +44,7 @@ IMPORT_PATTERN = r"(?m)^import\s+(\S+):(\S+)\s*$"
 @dataclass
 class IndexTables:
     ids: DataFrame = None        # (docid, repo, path, commit, lang) — ALL
-    survivors: DataFrame = None  # (docid, repo, path, commit, lang, content)
+    survivors: DataFrame = None  # (docid, repo, path, commit, lang, content, sha256)
     postings: DataFrame = None   # (docid, term, tf, positions, important)
     docs: DataFrame = None       # (docid, url, total_tokens, qualities)
     termdict: DataFrame = None   # (term, df, cf)
@@ -113,17 +117,28 @@ def assign_docids(
 
 def _dedup_exact(ids: DataFrame) -> DataFrame:
     """sha256 exact dedup, keep lowest docid (input_hint invariant replaces
-    the reference's CRC32+length hash, lib/duphash.py:80-92)."""
+    the reference's CRC32+length hash, lib/duphash.py:80-92).
+
+    The min-per-sha window runs over a (docid, sha256) projection — the
+    full-content rows never shuffle on sha256 (content is the dominant
+    byte-width in the corpus, and shuffle bandwidth is the build's
+    scaling ceiling).  The drop-set anti-join runs on docid: at typical
+    dup rates AQE broadcasts it (no content shuffle at all); in the
+    worst case it degrades to the one full-row shuffle the old
+    window-over-content plan always paid.
+    """
+    hashed = ids.withColumn("sha256", F.sha2(F.col("content"), 256))
     w = Window.partitionBy("sha256").orderBy("docid")
-    return (
-        ids.withColumn("sha256", F.sha2(F.col("content"), 256))
+    dropped = (
+        hashed.select("docid", "sha256")
         .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
+        .filter(F.col("_rk") > 1)
+        .select("docid")
     )
+    return hashed.join(dropped, "docid", "left_anti")
 
 
-def _dedup_simhash(alive: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+def _dedup_simhash(alive: DataFrame, bits: int = SIMHASH_BITS):
     """Near-dup removal: simhash, Hamming<=3 (lib/duphash.py:97-141),
     exhaustive banded self-join with the deterministic local-min rule
     (keep a doc iff no similar doc has a smaller docid) — replaces the
@@ -134,20 +149,22 @@ def _dedup_simhash(alive: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     the LSH key space is 65536 per band instead of 256 (the 32-bit band
     join degrades to O(n²/256) on large corpora, text/simhash.py).
 
-    Survivors keep their ``fingerprint`` column — stored in the docs
-    table so cross-segment compaction (index/segments.py) can re-run
-    the band join across generations without re-reading content.
+    Returns ``(survivors, fps)``.  The fingerprint pass emits ONLY
+    (docid, fingerprint) — 16 B/doc, persisted — so content crosses the
+    Arrow pipe once and is never round-tripped back out of Python; a
+    content-passthrough pass would also sit on both sides of the
+    anti-join below and run the whole tokenize+hash twice (no common
+    subplan reuse across join sides).  ``fps`` is joined to the NARROW
+    docs projection at build_tables (stored for cross-segment
+    compaction, index/segments.py) — never to content-width rows.
     """
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    fps_full = alive.mapInPandas(
-        make_simhash_partition(bits, passthrough=True),
-        schema=StructType(
-            alive.schema.fields + [StructField("fingerprint", LongType())]
-        ),
+    fps = (
+        alive.select("docid", "content")
+        .mapInPandas(make_simhash_partition(bits), schema=SIMHASH_SCHEMA)
+        .persist()
     )
-    fps = fps_full.select("docid", "fingerprint")
-    return fps_full.join(simhash_dropped(fps, bits), "docid", "left_anti")
+    survivors = alive.join(simhash_dropped(fps, bits), "docid", "left_anti")
+    return survivors, fps
 
 
 def simhash_dropped(fps: DataFrame, bits: int) -> DataFrame:
@@ -247,11 +264,11 @@ def build_tables(
             known_sha.select("sha256"), "sha256", "left_anti"
         )
     if near_dup:
-        survivors = _dedup_simhash(alive, bits=simhash_bits).persist()
+        survivors, fps = _dedup_simhash(alive, bits=simhash_bits)
+        survivors = survivors.persist()
     else:
-        survivors = alive.withColumn(
-            "fingerprint", F.lit(None).cast("long")
-        ).persist()
+        survivors = alive.persist()
+        fps = None
 
     from ..text.udfs import make_analyze_partition_arrow
 
@@ -276,16 +293,22 @@ def build_tables(
     )
 
     doc_lengths = postings_full.select("docid", "total_tokens").distinct()
+    docs = survivors.select(
+        "docid",
+        F.concat_ws(
+            "", F.col("repo"), F.lit("/"), F.col("path"),
+            F.lit("@"), F.col("commit"),
+        ).alias("url"),
+        "repo", "path", "commit", "sha256",
+    )
+    # fingerprint joins onto the NARROW docs projection (16 B/doc), never
+    # onto content-width rows — stored for cross-segment compaction
+    if fps is not None:
+        docs = docs.join(fps, "docid", "left")
+    else:
+        docs = docs.withColumn("fingerprint", F.lit(None).cast("long"))
     docs = (
-        survivors.select(
-            "docid",
-            F.concat_ws(
-                "", F.col("repo"), F.lit("/"), F.col("path"),
-                F.lit("@"), F.col("commit"),
-            ).alias("url"),
-            "repo", "path", "commit", "sha256", "fingerprint",
-        )
-        .join(doc_lengths, "docid", "left")
+        docs.join(doc_lengths, "docid", "left")
         .withColumn("total_tokens", F.coalesce("total_tokens", F.lit(0)))
         .withColumn("pr_quality", F.lit(1.0))
         .withColumn("hub_quality", F.lit(1.0))

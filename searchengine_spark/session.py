@@ -24,6 +24,12 @@ def get_spark(app="searchengine-spark", master=None, shuffle_partitions=None):
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # zstd shuffle/spill compression: ~2x fewer shuffle bytes than
+        # lz4 for the CPU the extra compression costs — measured 19-29%
+        # faster whole-build at both 4 and 16 cores here (BASELINE.md
+        # round 3); at cluster scale the saved bytes are network, the
+        # scarcest resource
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

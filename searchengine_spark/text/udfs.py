@@ -176,7 +176,7 @@ def make_analyze_partition_arrow(stem=True, importance_fn=None):
     return analyze_partition_arrow
 
 
-def make_simhash_partition(bits=32, passthrough=False):
+def make_simhash_partition(bits=32):
     """mapInPandas factory: (docid, content) → simhash fingerprints.
 
     Fingerprint is over UNSTEMMED token counts, matching the reference's
@@ -186,11 +186,10 @@ def make_simhash_partition(bits=32, passthrough=False):
     (two's complement) — band extraction uses shiftrightunsigned, so the
     sign does not matter.
 
-    ``passthrough=True`` echoes every input column and APPENDS
-    ``fingerprint`` — lets the dedup stage keep content+fingerprint
-    together without a docid shuffle join back (content flows through
-    the Python worker either way; an Arrow copy out beats a full-width
-    shuffle).
+    Output is ONLY (docid, fingerprint): content crosses the Arrow pipe
+    into the Python worker once and is never copied back out — the
+    consumer (index/pipeline._dedup_simhash) persists the 16 B/doc
+    result and joins it where needed.
     """
     from collections import Counter
 
@@ -225,15 +224,10 @@ def make_simhash_partition(bits=32, passthrough=False):
                     fp -= 1 << 64
                 docids.append(docid)
                 fps.append(fp)
-            if passthrough:
-                out = pdf.copy()
-                out["fingerprint"] = pd.array(fps, dtype="int64")
-                yield out
-            else:
-                yield pd.DataFrame(
-                    {"docid": docids,
-                     "fingerprint": pd.array(fps, dtype="int64")}
-                )
+            yield pd.DataFrame(
+                {"docid": docids,
+                 "fingerprint": pd.array(fps, dtype="int64")}
+            )
 
     return simhash_partition
 

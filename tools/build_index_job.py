@@ -52,6 +52,9 @@ def main():
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # measured 19-29% faster whole-build vs lz4 (shuffle bytes are
+        # the build's bandwidth ceiling; see session.py)
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
     )
     if args.shuffle_partitions:
