@@ -195,12 +195,25 @@ def _run_leg(spark):
                 searcher.blended_topk(q, k=10)
                 blat.append((time.perf_counter() - t1) * 1000)
         blat.sort()
+        # positions-consuming surface (phrase slot-alignment over the
+        # same term pairs; cost is fetch+decode+intersect whether or
+        # not the pair occurs adjacently)
+        for _, q in qs100:  # warm the positions LRU
+            searcher.phrase_topk(q, k=10, analyzer=ident)
+        plat = []
+        for _, q in qs100:
+            t1 = time.perf_counter()
+            searcher.phrase_topk(q, k=10, analyzer=ident)
+            plat.append((time.perf_counter() - t1) * 1000)
+        plat.sort()
         result["latency"] = {
             "local_load_sec": round(load_sec, 3),
             "single_query_ms_p50": round(statistics.median(lat), 2),
             "single_query_ms_p95": round(lat[int(len(lat) * 0.95)], 2),
             "blended_ms_p50": round(statistics.median(blat), 2),
             "blended_ms_p95": round(blat[int(len(blat) * 0.95)], 2),
+            "phrase_ms_p50": round(statistics.median(plat), 2),
+            "phrase_ms_p95": round(plat[int(len(plat) * 0.95)], 2),
         }
 
         result["value"] = round(total, 3)

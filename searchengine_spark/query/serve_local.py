@@ -20,6 +20,13 @@ reads), block payloads fetched per query with bucket-directory pruning
 (pure-Python Spark-compatible xxhash64) + parquet row-group min/max
 pruning on ``term``, behind a per-term LRU.
 
+Beyond WAND/blended top-k, the stored-positions surfaces are served
+here too: ``phrase_topk`` (exact phrase, the semantics of
+ops/textops.phrase_match_indexed) and ``proximity_topk`` (BM25 +
+1/(1+min_distance), the semantics of ops/textops.proximity_topk) —
+so every index-backed query shape the Spark tier answers is also a
+millisecond local call.
+
 Segmented dirs reproduce index/segments.load_segments' serving state
 exactly: integer-token-sum avgdl, tombstone liveness (dropped from the
 doc-length table — the kernels' _dl_member mask does the rest),
@@ -80,6 +87,7 @@ class LocalSearcher:
         self._cache_terms = cache_terms
         self._segments_subset = segments
         self._blocks_lru: OrderedDict[str, list] = OrderedDict()
+        self._pos_lru: OrderedDict[str, tuple] = OrderedDict()
 
         seg_meta_path = os.path.join(index_dir, "segments.json")
         if os.path.exists(seg_meta_path):
@@ -289,6 +297,69 @@ class LocalSearcher:
             self._blocks_lru.popitem(last=False)
         return out
 
+    def _postings_for(self, term: str):
+        """(docids, tfs, pos_offsets, flat_positions) for one term across
+        the served segments, docid-ascending and tombstone-masked —
+        positions of docid j are ``flat[off[j]:off[j+1]]``.
+
+        The positions-consuming twin of _blocks_for, behind its own LRU:
+        the WAND hot path decodes ``want_positions=False`` and must not
+        pay the position section, while phrase/proximity need exactly
+        that section (the payload layout stores it last so either
+        decode is one pass, index/varbyte.py)."""
+        import pyarrow.dataset as pads
+
+        from ..index.varbyte import decode_block_np
+
+        hit = self._pos_lru.get(term)
+        if hit is not None:
+            self._pos_lru.move_to_end(term)
+            return hit
+        bucket = term_bucket(term, self._n_buckets)
+        parts = []
+        for dset, _factor in self._segments:
+            t = dset.to_table(
+                filter=(pads.field("bucket") == bucket)
+                & (pads.field("term") == term),
+                columns=["docid_first", "payload"],
+            )
+            for d1, payload in zip(
+                t.column("docid_first").to_pylist(),
+                t.column("payload").to_pylist(),
+            ):
+                ids, tfs, npos, flat = decode_block_np(
+                    payload, want_positions=True
+                )
+                parts.append((d1, ids, tfs, npos, flat))
+        # segment docid ranges are disjoint and blocks are docid-sorted
+        # within a segment, so sorting by first docid restores the
+        # global ascending order
+        parts.sort(key=lambda p: p[0])
+        if parts:
+            ids = np.concatenate([p[1] for p in parts])
+            tfs = np.concatenate([p[2] for p in parts])
+            npos = np.concatenate([p[3] for p in parts])
+            flat = np.concatenate([p[4] for p in parts])
+        else:
+            ids = tfs = npos = flat = np.empty(0, np.int64)
+        # liveness: compacted dirs keep tombstoned docids physically in
+        # blocks until merge (same rule as the WAND kernels' _dl_member)
+        dl_ids = self._dl[0]
+        if ids.size and dl_ids.size:
+            at = np.minimum(np.searchsorted(dl_ids, ids), dl_ids.size - 1)
+            live = dl_ids[at] == ids
+            if not live.all():
+                flat = flat[np.repeat(live, npos)]
+                ids, tfs, npos = ids[live], tfs[live], npos[live]
+        elif ids.size:
+            ids = tfs = npos = flat = np.empty(0, np.int64)
+        off = np.concatenate([np.zeros(1, np.int64), np.cumsum(npos)])
+        result = (ids, tfs, off, flat)
+        self._pos_lru[term] = result
+        if len(self._pos_lru) > self._cache_terms:
+            self._pos_lru.popitem(last=False)
+        return result
+
     # -- queries ----------------------------------------------------------
 
     def topk(self, text: str, k: int = 10, mode: str = "and",
@@ -328,6 +399,121 @@ class LocalSearcher:
         same index (asserted in tests), all numpy, per-query
         milliseconds.  Returns [(rank, docid, score)]."""
         return _blend_rank(*self._blended_candidates(text), k=k)
+
+    def phrase_topk(self, phrase, k: int = 20, analyzer=None):
+        """Exact-phrase search from the index's stored positions —
+        same semantics as ops/textops.phrase_match_indexed: a doc
+        matches where the phrase's terms appear at consecutive
+        positions; returns [(doc_id, n_occurrences)] ordered
+        occurrences desc, doc_id asc.
+
+        ``phrase`` is a string or token sequence; it runs through the
+        index's analyzer (stemming maps tokens 1:1, so consecutive
+        positions are preserved).  ``analyzer`` overrides it (text →
+        ordered term list), same contract as topk's.  Matching is
+        slot-alignment on (docid, pos − i) keys — the same equi-join
+        the Spark op expresses, here as sorted-array intersections."""
+        from ..text.analyze import analyze
+
+        text = phrase if isinstance(phrase, str) else " ".join(phrase)
+        terms = (analyzer(text) if analyzer is not None
+                 else analyze(text, stem=self.stem))
+        if not terms:
+            return []
+        slots = []
+        max_base = 0
+        for i, t in enumerate(terms):
+            ids, _tfs, off, flat = self._postings_for(t)
+            if flat.size == 0:
+                return []
+            doc_rep = np.repeat(ids, np.diff(off))
+            base = flat - i
+            good = base >= 1  # a phrase starts at position >= 1
+            doc_rep, base = doc_rep[good], base[good]
+            if doc_rep.size == 0:
+                return []
+            slots.append((doc_rep, base))
+            max_base = max(max_base, int(base.max()))
+        # composite (docid, base) key: base ∈ [1, M) keeps keys
+        # collision-free; docid*M stays far inside int64 for any real
+        # docid (M ≈ max doc length)
+        m = max_base + 1
+        cur = slots[0][0] * m + slots[0][1]
+        for doc_rep, base in slots[1:]:
+            cur = np.intersect1d(cur, doc_rep * m + base,
+                                 assume_unique=True)
+            if cur.size == 0:
+                return []
+        docs, counts = np.unique(cur // m, return_counts=True)
+        top = np.lexsort((docs, -counts))[:k]
+        return [(int(docs[i]), int(counts[i])) for i in top]
+
+    def proximity_topk(self, terms, k: int = 10, analyzer=None):
+        """Proximity-boosted conjunctive ranking from stored positions —
+        same semantics as ops/textops.proximity_topk: BM25 over docs
+        containing BOTH terms plus a 1/(1+min_distance) boost; returns
+        [(doc_id, min_dist, score)] ordered score desc, doc_id asc.
+        ``analyzer`` (text → term list) overrides the index analyzer.
+        The min distance per doc is the same O(tf_a+tf_b) searchsorted
+        merge scan as the Spark kernel (min_pair_distance_udf)."""
+        from ..params import BM25_B, BM25_K1
+        from ..text.analyze import analyze
+
+        analyzed = [
+            analyzer(str(t)) if analyzer is not None
+            else analyze(str(t), stem=self.stem)
+            for t in terms
+        ]
+        if len(analyzed) != 2 or any(len(a) != 1 for a in analyzed):
+            raise ValueError(
+                "proximity_topk takes two terms, one token each"
+            )
+        ta, tb = analyzed[0][0], analyzed[1][0]
+        if ta == tb:
+            raise ValueError(
+                "proximity_topk ranks the closest pair of two DISTINCT terms"
+            )
+        if ta not in self._df or tb not in self._df:
+            return []
+        a_ids, a_tfs, a_off, a_flat = self._postings_for(ta)
+        b_ids, b_tfs, b_off, b_flat = self._postings_for(tb)
+        common, ia, ib = np.intersect1d(
+            a_ids, b_ids, assume_unique=True, return_indices=True
+        )
+        if common.size == 0:
+            return []
+        big = np.iinfo(np.int64).max
+        mind = np.empty(common.size, dtype=np.int64)
+        for j in range(common.size):
+            x = a_flat[a_off[ia[j]]:a_off[ia[j] + 1]]
+            y = b_flat[b_off[ib[j]]:b_off[ib[j] + 1]]
+            at = np.searchsorted(x, y)
+            best = big
+            left = at > 0
+            if left.any():
+                best = min(best, int(np.min(y[left] - x[at[left] - 1])))
+            right = at < x.size
+            if right.any():
+                best = min(best, int(np.min(x[at[right]] - y[right])))
+            mind[j] = best
+        dl_ids, dl_lens = self._dl
+        dl = dl_lens[np.searchsorted(dl_ids, common)]  # common ⊂ docs
+        k1, b = BM25_K1, BM25_B
+        denom = k1 * (1.0 - b + b * dl / self.avgdl)
+
+        def w8(tfs):
+            tff = tfs.astype(np.float64)
+            return tff * (k1 + 1.0) / (tff + denom)
+
+        score = (
+            bm25_idf(self.n_survivors, self._df[ta]) * w8(a_tfs[ia])
+            + bm25_idf(self.n_survivors, self._df[tb]) * w8(b_tfs[ib])
+            + 1.0 / (1.0 + mind)
+        )
+        top = np.lexsort((common, -score))[:k]
+        return [
+            (int(common[i]), int(mind[i]), float(score[i])) for i in top
+        ]
 
     def _blended_candidates(self, text: str):
         """Raw per-candidate blend components over THIS replica's docid
@@ -550,3 +736,24 @@ class ShardedSearcher:
             np.concatenate([p[i] for p in parts]) for i in range(6)
         )
         return _blend_rank(*pooled, k=k)
+
+    def phrase_topk(self, phrase, k: int = 20, analyzer=None):
+        """Global phrase top-k: every doc lives in exactly one shard
+        and its occurrence count is shard-local, so merging per-shard
+        answers by (count desc, docid asc) is exact."""
+        cands = []
+        for sh in self.shards:
+            cands.extend(sh.phrase_topk(phrase, k=k, analyzer=analyzer))
+        cands.sort(key=lambda dc: (-dc[1], dc[0]))
+        return cands[:k]
+
+    def proximity_topk(self, terms, k: int = 10, analyzer=None):
+        """Global proximity top-k: scores depend only on global stats
+        (n_survivors, avgdl, df — identical in every shard) plus the
+        doc's own postings, so the merge by (score desc, docid asc) is
+        exact."""
+        cands = []
+        for sh in self.shards:
+            cands.extend(sh.proximity_topk(terms, k=k, analyzer=analyzer))
+        cands.sort(key=lambda t: (-t[2], t[0]))
+        return cands[:k]

@@ -127,6 +127,120 @@ def test_local_blended_equals_ondisk_scorer(spark, index_dir, searcher):
     assert n_nonempty > len(queries) // 2
 
 
+def _pos_term_map(oracle):
+    """docid -> {position: term} inverted from the oracle postings —
+    lets tests pick phrases guaranteed to occur in the corpus."""
+    pm = {}
+    for t, m in oracle.postings.items():
+        for d, (_tf, poss) in m.items():
+            for p in poss:
+                pm.setdefault(d, {})[p] = t
+    return pm
+
+
+def _oracle_phrase(oracle, terms, k=50):
+    """Pure-Python expected phrase result: (docid, n_occurrences),
+    occurrences desc / docid asc — independent recomputation of
+    ops/textops.phrase_match_indexed's join semantics."""
+    posts = [oracle.postings.get(t) for t in terms]
+    if any(p is None for p in posts):
+        return []
+    cand = set(posts[0])
+    for p in posts[1:]:
+        cand &= set(p)
+    out = []
+    for d in cand:
+        sets = [set(p[d][1]) for p in posts]
+        n = sum(
+            1 for p0 in posts[0][d][1]
+            if all(p0 + i in sets[i] for i in range(1, len(terms)))
+        )
+        if n:
+            out.append((d, n))
+    out.sort(key=lambda dn: (-dn[1], dn[0]))
+    return out[:k]
+
+
+def _oracle_proximity(oracle, ta, tb, k=10):
+    """Pure-Python expected proximity ranking (all-pairs min distance —
+    fine at test scale; the engine's merge scan must agree)."""
+    from searchengine_spark.params import BM25_B, BM25_K1
+    from searchengine_spark.query.wand import bm25_idf
+
+    pa = oracle.postings.get(ta, {})
+    pb = oracle.postings.get(tb, {})
+    out = []
+    for d in set(pa) & set(pb):
+        tfa, posa = pa[d]
+        tfb, posb = pb[d]
+        mind = min(abs(x - y) for x in posa for y in posb)
+        dl = oracle.docs[d]["total_tokens"]
+
+        def w(tf):
+            return tf * (BM25_K1 + 1.0) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / oracle.avgdl)
+            )
+
+        score = (
+            bm25_idf(oracle.n_survivors, len(pa)) * w(tfa)
+            + bm25_idf(oracle.n_survivors, len(pb)) * w(tfb)
+            + 1.0 / (1.0 + mind)
+        )
+        out.append((d, mind, score))
+    out.sort(key=lambda t: (-t[2], t[0]))
+    return out[:k]
+
+
+def _ident(s):
+    return s.split()
+
+
+def test_local_phrase_matches_oracle(searcher, oracle):
+    """phrase_topk must reproduce the indexed-phrase-join semantics —
+    expected computed independently from the oracle's postings (terms
+    fed pre-analyzed, so the test controls the term space exactly)."""
+    pm = _pos_term_map(oracle)
+    d = next(d for d in sorted(pm) if {1, 2, 3} <= set(pm[d]))
+    two = [pm[d][1], pm[d][2]]
+    three = [pm[d][1], pm[d][2], pm[d][3]]
+    for phrase in (two, three):
+        exp = _oracle_phrase(oracle, phrase)
+        assert exp, phrase  # self-selected phrases must occur
+        assert searcher.phrase_topk(phrase, k=50, analyzer=_ident) == exp
+    # single-term phrase: every occurrence matches (count == tf)
+    assert (
+        searcher.phrase_topk([two[0]], k=50, analyzer=_ident)
+        == _oracle_phrase(oracle, [two[0]])
+    )
+    # unknown term / empty phrase
+    assert searcher.phrase_topk(["zzznope", two[0]], analyzer=_ident) == []
+    assert searcher.phrase_topk("", analyzer=_ident) == []
+
+
+def test_local_proximity_matches_oracle(searcher, oracle):
+    """proximity_topk must reproduce the Spark op's ranking: BM25 pair
+    + 1/(1+min_distance), min distance from the stored positions."""
+    pm = _pos_term_map(oracle)
+    ta = tb = None
+    for d in sorted(pm):
+        at = pm[d]
+        if 1 in at and 2 in at and at[1] != at[2]:
+            ta, tb = at[1], at[2]
+            break
+    assert ta is not None
+    exp = _oracle_proximity(oracle, ta, tb, k=10)
+    assert exp
+    got = searcher.proximity_topk([ta, tb], k=10, analyzer=_ident)
+    assert [(d, m) for d, m, _ in got] == [(d, m) for d, m, _ in exp]
+    for (_, _, gs), (_, _, es) in zip(got, exp):
+        assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+    assert searcher.proximity_topk(["zzznope", ta], analyzer=_ident) == []
+    with pytest.raises(ValueError):
+        searcher.proximity_topk([ta, ta], analyzer=_ident)
+    with pytest.raises(ValueError):
+        searcher.proximity_topk([ta], analyzer=_ident)
+
+
 def test_local_searcher_refresh_on_append(spark, split_corpora,
                                           tmp_path_factory):
     """A serving replica must pick up committed appends: maybe_refresh
@@ -214,11 +328,23 @@ def test_local_serving_over_compacted_segments(spark, split_corpora,
             for (_, _, gs), (_, _, es) in zip(got, exp):
                 assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
 
+    # positions surfaces respect tombstone liveness: the token pair
+    # unique to the tombstoned twin must not match as a phrase or a
+    # proximity pair (blocks still physically contain its postings
+    # until merge), while surviving content still answers
+    from searchengine_spark.text.tokenizer import tokenize
+
+    assert local.phrase_topk("zzextra zzmore") == []
+    assert local.proximity_topk(["zzextra", "zzmore"]) == []
+    live_phrase = " ".join(tokenize(src["content"])[:2])
+    assert local.phrase_topk(live_phrase, k=50)
+
     # physical merge: the replica refreshes onto the single merged
     # generation and keeps answering identically
     from searchengine_spark.index.segments import merge_segments
 
     pre = {qid: local.topk(q, k=10) for qid, q in queries}
+    pre_phrase = local.phrase_topk(live_phrase, k=50)
     merge_segments(spark, seg_dir)
     assert local.maybe_refresh() is True
     for qid, q in queries:
@@ -226,6 +352,10 @@ def test_local_serving_over_compacted_segments(spark, split_corpora,
         assert [(r, d) for r, d, _ in got] == [
             (r, d) for r, d, _ in pre[qid]
         ], qid
+    # merged dir (postings physically rewritten): phrase answers
+    # unchanged, tombstoned pair still gone
+    assert local.phrase_topk(live_phrase, k=50) == pre_phrase
+    assert local.phrase_topk("zzextra zzmore") == []
 
 
 def test_sharded_serving_equals_unsharded(spark, tmp_path_factory):
@@ -302,6 +432,31 @@ def test_sharded_serving_equals_unsharded(spark, tmp_path_factory):
             for (_, _, gs), (_, _, es) in zip(got_b, exp_b):
                 assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
         assert n_nonempty > len(QUERIES) // 2
+
+        # positions surfaces shard-merge exactly too (each doc answers
+        # from exactly one shard; stats are global in every shard)
+        from searchengine_spark.text.analyze import analyze
+        from searchengine_spark.text.tokenizer import tokenize
+
+        toks = tokenize(rows[3]["content"])
+        phrase_probe = " ".join(toks[:2])
+        exp_ph = whole.phrase_topk(phrase_probe, k=20)
+        assert exp_ph  # probe must actually occur
+        assert router.phrase_topk(phrase_probe, k=20) == exp_ph
+        # pick a second token that stays distinct after stemming
+        stem0 = analyze(toks[0])[0]
+        prox_probe = [
+            toks[0],
+            next(t for t in toks if analyze(t)[0] != stem0),
+        ]
+        exp_px = whole.proximity_topk(prox_probe, k=10)
+        assert exp_px
+        got_px = router.proximity_topk(prox_probe, k=10)
+        assert [(d, m) for d, m, _ in got_px] == [
+            (d, m) for d, m, _ in exp_px
+        ], n_shards
+        for (_, _, gs), (_, _, es) in zip(got_px, exp_px):
+            assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
 
     # physical merge under a live router: refresh re-partitions onto
     # the single merged generation, answers unchanged
