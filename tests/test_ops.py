@@ -305,6 +305,58 @@ def test_streaming_incremental_ingest(spark, tmp_path):
     assert got["r2"] == hashlib.sha256(rows2[0][-1].encode()).hexdigest()
 
 
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): first arrival
+    of a content sha survives; same-batch dups lose by (repo, path,
+    commit) order; cross-batch dups are suppressed by checkpointed
+    state even though the second run is a fresh availableNow query."""
+    import hashlib
+
+    from searchengine_spark.streaming.dedup import run_dedup_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+
+    rows1 = [
+        ("r9", "z.py", "c9", "python", "alpha beta gamma"),  # loses: key
+        ("r1", "a.py", "c1", "python", "alpha beta gamma"),  # wins
+        ("r1", "b.py", "c2", "python", "unique text one"),
+    ]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_dedup_stream(spark, in_dir, out_dir, ckpt)
+    got1 = {
+        (r["repo"], r["path"]) for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got1 == {("r1", "a.py"), ("r1", "b.py")}
+
+    # second wave, new query run, same checkpoint: the seen-sha state is
+    # restored, so the cross-batch dup is dropped and only novel content
+    # lands
+    rows2 = [
+        ("r2", "c.py", "c3", "python", "alpha beta gamma"),  # dup: dropped
+        ("r2", "d.py", "c4", "python", "unique text two"),
+    ]
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_dedup_stream(spark, in_dir, out_dir, ckpt)
+    out = spark.read.parquet(out_dir)
+    got2 = {(r["repo"], r["path"]) for r in out.collect()}
+    assert got2 == {("r1", "a.py"), ("r1", "b.py"), ("r2", "d.py")}
+    # carried sha column is the real content hash
+    sha = {
+        r["path"]: r["sha256"] for r in out.collect()
+    }
+    assert sha["d.py"] == hashlib.sha256(b"unique text two").hexdigest()
+
+
 # -- summaries + importance (SURVEY.md S12/J5, P2) -------------------------
 
 def test_summarize_and_attach(spark):
