@@ -123,9 +123,13 @@ def _dedup_exact(ids: DataFrame) -> DataFrame:
     full-content rows never shuffle on sha256 (content is the dominant
     byte-width in the corpus, and shuffle bandwidth is the build's
     scaling ceiling).  The drop-set anti-join runs on docid: at typical
-    dup rates AQE broadcasts it (no content shuffle at all); in the
-    worst case it degrades to the one full-row shuffle the old
-    window-over-content plan always paid.
+    dup rates AQE converts it to a broadcast join with an
+    ``AQEShuffleRead local`` on the content side (plan-verified) — the
+    content rows are written once to node-local shuffle storage but
+    never redistributed across the network, the scarce resource at
+    cluster scale.  In the worst case (huge drop set) it degrades to
+    the one full-row exchange the old window-over-content plan always
+    paid.
     """
     hashed = ids.withColumn("sha256", F.sha2(F.col("content"), 256))
     w = Window.partitionBy("sha256").orderBy("docid")
