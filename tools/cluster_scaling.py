@@ -24,8 +24,18 @@ exactly the variable the single-JVM runs couldn't isolate:
 Legs run interleaved (A,B,A,B) with best-of-N per config, scratch on
 /dev/shm (BASELINE.md host-variance protocol).  Prints one JSON line.
 
+Executor topology is parameterized: SPARK_GRAFT_EXEC_CORES (cores per
+executor JVM, default 8) and SPARK_GRAFT_EXECUTORS ("A,B" executor
+counts for the two legs, default "1,2").  The north rule's literal
+"N and 4N executors" shape is
+``SPARK_GRAFT_EXEC_CORES=2 SPARK_GRAFT_EXECUTORS=2,8`` — 2 vs 8
+two-core executor JVMs (a 4x executor-count ratio at fixed executor
+size, the way a real cluster scales out).
+
 Usage:  python tools/cluster_scaling.py  [env: SPARK_GRAFT_SF_DIR,
-        SPARK_GRAFT_MULTIPLY (default 64), SPARK_GRAFT_SCALE_REPEATS]
+        SPARK_GRAFT_MULTIPLY (default 64), SPARK_GRAFT_SCALE_REPEATS,
+        SPARK_GRAFT_EXEC_CORES, SPARK_GRAFT_EXECUTORS,
+        SPARK_GRAFT_EXEC_MEM]
 """
 
 import json
@@ -43,10 +53,13 @@ MASTER_URL = "spark://127.0.0.1:7077"
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 MULTIPLY = int(os.environ.get("SPARK_GRAFT_MULTIPLY", "64"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
-EXEC_CORES = 8
+EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "8"))
+_N_EXECS = [
+    int(x) for x in os.environ.get("SPARK_GRAFT_EXECUTORS", "1,2").split(",")
+]
+EXEC_MEM = os.environ.get("SPARK_GRAFT_EXEC_MEM", "6g")
 CONFIGS = {  # label -> total executor cores
-    "1x8": 8,
-    "2x8": 16,
+    f"{n}x{EXEC_CORES}": n * EXEC_CORES for n in _N_EXECS
 }
 
 
@@ -64,11 +77,11 @@ def start_cluster(scratch):
     env.setdefault("SPARK_WORKER_DIR", os.path.join(scratch, "work"))
     env.setdefault("SPARK_PID_DIR", os.path.join(scratch, "pids"))
     _sbin("start-master.sh", env=env)
-    # one worker offering 16 cores; executors (8 cores each) are
-    # separate JVMs under it
+    # one worker offering enough cores for the biggest leg; executors
+    # are separate JVMs under it
     _sbin(
         "start-worker.sh", MASTER_URL,
-        "-c", "16", "-m", "24g", env=env,
+        "-c", str(max(CONFIGS.values())), "-m", "24g", env=env,
     )
     # wait for the worker to register
     time.sleep(5)
@@ -93,7 +106,7 @@ def run_leg(zpath, total_cores, scratch):
             "--master", MASTER_URL,
             "--deploy-mode", "client",
             "--conf", f"spark.executor.cores={EXEC_CORES}",
-            "--conf", "spark.executor.memory=6g",
+            "--conf", f"spark.executor.memory={EXEC_MEM}",
             "--conf", f"spark.cores.max={total_cores}",
             "--conf", "spark.driver.memory=4g",
             "--conf", f"spark.sql.shuffle.partitions={total_cores * 2}",
@@ -137,21 +150,23 @@ def main():
     finally:
         stop_cluster(env)
         shutil.rmtree(scratch, ignore_errors=True)
-    thr_a, thr_b = best["1x8"]["value"], best["2x8"]["value"]
+    (la, lb), ratio = list(CONFIGS), _N_EXECS[1] / _N_EXECS[0]
+    thr_a, thr_b = best[la]["value"], best[lb]["value"]
     print(json.dumps({
         "metric": "standalone-cluster executor scaling "
-                  "(1 executor x 8 cores vs 2 executors x 8 cores, "
+                  f"({la.replace('x', ' executor JVMs x ')} cores vs "
+                  f"{lb.replace('x', ' executor JVMs x ')} cores, "
                   "separate JVMs, one box)",
         "unit": "docs/sec",
         "sf": os.path.basename(SF_DIR.rstrip("/")),
         "multiply": MULTIPLY,
-        "n_docs": best["2x8"]["n_docs"],
-        "throughput_1x8": thr_a,
-        "throughput_2x8": thr_b,
-        "build_sec_1x8": best["1x8"]["build_sec"],
-        "build_sec_2x8": best["2x8"]["build_sec"],
+        "n_docs": best[lb]["n_docs"],
+        f"throughput_{la}": thr_a,
+        f"throughput_{lb}": thr_b,
+        f"build_sec_{la}": best[la]["build_sec"],
+        f"build_sec_{lb}": best[lb]["build_sec"],
         "speedup": round(thr_b / thr_a, 3),
-        "scaling_efficiency": round(thr_b / thr_a / 2, 3),
+        "scaling_efficiency": round(thr_b / thr_a / ratio, 3),
         "value": thr_b,
     }))
 
