@@ -197,13 +197,16 @@ def _run_leg(spark):
         blat.sort()
         # positions-consuming surface (phrase slot-alignment over the
         # same term pairs; cost is fetch+decode+intersect whether or
-        # not the pair occurs adjacently)
+        # not the pair occurs adjacently).  phrase_topk's analyzer
+        # contract is an ORDERED TERM LIST (slot order matters), not
+        # the tf dict the WAND analyzer returns.
+        phrase_ident = str.split
         for _, q in qs100:  # warm the positions LRU
-            searcher.phrase_topk(q, k=10, analyzer=ident)
+            searcher.phrase_topk(q, k=10, analyzer=phrase_ident)
         plat = []
         for _, q in qs100:
             t1 = time.perf_counter()
-            searcher.phrase_topk(q, k=10, analyzer=ident)
+            searcher.phrase_topk(q, k=10, analyzer=phrase_ident)
             plat.append((time.perf_counter() - t1) * 1000)
         plat.sort()
         result["latency"] = {

@@ -38,7 +38,11 @@ dictionary and per-doc (length, qualities) arrays in RAM — ~40 B/doc
 and ~50 B/term, i.e. tens of GB per 10⁹ docs — the same residency
 model as the reference's seek-dict + docinfo load, which this tier
 re-expresses.  Posting blocks do NOT load up front (pyarrow fetch +
-LRU), so the block store can be arbitrarily large.  Beyond one
+LRU), so the block store can be arbitrarily large; the positions
+cache behind phrase/proximity is additionally BYTE-budgeted
+(``positions_cache_bytes``, default 64 MB) because one hot term's
+position list is O(collection frequency) — a count-capped cache
+alone could silently blow the envelope.  Beyond one
 replica's RAM, ``ShardedSearcher`` (below) shards replicas by docid
 range — contiguous segment subsets — with global stats, losslessly;
 or route to the Spark batch tier, which has no single-process limit.
@@ -78,7 +82,8 @@ class LocalSearcher:
 
     def __init__(self, index_dir: str, stem: bool = True,
                  cache_terms: int = 256,
-                 segments: list[str] | None = None):
+                 segments: list[str] | None = None,
+                 positions_cache_bytes: int = 64 << 20):
         import pyarrow.dataset as pads
         import pyarrow.parquet as pq
 
@@ -87,7 +92,14 @@ class LocalSearcher:
         self._cache_terms = cache_terms
         self._segments_subset = segments
         self._blocks_lru: OrderedDict[str, list] = OrderedDict()
+        # positions LRU is budgeted by BYTES, not entry count: one
+        # entry holds a term's full position list across the served
+        # segments — O(collection frequency), unbounded per entry —
+        # so a count cap alone would let a few hot terms pin hundreds
+        # of MB beyond the stated RAM envelope
         self._pos_lru: OrderedDict[str, tuple] = OrderedDict()
+        self._pos_bytes = 0
+        self._pos_budget = int(positions_cache_bytes)
 
         seg_meta_path = os.path.join(index_dir, "segments.json")
         if os.path.exists(seg_meta_path):
@@ -235,7 +247,8 @@ class LocalSearcher:
         assign (ShardedSearcher.refresh re-partitions)."""
         self.__init__(self.index_dir, stem=self.stem,
                       cache_terms=self._cache_terms,
-                      segments=self._segments_subset)
+                      segments=self._segments_subset,
+                      positions_cache_bytes=self._pos_budget)
 
     def _commit_stamp(self):
         """(mtime_ns, size) of the commit point: segments.json for a
@@ -355,9 +368,17 @@ class LocalSearcher:
             ids = tfs = npos = flat = np.empty(0, np.int64)
         off = np.concatenate([np.zeros(1, np.int64), np.cumsum(npos)])
         result = (ids, tfs, off, flat)
+        nb = sum(a.nbytes for a in result)
         self._pos_lru[term] = result
-        if len(self._pos_lru) > self._cache_terms:
-            self._pos_lru.popitem(last=False)
+        self._pos_bytes += nb
+        while self._pos_lru and (
+            self._pos_bytes > self._pos_budget
+            or len(self._pos_lru) > self._cache_terms
+        ):
+            if len(self._pos_lru) == 1:
+                break  # always keep the entry being served
+            _t, old = self._pos_lru.popitem(last=False)
+            self._pos_bytes -= sum(a.nbytes for a in old)
         return result
 
     # -- queries ----------------------------------------------------------

@@ -73,13 +73,24 @@ def run_dedup_stream(
 ):
     """Drain the input dir through the stateful dedup into ``out_dir``
     (availableNow trigger — call again after new files land; the
-    checkpoint restores the seen-sha state, so nothing re-admits)."""
+    checkpoint restores the seen-sha state, so nothing re-admits).
+
+    The sink writes each micro-batch to a ``batch=<id>``-keyed
+    subdirectory with overwrite, NOT a flat append: foreachBatch can
+    replay a batch whose write succeeded but whose checkpoint commit
+    did not (the state store rolls back too, so first_arrival re-emits
+    the same winners) — the keyed overwrite makes the replay land on
+    the same path and the output stays exactly-once.  Readers load
+    ``out_dir`` as ordinary hive-partitioned parquet (the batch id
+    surfaces as a partition column)."""
     from .ingest import stream_corpus
 
     deduped = dedup_corpus_stream(stream_corpus(spark, input_dir))
     q = (
         deduped.writeStream.foreachBatch(
-            lambda df, _bid: df.write.mode("append").parquet(out_dir)
+            lambda df, bid: df.write.mode("overwrite").parquet(
+                f"{out_dir}/batch={bid}"
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -57,7 +57,27 @@ EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "8"))
 _N_EXECS = [
     int(x) for x in os.environ.get("SPARK_GRAFT_EXECUTORS", "1,2").split(",")
 ]
+if len(_N_EXECS) != 2 or _N_EXECS[0] >= _N_EXECS[1]:
+    # fail BEFORE any multi-minute leg runs, not at the final unpack
+    raise SystemExit(
+        "SPARK_GRAFT_EXECUTORS must be two increasing counts, e.g. '2,8'"
+    )
 EXEC_MEM = os.environ.get("SPARK_GRAFT_EXEC_MEM", "6g")
+
+
+def _mem_mb(s: str) -> int:
+    s = s.strip().lower()
+    if s.endswith("g"):
+        return int(s[:-1]) * 1024
+    if s.endswith("m"):
+        return int(s[:-1])
+    return int(s)
+
+
+# worker must be able to host the BIGGEST leg's executors — a worker
+# smaller than n_execs * executor.memory makes the standalone master
+# silently launch fewer executors and the leg label would lie
+WORKER_MEM_MB = max(24 * 1024, _N_EXECS[1] * _mem_mb(EXEC_MEM) + 2048)
 CONFIGS = {  # label -> total executor cores
     f"{n}x{EXEC_CORES}": n * EXEC_CORES for n in _N_EXECS
 }
@@ -81,7 +101,8 @@ def start_cluster(scratch):
     # are separate JVMs under it
     _sbin(
         "start-worker.sh", MASTER_URL,
-        "-c", str(max(CONFIGS.values())), "-m", "24g", env=env,
+        "-c", str(max(CONFIGS.values())), "-m", f"{WORKER_MEM_MB}m",
+        env=env,
     )
     # wait for the worker to register
     time.sleep(5)
