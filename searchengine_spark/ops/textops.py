@@ -264,83 +264,14 @@ def proximity_topk(spark, sf_dir, terms=("table", "hash"),
     The second positions-payload consumer after phrase_match_indexed —
     postings arrive via fetch_postings (bucket + row-group pruned), no
     raw text at query time; the driver oracle recomputes the identical
-    semantics from the text in SQL.  The min distance is computed by a
-    merge scan over the two sorted position arrays joined side by side
-    (one row per doc), NOT a position×position explode join — see
-    min_pair_distance_udf for why that matters at scale.
+    semantics from the text in SQL.  Driver-entry wrapper over
+    query/positions.proximity_topk_shards, which serves ANY shards
+    handle (segmented/stemmed production indexes included).
     """
-    from ..index.shards import fetch_postings
-    from ..query.wand import bm25_idf
+    from ..query.positions import proximity_topk_shards
 
-    terms = list(terms)
-    if len(terms) != 2 or terms[0] == terms[1]:
-        raise ValueError(
-            "proximity_topk ranks the closest pair of two DISTINCT terms"
-        )
-    sh = _flat_index(spark, sf_dir)
-    n = sh.stats["n_survivors"]
-    avgdl = sh.stats["avgdl"] or 1.0
-    dfmap = {
-        r["term"]: r["df"]
-        for r in sh.termdict.filter(
-            F.col("term").isin(terms)
-        ).collect()
-    }
-    if any(t not in dfmap for t in terms):
-        return spark.createDataFrame(
-            [], "doc_id long, min_dist long, score double"
-        )
-    # one bucket-pruned fetch PER term: each side's scan decodes only
-    # its own term's blocks (a single shared fetch would be scanned
-    # twice, doubling the decode, unless persisted — and a persist here
-    # would leak executor cache across driver invocations)
-    sides = [
-        fetch_postings(sh, [t]).select(
-            "docid",
-            F.col("tf").alias(f"tf_{s}"),
-            F.col("positions").alias(f"pos_{s}"),
-        )
-        for s, t in zip(("a", "b"), terms)
-    ]
-    # conjunctive: one row per doc containing BOTH terms, posting rows
-    # side by side (tf + sorted positions), lengths joined once
-    both = (
-        sides[0]
-        .join(sides[1], "docid")
-        .join(sh.docs.select("docid", "total_tokens"), "docid")
-    )
-    from ..params import BM25_B, BM25_K1
-
-    def w8(tf_col):
-        return (
-            F.col(tf_col).cast("double") * F.lit(BM25_K1 + 1.0)
-            / (
-                F.col(tf_col).cast("double")
-                + F.lit(BM25_K1)
-                * (
-                    F.lit(1.0 - BM25_B)
-                    + F.lit(BM25_B)
-                    * F.col("total_tokens").cast("double") / F.lit(avgdl)
-                )
-            )
-        )
-
-    s = (
-        F.lit(bm25_idf(n, dfmap[terms[0]])) * w8("tf_a")
-        + F.lit(bm25_idf(n, dfmap[terms[1]])) * w8("tf_b")
-    )
-    mind = min_pair_distance_udf()
-    return (
-        both.withColumn("min_dist", mind("pos_a", "pos_b"))
-        .select(
-            F.col("docid").alias("doc_id"),
-            "min_dist",
-            F.round(
-                s + F.lit(1.0) / (F.lit(1) + F.col("min_dist")), 6
-            ).alias("score"),
-        )
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
+    return proximity_topk_shards(
+        spark, _flat_index(spark, sf_dir), list(terms), k=k
     )
 
 
@@ -432,26 +363,14 @@ def phrase_match_indexed(spark, sf_dir, phrase=("table", "hash"),
     pos - i), and an equi-join on (docid, p0) keeps exactly the
     positions where every slot lines up consecutively.  Output is
     equivalent to the text-derived :func:`phrase_match` (asserted by
-    tests/test_ops.py and by sharing its driver oracle).
+    tests/test_ops.py and by sharing its driver oracle).  Driver-entry
+    wrapper over query/positions.phrase_topk_shards, which serves ANY
+    shards handle (segmented/stemmed production indexes included).
     """
-    from ..index.shards import fetch_postings
+    from ..query.positions import phrase_topk_shards
 
-    sh = _flat_index(spark, sf_dir)
-    posts = fetch_postings(sh, sorted(set(phrase)))
-    cur = None
-    for i, term in enumerate(phrase):
-        p = (
-            posts.filter(F.col("term") == term)
-            .select("docid", F.explode("positions").alias("pos"))
-            .select("docid", (F.col("pos") - i).alias("p0"))
-        )
-        cur = p if cur is None else cur.join(p, ["docid", "p0"])
-    return (
-        cur.groupBy("docid")
-        .agg(F.count("*").alias("n_occurrences"))
-        .select(F.col("docid").alias("doc_id"), "n_occurrences")
-        .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
-        .limit(k)
+    return phrase_topk_shards(
+        spark, _flat_index(spark, sf_dir), list(phrase), k=k
     )
 
 

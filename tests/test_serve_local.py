@@ -241,6 +241,98 @@ def test_local_proximity_matches_oracle(searcher, oracle):
         searcher.proximity_topk([ta], analyzer=_ident)
 
 
+def test_spark_positions_surfaces_match_local(spark, index_dir, searcher,
+                                              oracle):
+    """query/positions (the shards-level Spark phrase/proximity ops)
+    must equal both the pure-Python oracle and the local serving tier
+    over the same stemmed index."""
+    from searchengine_spark.query.positions import (
+        phrase_topk_shards,
+        proximity_topk_shards,
+    )
+
+    sh = load_index(spark, index_dir)
+    pm = _pos_term_map(oracle)
+    d = next(d for d in sorted(pm) if {1, 2, 3} <= set(pm[d]))
+    phrase = [pm[d][1], pm[d][2], pm[d][3]]
+    exp = _oracle_phrase(oracle, phrase)
+    assert exp
+    got = [
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_topk_shards(spark, sh, phrase, k=50).collect()
+    ]
+    assert got == exp
+    assert got == searcher.phrase_topk(phrase, k=50, analyzer=_ident)
+
+    ta = tb = None
+    for dd in sorted(pm):
+        at = pm[dd]
+        if 1 in at and 2 in at and at[1] != at[2]:
+            ta, tb = at[1], at[2]
+            break
+    expp = _oracle_proximity(oracle, ta, tb, k=10)
+    gotp = [
+        (r["doc_id"], r["min_dist"], r["score"])
+        for r in proximity_topk_shards(spark, sh, [ta, tb], k=10).collect()
+    ]
+    assert [(x, m) for x, m, _ in gotp] == [(x, m) for x, m, _ in expp]
+    for (_, _, gs), (_, _, es) in zip(gotp, expp):  # spark rounds to 6
+        assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-6)
+
+
+def test_positions_surfaces_over_segments(spark, split_corpora,
+                                          tmp_path_factory):
+    """The shards-level phrase/proximity ops serve a SEGMENTED handle
+    (postings fetched through the pruned union) identically to a
+    LocalSearcher on the same dir."""
+    from searchengine_spark.index import build_tables
+    from searchengine_spark.index.segments import (
+        append_segment,
+        init_segmented,
+        load_segments,
+    )
+    from searchengine_spark.query.positions import (
+        phrase_topk_shards,
+        proximity_topk_shards,
+    )
+    from searchengine_spark.text.analyze import analyze
+
+    _, a, b = split_corpora
+    seg_dir = str(tmp_path_factory.mktemp("pos_seg") / "idx")
+    init_segmented(
+        spark, build_tables(spark, a, compute_quality=False), seg_dir
+    )
+    append_segment(spark, seg_dir, b, compute_quality=False)
+    seg = load_segments(spark, seg_dir)
+    local = LocalSearcher(seg_dir, stem=True)
+
+    content = a.orderBy("repo", "path", "commit").limit(1).collect()[0][
+        "content"
+    ]
+    toks = analyze(content)  # index analyzer: stemmed term space
+    phrase = toks[:2]
+    exp_ph = local.phrase_topk(phrase, k=50, analyzer=_ident)
+    assert exp_ph
+    got_ph = [
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_topk_shards(spark, seg, phrase, k=50).collect()
+    ]
+    assert got_ph == exp_ph
+
+    pair = [toks[0], next(t for t in toks if t != toks[0])]
+    exp_px = local.proximity_topk(pair, k=10, analyzer=_ident)
+    assert exp_px
+    got_px = [
+        (r["doc_id"], r["min_dist"], r["score"])
+        for r in proximity_topk_shards(spark, seg, pair, k=10).collect()
+    ]
+    assert [(x, m) for x, m, _ in got_px] == [
+        (x, m) for x, m, _ in exp_px
+    ]
+    for (_, _, gs), (_, _, es) in zip(got_px, exp_px):
+        assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-6)
+
+
 def test_local_searcher_refresh_on_append(spark, split_corpora,
                                           tmp_path_factory):
     """A serving replica must pick up committed appends: maybe_refresh
