@@ -423,13 +423,29 @@ def test_local_serving_over_compacted_segments(spark, split_corpora,
     # positions surfaces respect tombstone liveness: the token pair
     # unique to the tombstoned twin must not match as a phrase or a
     # proximity pair (blocks still physically contain its postings
-    # until merge), while surviving content still answers
+    # until merge), while surviving content still answers — on BOTH
+    # engines (the Spark shards-level op's docs-join must mask the
+    # same postings the local kernels mask)
+    from searchengine_spark.query.positions import phrase_topk_shards
+    from searchengine_spark.text.analyze import analyze
     from searchengine_spark.text.tokenizer import tokenize
 
     assert local.phrase_topk("zzextra zzmore") == []
     assert local.proximity_topk(["zzextra", "zzmore"]) == []
+    assert (
+        phrase_topk_shards(
+            spark, seg, analyze("zzextra zzmore"), k=10
+        ).count()
+        == 0
+    )
     live_phrase = " ".join(tokenize(src["content"])[:2])
     assert local.phrase_topk(live_phrase, k=50)
+    assert [
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_topk_shards(
+            spark, seg, analyze(live_phrase), k=50
+        ).collect()
+    ] == local.phrase_topk(live_phrase, k=50)
 
     # physical merge: the replica refreshes onto the single merged
     # generation and keeps answering identically
