@@ -299,6 +299,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": T.bm25_topk,
         "wand_topk": T.wand_topk,
         "wand_or_topk": T.wand_or_topk,
+        "wand_topk_filtered": T.wand_topk_filtered,
+        "hybrid_rrf_topk": T.hybrid_rrf_topk,
+        "dup_clusters": lambda spark, sf: D.dup_clusters(
+            D.jaccard_pairs(_docs(spark, sf), threshold=0.5)
+        ),
         "lang_counts": T.lang_counts,
         "phrase_match": T.phrase_match,
         "phrase_match_indexed": T.phrase_match_indexed,
@@ -974,6 +979,123 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(s, 6) AS score FROM scored
             ORDER BY score DESC, doc_id LIMIT 10
+        """
+    # filtered search: same conjunctive scorer, eligibility restricted to
+    # lang='en' docs AFTER scoring (per-doc scores don't depend on other
+    # docs' eligibility; stats stay corpus-global by contract)
+    d["wand_topk_filtered"] = f"""
+            WITH toks AS ({_TOKS}),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*) AS total_tokens FROM tf GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n, avg(total_tokens) AS avgdl FROM dl),
+            qterms AS (SELECT unnest(['spark', 'query', 'join']) AS term),
+            dft AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM tf JOIN qterms USING (term) GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.total_tokens / stats.avgdl))
+                     ) AS s,
+                     count(*) AS nmatch
+              FROM tf JOIN qterms USING (term) JOIN dft USING (term)
+                   JOIN dl USING (doc_id) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(s, 6) AS score FROM scored
+            WHERE nmatch = 3
+              AND doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+            ORDER BY score DESC, doc_id LIMIT 10
+        """
+    # hybrid retrieval: RRF over the bm25_topk and ann_cosine_topk
+    # rankings (ranks over ROUNDED scores, doc_id tie-break, list depth
+    # 50, rrf_k 60; absent rank encoded 0 — exactly textops.hybrid_rrf_topk)
+    d["hybrid_rrf_topk"] = f"""
+            WITH toks AS ({_TOKS}),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*) AS total_tokens FROM tf GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n, avg(total_tokens) AS avgdl FROM dl),
+            qterms AS (SELECT unnest(['spark', 'query', 'join']) AS term),
+            dft AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM tf JOIN qterms USING (term) GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.total_tokens / stats.avgdl))
+                     ) AS s,
+                     count(*) AS nmatch
+              FROM tf JOIN qterms USING (term) JOIN dft USING (term)
+                   JOIN dl USING (doc_id) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            ),
+            lex AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY round(s, 6) DESC, doc_id)
+                       AS bm25_rank
+              FROM scored WHERE nmatch = 3
+              QUALIFY bm25_rank <= 50
+            ),
+            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                  WHERE vec_id = 0),
+            cosall AS (
+              SELECT e.vec_id AS doc_id,
+                     round({_COS.format(a="e.embedding::DOUBLE[]", b="q.qv")},
+                           5) AS cosine
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+            ),
+            vec AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY cosine DESC, doc_id)
+                       AS cos_rank
+              FROM cosall
+              QUALIFY cos_rank <= 50
+            )
+            SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                   coalesce(l.bm25_rank, 0)::BIGINT AS bm25_rank,
+                   coalesce(v.cos_rank, 0)::BIGINT AS cos_rank,
+                   round(coalesce(1.0 / (60 + l.bm25_rank), 0.0)
+                         + coalesce(1.0 / (60 + v.cos_rank), 0.0), 6)
+                     AS rrf_score
+            FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+            ORDER BY rrf_score DESC, doc_id LIMIT 10
+        """
+    # duplicate clusters: exact transitive closure of the ngram_jaccard
+    # pair graph via a recursive CTE — min reachable doc_id is the
+    # cluster id (textops-side: iterative min-label propagation)
+    d["dup_clusters"] = f"""
+            WITH RECURSIVE {_SHINGLES},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM sh x JOIN sh y
+                ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id
+            ),
+            pairs AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
+            ),
+            edges AS (
+              SELECT a AS src, b AS dst FROM pairs
+              UNION
+              SELECT b AS src, a AS dst FROM pairs
+            ),
+            reach AS (
+              SELECT src AS node, src AS lab FROM edges
+              UNION
+              SELECT e.dst AS node, r.lab AS lab
+              FROM reach r JOIN edges e ON e.src = r.node
+            ),
+            lab AS (
+              SELECT node AS doc_id, min(lab) AS cluster_id
+              FROM reach GROUP BY node
+            )
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM lab
         """
     # the unstemmed engine twins share one full-chain oracle; the on-disk
     # variant additionally proves write_index/fetch_postings end-to-end

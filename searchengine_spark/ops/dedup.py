@@ -22,7 +22,7 @@ bounded by ``max_shingle_df`` (boilerplate shingles above the cap are
 dropped from the shingle sets, closing the d²-per-hot-key blowup).
 """
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..text.tokenizer import TOKEN_PATTERN
@@ -106,6 +106,78 @@ def minhash_pairs(docs: DataFrame, id_col="doc_id",
             F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
         )
         .distinct()
+    )
+
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components over near-dup ``pairs`` (a, b) → duplicate
+    CLUSTERS: (doc_id, cluster_id, cluster_size), cluster_id = the
+    smallest doc_id reachable through the pair graph.
+
+    Dedup survivorship needs components, not pairs: if A~B and B~C,
+    keeping min-per-pair retains both A and B.  The reference's simhash
+    stage approximates this with a local-min rule (lib/duphash.py
+    behavior, mirrored in index/pipeline.py); this operator computes the
+    exact transitive closure for the offline training-data path.
+
+    Algorithm: iterative min-label propagation — label(v) starts at v,
+    each round takes min(label(v), min over neighbors' labels) until a
+    fixpoint.  Each round is one shuffle-on-docid join + aggregate with
+    no driver-side state beyond the converged counter, so it runs
+    unchanged on 10^12 edges; rounds = component diameter, and near-dup
+    components are quasi-cliques (diameter 2-3 in practice).  For
+    adversarially long chains the large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) drops rounds to O(log n) at the cost of two joins per
+    round; diameter-bounded propagation is the better constant here.
+    ``localCheckpoint`` truncates the per-round lineage so the plan
+    stays O(1) deep.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        prop = (
+            edges.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        nxt = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    edges.unpersist()
+    size_w = F.count("*").over(Window.partitionBy("cluster_id"))
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+        )
+        .withColumn("cluster_size", size_w)
     )
 
 

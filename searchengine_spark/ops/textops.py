@@ -15,7 +15,7 @@ import os
 import tempfile
 from collections import Counter
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..params import BM25_B, BM25_K1
@@ -107,6 +107,16 @@ def dedup_exact(spark, sf_dir) -> DataFrame:
 def bm25_topk(spark, sf_dir, terms=("spark", "query", "join"), k=10) -> DataFrame:
     """Conjunctive BM25 top-k, unstemmed — the SQL-checkable twin of the
     engine's scorer (k1/b from params.py; idf = ln((N-df+.5)/(df+.5)+1))."""
+    return (
+        _bm25_scored(spark, sf_dir, terms)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _bm25_scored(spark, sf_dir, terms) -> DataFrame:
+    """All conjunctive-BM25 matches as (doc_id, score-rounded-6) — the
+    shared scoring core of bm25_topk and hybrid_rrf_topk."""
     tf = term_tf(spark, sf_dir)
     dl = tf.groupBy("doc_id").agg(F.count("*").alias("total_tokens"))
     stats = dl.agg(
@@ -140,16 +150,13 @@ def bm25_topk(spark, sf_dir, terms=("spark", "query", "join"), k=10) -> DataFram
             )
         )
     )
-    scored = (
+    return (
         hits.withColumn("bm25", bm25)
         .groupBy("doc_id")
         .agg(F.sum("bm25").alias("s"), F.count("*").alias("nmatch"))
         .filter(F.col("nmatch") == len(terms))
         .select("doc_id", F.round(F.col("s"), 6).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
     )
-    return scored
 
 
 _FLAT_INDEX_CACHE = {}
@@ -214,6 +221,38 @@ def wand_or_topk(spark, sf_dir, terms=("spark", "query", "join"),
         k=k,
         analyzer=lambda text: dict(Counter(tokenize(text))),
         mode="or",
+    )
+    return res.select(
+        F.col("docid").alias("doc_id"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
+def wand_topk_filtered(spark, sf_dir, terms=("spark", "query", "join"),
+                       lang="en", k=10) -> DataFrame:
+    """Metadata-filtered search: conjunctive WAND top-k restricted to
+    documents matching a predicate (here ``lang``), with corpus-global
+    BM25 stats — the reference's search has no filter surface; this is
+    the [NORTH-EXT] faceting primitive every production index grows.
+
+    The predicate reduces to a docid eligibility set pushed into the
+    WAND kernels' per-range liveness mask (see wand_topk's
+    ``allowed_docs``) — pruning stays lossless and filtered queries
+    reuse the identical index, plans, and kernels.
+    """
+    from ..query.wand import wand_topk as _wand
+
+    sh = _flat_index(spark, sf_dir)
+    allowed = documents(spark, sf_dir).filter(
+        F.col("lang") == lang
+    ).select(F.col("doc_id").alias("docid"))
+    res = _wand(
+        spark,
+        sh,
+        [(1, " ".join(terms))],
+        k=k,
+        analyzer=lambda text: dict(Counter(tokenize(text))),
+        allowed_docs=allowed,
     )
     return res.select(
         F.col("docid").alias("doc_id"),
@@ -437,6 +476,17 @@ def token_counts(spark, sf_dir) -> DataFrame:
 def ann_cosine_topk(spark, sf_dir, query_vec_id=0, k=10) -> DataFrame:
     """Brute-force cosine top-k over the embedding column — the exact
     baseline for similarity search (IVF/LSH variants build on this)."""
+    return (
+        _cosine_scored(spark, sf_dir, query_vec_id)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _cosine_scored(spark, sf_dir, query_vec_id) -> DataFrame:
+    """Cosine vs the query vector for EVERY other vector, as
+    (vec_id, cosine-rounded-5) — shared by ann_cosine_topk and
+    hybrid_rrf_topk."""
     emb = embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qv")
@@ -465,10 +515,73 @@ def ann_cosine_topk(spark, sf_dir, query_vec_id=0, k=10) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
-    return (
-        pairs.select(
-            "vec_id", F.round(dot / (norm_a * norm_q), 5).alias("cosine")
+    return pairs.select(
+        "vec_id", F.round(dot / (norm_a * norm_q), 5).alias("cosine")
+    )
+
+
+def hybrid_rrf_topk(spark, sf_dir, terms=("spark", "query", "join"),
+                    query_vec_id=0, depth=50, k=10,
+                    rrf_k=60) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
+    and vector (cosine) rankings — the standard way an LLM-data /
+    RAG pipeline combines a full-text index with an embedding index
+    (Cormack et al., "Reciprocal Rank Fusion outperforms Condorcet",
+    SIGIR'09: rrf(d) = Σ_lists 1/(rrf_k + rank_list(d))).
+
+    The documents and embeddings tables share an id space (doc_id ==
+    vec_id).  Each list is cut at ``depth`` before fusion; a doc in one
+    list only contributes that list's term.  Ranks are computed over
+    the ROUNDED scores (6dp BM25 / 5dp cosine) with doc_id tie-break so
+    rank assignment is reproducible across engines — the DuckDB oracle
+    mirrors this exactly.
+
+    Scale shape: each list is cut by ``orderBy().limit(depth)`` —
+    Spark's TakeOrderedAndProject, a per-partition top-``depth`` merged
+    at the driver, never a global sort — and rank assignment's
+    row_number window runs over the ≤ ``depth`` cut rows only.  The
+    fusion full-outer join then touches ≤ 2·``depth`` rows — O(depth),
+    independent of corpus size.
+    """
+    lex_order = [F.desc("score"), F.asc("doc_id")]
+    lex = (
+        _bm25_scored(spark, sf_dir, terms)
+        .orderBy(*lex_order)
+        .limit(depth)
+        .withColumn(
+            "bm25_rank", F.row_number().over(Window.orderBy(*lex_order))
         )
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .select("doc_id", "bm25_rank")
+    )
+    vec_order = [F.desc("cosine"), F.asc("vec_id")]
+    vec = (
+        _cosine_scored(spark, sf_dir, query_vec_id)
+        .orderBy(*vec_order)
+        .limit(depth)
+        .withColumn(
+            "cos_rank", F.row_number().over(Window.orderBy(*vec_order))
+        )
+        .select(F.col("vec_id").alias("doc_id"), "cos_rank")
+    )
+    rrf = (
+        F.coalesce(1.0 / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("cos_rank")), F.lit(0.0))
+    )
+    # absent-from-list rank is encoded 0 (ranks are 1-based) so the
+    # output carries no NULLs — cross-engine NULL/NaN sort order is
+    # undefined, integers are not
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("bm25_rank", F.lit(0)).cast("long").alias(
+                "bm25_rank"
+            ),
+            F.coalesce("cos_rank", F.lit(0)).cast("long").alias(
+                "cos_rank"
+            ),
+            F.round(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(k)
     )

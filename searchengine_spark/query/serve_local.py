@@ -384,11 +384,16 @@ class LocalSearcher:
     # -- queries ----------------------------------------------------------
 
     def topk(self, text: str, k: int = 10, mode: str = "and",
-             analyzer=None):
+             analyzer=None, allowed=None):
         """[(rank, docid, score)] — identical semantics (and scores) to
         wand_topk over the same index: conjunctive by default, classic
         disjunctive WAND with ``mode="or"``.  ``analyzer`` overrides the
-        stemmed default (same contract as wand_topk's)."""
+        stemmed default (same contract as wand_topk's).  ``allowed``
+        (iterable of docids) restricts ELIGIBILITY while BM25 stats stay
+        corpus-global — the filtered-search semantics of wand_topk's
+        ``allowed_docs``, implemented by shrinking the kernel's dl
+        membership mask (pruning stays lossless: block maxima bound a
+        superset)."""
         if analyzer is None:
             freq = analyze_query(text, stem=self.stem)
         else:
@@ -400,6 +405,17 @@ class LocalSearcher:
                 return []
         elif not known:
             return []
+        dl = self._dl
+        if allowed is not None:
+            ids = np.unique(np.fromiter(
+                (int(d) for d in allowed), dtype=np.int64
+            ))
+            common, ia, _ = np.intersect1d(
+                dl[0], ids, assume_unique=True, return_indices=True
+            )
+            if common.size == 0:
+                return []
+            dl = (common, dl[1][ia])
         plan = sorted(known, key=lambda t: (self._df[t], t))
         tbs = [
             {
@@ -409,7 +425,7 @@ class LocalSearcher:
             for t in plan
         ]
         kernel = bmw_range if mode == "and" else bmw_or_range
-        top, _ = kernel(tbs, self._dl, self.avgdl, k)
+        top, _ = kernel(tbs, dl, self.avgdl, k)
         return [(r + 1, d, s) for r, (s, d) in enumerate(top)]
 
     def blended_topk(self, text: str, k: int = 10):
@@ -736,14 +752,17 @@ class ShardedSearcher:
         return True
 
     def topk(self, text: str, k: int = 10, mode: str = "and",
-             analyzer=None):
+             analyzer=None, allowed=None):
         """Global [(rank, docid, score)] — merge of per-shard WAND
-        top-k's, identical to an unsharded replica's answer."""
+        top-k's, identical to an unsharded replica's answer.
+        ``allowed`` filters eligibility exactly as LocalSearcher.topk's
+        (each shard intersects it with its own docid range)."""
         cands = []
         for sh in self.shards:
             cands.extend(
                 (s, d) for _, d, s in sh.topk(text, k=k, mode=mode,
-                                              analyzer=analyzer)
+                                              analyzer=analyzer,
+                                              allowed=allowed)
             )
         cands.sort(key=lambda sd: (-sd[0], sd[1]))
         return [(r + 1, d, s) for r, (s, d) in enumerate(cands[:k])]

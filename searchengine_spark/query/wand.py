@@ -507,6 +507,7 @@ def wand_topk(
     analyzer=analyze_query,
     mode: str = "and",
     cache: BlockCache | None = None,
+    allowed_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Batch BM25 top-k with block-max pruning.
 
@@ -516,6 +517,16 @@ def wand_topk(
     doc contains, served by the event-sweep kernel (bmw_or_range).
     ``cache``: optional BlockCache — repeated-batch workloads serve
     block rows from executor memory instead of re-scanning parquet.
+    ``allowed_docs``: optional DataFrame with a ``docid`` column —
+    filtered search: only these docs are ELIGIBLE as results, while
+    BM25 stats (idf/avgdl/N) stay corpus-global, the standard
+    filtered-query semantics (a filter narrows eligibility, it does
+    not re-weight the collection).  The filter rides the existing
+    liveness mechanism: kernels mask every decoded candidate against
+    the per-range ``dl`` membership set (the tombstone mask), so an
+    inner join on the docs projection is the entire implementation —
+    a docid-width shuffle at worst, and block-max bounds stay safe
+    upper bounds over the shrunken candidate set (lossless pruning).
     Returns (qid, rank, docid, score).
     """
     plans, needed = plan_terms(
@@ -549,7 +560,10 @@ def wand_topk(
     )
     blocks = blocks.withColumn("range_id", F.explode(rng))
 
-    docs = shards.docs.select(
+    live = shards.docs
+    if allowed_docs is not None:
+        live = live.join(allowed_docs.select("docid"), "docid")
+    docs = live.select(
         "docid",
         "total_tokens",
         ((F.col("docid") - 1) / docs_per_range).cast("long").alias(
@@ -626,12 +640,15 @@ def exhaustive_topk(
     k: int = 10,
     analyzer=analyze_query,
     mode: str = "and",
+    allowed_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Reference semantics without pruning: decode → join → agg → top-k.
 
     The A/B partner of :func:`wand_topk` (SURVEY.md §7 step 4) and the
     shape the DuckDB oracle checks directly.  ``mode="or"`` drops the
-    conjunctive nmatch filter (disjunctive scoring).
+    conjunctive nmatch filter (disjunctive scoring).  ``allowed_docs``
+    restricts eligibility with corpus-global stats, same contract as
+    wand_topk's — here it simply narrows the docs inner join.
     """
     from ..index.shards import fetch_postings
 
@@ -651,9 +668,12 @@ def exhaustive_topk(
     qterms = spark.createDataFrame(
         qrows, "qid int, term string, idf double, nterms int"
     )
+    live = shards.docs
+    if allowed_docs is not None:
+        live = live.join(allowed_docs.select("docid"), "docid")
     postings = fetch_postings(shards, needed)
     hits = postings.join(F.broadcast(qterms), "term").join(
-        shards.docs.select("docid", "total_tokens"), "docid"
+        live.select("docid", "total_tokens"), "docid"
     )
     avgdl = shards.stats["avgdl"] or 1.0
     w8 = (

@@ -93,6 +93,79 @@ def test_jaccard_hot_shingle_cap(spark):
     assert len(got) < 36 and (1, 9) in got
 
 
+def test_dup_clusters_transitive_closure(spark):
+    """A~B and B~C must land A, B, C in ONE cluster even without an
+    A~C pair (the reason pairs alone can't drive survivorship), and
+    disconnected pairs must stay separate clusters."""
+    from searchengine_spark.ops.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 4), (4, 5)], "a long, b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dup_clusters(pairs).collect()
+    }
+    assert got == {
+        1: (1, 5), 2: (1, 5), 3: (1, 5), 4: (1, 5), 5: (1, 5),
+        10: (10, 2), 11: (10, 2),
+    }
+
+
+def test_dup_clusters_on_jaccard_pairs(tiny_docs):
+    """End-to-end over the real pair producer: the planted twins (1, 2)
+    and near-dup 3 form one cluster; 4 and 5 are not clustered at all
+    (singletons are absent by contract)."""
+    from searchengine_spark.ops.dedup import dup_clusters, jaccard_pairs
+
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dup_clusters(
+            jaccard_pairs(tiny_docs, threshold=0.5)
+        ).collect()
+    }
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3)}
+
+
+def test_hybrid_rrf_matches_recomputation(spark):
+    """RRF fusion must equal a pandas recomputation from the two
+    constituent rankings (depth-cut, 1/(60+rank), absent = 0)."""
+    from searchengine_spark.ops.textops import (
+        _bm25_scored, _cosine_scored, hybrid_rrf_topk,
+    )
+
+    terms = ("spark", "query", "join")
+    depth, k = 50, 10
+    lex = sorted(
+        ((r["doc_id"], r["score"])
+         for r in _bm25_scored(spark, SF, terms).collect()),
+        key=lambda ds: (-ds[1], ds[0]),
+    )[:depth]
+    vec = sorted(
+        ((r["vec_id"], r["cosine"])
+         for r in _cosine_scored(spark, SF, 0).collect()),
+        key=lambda ds: (-ds[1], ds[0]),
+    )[:depth]
+    lex_rank = {d: i + 1 for i, (d, _) in enumerate(lex)}
+    vec_rank = {d: i + 1 for i, (d, _) in enumerate(vec)}
+    want = []
+    for d in set(lex_rank) | set(vec_rank):
+        rrf = (1.0 / (60 + lex_rank[d]) if d in lex_rank else 0.0) + (
+            1.0 / (60 + vec_rank[d]) if d in vec_rank else 0.0
+        )
+        want.append(
+            (d, lex_rank.get(d, 0), vec_rank.get(d, 0), round(rrf, 6))
+        )
+    want.sort(key=lambda t: (-t[3], t[0]))
+    got = [
+        (r["doc_id"], r["bm25_rank"], r["cos_rank"], r["rrf_score"])
+        for r in hybrid_rrf_topk(
+            spark, SF, terms=terms, depth=depth, k=k
+        ).collect()
+    ]
+    assert got == want[:k] and len(got) == k
+
+
 def test_phrase_match_indexed_equals_text_derived(spark):
     """The index's stored positions payload, served end-to-end: the
     index-backed phrase operator must reproduce the text-derived one

@@ -262,6 +262,48 @@ def test_wand_range_partition_invariance(spark, shards):
     assert ka == kb
 
 
+def test_wand_filtered_matches_exhaustive_and_local(spark, shards,
+                                                    index_dir):
+    """Filtered search (allowed_docs eligibility, corpus-global stats)
+    must stay LOSSLESS: the pruned kernel path, the exhaustive scorer,
+    and the local serving tier must return identical rankings over the
+    same allowed set — and only allowed docids."""
+    from searchengine_spark.query.serve_local import LocalSearcher
+    from pyspark.sql import functions as F
+
+    allowed_ids = sorted(
+        r["docid"] for r in shards.docs.select("docid").collect()
+        if r["docid"] % 2 == 0
+    )
+    allowed_df = spark.createDataFrame(
+        [(d,) for d in allowed_ids], "docid long"
+    )
+    queries = [(qid, q) for qid, q in QUERIES]
+    for mode in ("and", "or"):
+        a = wand_topk(spark, shards, queries, k=10, docs_per_range=64,
+                      mode=mode, allowed_docs=allowed_df)
+        b = exhaustive_topk(spark, shards, queries, k=10, mode=mode,
+                            allowed_docs=allowed_df)
+        ga = {(r["qid"], r["rank"]): (r["docid"], r["score"])
+              for r in a.collect()}
+        gb = {(r["qid"], r["rank"]): (r["docid"], r["score"])
+              for r in b.collect()}
+        assert set(ga) == set(gb) and len(ga) > 0
+        allowed_set = set(allowed_ids)
+        for key, (da, sa) in ga.items():
+            db, sb = gb[key]
+            assert da == db and da in allowed_set, key
+            assert math.isclose(sa, sb, rel_tol=1e-9, abs_tol=1e-12), key
+        # the serving tier applies the same mask to the same kernels
+        ls = LocalSearcher(index_dir, stem=True)
+        for qid, text in queries:
+            want = [(r, d) for (q, r), (d, _) in sorted(ga.items())
+                    if q == qid]
+            got = [(r, d) for r, d, _ in ls.topk(text, k=10, mode=mode,
+                                                 allowed=allowed_ids)]
+            assert got == want, (mode, qid)
+
+
 def test_wand_unknown_term_gives_empty(spark, shards):
     out = wand_topk(spark, shards, [(1, "zzzqx parser")], k=10)
     assert out.count() == 0
