@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_or_topk": T.wand_or_topk,
         "wand_topk_filtered": T.wand_topk_filtered,
         "hybrid_rrf_topk": T.hybrid_rrf_topk,
+        "bm25_snippets": T.bm25_snippets,
+        "ann_ivf_persisted_topk": V.ann_ivf_persisted_topk,
         "dup_clusters": lambda spark, sf: D.dup_clusters(
             D.jaccard_pairs(_docs(spark, sf), threshold=0.5)
         ),
@@ -1007,6 +1009,44 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
             ORDER BY score DESC, doc_id LIMIT 10
         """
+    # snippet enrichment: bm25_topk plus an 80-char window centered on
+    # the first occurrence of the rarest query term (min df, tie lexic.)
+    d["bm25_snippets"] = f"""
+            WITH toks AS ({_TOKS}),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*) AS total_tokens FROM tf GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n, avg(total_tokens) AS avgdl FROM dl),
+            qterms AS (SELECT unnest(['spark', 'query', 'join']) AS term),
+            dft AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM tf JOIN qterms USING (term) GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.total_tokens / stats.avgdl))
+                     ) AS s,
+                     count(*) AS nmatch
+              FROM tf JOIN qterms USING (term) JOIN dft USING (term)
+                   JOIN dl USING (doc_id) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            ),
+            top AS (
+              SELECT doc_id, round(s, 6) AS score FROM scored
+              WHERE nmatch = 3 ORDER BY score DESC, doc_id LIMIT 10
+            ),
+            rare AS (SELECT term FROM dft ORDER BY df, term LIMIT 1)
+            SELECT t.doc_id, t.score,
+                   substr(d.text,
+                          greatest(1, strpos(lower(d.text), r.term) - 40),
+                          80) AS snippet
+            FROM top t JOIN documents d ON d.doc_id = t.doc_id
+            CROSS JOIN rare r
+            ORDER BY t.score DESC, t.doc_id
+        """
+    # a persisted IVF index must answer EXACTLY like the per-query
+    # trained path — same oracle proves the build/serve split is pure
+    # layout (the vector-side segments_topk_flat analogue)
+    d["ann_ivf_persisted_topk"] = _ivf_kmeans_oracle_sql()
     # hybrid retrieval: RRF over the bm25_topk and ann_cosine_topk
     # rankings (ranks over ROUNDED scores, doc_id tie-break, list depth
     # 50, rrf_k 60; absent rank encoded 0 — exactly textops.hybrid_rrf_topk)

@@ -228,6 +228,47 @@ def wand_or_topk(spark, sf_dir, terms=("spark", "query", "join"),
     )
 
 
+def bm25_snippets(spark, sf_dir, terms=("spark", "query", "join"),
+                  k=10, width=80) -> DataFrame:
+    """Result enrichment: conjunctive BM25 top-k plus a ``width``-char
+    snippet of each hit, centered on the first occurrence of the
+    RAREST query term (min corpus df, tie lexicographic) — the batch
+    analogue of the reference's summary-attach stage (summarizer.py →
+    lib/search.py result assembly), derived from content instead of a
+    gated model.
+
+    Window arithmetic is in characters over the original text with the
+    match located in lower(text) (identical length for the corpus'
+    ASCII alphabet; both engines index substrings 1-based), so the
+    DuckDB oracle reproduces the snippet byte-for-byte.  Scale shape:
+    the top-k is TakeOrderedAndProject; only k rows join back to
+    content (docid-equi broadcast), and the 1-row rarest-term choice
+    broadcasts.
+    """
+    top = bm25_topk(spark, sf_dir, terms=terms, k=k)
+    tf = term_tf(spark, sf_dir)
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    rare = (
+        tf.join(F.broadcast(qterms), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy("df", "term")
+        .limit(1)
+        .select("term")
+    )
+    joined = (
+        top.join(documents(spark, sf_dir), "doc_id")
+        .crossJoin(F.broadcast(rare))
+    )
+    pos = F.expr("locate(term, lower(text))")
+    start = F.greatest(F.lit(1), pos - F.lit(width // 2))
+    return joined.select(
+        "doc_id",
+        "score",
+        F.col("text").substr(start, F.lit(width)).alias("snippet"),
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def wand_topk_filtered(spark, sf_dir, terms=("spark", "query", "join"),
                        lang="en", k=10) -> DataFrame:
     """Metadata-filtered search: conjunctive WAND top-k restricted to

@@ -286,6 +286,148 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str,
     )
 
 
+def build_ivf_index(spark: SparkSession, emb: DataFrame, out_dir: str,
+                    stride: int = CENTROID_STRIDE,
+                    iters: int = KMEANS_ITERS,
+                    dim: int = EMB_DIM) -> None:
+    """Persist an IVF index: build once, serve many — the vector-side
+    analogue of write_index for the inverted index.
+
+    Layout: ``out_dir/cells`` = (vec_id, embedding) parquet PARTITIONED
+    BY the assigned centroid id (a probe reads only its cells via
+    partition pruning, never a full scan), ``out_dir/centroids.parquet``
+    = (cid, cv).  Centroids are written LAST: their presence marks a
+    complete index (cells alone = crashed build, rebuilt on next call).
+
+    ann_ivf_kmeans_topk recomputes training + assignment per query —
+    correct, but O(n·k·iters) per query.  At 100 TB the quantizer is
+    trained once and queries touch nprobe/k of the data; this persists
+    exactly that split.  Assignment semantics (max cosine, tie lowest
+    cid) and the 6-decimal centroid rounding contract are unchanged, so
+    a probe-identical query returns the IDENTICAL ranking — the driver
+    entry shares ann_ivf_kmeans_topk's DuckDB oracle.
+    """
+    import os
+
+    cents = kmeans_centroids(spark, emb, stride, iters, dim)
+    cent_df = spark.createDataFrame(
+        [(ci, cv) for ci, cv in enumerate(cents)],
+        "cid int, cv array<double>",
+    )
+    cdf = emb.crossJoin(F.broadcast(cent_df)).select(
+        "vec_id", "embedding", "cid",
+        _cosine("embedding", F.col("cv")).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assigned = (
+        cdf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(out_dir, "cells")
+    )
+    cent_df.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "centroids.parquet")
+    )
+
+
+def ivf_topk_ondisk(spark: SparkSession, index_dir: str, query_vec,
+                    k: int = 10, nprobe: int = NPROBE,
+                    exclude_vec_id=None) -> DataFrame:
+    """Serve ANN top-k from a persisted IVF index (build_ivf_index).
+
+    Probe selection is driver-side over the collected centroid table
+    (k rows — centroid-sized, like WAND's term planning): cosine as a
+    sequential left-fold (the cross-engine float determinism contract),
+    tie-break lowest cid.  The cells scan carries
+    ``cid IN (probes)`` — a PARTITION filter, so only nprobe/k of the
+    stored vectors are read; rescoring within cells is exact.
+    """
+    import math
+    import os
+
+    qv = [float(x) for x in query_vec]
+    cents = spark.read.parquet(
+        os.path.join(index_dir, "centroids.parquet")
+    ).collect()
+    qn = math.sqrt(_fold_dot(qv, qv))
+
+    def qcos(cv):
+        return _fold_dot(qv, cv) / (math.sqrt(_fold_dot(cv, cv)) * qn)
+
+    ranked = sorted(
+        ((r["cid"], qcos(r["cv"])) for r in cents),
+        key=lambda cq: (-cq[1], cq[0]),
+    )
+    probe_cids = [cid for cid, _ in ranked[:nprobe]]
+    cells = spark.read.parquet(os.path.join(index_dir, "cells")).filter(
+        F.col("cid").isin(probe_cids)
+    )
+    if exclude_vec_id is not None:
+        cells = cells.filter(F.col("vec_id") != exclude_vec_id)
+    qlit = F.array(*[F.lit(x) for x in qv])
+    return (
+        cells.select(
+            "vec_id",
+            F.round(_cosine("embedding", qlit), 5).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _fold_dot(a, b):
+    """Sequential left-fold dot product — the float64 order every engine
+    in the repo uses (F.aggregate, DuckDB list_dot_product, numpy-free
+    python), so driver-side probe math reproduces plan-side values."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+_IVF_INDEX_CACHE = {}
+
+
+def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str,
+                           query_vec_id: int = 0, k: int = 10,
+                           nprobe: int = NPROBE) -> DataFrame:
+    """Driver entry: build-once (mtime-keyed temp dir), serve from the
+    persisted IVF index.  Must return EXACTLY ann_ivf_kmeans_topk's
+    ranking (same oracle) — proving the persisted index changes layout,
+    never answers."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
+    key = (src, int(os.path.getmtime(src)))
+    if key in _IVF_INDEX_CACHE:
+        d = _IVF_INDEX_CACHE[key]
+    else:
+        d = os.path.join(
+            tempfile.gettempdir(),
+            "searchengine_spark_ivf",
+            hashlib.md5(repr(key).encode()).hexdigest()[:16],
+        )
+        emb = spark.read.parquet(src).select("vec_id", "embedding")
+        if not os.path.exists(
+            os.path.join(d, "centroids.parquet", "_SUCCESS")
+        ):
+            build_ivf_index(spark, emb, d)
+        _IVF_INDEX_CACHE[key] = d
+    qv = (
+        spark.read.parquet(src)
+        .filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .first()["embedding"]
+    )
+    return ivf_topk_ondisk(
+        spark, d, qv, k=k, nprobe=nprobe, exclude_vec_id=query_vec_id
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
                  k: int = 10) -> DataFrame:
     """IVF-style ANN: coarse quantize → probe NPROBE nearest lists.

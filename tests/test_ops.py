@@ -166,6 +166,84 @@ def test_hybrid_rrf_matches_recomputation(spark):
     assert got == want[:k] and len(got) == k
 
 
+def test_ivf_persisted_identical_and_pruned(spark, tmp_path):
+    """The persisted IVF index must (a) return EXACTLY the per-query
+    trained path's ranking and (b) physically read only the probed
+    cells — cid is a partition column, so the probe filter must show
+    up as PartitionFilters in the scan."""
+    from searchengine_spark.ops.vectors import (
+        NPROBE, ann_ivf_kmeans_topk, build_ivf_index, ivf_topk_ondisk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    d = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, d)
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    served = ivf_topk_ondisk(spark, d, qv, k=10, exclude_vec_id=0)
+    trained = ann_ivf_kmeans_topk(spark, SF, query_vec_id=0, k=10)
+    assert [(r["vec_id"], r["cosine"]) for r in served.collect()] == [
+        (r["vec_id"], r["cosine"]) for r in trained.collect()
+    ]
+    plan = served._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters: [cid" in plan, plan
+    assert plan.count("IN (") >= 1 or "isin" in plan.lower(), plan
+    # and the filter actually prunes: nprobe cells out of all built
+    import os
+
+    n_cells = len(
+        [p for p in os.listdir(os.path.join(d, "cells"))
+         if p.startswith("cid=")]
+    )
+    assert n_cells > NPROBE
+
+
+def test_bm25_snippets_match_python_recomputation(spark):
+    """Snippets must equal a direct Python recomputation: 80 chars of
+    the original text from max(1, strpos(lower(text), rarest) - 40)."""
+    from searchengine_spark.ops.textops import (
+        bm25_snippets, bm25_topk, documents, term_tf,
+    )
+    from pyspark.sql import functions as F
+
+    terms = ("spark", "query", "join")
+    dft = {
+        r["term"]: r["df"]
+        for r in term_tf(spark, SF)
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    }
+    rare = min(terms, key=lambda t: (dft[t], t))
+    top = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(spark, SF, terms=terms, k=10).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in documents(spark, SF)
+        .filter(F.col("doc_id").isin(list(top)))
+        .collect()
+    }
+    got = {
+        r["doc_id"]: (r["score"], r["snippet"])
+        for r in bm25_snippets(spark, SF, terms=terms, k=10).collect()
+    }
+    assert set(got) == set(top)
+    for d_, text in texts.items():
+        p = text.lower().find(rare) + 1  # 1-based, match guaranteed
+        start = max(1, p - 40)
+        want = text[start - 1:start - 1 + 80]
+        assert got[d_] == (top[d_], want), d_
+
+
 def test_phrase_match_indexed_equals_text_derived(spark):
     """The index's stored positions payload, served end-to-end: the
     index-backed phrase operator must reproduce the text-derived one
