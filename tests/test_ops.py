@@ -112,6 +112,22 @@ def test_dup_clusters_transitive_closure(spark):
     }
 
 
+def test_dup_clusters_long_chain_converges(spark):
+    """Pointer jumping must collapse an adversarial 120-node CHAIN
+    (diameter 119 — plain propagation would need 119 rounds) well
+    inside the round budget."""
+    from searchengine_spark.ops.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 120)], "a long, b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dup_clusters(pairs, max_iters=15).collect()
+    }
+    assert got == {i: (1, 120) for i in range(1, 121)}
+
+
 def test_dup_clusters_on_jaccard_pairs(tiny_docs):
     """End-to-end over the real pair producer: the planted twins (1, 2)
     and near-dup 3 form one cluster; 4 and 5 are not clustered at all
