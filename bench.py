@@ -225,6 +225,41 @@ def _run_leg(spark):
         shutil.rmtree(idx_dir, ignore_errors=True)
 
 
+def _run_ops_tier(spark):
+    """Round-3 operator family, timed ONCE after the pinned legs and
+    EXCLUDED from "value"/"legs" (those stay comparable round over
+    round).  The index-backed ops run twice: cold includes the one-time
+    flat/IVF index build (mtime-keyed temp cache), warm is the serving
+    cost."""
+    from searchengine_spark.ops import dedup as D
+    from searchengine_spark.ops import textops as T
+    from searchengine_spark.ops import vectors as V
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = {}
+
+    def timed(key, fn):
+        t0 = time.time()
+        fn()
+        out[key] = round(time.time() - t0, 3)
+
+    timed("hybrid_rrf_sec",
+          lambda: T.hybrid_rrf_topk(spark, SF_DIR).count())
+    timed("dup_clusters_sec",
+          lambda: D.dup_clusters(
+              D.jaccard_pairs(docs, threshold=0.5)).count())
+    timed("snippets_sec", lambda: T.bm25_snippets(spark, SF_DIR).count())
+    timed("ivf_persisted_cold_sec",
+          lambda: V.ann_ivf_persisted_topk(spark, SF_DIR).count())
+    timed("ivf_persisted_warm_sec",
+          lambda: V.ann_ivf_persisted_topk(spark, SF_DIR).count())
+    timed("wand_filtered_cold_sec",
+          lambda: T.wand_topk_filtered(spark, SF_DIR).count())
+    timed("wand_filtered_warm_sec",
+          lambda: T.wand_topk_filtered(spark, SF_DIR).count())
+    return out
+
+
 def run_bench():
     from searchengine_spark.session import get_spark
 
@@ -247,6 +282,7 @@ def run_bench():
         "config": BENCH_CONFIG,
         "legs": [r["value"] for r in legs],
     })
+    best["ops_tier"] = _run_ops_tier(spark)
     spark.stop()
     return best
 
