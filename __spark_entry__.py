@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from searchengine_spark.ops import vectors as V
     from searchengine_spark.ops import dedup as D
     from searchengine_spark.ops import multimodal as M
+    from searchengine_spark.ops import prep as P
 
     def _docs(spark, sf):
         return spark.read.parquet(f"{sf}/documents.parquet")
@@ -306,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": lambda spark, sf: D.dup_clusters(
             D.jaccard_pairs(_docs(spark, sf), threshold=0.5)
         ),
+        "training_data_prep": P.training_data_prep,
         "lang_counts": T.lang_counts,
         "phrase_match": T.phrase_match,
         "phrase_match_indexed": T.phrase_match_indexed,
@@ -729,7 +731,14 @@ def _engine_flat_oracle_sql(importance: bool = False) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from searchengine_spark.ops.textops import LANG_MARKERS
+    from searchengine_spark.ops.textops import LANG_MARKERS, QUALITY_STOPWORDS
+    from searchengine_spark.ops.prep import (
+        PREP_BUDGET_FRAC,
+        PREP_MAX_STOPWORD_RATIO,
+        PREP_MIN_TOKENS,
+    )
+
+    _stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
 
     lang_score = ", ".join(
         "sum(CASE WHEN term IN ({m}) THEN 1 ELSE 0 END) AS s_{lang}".format(
@@ -762,6 +771,86 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
             FROM bands x JOIN bands y
               ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        """,
+        # the composed training-data pipeline: exact dedup → minhash
+        # near-dup (local-min) → one-pass token features → quality gate
+        # → token-budget prefix cut.  Same shingle/signature/lang/quality
+        # fragments as the per-operator oracles above/below — this entry
+        # checks their COMPOSITION end-to-end (ops/prep.py).
+        "training_data_prep": f"""
+            WITH alive0 AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text, row_number() OVER (
+                  PARTITION BY sha256(text) ORDER BY doc_id) AS _rk
+                FROM documents) WHERE _rk = 1
+            ),
+            toks0 AS (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                      FROM alive0),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+              FROM toks0, LATERAL (
+                SELECT unnest(generate_series(1, len(t) - 2)) AS i
+              ) g
+              WHERE len(t) >= 3
+            ),
+            sig AS (
+              SELECT doc_id, seed,
+                     min(md5(seed::varchar || '|' || shingle)) AS sig
+              FROM sh CROSS JOIN (
+                SELECT unnest(generate_series(0, 7)) AS seed) seeds
+              GROUP BY doc_id, seed
+            ),
+            bands AS (
+              SELECT doc_id, seed // 2 AS band,
+                     md5(string_agg(sig, '' ORDER BY seed)) AS key
+              FROM sig GROUP BY doc_id, seed // 2
+            ),
+            nd AS (
+              SELECT DISTINCT y.doc_id
+              FROM bands x JOIN bands y
+                ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+            ),
+            alive AS (
+              SELECT a.doc_id, a.text FROM alive0 a
+              WHERE a.doc_id NOT IN (SELECT doc_id FROM nd)
+            ),
+            toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM alive
+            ),
+            feat AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     round(sum(CASE WHEN term IN ({_stop_list}) THEN 1
+                               ELSE 0 END) / count(*), 6) AS stopword_ratio,
+                     sum(ceil(length(term) / 4.0)::bigint)::BIGINT
+                       AS n_pieces_bpe,
+                     {lang_score}
+              FROM toks GROUP BY doc_id
+            ),
+            pred AS (SELECT *, {lang_max} AS mx FROM feat),
+            kept AS (
+              SELECT doc_id, coalesce({lang_case}, 'unknown') AS lang_pred,
+                     n_tokens, n_pieces_bpe, stopword_ratio
+              FROM pred
+              WHERE n_tokens >= {PREP_MIN_TOKENS}
+                AND stopword_ratio <= {PREP_MAX_STOPWORD_RATIO!r}
+            ),
+            cum AS (
+              SELECT *, sum(n_pieces_bpe) OVER (
+                ORDER BY stopword_ratio, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              )::BIGINT AS cum_tokens FROM kept
+            ),
+            tot AS (
+              SELECT floor(sum(n_pieces_bpe) * {PREP_BUDGET_FRAC!r})::BIGINT
+                       AS budget
+              FROM kept
+            )
+            SELECT doc_id, lang_pred, n_tokens::BIGINT AS n_tokens,
+                   n_pieces_bpe, stopword_ratio, cum_tokens
+            FROM cum CROSS JOIN tot WHERE cum_tokens <= budget
         """,
         "ngram_jaccard": f"""
             WITH {_SHINGLES},

@@ -1,0 +1,194 @@
+"""End-to-end training-data preparation: the composed pipeline a
+large-scale corpus-curation job runs before tokenizer training /
+pre-training, built from the engine's first-class operators.
+
+    documents (doc_id, lang, text)
+      → exact dedup        sha256, keep lowest doc_id   (ops parity with
+                           index/pipeline._dedup_exact)
+      → near-dup dedup     MinHash+LSH candidate pairs, local-min rule
+                           (ops/dedup.py determinism contract)
+      → one token pass     n_tokens, stopword ratio, language-marker
+                           scores, BPE-ish piece estimate — a SINGLE
+                           groupBy over the exploded tokens, not four
+      → quality gate       n_tokens >= min, stopword_ratio <= max
+                           (lang_pred rides along as an output label —
+                           the synthetic corpus has no marker tokens,
+                           so a lang gate would be vacuous there)
+      → token-budget cut   order docs best-first (stopword_ratio asc,
+                           doc_id asc), keep the prefix whose cumulative
+                           piece count fits floor(budget_frac · total)
+
+Every stage is a hash-shuffle on a key (sha256 / LSH band / doc_id) or a
+columnar expression; the only global-order step is the budget prefix
+sum, implemented as a two-phase distributed scan (range partition →
+per-partition totals → offset broadcast → intra-partition cumsum), the
+same shape as index/pipeline.assign_docids — NO single-partition window.
+The cumulative values are a pure function of the (stopword_ratio,
+doc_id) total order, so they are partition-count invariant even though
+the range partitioner samples boundaries.
+
+The whole chain is ANSI-SQL expressible (the driver's DuckDB oracle
+runs the identical composition, __spark_entry__.oracle_sql
+['training_data_prep']), which makes this the end-to-end correctness
+check for the dedup + text-analysis operator family in one query.
+
+Reference analogue: the ingest gauntlet makeindex.py:108-193 (dedup →
+filter → analyze); the budget cut and quality gates are [NORTH-EXT]
+training-pipeline surface the reference lacks.
+"""
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..text.tokenizer import TOKEN_PATTERN
+from .dedup import minhash_pairs
+from .textops import LANG_MARKERS, QUALITY_STOPWORDS, documents
+
+# pinned pipeline parameters, interpolated into the DuckDB oracle
+# (__spark_entry__.oracle_sql) — change Spark and SQL together
+PREP_MIN_TOKENS = 30
+PREP_MAX_STOPWORD_RATIO = 0.30
+PREP_BUDGET_FRAC = 0.5
+
+
+def _dedup_exact_min(docs: DataFrame) -> DataFrame:
+    """Keep the lowest doc_id per sha256(text).  The rank window runs
+    over a narrow (doc_id, sha) projection; content-width rows are
+    anti-joined on doc_id (AQE broadcasts the drop set at typical dup
+    rates — the same plan shape as index/pipeline._dedup_exact)."""
+    hashed = docs.withColumn("_sha", F.sha2(F.col("text"), 256))
+    w = Window.partitionBy("_sha").orderBy("doc_id")
+    dropped = (
+        hashed.select("doc_id", "_sha")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select("doc_id")
+    )
+    return hashed.join(dropped, "doc_id", "left_anti").drop("_sha")
+
+
+def _prefix_sum(df: DataFrame, val_col: str, order_cols: list,
+                n_parts: int | None = None) -> DataFrame:
+    """Add ``cum_tokens`` = running sum of ``val_col`` over the total
+    order ``order_cols`` — two-phase, cluster-size independent:
+    range-partition on the order, collect the P per-partition subtotals,
+    broadcast the exclusive prefix offsets back, finish with an
+    intra-partition window.  One pass over the data + a P-row collect;
+    never a single-partition global window."""
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    part = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    subtotals = {
+        r["_pid"]: r["s"]
+        for r in part.groupBy("_pid").agg(F.sum(val_col).alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(subtotals):
+        offsets.append((pid, acc))
+        acc += subtotals[pid]
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "cum_tokens",
+            (F.col("_off") + F.sum(val_col).over(w)).cast("long"),
+        )
+        .drop("_pid", "_off")
+    )
+
+
+def training_data_prep(
+    spark: SparkSession,
+    sf_dir: str,
+    min_tokens: int = PREP_MIN_TOKENS,
+    max_stopword_ratio: float = PREP_MAX_STOPWORD_RATIO,
+    budget_frac: float = PREP_BUDGET_FRAC,
+) -> DataFrame:
+    """(doc_id, lang_pred, n_tokens, n_pieces_bpe, stopword_ratio,
+    cum_tokens) — the curated training subset, ordered by the selection
+    order (stopword_ratio asc, doc_id asc).  See module docstring."""
+    d = documents(spark, sf_dir).select("doc_id", "text")
+
+    alive = _dedup_exact_min(d)
+    near = (
+        minhash_pairs(alive.select("doc_id", "text"))
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+    )
+    alive = alive.join(near, "doc_id", "left_anti")
+
+    # one token pass: every per-doc feature in a single groupBy
+    toks = alive.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)
+        ).alias("term"),
+    )
+    lang_aggs = [
+        F.sum(
+            F.when(F.col("term").isin(LANG_MARKERS[lang]), 1).otherwise(0)
+        ).alias(f"s_{lang}")
+        for lang in sorted(LANG_MARKERS)
+    ]
+    feat = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.sum(
+                F.when(F.col("term").isin(QUALITY_STOPWORDS), 1).otherwise(0)
+            )
+            / F.count("*"),
+            6,
+        ).alias("stopword_ratio"),
+        F.sum(F.ceil(F.length("term") / 4.0).cast("long")).alias(
+            "n_pieces_bpe"
+        ),
+        *lang_aggs,
+    )
+    mx = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(LANG_MARKERS)])
+    pred = F.when(mx == F.lit(0), F.lit("unknown"))
+    for lang in sorted(LANG_MARKERS):
+        pred = pred.when(F.col(f"s_{lang}") == mx, F.lit(lang))
+    kept = (
+        feat.withColumn("lang_pred", F.coalesce(pred, F.lit("unknown")))
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("stopword_ratio") <= max_stopword_ratio)
+        )
+        .select(
+            "doc_id", "lang_pred", "n_tokens", "n_pieces_bpe",
+            "stopword_ratio",
+        )
+    )
+
+    # budget = floor(frac · total pieces of the gated set); the 1-row
+    # agg crossJoin broadcasts (the established stats pattern)
+    tot = kept.agg(
+        F.floor(F.sum("n_pieces_bpe") * F.lit(budget_frac))
+        .cast("long")
+        .alias("_budget")
+    )
+    cum = _prefix_sum(kept, "n_pieces_bpe", ["stopword_ratio", "doc_id"])
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_tokens") <= F.col("_budget"))
+        .select(
+            "doc_id", "lang_pred",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_pieces_bpe").cast("long").alias("n_pieces_bpe"),
+            "stopword_ratio", "cum_tokens",
+        )
+        # no global orderBy: the output SET is deterministic and the
+        # prefix-sum stage already left rows range-partitioned + sorted
+        # within partitions — a total sort of the curated corpus would
+        # be a pure-overhead exchange at 100 TB
+    )

@@ -1,0 +1,93 @@
+"""training_data_prep (ops/prep.py): composition semantics and the
+partition-count invariance of the distributed budget prefix sum.
+
+The value-level Spark-vs-DuckDB check runs in the driver contract
+(__spark_entry__.oracle_sql['training_data_prep']); these tests pin the
+properties the SQL compare can't see — that the two-phase prefix sum is
+independent of parallelism, and that the dedup stages actually remove
+what they claim.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.ops.prep import (
+    PREP_BUDGET_FRAC,
+    _prefix_sum,
+    training_data_prep,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def prep_df(spark):
+    return training_data_prep(spark, SF).toPandas()
+
+
+def test_prefix_sum_partition_invariant(spark):
+    rows = [(i, (i * 37) % 11 + 1, float((i * 13) % 7) / 10.0)
+            for i in range(1, 501)]
+    df = spark.createDataFrame(rows, "doc_id long, v long, key double")
+    outs = []
+    for n_parts in (1, 3, 16):
+        out = (
+            _prefix_sum(df, "v", ["key", "doc_id"], n_parts=n_parts)
+            .select("doc_id", "cum_tokens")
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+    # the running sum over the (key, doc_id) order equals a serial scan
+    serial = sorted(rows, key=lambda r: (r[2], r[0]))
+    acc, expect = 0, {}
+    for doc_id, v, _ in serial:
+        acc += v
+        expect[doc_id] = acc
+    got = dict(zip(outs[0]["doc_id"], outs[0]["cum_tokens"]))
+    assert got == expect
+
+
+def test_prep_dedup_and_gate(spark, prep_df):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # exact duplicates: at most one survivor per sha256(text)
+    kept = docs.filter(
+        F.col("doc_id").isin([int(x) for x in prep_df["doc_id"]])
+    )
+    sha_counts = (
+        kept.groupBy(F.sha2("text", 256).alias("sha"))
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert sha_counts == 0
+    # gates hold on every emitted row
+    assert (prep_df["n_tokens"] >= 30).all()
+    assert (prep_df["stopword_ratio"] <= 0.30).all()
+
+
+def test_prep_budget_cut(prep_df):
+    assert len(prep_df) > 0
+    # selection order is (stopword_ratio asc, doc_id asc) and cum_tokens
+    # is the running piece total in that order
+    ordered = prep_df.sort_values(["stopword_ratio", "doc_id"]).reset_index(
+        drop=True
+    )
+    assert (ordered["cum_tokens"].values
+            == ordered["n_pieces_bpe"].cumsum().values).all()
+    assert (ordered["cum_tokens"].values
+            == sorted(ordered["cum_tokens"].values)).all()
+
+
+def test_prep_budget_is_binding(spark):
+    # the cut must drop SOMETHING at frac=0.5 on this corpus (if the
+    # gate output fits the budget entirely, the operator is vacuous)
+    full = training_data_prep(spark, SF, budget_frac=1.0).toPandas()
+    half = training_data_prep(spark, SF).toPandas()
+    assert PREP_BUDGET_FRAC == 0.5
+    assert len(half) < len(full)
+    assert set(half["doc_id"]).issubset(set(full["doc_id"]))
