@@ -37,12 +37,20 @@ filter → analyze); the budget cut and quality gates are [NORTH-EXT]
 training-pipeline surface the reference lacks.
 """
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..text.tokenizer import TOKEN_PATTERN
 from .dedup import minhash_pairs
-from .textops import LANG_MARKERS, QUALITY_STOPWORDS, documents
+from .textops import (
+    QUALITY_STOPWORDS,
+    bpe_pieces_agg,
+    documents,
+    lang_marker_aggs,
+    lang_pred_expr,
+)
 
 # pinned pipeline parameters, interpolated into the DuckDB oracle
 # (__spark_entry__.oracle_sql) — change Spark and SQL together
@@ -68,13 +76,22 @@ def _dedup_exact_min(docs: DataFrame) -> DataFrame:
 
 
 def _prefix_sum(df: DataFrame, val_col: str, order_cols: list,
-                n_parts: int | None = None) -> DataFrame:
+                n_parts: int | None = None):
     """Add ``cum_tokens`` = running sum of ``val_col`` over the total
     order ``order_cols`` — two-phase, cluster-size independent:
     range-partition on the order, collect the P per-partition subtotals,
     broadcast the exclusive prefix offsets back, finish with an
     intra-partition window.  One pass over the data + a P-row collect;
-    never a single-partition global window."""
+    never a single-partition global window.
+
+    Returns ``(out_df, grand_total)`` — the subtotal collect already
+    knows Σval, so callers that need the total (the budget cut) take it
+    here instead of paying a second scan of the upstream plan.
+
+    ``df`` is persisted under the hood (the subtotal collect and the
+    final read share the range-partitioned data); the cached blocks are
+    narrow feature rows, evictable under memory pressure — the same
+    persist contract as index/pipeline.assign_docids."""
     spark = df.sparkSession
     if n_parts is None:
         n_parts = max(spark.sparkContext.defaultParallelism, 8)
@@ -97,7 +114,7 @@ def _prefix_sum(df: DataFrame, val_col: str, order_cols: list,
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         part.join(F.broadcast(off_df), "_pid")
         .withColumn(
             "cum_tokens",
@@ -105,6 +122,7 @@ def _prefix_sum(df: DataFrame, val_col: str, order_cols: list,
         )
         .drop("_pid", "_off")
     )
+    return out, int(acc)
 
 
 def training_data_prep(
@@ -134,12 +152,6 @@ def training_data_prep(
             F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)
         ).alias("term"),
     )
-    lang_aggs = [
-        F.sum(
-            F.when(F.col("term").isin(LANG_MARKERS[lang]), 1).otherwise(0)
-        ).alias(f"s_{lang}")
-        for lang in sorted(LANG_MARKERS)
-    ]
     feat = toks.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.round(
@@ -149,17 +161,13 @@ def training_data_prep(
             / F.count("*"),
             6,
         ).alias("stopword_ratio"),
-        F.sum(F.ceil(F.length("term") / 4.0).cast("long")).alias(
-            "n_pieces_bpe"
-        ),
-        *lang_aggs,
+        bpe_pieces_agg().alias("n_pieces_bpe"),
+        *lang_marker_aggs(),
     )
-    mx = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(LANG_MARKERS)])
-    pred = F.when(mx == F.lit(0), F.lit("unknown"))
-    for lang in sorted(LANG_MARKERS):
-        pred = pred.when(F.col(f"s_{lang}") == mx, F.lit(lang))
     kept = (
-        feat.withColumn("lang_pred", F.coalesce(pred, F.lit("unknown")))
+        feat.withColumn(
+            "lang_pred", F.coalesce(lang_pred_expr(), F.lit("unknown"))
+        )
         .filter(
             (F.col("n_tokens") >= min_tokens)
             & (F.col("stopword_ratio") <= max_stopword_ratio)
@@ -170,17 +178,15 @@ def training_data_prep(
         )
     )
 
-    # budget = floor(frac · total pieces of the gated set); the 1-row
-    # agg crossJoin broadcasts (the established stats pattern)
-    tot = kept.agg(
-        F.floor(F.sum("n_pieces_bpe") * F.lit(budget_frac))
-        .cast("long")
-        .alias("_budget")
+    # budget = floor(frac · total pieces of the gated set); the grand
+    # total rides the prefix-sum's subtotal collect — a separate agg
+    # over `kept` would re-execute the whole dedup + token-pass upstream
+    cum, total = _prefix_sum(
+        kept, "n_pieces_bpe", ["stopword_ratio", "doc_id"]
     )
-    cum = _prefix_sum(kept, "n_pieces_bpe", ["stopword_ratio", "doc_id"])
+    budget = int(math.floor(total * budget_frac))
     return (
-        cum.crossJoin(F.broadcast(tot))
-        .filter(F.col("cum_tokens") <= F.col("_budget"))
+        cum.filter(F.col("cum_tokens") <= F.lit(budget))
         .select(
             "doc_id", "lang_pred",
             F.col("n_tokens").cast("long").alias("n_tokens"),

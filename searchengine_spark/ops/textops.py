@@ -162,6 +162,33 @@ def _bm25_scored(spark, sf_dir, terms) -> DataFrame:
 _FLAT_INDEX_CACHE = {}
 
 
+def _flat_index_key_dir(sf_dir):
+    """(cache key, on-disk dir) for the flat index over ``sf_dir`` —
+    the single source for the cache layout (used by _flat_index and
+    the bench's cold-measurement reset)."""
+    src = f"{sf_dir}/documents.parquet"
+    key = (os.path.abspath(src), int(os.path.getmtime(src)))
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "searchengine_spark_idx",
+        hashlib.md5(repr(key).encode()).hexdigest()[:16],
+    )
+    return key, d
+
+
+def flat_index_cache_reset(sf_dir):
+    """Drop the flat index for ``sf_dir`` from BOTH cache layers (the
+    in-process handle dict and the on-disk stage-skip dir), so the next
+    _flat_index call is a true cold build.  Bench-only surface: without
+    it, a 'cold' timing on any run after the first silently measures
+    load+serve (the temp dirs survive across processes)."""
+    import shutil
+
+    key, d = _flat_index_key_dir(sf_dir)
+    _FLAT_INDEX_CACHE.pop(key, None)
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def _flat_index(spark, sf_dir):
     """Unstemmed on-disk index over the documents table, built once per
     (sf_dir, mtime) into a temp dir; write_index skips completed stages,
@@ -169,15 +196,9 @@ def _flat_index(spark, sf_dir):
     from ..index.light import build_flat_tables
     from ..index.shards import load_index, write_index
 
-    src = f"{sf_dir}/documents.parquet"
-    key = (os.path.abspath(src), int(os.path.getmtime(src)))
+    key, d = _flat_index_key_dir(sf_dir)
     if key in _FLAT_INDEX_CACHE:
         return _FLAT_INDEX_CACHE[key]
-    d = os.path.join(
-        tempfile.gettempdir(),
-        "searchengine_spark_idx",
-        hashlib.md5(repr(key).encode()).hexdigest()[:16],
-    )
     tables = build_flat_tables(spark, documents(spark, sf_dir), stem=False)
     write_index(spark, tables, d)
     sh = load_index(spark, d)
@@ -465,29 +486,53 @@ LANG_MARKERS = {
 }
 
 
+def lang_marker_aggs() -> list:
+    """One ``s_<lang>`` marker-count aggregate per language — the
+    single Spark source for the lang-ID feature columns (shared by
+    lang_id and ops/prep's one-pass feature aggregate; the DuckDB
+    fragment in __spark_entry__ is generated from the same
+    LANG_MARKERS)."""
+    return [
+        F.sum(
+            F.when(F.col("term").isin(LANG_MARKERS[lang]), 1).otherwise(0)
+        ).alias(f"s_{lang}")
+        for lang in sorted(LANG_MARKERS)
+    ]
+
+
+def lang_pred_expr():
+    """The prediction over the ``s_<lang>`` columns: argmax with the
+    alphabetical CASE-order tie-break, all-zero → 'unknown'.  Change
+    this and the oracle's lang_case together."""
+    mx = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(LANG_MARKERS)])
+    pred = F.when(mx == 0, F.lit("unknown"))
+    for lang in sorted(LANG_MARKERS):
+        pred = pred.when(F.col(f"s_{lang}") == mx, F.lit(lang))
+    return pred
+
+
+def bpe_pieces_agg():
+    """Σ ceil(len(term)/4) — the BPE-ish piece-count aggregate (the
+    standard chars/4 budget rule), shared by token_counts and
+    ops/prep."""
+    return F.sum(F.ceil(F.length("term") / 4).cast("long"))
+
+
 def lang_id(spark, sf_dir) -> DataFrame:
     """Heuristic language identification from marker-token counts
     (training-data pipeline: language-ID without external models).
     Tie-break: first language in alphabetical CASE order; all-zero →
     'unknown'."""
     toks = doc_tokens(spark, sf_dir)
-    aggs = [
-        F.sum(
-            F.when(F.col("term").isin(LANG_MARKERS[lang]), 1).otherwise(0)
-        ).alias(f"s_{lang}")
-        for lang in sorted(LANG_MARKERS)
-    ]
-    per = toks.groupBy("doc_id").agg(*aggs)
-    mx = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(LANG_MARKERS)])
-    pred = F.when(mx == 0, F.lit("unknown"))
-    for lang in sorted(LANG_MARKERS):
-        pred = pred.when(F.col(f"s_{lang}") == mx, F.lit(lang))
+    per = toks.groupBy("doc_id").agg(*lang_marker_aggs())
     docs = documents(spark, sf_dir).select("doc_id")
     return (
         docs.join(per, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce(pred, F.lit("unknown")).alias("lang_pred"),
+            F.coalesce(lang_pred_expr(), F.lit("unknown")).alias(
+                "lang_pred"
+            ),
         )
     )
 
@@ -500,7 +545,7 @@ def token_counts(spark, sf_dir) -> DataFrame:
     per = toks.groupBy("doc_id").agg(
         F.count("*").alias("n_words"),
         F.sum(F.length("term")).alias("n_token_chars"),
-        F.sum(F.ceil(F.length("term") / 4)).alias("n_pieces_bpe"),
+        bpe_pieces_agg().alias("n_pieces_bpe"),
     )
     docs = documents(spark, sf_dir).select("doc_id")
     return (

@@ -390,6 +390,35 @@ def _fold_dot(a, b):
 _IVF_INDEX_CACHE = {}
 
 
+def _ivf_index_key_dir(sf_dir):
+    """(cache key, on-disk dir) for the persisted IVF index over
+    ``sf_dir`` — single source for the cache layout (shared with the
+    bench's cold-measurement reset)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
+    key = (src, int(os.path.getmtime(src)))
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "searchengine_spark_ivf",
+        hashlib.md5(repr(key).encode()).hexdigest()[:16],
+    )
+    return key, d
+
+
+def ivf_index_cache_reset(sf_dir):
+    """Drop the persisted IVF index for ``sf_dir`` from both cache
+    layers so the next ann_ivf_persisted_topk call is a true cold
+    build (see textops.flat_index_cache_reset)."""
+    import shutil
+
+    key, d = _ivf_index_key_dir(sf_dir)
+    _IVF_INDEX_CACHE.pop(key, None)
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str,
                            query_vec_id: int = 0, k: int = 10,
                            nprobe: int = NPROBE) -> DataFrame:
@@ -397,20 +426,13 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str,
     persisted IVF index.  Must return EXACTLY ann_ivf_kmeans_topk's
     ranking (same oracle) — proving the persisted index changes layout,
     never answers."""
-    import hashlib
     import os
-    import tempfile
 
     src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
-    key = (src, int(os.path.getmtime(src)))
+    key, d = _ivf_index_key_dir(sf_dir)
     if key in _IVF_INDEX_CACHE:
         d = _IVF_INDEX_CACHE[key]
     else:
-        d = os.path.join(
-            tempfile.gettempdir(),
-            "searchengine_spark_ivf",
-            hashlib.md5(repr(key).encode()).hexdigest()[:16],
-        )
         emb = spark.read.parquet(src).select("vec_id", "embedding")
         if not os.path.exists(
             os.path.join(d, "centroids.parquet", "_SUCCESS")

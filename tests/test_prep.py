@@ -30,16 +30,18 @@ def test_prefix_sum_partition_invariant(spark):
     rows = [(i, (i * 37) % 11 + 1, float((i * 13) % 7) / 10.0)
             for i in range(1, 501)]
     df = spark.createDataFrame(rows, "doc_id long, v long, key double")
-    outs = []
+    outs, totals = [], []
     for n_parts in (1, 3, 16):
+        cum, total = _prefix_sum(df, "v", ["key", "doc_id"],
+                                 n_parts=n_parts)
         out = (
-            _prefix_sum(df, "v", ["key", "doc_id"], n_parts=n_parts)
-            .select("doc_id", "cum_tokens")
+            cum.select("doc_id", "cum_tokens")
             .toPandas()
             .sort_values("doc_id")
             .reset_index(drop=True)
         )
         outs.append(out)
+        totals.append(total)
     pd.testing.assert_frame_equal(outs[0], outs[1])
     pd.testing.assert_frame_equal(outs[0], outs[2])
     # the running sum over the (key, doc_id) order equals a serial scan
@@ -50,6 +52,7 @@ def test_prefix_sum_partition_invariant(spark):
         expect[doc_id] = acc
     got = dict(zip(outs[0]["doc_id"], outs[0]["cum_tokens"]))
     assert got == expect
+    assert totals == [acc, acc, acc]
 
 
 def test_prep_dedup_and_gate(spark, prep_df):
@@ -65,6 +68,12 @@ def test_prep_dedup_and_gate(spark, prep_df):
         .count()
     )
     assert sha_counts == 0
+    # near-duplicates: the local-min rule means NO candidate pair may
+    # survive intact — any pair within the output would have had its
+    # b-side dropped
+    from searchengine_spark.ops.dedup import minhash_pairs
+
+    assert minhash_pairs(kept.select("doc_id", "text")).count() == 0
     # gates hold on every emitted row
     assert (prep_df["n_tokens"] >= 30).all()
     assert (prep_df["stopword_ratio"] <= 0.30).all()
