@@ -270,6 +270,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return _run_engine(spark, SF0001, FLAGSHIP_QUERIES, k=10)
 
 
+def _events_windowed(spark, sf):
+    """Batch twin of the watermarked streaming window aggregation
+    (streaming/windows.py) — epoch-aligned 1-hour tumbling windows over
+    the events table; TIMESTAMP_NTZ end to end, so the formatted
+    window_start is timezone-independent and DuckDB's
+    date_trunc('hour') is the exact oracle."""
+    from searchengine_spark.streaming.windows import events_windowed
+
+    return events_windowed(spark, sf)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from searchengine_spark.ops import textops as T
     from searchengine_spark.ops import vectors as V
@@ -308,6 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             D.jaccard_pairs(_docs(spark, sf), threshold=0.5)
         ),
         "training_data_prep": P.training_data_prep,
+        "events_windowed": _events_windowed,
         "lang_counts": T.lang_counts,
         "phrase_match": T.phrase_match,
         "phrase_match_indexed": T.phrase_match_indexed,
@@ -851,6 +863,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang_pred, n_tokens::BIGINT AS n_tokens,
                    n_pieces_bpe, stopword_ratio, cum_tokens
             FROM cum CROSS JOIN tot WHERE cum_tokens <= budget
+        """,
+        "events_windowed": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     AS window_start,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "ngram_jaccard": f"""
             WITH {_SHINGLES},

@@ -1,0 +1,88 @@
+"""Event-time windowed aggregation with watermarked late-data handling.
+
+The engine's other streaming surfaces (ingest.py, queries.py, dedup.py)
+are arrival-time pipelines; this module adds the EVENT-time family over
+the ``events`` table: tumbling-window counts/sums keyed by event_type,
+with a watermark bounding how late an event may arrive before it is
+dropped — the standard Structured Streaming pattern for out-of-order
+data at scale (state is bounded by the watermark horizon; without it a
+10^12-event stream would accumulate unbounded window state).
+
+Two entry points share one aggregation builder so the batch twin IS the
+streaming semantics minus the watermark:
+
+ * ``events_windowed`` — the batch twin (driver entry, DuckDB-oracled:
+   Spark's epoch-aligned 1-hour tumbling window == date_trunc('hour')).
+ * ``windowed_events_stream`` — the watermarked streaming variant;
+   tests drive it with availableNow + maxFilesPerTrigger=1 so watermark
+   progression between micro-batches is deterministic, and assert both
+   the closed-window equality vs the batch twin and the drop of a
+   too-late event (tests/test_streaming_windows.py).
+
+Timestamps are TIMESTAMP_NTZ end to end (the parquet ts carries
+isAdjustedToUTC=false), so bucketing is timezone-independent in Spark,
+DuckDB, and the formatted string output.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WINDOW = "1 hour"
+WATERMARK = "30 minutes"
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _windowed_agg(events: DataFrame) -> DataFrame:
+    """The shared tumbling-window aggregation: (window_start,
+    event_type, n_events, sum_value).  Epoch-aligned 1-hour windows;
+    sum rounded to 6dp (the repo's float-compare contract)."""
+    return (
+        events.groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin over the events table — one shuffle on the
+    (window, event_type) grouping key; scales as a plain hash
+    aggregation (partial map-side combine, no global sort)."""
+    return _windowed_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def windowed_events_stream(spark: SparkSession, src_dir: str,
+                           watermark: str = WATERMARK) -> DataFrame:
+    """Watermarked streaming variant over a directory of event parquet
+    files.  Run in APPEND mode: a window is emitted exactly once, when
+    the watermark passes its end — and an event arriving after its
+    window closed is dropped, bounding state at scale.
+
+    The grouped state lives in the state store, sharded across
+    executors by the grouping key, and is reclaimed as the watermark
+    advances — the property that makes this viable on an unbounded
+    stream."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    # watermarks require TIMESTAMP (event-time tracking), not NTZ; the
+    # cast interprets the wall clock in the session timezone, so run
+    # with an hour-aligned zone (tests pin UTC) — then the formatted
+    # window_start round-trips to the batch twin's NTZ strings exactly
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return _windowed_agg(src.withWatermark("ts", watermark))

@@ -1,0 +1,135 @@
+"""Watermarked event-time windows (streaming/windows.py).
+
+Drives the streaming variant with availableNow + maxFilesPerTrigger=1
+(deterministic watermark progression: one file per micro-batch, files
+ordered by mtime) and pins the two semantics that matter:
+
+ * closed-window equality — every window the watermark has passed is
+   emitted exactly once and equals the batch twin on the same rows;
+ * late-data drop — an event arriving after its window closed is
+   discarded (the batch twin still counts it; the stream must not).
+"""
+
+import os
+import time
+
+import pandas as pd
+import pytest
+
+from searchengine_spark.streaming.windows import (
+    WATERMARK,
+    events_windowed,
+    windowed_events_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_chunks(dirpath, chunks):
+    """Write each pandas chunk as one parquet file with strictly
+    increasing mtimes so FileStreamSource (oldest-first) processes them
+    in list order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dirpath, exist_ok=True)
+    now = time.time()
+    for i, pdf in enumerate(chunks):
+        p = os.path.join(dirpath, f"chunk{i}.parquet")
+        t = pa.Table.from_pandas(pdf, preserve_index=False)
+        # pandas round-trips ts as timestamp[ns]; Spark's NTZ reader
+        # wants the source's microsecond unit
+        j = t.schema.get_field_index("ts")
+        t = t.set_column(
+            j, pa.field("ts", pa.timestamp("us")),
+            t.column("ts").cast(pa.timestamp("us")),
+        )
+        pq.write_table(t, p)
+        os.utime(p, (now + i, now + i))
+
+
+def _run_stream(spark, src_dir, name):
+    q = (
+        windowed_events_stream(spark, src_dir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).toPandas()
+
+
+def _sorted(df):
+    return (
+        df.sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module", autouse=True)
+def utc_session(spark):
+    """The NTZ→TIMESTAMP cast at the stream source interprets wall
+    clocks in the session timezone; pin UTC so window boundaries are
+    hour-aligned and restore afterwards."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    yield
+    spark.conf.set("spark.sql.session.timeZone", old)
+
+
+@pytest.fixture(scope="module")
+def events_pdf(spark):
+    return (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .orderBy("ts")
+        .toPandas()
+    )
+
+
+def test_closed_windows_match_batch_twin(spark, tmp_path, events_pdf):
+    n = len(events_pdf)
+    chunks = [
+        events_pdf.iloc[: n // 3],
+        events_pdf.iloc[n // 3 : 2 * n // 3],
+        events_pdf.iloc[2 * n // 3 :],
+    ]
+    src = str(tmp_path / "stream_src")
+    _write_chunks(src, chunks)
+    got = _sorted(_run_stream(spark, src, "winq1"))
+
+    # expected: the batch twin restricted to windows whose END the
+    # final watermark (max ts − delay) has passed
+    assert WATERMARK == "30 minutes"
+    wm = events_pdf["ts"].max() - pd.Timedelta(minutes=30)
+    batch = events_windowed(spark, SF).toPandas()
+    ends = pd.to_datetime(batch["window_start"]) + pd.Timedelta(hours=1)
+    closed = _sorted(batch[ends <= wm])
+
+    pd.testing.assert_frame_equal(got, closed, check_dtype=False)
+    # sanity: the cut is real — some window stayed open
+    assert len(closed) < len(batch)
+    assert len(closed) > 0
+
+
+def test_late_event_is_dropped(spark, tmp_path, events_pdf):
+    t0 = events_pdf["ts"].min().floor("h")
+    late = events_pdf[events_pdf["ts"] < t0 + pd.Timedelta(minutes=50)]
+    on_time = events_pdf[events_pdf["ts"] >= t0 + pd.Timedelta(hours=2)]
+    assert len(late) > 0 and len(on_time) > 1
+    src = str(tmp_path / "late_src")
+    # on-time rows first; the late chunk goes in the THIRD micro-batch
+    # because the late-events watermark lags the eviction watermark by
+    # one batch (the physical plan's two watermark slots) — after two
+    # on-time batches it stands well past hour 0's end, so the late
+    # event must be discarded
+    _write_chunks(
+        src, [on_time.iloc[:-1], on_time.iloc[-1:], late.iloc[:1]]
+    )
+    got = _run_stream(spark, src, "winq2")
+    hour0 = t0.strftime("%Y-%m-%d %H:%M:%S")
+    assert (got["window_start"] == hour0).sum() == 0
+    # the batch twin over the same rows WOULD count it
+    full = events_windowed(spark, SF).toPandas()
+    assert (full["window_start"] == hour0).sum() > 0
