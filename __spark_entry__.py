@@ -281,6 +281,14 @@ def _events_windowed(spark, sf):
     return events_windowed(spark, sf)
 
 
+def _user_sessions(spark, sf):
+    """Sessionization via F.session_window (streaming/windows.py);
+    oracled by the gaps-and-islands SQL rewrite."""
+    from searchengine_spark.streaming.windows import user_sessions
+
+    return user_sessions(spark, sf)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from searchengine_spark.ops import textops as T
     from searchengine_spark.ops import vectors as V
@@ -320,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "training_data_prep": P.training_data_prep,
         "events_windowed": _events_windowed,
+        "user_sessions": _user_sessions,
         "lang_counts": T.lang_counts,
         "phrase_match": T.phrase_match,
         "phrase_match_indexed": T.phrase_match_indexed,
@@ -871,6 +880,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "user_sessions": """
+            WITH ordered AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL OR
+                               ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            labeled AS (
+              SELECT *, sum(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS sess
+              FROM ordered
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f')
+                     AS session_start,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM labeled GROUP BY user_id, sess
         """,
         "ngram_jaccard": f"""
             WITH {_SHINGLES},

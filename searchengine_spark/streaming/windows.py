@@ -64,6 +64,44 @@ def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _windowed_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+SESSION_GAP = "10 minutes"
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: merge each user's events into sessions separated
+    by >= SESSION_GAP of silence — ``F.session_window``, the native
+    merging-window operator (a self-merging state machine in streaming;
+    in batch a partition-local sort within the user_id hash shuffle —
+    no global sort, no UDF).
+
+    (user_id, session_start, n_events, sum_value); session_start
+    carries microseconds since gaps are data-driven.  The DuckDB oracle
+    is the classic gaps-and-islands rewrite (lag → new-session flag →
+    running sum → group), which pins the exact merge semantics: a gap
+    EQUAL to the timeout still MERGES (Spark's session end is
+    inclusive for the merge test — measured, pinned in
+    tests/test_streaming_windows.py); only a strictly larger gap
+    splits."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        events.groupBy(
+            F.session_window("ts", SESSION_GAP).alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(
+                F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def windowed_events_stream(spark: SparkSession, src_dir: str,
                            watermark: str = WATERMARK) -> DataFrame:
     """Watermarked streaming variant over a directory of event parquet

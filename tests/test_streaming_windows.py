@@ -133,3 +133,35 @@ def test_late_event_is_dropped(spark, tmp_path, events_pdf):
     # the batch twin over the same rows WOULD count it
     full = events_windowed(spark, SF).toPandas()
     assert (full["window_start"] == hour0).sum() > 0
+
+
+def test_session_gap_boundary(spark, tmp_path):
+    """A gap EXACTLY equal to the timeout still MERGES (Spark's
+    session-window merge test is inclusive — measured); only a strictly
+    larger gap splits.  The oracle SQL's `> INTERVAL` pins the same
+    rule; a drifted `>=` would split the boundary case."""
+    from searchengine_spark.streaming.windows import user_sessions
+
+    rows = pd.DataFrame({
+        "event_id": [0, 1, 2],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00",
+            "2024-01-01 00:10:00",         # == gap: merges
+            "2024-01-01 00:20:00.000001",  # >  gap: splits
+        ], format="ISO8601"),
+        "user_id": [7, 7, 7],
+        "event_type": ["view"] * 3,
+        "value": [1.0, 2.0, 3.0],
+        "props": ["{}"] * 3,
+    })
+    src = str(tmp_path / "sess_src")
+    _write_chunks(src, [rows])
+    # user_sessions reads <dir>/events.parquet — stage the file there
+    os.makedirs(str(tmp_path / "sf"), exist_ok=True)
+    os.rename(os.path.join(src, "chunk0.parquet"),
+              str(tmp_path / "sf" / "events.parquet"))
+    got = (user_sessions(spark, str(tmp_path / "sf"))
+           .toPandas().sort_values("session_start").reset_index(drop=True))
+    assert list(got["n_events"]) == [2, 1]
+    assert got["session_start"].iloc[0] == "2024-01-01 00:00:00.000000"
+    assert got["session_start"].iloc[1] == "2024-01-01 00:20:00.000001"
