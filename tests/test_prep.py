@@ -100,3 +100,14 @@ def test_prep_budget_is_binding(spark):
     assert PREP_BUDGET_FRAC == 0.5
     assert len(half) < len(full)
     assert set(half["doc_id"]).issubset(set(full["doc_id"]))
+
+
+def test_prep_plan_shape(spark):
+    """Pin the scale-relevant plan properties: no cartesian product, no
+    nested-loop broadcast (the budget is a driver-side literal, not a
+    1-row crossJoin), and at most the 1-row aggregate's single-partition
+    exchange."""
+    df = training_data_prep(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
