@@ -44,3 +44,10 @@ def index_dir(spark, tables, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("index") / "idx")
     write_index(spark, tables, d)
     return d
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Alias fixture for property tests (hypothesis can't take
+    function-scoped fixtures; the session spark is fine)."""
+    return spark

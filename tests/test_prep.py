@@ -111,3 +111,39 @@ def test_prep_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=10**6),
+                  min_size=1, max_size=200),
+    n_parts=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_prefix_sum_property(spark_prop, vals, n_parts, seed):
+    """Σ-prefix over ANY (possibly heavily tied) float key distribution
+    equals the serial scan, at any partition count."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i + 1, v, float(rng.choice([0.0, 0.25, 0.5, rng.random()])))
+        for i, v in enumerate(vals)
+    ]
+    df = spark_prop.createDataFrame(rows, "doc_id long, v long, key double")
+    cum, total = _prefix_sum(df, "v", ["key", "doc_id"], n_parts=n_parts)
+    got = dict(
+        cum.select("doc_id", "cum_tokens").toPandas().itertuples(
+            index=False, name=None
+        )
+    )
+    acc, expect = 0, {}
+    for doc_id, v, _ in sorted(rows, key=lambda r: (r[2], r[0])):
+        acc += v
+        expect[doc_id] = acc
+    assert got == expect
+    assert total == acc

@@ -165,3 +165,62 @@ def test_session_gap_boundary(spark, tmp_path):
     assert list(got["n_events"]) == [2, 1]
     assert got["session_start"].iloc[0] == "2024-01-01 00:00:00.000000"
     assert got["session_start"].iloc[1] == "2024-01-01 00:20:00.000001"
+
+
+def test_sessions_match_python_reference(spark, tmp_path):
+    """Randomized (seeded) sessionization check vs a serial pure-Python
+    sessionizer implementing the pinned rule: merge while the gap to
+    the previous event is <= the 10-minute timeout."""
+    import random
+
+    rng = random.Random(20260817)
+    base = pd.Timestamp("2024-03-01")
+    rows = []
+    eid = 0
+    for uid in range(1, 21):
+        t = base
+        for _ in range(rng.randint(1, 60)):
+            # gaps cluster around the boundary to stress the rule
+            gap_s = rng.choice([1, 60, 599, 600, 601, 1200, 7200])
+            t = t + pd.Timedelta(seconds=gap_s)
+            rows.append((eid, t, uid, "view", float(eid % 7), "{}"))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"],
+    )
+    os.makedirs(str(tmp_path / "sf2"), exist_ok=True)
+    _write_chunks(str(tmp_path / "chunks"), [pdf])
+    os.rename(str(tmp_path / "chunks" / "chunk0.parquet"),
+              str(tmp_path / "sf2" / "events.parquet"))
+
+    from searchengine_spark.streaming.windows import user_sessions
+
+    got = (user_sessions(spark, str(tmp_path / "sf2")).toPandas()
+           .sort_values(["user_id", "session_start"])
+           .reset_index(drop=True))
+
+    expect = []
+    for uid, grp in pdf.groupby("user_id"):
+        grp = grp.sort_values("ts")
+        start, n, sv, prev = None, 0, 0.0, None
+        for _, r in grp.iterrows():
+            if prev is None or (r["ts"] - prev) > pd.Timedelta(minutes=10):
+                if start is not None:
+                    expect.append((uid, start, n, round(sv, 6)))
+                start, n, sv = r["ts"], 0, 0.0
+            n += 1
+            sv += r["value"]
+            prev = r["ts"]
+        expect.append((uid, start, n, round(sv, 6)))
+    epdf = pd.DataFrame(
+        expect, columns=["user_id", "ts", "n_events", "sum_value"]
+    ).sort_values(["user_id", "ts"]).reset_index(drop=True)
+
+    assert len(got) == len(epdf)
+    assert (got["user_id"].values == epdf["user_id"].values).all()
+    assert (got["n_events"].values == epdf["n_events"].values).all()
+    assert (got["session_start"].values
+            == epdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f").values).all()
+    assert (got["sum_value"].values == epdf["sum_value"].values).all()
