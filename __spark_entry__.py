@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from searchengine_spark.ops import dedup as D
     from searchengine_spark.ops import multimodal as M
     from searchengine_spark.ops import prep as P
+    from searchengine_spark.ops import mix as X
 
     def _docs(spark, sf):
         return spark.read.parquet(f"{sf}/documents.parquet")
@@ -327,6 +328,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             D.jaccard_pairs(_docs(spark, sf), threshold=0.5)
         ),
         "training_data_prep": P.training_data_prep,
+        "decontaminate": X.decontaminate,
+        "stratified_sample": X.stratified_sample,
+        "corpus_mixture": X.corpus_mixture,
+        "unigram_logprob": X.unigram_logprob,
         "events_windowed": _events_windowed,
         "user_sessions": _user_sessions,
         "lang_counts": T.lang_counts,
@@ -758,6 +763,19 @@ def oracle_sql() -> dict[str, str]:
         PREP_MAX_STOPWORD_RATIO,
         PREP_MIN_TOKENS,
     )
+    from searchengine_spark.ops.mix import (
+        DECON_EVAL_MOD,
+        DECON_MAX_SHINGLE_DF,
+        DECON_NGRAM,
+        SAMPLE_RATES,
+        _rate_threshold_hex,
+    )
+
+    _sample_whens = " ".join(
+        f"WHEN '{lang}' THEN '{_rate_threshold_hex(SAMPLE_RATES[lang])}'"
+        for lang in sorted(SAMPLE_RATES)
+    )
+    _sample_thr = f"CASE lang {_sample_whens} ELSE '' END"
 
     _stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
 
@@ -872,6 +890,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang_pred, n_tokens::BIGINT AS n_tokens,
                    n_pieces_bpe, stopword_ratio, cum_tokens
             FROM cum CROSS JOIN tot WHERE cum_tokens <= budget
+        """,
+        # GPT-3-style n-gram eval decontamination (ops/mix.decontaminate):
+        # same shingle fragment as dedup, n = DECON_NGRAM, hot-shingle cap
+        # mirrored on the train side
+        "decontaminate": f"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                          FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[i:i+{DECON_NGRAM - 1}], ' ') AS shingle
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(t) - {DECON_NGRAM - 1}))
+                         AS i
+              ) g
+              WHERE len(t) >= {DECON_NGRAM}
+            ),
+            ev AS (SELECT DISTINCT shingle FROM sh
+                   WHERE doc_id % {DECON_EVAL_MOD} = 0),
+            tr AS (SELECT doc_id, shingle FROM sh
+                   WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+            hot AS (
+              SELECT shingle FROM (
+                SELECT shingle, count(*) AS c FROM tr GROUP BY shingle)
+              WHERE c > {DECON_MAX_SHINGLE_DF}
+            ),
+            tr2 AS (SELECT * FROM tr
+                    WHERE shingle NOT IN (SELECT shingle FROM hot))
+            SELECT doc_id, count(*)::BIGINT AS n_overlap
+            FROM tr2 JOIN ev USING (shingle)
+            GROUP BY doc_id
+        """,
+        # deterministic hash-threshold sampling (ops/mix.stratified_sample):
+        # thresholds are Python-computed hex literals shared with the Spark
+        # builder; lowercase-hex string compare is engine-identical
+        "stratified_sample": f"""
+            SELECT doc_id, lang,
+                   substr(md5(doc_id::VARCHAR), 1, 8) AS sample_key
+            FROM documents
+            WHERE {_sample_thr} <> ''
+              AND substr(md5(doc_id::VARCHAR), 1, 8) <= {_sample_thr}
+        """,
+        "corpus_mixture": """
+            WITH per AS (
+              SELECT lang,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+                       AS n
+              FROM documents
+            ),
+            g AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                         sum(n)::BIGINT AS n_tokens
+                  FROM per GROUP BY lang),
+            t AS (SELECT sum(n_tokens)::DOUBLE AS tot,
+                         count(*)::DOUBLE AS nl FROM g)
+            SELECT lang, n_docs, n_tokens,
+                   round(n_tokens / tot, 6) AS token_share,
+                   round((1.0 / nl) / (n_tokens / tot), 6) AS epochs
+            FROM g CROSS JOIN t
+        """,
+        # corpus-unigram self-perplexity proxy (ops/mix.unigram_logprob):
+        # natural log, mean, one 6-decimal rounding (cross-engine float
+        # contract)
+        "unigram_logprob": f"""
+            WITH toks AS ({_TOKS}),
+            tfd AS (SELECT doc_id, term, count(*) AS tf
+                    FROM toks GROUP BY doc_id, term),
+            cfd AS (SELECT term, sum(tf) AS cf FROM tfd GROUP BY term),
+            t AS (SELECT sum(cf)::DOUBLE AS tot FROM cfd)
+            SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+                   round(-sum(tf * ln(cf / tot)) / sum(tf), 6) AS nll
+            FROM tfd JOIN cfd USING (term) CROSS JOIN t
+            GROUP BY doc_id
         """,
         "events_windowed": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

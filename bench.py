@@ -234,6 +234,7 @@ def _run_ops_tier(spark):
     load+serve as 'cold').  Cold builds run before the ops that reuse
     the same indexes, so hybrid_rrf/snippets are pure serving cost."""
     from searchengine_spark.ops import dedup as D
+    from searchengine_spark.ops import mix as X
     from searchengine_spark.ops import textops as T
     from searchengine_spark.ops import vectors as V
     from searchengine_spark.ops.prep import training_data_prep
@@ -264,6 +265,14 @@ def _run_ops_tier(spark):
               D.jaccard_pairs(docs, threshold=0.5)).count())
     timed("training_data_prep_sec",
           lambda: training_data_prep(spark, SF_DIR).count())
+    timed("decontaminate_sec",
+          lambda: X.decontaminate(spark, SF_DIR).count())
+    timed("stratified_sample_sec",
+          lambda: X.stratified_sample(spark, SF_DIR).count())
+    timed("corpus_mixture_sec",
+          lambda: X.corpus_mixture(spark, SF_DIR).count())
+    timed("unigram_logprob_sec",
+          lambda: X.unigram_logprob(spark, SF_DIR).count())
     return out
 
 

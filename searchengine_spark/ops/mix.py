@@ -1,0 +1,230 @@
+"""Corpus curation and mixing operators for training-data pipelines.
+
+The prep pipeline (ops/prep.py) dedups, gates, and budget-cuts one
+corpus.  This module adds the surrounding curation stages a pre-training
+data build runs across corpora:
+
+ * ``decontaminate``     — GPT-3-style 13-gram eval decontamination:
+                           flag training docs sharing any n-gram with a
+                           held-out benchmark slice.
+ * ``stratified_sample`` — deterministic per-language downsampling by a
+                           hash threshold (the reproducible alternative
+                           to rand(): every engine that hashes the same
+                           key keeps the same docs).
+ * ``corpus_mixture``    — per-language token shares and the epoch
+                           (repetition) factor needed to hit a target
+                           mixture, à la Pile/RedPajama mixture tables.
+ * ``unigram_logprob``   — self-perplexity quality proxy: per-doc mean
+                           negative log-probability under the corpus's
+                           own unigram LM (the model-free stand-in for
+                           a KenLM/perplexity filter).
+
+Every operator is expressed twice — Spark here, ANSI SQL in
+__spark_entry__.oracle_sql — with identical semantics, pinned
+parameters, and identical 6-decimal rounding on floats (the repo's
+cross-engine float contract).  Change Spark and SQL together.
+
+Scale notes (the 100-TB story):
+ * decontaminate is a shuffle join keyed on the shingle — the same
+   shape as ops/dedup.jaccard_pairs, including the hot-shingle cap
+   (boilerplate n-grams above ``max_shingle_df`` are dropped via a
+   broadcast anti-join; they are boilerplate, not contamination).
+   The eval side is DISTINCT shingles of the benchmark — tiny relative
+   to the corpus, but still joined (not collected): benchmarks with
+   millions of n-grams stay executor-side.
+ * stratified_sample and unigram_logprob are columnar expressions plus
+   standard key-hash aggregations (term dictionary join); no driver
+   state, no windows.
+ * corpus_mixture aggregates to one row per language — the broadcast
+   of the 1-row total is the only non-linear step.
+
+Reference analogue: none — the reference indexes one crawl as-is.
+These are [NORTH-EXT] training-pipeline surface (SURVEY.md §2 LLM-ops
+family), composing with training_data_prep.
+"""
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..text.tokenizer import TOKEN_PATTERN
+from .dedup import doc_shingles
+from .textops import documents
+
+# pinned parameters, interpolated into the DuckDB oracles
+# (__spark_entry__.oracle_sql) — change Spark and SQL together
+DECON_NGRAM = 13          # GPT-3's 13-gram decontamination window
+DECON_EVAL_MOD = 10       # doc_id % MOD == 0 → held-out eval slice
+DECON_MAX_SHINGLE_DF = 10_000
+
+# per-language keep rates for the deterministic stratified sample
+SAMPLE_RATES = {
+    "en": 1.0,
+    "de": 0.5,
+    "es": 0.5,
+    "fr": 0.25,
+    "zh": 0.125,
+}
+
+
+def decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = DECON_NGRAM,
+    eval_mod: int = DECON_EVAL_MOD,
+    max_shingle_df: int = DECON_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """(doc_id, n_overlap) — training docs sharing >= 1 distinct
+    n-token shingle with the held-out eval slice (doc_id % eval_mod
+    == 0), and how many they share.
+
+    Downstream drops these rows from the training set; the output is
+    the audit trail (which docs, how contaminated).  Shingles are
+    distinct-per-doc (dedup.doc_shingles), so n_overlap counts distinct
+    contaminated n-grams, not occurrences.
+    """
+    d = documents(spark, sf_dir).select("doc_id", "text")
+    sh = doc_shingles(d, n=n)
+    ev = (
+        sh.filter(F.col("doc_id") % eval_mod == 0)
+        .select("shingle")
+        .distinct()
+    )
+    tr = sh.filter(F.col("doc_id") % eval_mod != 0)
+    # hot-shingle cap (train-side df): boilerplate n-grams occurring in
+    # more docs than any real eval leak could — drop via broadcast
+    # anti-join, same contract as dedup.jaccard_pairs' max_shingle_df
+    hot = (
+        tr.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_shingle_df)
+        .select("shingle")
+    )
+    tr = tr.join(F.broadcast(hot), "shingle", "left_anti")
+    return (
+        tr.join(ev, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+
+
+def _rate_threshold_hex(rate: float) -> str:
+    """8-hex-digit keep threshold: keep iff the first 8 md5 hex chars
+    of the key are <= this string.  Lowercase-hex string comparison is
+    identical in every engine, so the kept set is engine-independent.
+    An empty string keeps nothing (every 8-char key compares greater)."""
+    n = int(math.floor(rate * (1 << 32))) - 1
+    if n < 0:
+        return ""
+    return format(min(n, (1 << 32) - 1), "08x")
+
+
+def stratified_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    rates: dict | None = None,
+) -> DataFrame:
+    """(doc_id, lang, sample_key) — the deterministic per-language
+    sample: keep a doc iff substr(md5(doc_id), 1, 8) <= the language's
+    rate threshold.  Languages absent from ``rates`` are dropped.
+
+    Hash-threshold sampling instead of rand(): reproducible across
+    engines, cluster sizes, and reruns, and composable (a 0.5 sample
+    of a 0.5 sample is exactly a 0.25 sample — thresholds compose by
+    min, not by multiplying independent coin flips).
+    """
+    if rates is None:
+        rates = SAMPLE_RATES
+    d = documents(spark, sf_dir).select("doc_id", "lang")
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    thr = None
+    for lang in sorted(rates):
+        h = F.lit(_rate_threshold_hex(rates[lang]))
+        cond = F.col("lang") == lang
+        thr = F.when(cond, h) if thr is None else thr.when(cond, h)
+    thr = thr.otherwise(F.lit(""))
+    return (
+        d.withColumn("sample_key", key)
+        .withColumn("_thr", thr)
+        .filter((F.col("_thr") != "") & (F.col("sample_key") <= F.col("_thr")))
+        .select("doc_id", "lang", "sample_key")
+    )
+
+
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, n_tokens, token_share, epochs) — the observed
+    per-language token mixture and the repetition factor that would
+    equalize it (target = uniform over observed languages).
+
+    ``epochs`` > 1 means the language must repeat to reach its target
+    share; < 1 means it must be subsampled (feed the reciprocal to
+    stratified_sample).  Token counts use the engine tokenizer spec.
+    """
+    d = documents(spark, sf_dir)
+    per = d.select(
+        "lang",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)
+        ).cast("long").alias("_n"),
+    )
+    g = per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_n").alias("n_tokens"),
+    )
+    tot = g.agg(
+        F.sum("n_tokens").cast("double").alias("_tot"),
+        F.count("*").cast("double").alias("_nl"),
+    )
+    return g.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("_tot"), 6).alias("token_share"),
+        F.round(
+            (F.lit(1.0) / F.col("_nl"))
+            / (F.col("n_tokens") / F.col("_tot")),
+            6,
+        ).alias("epochs"),
+    )
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, nll) — per-doc mean negative log-probability
+    under the corpus unigram LM: nll = -Σ_t tf_t·ln(cf_t/total) / len.
+
+    The model-free perplexity proxy: documents far from the corpus
+    distribution (rare-token salads) score high, repetitive/common-token
+    docs score low.  A quality gate thresholds nll from both ends.
+    Floats: natural log, mean, then one 6-decimal rounding — the
+    cross-engine contract (sums of ~10² double terms agree far below
+    1e-6 regardless of accumulation order).
+    """
+    d = documents(spark, sf_dir).select("doc_id", "text")
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(TOKEN_PATTERN), 0
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    tot = cf.agg(F.sum("cf").cast("double").alias("_tot"))
+    return (
+        tf.join(cf, "term")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("tf") * F.log(F.col("cf") / F.col("_tot")))
+                / F.sum("tf"),
+                6,
+            ).alias("nll"),
+        )
+    )

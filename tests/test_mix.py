@@ -1,0 +1,129 @@
+"""Curation/mixing ops (ops/mix.py): pure-Python recomputation oracles
+plus the determinism/composition properties the driver's SQL compare
+can't see (value-level Spark-vs-DuckDB runs in the driver contract).
+"""
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.ops.mix import (
+    DECON_EVAL_MOD,
+    DECON_NGRAM,
+    SAMPLE_RATES,
+    _rate_threshold_hex,
+    corpus_mixture,
+    decontaminate,
+    stratified_sample,
+    unigram_logprob,
+)
+
+SF = "/root/testdata/sf0.001"
+_TOK = re.compile(r"[a-z0-9]+")
+
+
+@pytest.fixture(scope="module")
+def docs_pd(spark):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .toPandas()
+    )
+
+
+def _shingles(text, n):
+    toks = _TOK.findall(text.lower())
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_decontaminate_matches_python(spark, docs_pd):
+    got = {
+        r["doc_id"]: r["n_overlap"]
+        for r in decontaminate(spark, SF).collect()
+    }
+    ev = set()
+    for _, r in docs_pd.iterrows():
+        if r["doc_id"] % DECON_EVAL_MOD == 0:
+            ev |= _shingles(r["text"], DECON_NGRAM)
+    expect = {}
+    for _, r in docs_pd.iterrows():
+        if r["doc_id"] % DECON_EVAL_MOD == 0:
+            continue
+        k = len(_shingles(r["text"], DECON_NGRAM) & ev)
+        if k:
+            expect[r["doc_id"]] = k
+    assert got == expect
+    assert expect, "fixture must exercise a non-empty contamination set"
+
+
+def test_stratified_sample_matches_python_and_is_monotone(spark, docs_pd):
+    got = {
+        r["doc_id"]: (r["lang"], r["sample_key"])
+        for r in stratified_sample(spark, SF).collect()
+    }
+    expect = {}
+    for _, r in docs_pd.iterrows():
+        rate = SAMPLE_RATES.get(r["lang"])
+        if rate is None:
+            continue
+        key = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8]
+        thr = _rate_threshold_hex(rate)
+        if thr and key <= thr:
+            expect[r["doc_id"]] = (r["lang"], key)
+    assert got == expect
+
+    # monotone composition: halving every rate yields a subset
+    halved = {lang: rate / 2 for lang, rate in SAMPLE_RATES.items()}
+    small = {
+        r["doc_id"] for r in stratified_sample(spark, SF, rates=halved).collect()
+    }
+    assert small <= set(got)
+
+    # rate 0 drops the language entirely; absent langs are dropped
+    none_en = dict(SAMPLE_RATES, en=0.0)
+    out = stratified_sample(spark, SF, rates=none_en)
+    assert out.filter(F.col("lang") == "en").count() == 0
+
+
+def test_corpus_mixture_matches_python(spark, docs_pd):
+    rows = {r["lang"]: r for r in corpus_mixture(spark, SF).collect()}
+    counts = Counter()
+    toks = Counter()
+    for _, r in docs_pd.iterrows():
+        counts[r["lang"]] += 1
+        toks[r["lang"]] += len(_TOK.findall(r["text"].lower()))
+    total = sum(toks.values())
+    nl = len(counts)
+    assert set(rows) == set(counts)
+    for lang, r in rows.items():
+        assert r["n_docs"] == counts[lang]
+        assert r["n_tokens"] == toks[lang]
+        assert r["token_share"] == round(toks[lang] / total, 6)
+        assert r["epochs"] == round((1.0 / nl) / (toks[lang] / total), 6)
+    # the mixture identity: share · epochs = target share for every lang
+    for r in rows.values():
+        assert abs(r["token_share"] * r["epochs"] - 1.0 / nl) < 1e-4
+
+
+def test_unigram_logprob_matches_python(spark, docs_pd):
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll"])
+        for r in unigram_logprob(spark, SF).collect()
+    }
+    tfs = {
+        r["doc_id"]: Counter(_TOK.findall(r["text"].lower()))
+        for _, r in docs_pd.iterrows()
+    }
+    cf = Counter()
+    for c in tfs.values():
+        cf.update(c)
+    total = sum(cf.values())
+    for doc_id, c in tfs.items():
+        n = sum(c.values())
+        nll = -sum(tf * math.log(cf[t] / total) for t, tf in c.items()) / n
+        assert got[doc_id][0] == n
+        assert abs(got[doc_id][1] - round(nll, 6)) <= 1e-6
