@@ -777,6 +777,16 @@ def oracle_sql() -> dict[str, str]:
     )
     _sample_thr = f"CASE lang {_sample_whens} ELSE '' END"
 
+    # event-time constants interpolated from streaming/windows.py so the
+    # oracle can't silently desynchronize from the Spark definitions;
+    # date_trunc only expresses 1-unit tumbling windows, hence the guard
+    from searchengine_spark.streaming.windows import SESSION_GAP, WINDOW
+
+    _win_n, _win_unit = WINDOW.split()
+    assert _win_n == "1", "events_windowed oracle needs a 1-unit window"
+    _gap_n, _gap_unit = SESSION_GAP.split()
+    _gap_sql = f"INTERVAL {_gap_n} {_gap_unit.rstrip('s').upper()}"
+
     _stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
 
     lang_score = ", ".join(
@@ -946,7 +956,9 @@ def oracle_sql() -> dict[str, str]:
                          count(*)::DOUBLE AS nl FROM g)
             SELECT lang, n_docs, n_tokens,
                    round(n_tokens / tot, 6) AS token_share,
-                   round((1.0 / nl) / (n_tokens / tot), 6) AS epochs
+                   CASE WHEN n_tokens > 0 THEN
+                     round((1.0 / nl) / (n_tokens / tot), 6)
+                   END AS epochs
             FROM g CROSS JOIN t
         """,
         # corpus-unigram self-perplexity proxy (ops/mix.unigram_logprob):
@@ -963,19 +975,20 @@ def oracle_sql() -> dict[str, str]:
             FROM tfd JOIN cfd USING (term) CROSS JOIN t
             GROUP BY doc_id
         """,
-        "events_windowed": """
-            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        "events_windowed": f"""
+            SELECT strftime(date_trunc('{_win_unit}', ts),
+                            '%Y-%m-%d %H:%M:%S')
                      AS window_start,
                    event_type,
                    count(*)::BIGINT AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
         """,
-        "user_sessions": """
+        "user_sessions": f"""
             WITH ordered AS (
               SELECT user_id, ts, value,
                      CASE WHEN lag(ts) OVER w IS NULL OR
-                               ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                               ts - lag(ts) OVER w > {_gap_sql}
                           THEN 1 ELSE 0 END AS new_sess
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts)

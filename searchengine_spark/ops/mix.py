@@ -138,12 +138,13 @@ def stratified_sample(
         rates = SAMPLE_RATES
     d = documents(spark, sf_dir).select("doc_id", "lang")
     key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
-    thr = None
+    # empty-threshold default drops every row (an 8-char key never
+    # compares <= ""), so an empty rates dict yields an empty sample
+    thr = F.lit("")
     for lang in sorted(rates):
-        h = F.lit(_rate_threshold_hex(rates[lang]))
-        cond = F.col("lang") == lang
-        thr = F.when(cond, h) if thr is None else thr.when(cond, h)
-    thr = thr.otherwise(F.lit(""))
+        thr = F.when(
+            F.col("lang") == lang, F.lit(_rate_threshold_hex(rates[lang]))
+        ).otherwise(thr)
     return (
         d.withColumn("sample_key", key)
         .withColumn("_thr", thr)
@@ -181,10 +182,15 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_tokens",
         F.round(F.col("n_tokens") / F.col("_tot"), 6).alias("token_share"),
-        F.round(
-            (F.lit(1.0) / F.col("_nl"))
-            / (F.col("n_tokens") / F.col("_tot")),
-            6,
+        # explicit NULL for a zero-token language: Spark's non-ANSI
+        # x/0 is NULL while DuckDB's is NaN — pin one value cross-engine
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                (F.lit(1.0) / F.col("_nl"))
+                / (F.col("n_tokens") / F.col("_tot")),
+                6,
+            ),
         ).alias("epochs"),
     )
 

@@ -103,7 +103,9 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def windowed_events_stream(spark: SparkSession, src_dir: str,
-                           watermark: str = WATERMARK) -> DataFrame:
+                           watermark: str = WATERMARK,
+                           max_files_per_trigger: int | None = None
+                           ) -> DataFrame:
     """Watermarked streaming variant over a directory of event parquet
     files.  Run in APPEND mode: a window is emitted exactly once, when
     the watermark passes its end — and an event arriving after its
@@ -112,12 +114,16 @@ def windowed_events_stream(spark: SparkSession, src_dir: str,
     The grouped state lives in the state store, sharded across
     executors by the grouping key, and is reclaimed as the watermark
     advances — the property that makes this viable on an unbounded
-    stream."""
-    src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src_dir)
-    )
+    stream.  ``max_files_per_trigger`` is a determinism knob for tests
+    (1 file per micro-batch pins watermark progression); leave it off
+    in production — forcing N files into N micro-batches makes
+    per-batch planning/state-commit overhead dominate."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    src = reader.parquet(src_dir)
     # watermarks require TIMESTAMP (event-time tracking), not NTZ; the
     # cast interprets the wall clock in the session timezone, so run
     # with an hour-aligned zone (tests pin UTC) — then the formatted

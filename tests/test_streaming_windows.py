@@ -50,14 +50,17 @@ def _write_chunks(dirpath, chunks):
 
 def _run_stream(spark, src_dir, name):
     q = (
-        windowed_events_stream(spark, src_dir)
+        windowed_events_stream(spark, src_dir, max_files_per_trigger=1)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination returns False on timeout (it does NOT raise);
+    # reading the memory sink then would compare against a half-
+    # populated table and fail confusingly — or pass vacuously
+    assert q.awaitTermination(300), "stream did not drain within 300s"
     return spark.table(name).toPandas()
 
 
@@ -129,6 +132,8 @@ def test_late_event_is_dropped(spark, tmp_path, events_pdf):
     )
     got = _run_stream(spark, src, "winq2")
     hour0 = t0.strftime("%Y-%m-%d %H:%M:%S")
+    # guard against vacuous pass: the on-time hours must have emitted
+    assert len(got) > 0
     assert (got["window_start"] == hour0).sum() == 0
     # the batch twin over the same rows WOULD count it
     full = events_windowed(spark, SF).toPandas()
