@@ -312,6 +312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": T.lang_id,
         "token_counts": T.token_counts,
         "media_stats": M.media_stats,
+        "media_features": M.media_features,
+        "media_frames": M.media_frames,
         "term_tf": T.term_tf,
         "doc_length": T.doc_length,
         "term_dict": T.term_dict,
@@ -326,6 +328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_persisted_topk": V.ann_ivf_persisted_topk,
         "dup_clusters": lambda spark, sf: D.dup_clusters(
             D.jaccard_pairs(_docs(spark, sf), threshold=0.5)
+        ),
+        "pagerank_dupgraph": lambda spark, sf: D.pagerank_dupgraph(
+            _docs(spark, sf)
         ),
         "training_data_prep": P.training_data_prep,
         "decontaminate": X.decontaminate,
@@ -756,6 +761,56 @@ def _engine_flat_oracle_sql(importance: bool = False) -> str:
     """
 
 
+def _pagerank_dupgraph_oracle_sql(n_iter: int = 5) -> str:
+    """DuckDB mirror of ops.dedup.pagerank_dupgraph: the jaccard-pair
+    CTE (same fragment as ngram_jaccard) builds the undirected dup
+    graph, then n_iter UNROLLED PageRank stages — each rK is one
+    pagerank_df loop body.  repr() float literals keep the teleport
+    constant (1.0 - 0.85 = 0.15000000000000002) bit-identical."""
+    from searchengine_spark.params import PR_DAMPING
+
+    d = repr(PR_DAMPING)
+    tp = repr(1.0 - PR_DAMPING)
+    iters = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        iters.append(f"""
+        r{k} AS (
+          SELECT u.doc_id, {tp} + {d} * coalesce(s.c, 0) AS r
+          FROM u LEFT JOIN (
+            SELECT e.dst AS doc_id, sum(p.r / o.od) AS c
+            FROM edges e
+            JOIN {prev} p ON p.doc_id = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst) s USING (doc_id)
+        )""")
+        prev = f"r{k}"
+    return f"""
+        WITH {_SHINGLES},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+          FROM sh x JOIN sh y
+            ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id
+        ),
+        pairs AS (
+          SELECT a, b FROM inter
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+          WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
+        ),
+        edges AS (SELECT a AS src, b AS dst FROM pairs
+                  UNION SELECT b, a FROM pairs),
+        outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+        u AS (SELECT doc_id FROM documents),
+        n AS (SELECT count(*)::DOUBLE AS nn FROM u),
+        r0 AS (SELECT doc_id, 1.0 / n.nn AS r FROM u CROSS JOIN n),
+        {",".join(iters)}
+        SELECT doc_id, round(r, 6) AS pr FROM r{n_iter}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from searchengine_spark.ops.textops import LANG_MARKERS, QUALITY_STOPWORDS
     from searchengine_spark.ops.prep import (
@@ -1007,6 +1062,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM labeled GROUP BY user_id, sess
         """,
+        # PageRank over the undirected near-dup graph
+        # (ops/dedup.pagerank_dupgraph): the jaccard-pair CTE feeds a
+        # 5-iteration UNROLLED PageRank — each rK stage is exactly one
+        # pagerank_df loop body (teleport (1-d) + d·Σ rank/outdeg),
+        # damping interpolated via repr() so the float literal matches
+        # Spark's 1.0 - 0.85 bit for bit
+        "pagerank_dupgraph": _pagerank_dupgraph_oracle_sql(),
         "ngram_jaccard": f"""
             WITH {_SHINGLES},
             sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -1083,6 +1145,43 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha,
                    (octet_length(encode(text)) * 10)::int AS duration_ms
             FROM documents
+        """,
+        # the mapInPandas decode stub recomputed in SQL: big-endian
+        # uint32 slices of sha256 / 2^32, rounded through float32 like
+        # the array<float> schema (::REAL), widened back exactly
+        "media_features": f"""
+            SELECT doc_id,
+                   CASE lang
+                     WHEN 'c' THEN 'text/x-c'
+                     WHEN 'java' THEN 'text/x-java'
+                     WHEN 'js' THEN 'text/javascript'
+                     WHEN 'md' THEN 'text/markdown'
+                     WHEN 'python' THEN 'text/x-python'
+                     ELSE 'application/octet-stream' END AS media_type,
+                   octet_length(encode(text)) AS n_bytes,
+                   {", ".join(
+                       "((('0x' || substr(sha256(text), "
+                       f"{8 * i + 1}, 8))::UBIGINT) / 4294967296.0)"
+                       f"::REAL::DOUBLE AS f{i}"
+                       for i in range(8)
+                   )}
+            FROM documents
+        """,
+        # duration-derived frame-sampling plan (decode-late explode);
+        # floor() mirrors Spark's truncating double→int cast
+        "media_frames": """
+            WITH m AS (
+              SELECT doc_id,
+                     (octet_length(encode(text)) * 10)::INT AS duration_ms
+              FROM documents
+            ),
+            n AS (SELECT doc_id,
+                         greatest(1, floor(duration_ms / 1000.0)::INT) AS nf
+                  FROM m)
+            SELECT doc_id, i::INT AS frame_idx, (i * 1000)::INT AS t_ms
+            FROM n, LATERAL (
+              SELECT unnest(generate_series(0, nf - 1)) AS i
+            ) g
         """,
         "token_counts": f"""
             WITH toks AS ({_TOKS}),

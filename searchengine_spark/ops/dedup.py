@@ -250,3 +250,45 @@ def jaccard_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def pagerank_dupgraph(docs: DataFrame, n_iter: int = 5,
+                      threshold: float = 0.5) -> DataFrame:
+    """(doc_id, pr) — PageRank centrality over the UNDIRECTED near-dup
+    graph: each n-gram-Jaccard pair contributes both directed edges,
+    and the reference's unnormalized PageRank variant (graph/
+    pagerank.py, lib/pagerank.py:8-51 semantics) runs for a PINNED
+    ``n_iter`` with no early stop, so the DuckDB oracle unrolls the
+    exact same iterations as CTE stages (the trained-k-means oracle
+    pattern).
+
+    Why it exists: dup_clusters picks representatives by min-doc_id;
+    centrality picks them by connectivity — within a duplicate cluster
+    the doc most linked to other dups ranks highest, while isolated
+    docs sit at the teleport floor (1 - damping).  This also puts the
+    G1 PageRank loop itself under the driver's value-hash gate (it is
+    otherwise pytest-oracled only).
+
+    Scale: the pair graph is the jaccard join's output (bounded by the
+    shingle-df cap); each iteration is one shuffle join + agg over
+    edges — pagerank_df's loop, lineage-truncated per round.
+    """
+    from ..graph.pagerank import pagerank_df
+    from ..params import PR_DAMPING
+
+    pairs = jaccard_pairs(docs, threshold=threshold)
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    universe = docs.select(F.col("doc_id").alias("docid"))
+    n = universe.count()
+    pr = pagerank_df(
+        docs.sparkSession, universe, edges, n,
+        damping=PR_DAMPING, max_iter=n_iter, tol=0.0,
+    )
+    return pr.select(
+        F.col("docid").alias("doc_id"),
+        F.round("pr_quality", 6).alias("pr"),
+    )

@@ -131,6 +131,39 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable run of the FEATURE-EXTRACTION stage itself
+    (not just the payload stats): the Arrow-batched mapInPandas decode
+    stub end-to-end, features flattened to scalar columns f0..f7.
+
+    The fake decode is sha256-derived, so the DuckDB oracle recomputes
+    the identical floats from the text bytes: uint32 big-endian slices
+    of the digest / 2^32, rounded through float32 exactly as the
+    ``array<float>`` schema stores them (widening back to double is
+    exact on both engines).  Swapping in a real encoder keeps every
+    contract here except the oracle's arithmetic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = extract_features(synth_media(docs))
+    cols = [
+        F.element_at(F.col("features"), i + 1).cast("double").alias(f"f{i}")
+        for i in range(N_FEATURES)
+    ]
+    return feats.select(
+        F.col("id").alias("doc_id"), "media_type", "n_bytes", *cols
+    )
+
+
+def media_frames(spark: SparkSession, sf_dir: str,
+                 every_ms: int = 1000) -> DataFrame:
+    """Driver-checkable frame-sampling plan: one row per sampled
+    timestamp, duration-derived — the decode-late explode that real
+    per-frame decoding would follow (frame_sample)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return frame_sample(synth_media(docs), every_ms=every_ms).select(
+        F.col("id").alias("doc_id"), "frame_idx", "t_ms"
+    )
+
+
 def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable summary of the multimodal plumbing: payload
     size + content hash per media row (oracle: octet_length/sha256 of

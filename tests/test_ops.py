@@ -385,6 +385,42 @@ def test_ivf_is_subset_of_brute_force_ranking(spark):
     assert len(set(ivf) & set(brute)) >= 3  # recall >= 0.3 on this data
 
 
+def test_pagerank_dupgraph_matches_python(spark):
+    """Serial PageRank over the same pair graph, 5 pinned iterations —
+    recomputes ops/dedup.pagerank_dupgraph (and thereby the G1 loop)
+    independently of both Spark and the SQL oracle."""
+    from collections import defaultdict
+
+    from searchengine_spark.ops.dedup import jaccard_pairs, pagerank_dupgraph
+    from searchengine_spark.params import PR_DAMPING
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {r["doc_id"]: r["pr"] for r in pagerank_dupgraph(docs).collect()}
+
+    nbrs = defaultdict(set)
+    for r in jaccard_pairs(docs, threshold=0.5).collect():
+        nbrs[r["a"]].add(r["b"])
+        nbrs[r["b"]].add(r["a"])
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    rank = {i: 1.0 / len(ids) for i in ids}
+    for _ in range(5):
+        contrib = defaultdict(float)
+        for u, vs in nbrs.items():
+            share = rank[u] / len(vs)
+            for v in vs:
+                contrib[v] += share
+        rank = {
+            i: (1.0 - PR_DAMPING) + PR_DAMPING * contrib.get(i, 0.0)
+            for i in ids
+        }
+    assert set(got) == set(ids)
+    # the graph must differentiate: some doc above the teleport floor
+    assert max(got.values()) > round(1.0 - PR_DAMPING, 6)
+    for i in ids:
+        assert abs(got[i] - round(rank[i], 6)) <= 1e-6
+
+
 # -- multimodal ------------------------------------------------------------
 
 def test_media_pipeline_deterministic(spark):
@@ -418,6 +454,47 @@ def test_media_pipeline_deterministic(spark):
         by_id.setdefault(r["id"], []).append((r["frame_idx"], r["t_ms"]))
     assert len(by_id[1]) == 2  # 110ms at 50ms → 2 frames
     assert by_id[1] == [(0, 0), (1, 50)]
+
+
+def test_media_driver_entries_match_python(spark):
+    """media_features / media_frames (the driver-entry forms): float32
+    slice arithmetic and frame counts vs a serial recomputation."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from searchengine_spark.ops.multimodal import (
+        media_features,
+        media_frames,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+
+    feats = {r["doc_id"]: r for r in media_features(spark, sf).collect()}
+    assert set(feats) == set(docs)
+    for doc_id, text in docs.items():
+        data = text.encode()
+        h = hashlib.sha256(data).digest()
+        assert feats[doc_id]["n_bytes"] == len(data)
+        for i in range(8):
+            v = struct.unpack(">I", h[4 * i : 4 * i + 4])[0] / 2**32
+            # the array<float> schema stores float32; widening is exact
+            assert feats[doc_id][f"f{i}"] == float(np.float32(v))
+
+    frames = media_frames(spark, sf).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["doc_id"], []).append((r["frame_idx"], r["t_ms"]))
+    for doc_id, text in docs.items():
+        nf = max(1, (len(text.encode()) * 10) // 1000)
+        assert sorted(by_id[doc_id]) == [
+            (i, i * 1000) for i in range(nf)
+        ]
 
 
 def test_real_decode_is_gated():
