@@ -391,6 +391,32 @@ _COS = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
 
+# jaccard pair graph over `sh` (_SHINGLES): shared by the dup_clusters
+# and pagerank_dupgraph oracles so the threshold/edge definition can
+# only change in ONE place (ops/dedup.jaccard_pairs is the Spark twin;
+# ngram_jaccard's oracle keeps its own copy because the jaccard VALUE
+# is its output, not just the >= threshold cut)
+_PAIRS_EDGES = """
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      FROM sh x JOIN sh y
+        ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    ),
+    pairs AS (
+      SELECT a, b FROM inter
+      JOIN sizes sa ON sa.doc_id = a
+      JOIN sizes sb ON sb.doc_id = b
+      WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION
+      SELECT b AS src, a AS dst FROM pairs
+    )
+"""
+
 
 def _neardup_lsh_oracle_sql() -> str:
     """DuckDB mirror of ops.vectors.embedding_neardup_lsh: identical
@@ -774,9 +800,11 @@ def _pagerank_dupgraph_oracle_sql(n_iter: int = 5) -> str:
     iters = []
     prev = "r0"
     for k in range(1, n_iter + 1):
+        # round(…, 6) per iteration — matches pagerank_df(round_to=6)
         iters.append(f"""
         r{k} AS (
-          SELECT u.doc_id, {tp} + {d} * coalesce(s.c, 0) AS r
+          SELECT u.doc_id,
+                 round({tp} + {d} * coalesce(s.c, 0), 6) AS r
           FROM u LEFT JOIN (
             SELECT e.dst AS doc_id, sum(p.r / o.od) AS c
             FROM edges e
@@ -787,27 +815,13 @@ def _pagerank_dupgraph_oracle_sql(n_iter: int = 5) -> str:
         prev = f"r{k}"
     return f"""
         WITH {_SHINGLES},
-        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-          FROM sh x JOIN sh y
-            ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-          GROUP BY x.doc_id, y.doc_id
-        ),
-        pairs AS (
-          SELECT a, b FROM inter
-          JOIN sizes sa ON sa.doc_id = a
-          JOIN sizes sb ON sb.doc_id = b
-          WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
-        ),
-        edges AS (SELECT a AS src, b AS dst FROM pairs
-                  UNION SELECT b, a FROM pairs),
+        {_PAIRS_EDGES},
         outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
         u AS (SELECT doc_id FROM documents),
         n AS (SELECT count(*)::DOUBLE AS nn FROM u),
         r0 AS (SELECT doc_id, 1.0 / n.nn AS r FROM u CROSS JOIN n),
         {",".join(iters)}
-        SELECT doc_id, round(r, 6) AS pr FROM r{n_iter}
+        SELECT doc_id, r AS pr FROM r{n_iter}
     """
 
 
@@ -1448,24 +1462,7 @@ def oracle_sql() -> dict[str, str]:
     # cluster id (textops-side: iterative min-label propagation)
     d["dup_clusters"] = f"""
             WITH RECURSIVE {_SHINGLES},
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-              FROM sh x JOIN sh y
-                ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-              GROUP BY x.doc_id, y.doc_id
-            ),
-            pairs AS (
-              SELECT a, b FROM inter
-              JOIN sizes sa ON sa.doc_id = a
-              JOIN sizes sb ON sb.doc_id = b
-              WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
-            ),
-            edges AS (
-              SELECT a AS src, b AS dst FROM pairs
-              UNION
-              SELECT b AS src, a AS dst FROM pairs
-            ),
+            {_PAIRS_EDGES},
             reach AS (
               SELECT src AS node, src AS lab FROM edges
               UNION

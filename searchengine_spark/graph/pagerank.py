@@ -29,8 +29,19 @@ def pagerank_df(
     damping: float = PR_DAMPING,
     max_iter: int = PR_MAX_ITER,
     tol: float = PR_TOL,
+    round_to: int | None = None,
 ) -> DataFrame:
-    """Return (docid, pr_quality)."""
+    """Return (docid, pr_quality).
+
+    ``round_to`` rounds each iteration's ranks to that many decimals —
+    the cross-engine float-determinism contract (the k-means per-iter
+    rounding precedent) for callers whose output is value-hash-compared
+    against an engine with a different summation order.  ``tol <= 0``
+    means "run exactly max_iter iterations": the per-iteration delta
+    action is skipped entirely (pinned-iteration callers would pay a
+    full join+agg job per round for a check that can never fire).
+    The reference-parity quality path uses neither (unrounded ranks,
+    tol-based convergence — lib/pagerank.py semantics)."""
     if n_total == 0:
         return universe.select("docid", F.lit(1.0).alias("pr_quality"))
 
@@ -47,26 +58,29 @@ def pagerank_df(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
         )
+        rank_expr = (
+            F.lit(1.0 - damping)
+            + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+        )
+        if round_to is not None:
+            rank_expr = F.round(rank_expr, round_to)
         new = (
             universe.join(
                 contribs.withColumnRenamed("dst", "docid"), "docid", "left"
             )
-            .select(
-                "docid",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-                ).alias("rank"),
-            )
+            .select("docid", rank_expr.alias("rank"))
             .localCheckpoint()
         )
-        delta = (
-            new.join(ranks.withColumnRenamed("rank", "old"), "docid")
-            .agg(F.max(F.abs(F.col("rank") - F.col("old"))).alias("d"))
-            .first()["d"]
-        )
-        ranks = new
-        if delta is not None and delta < tol:
-            break
+        if tol > 0:
+            delta = (
+                new.join(ranks.withColumnRenamed("rank", "old"), "docid")
+                .agg(F.max(F.abs(F.col("rank") - F.col("old"))).alias("d"))
+                .first()["d"]
+            )
+            ranks = new
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new
     e.unpersist()
     return ranks.withColumnRenamed("rank", "pr_quality")

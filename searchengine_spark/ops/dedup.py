@@ -284,11 +284,15 @@ def pagerank_dupgraph(docs: DataFrame, n_iter: int = 5,
     )
     universe = docs.select(F.col("doc_id").alias("docid"))
     n = universe.count()
+    # round_to=6 each iteration (cross-engine float contract, the
+    # k-means precedent): without it sum-order ulp noise compounds
+    # across iterations and can cross a rounding boundary in the final
+    # value hash.  tol=0 pins exactly n_iter rounds, no delta jobs.
     pr = pagerank_df(
         docs.sparkSession, universe, edges, n,
-        damping=PR_DAMPING, max_iter=n_iter, tol=0.0,
+        damping=PR_DAMPING, max_iter=n_iter, tol=0.0, round_to=6,
     )
     return pr.select(
         F.col("docid").alias("doc_id"),
-        F.round("pr_quality", 6).alias("pr"),
+        F.col("pr_quality").alias("pr"),
     )

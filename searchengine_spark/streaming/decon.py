@@ -19,8 +19,8 @@ op's survivors on the same data).
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..ops.mix import DECON_EVAL_MOD, DECON_NGRAM
-from ..text.tokenizer import _TOKEN_RE
+from ..ops.mix import DECON_EVAL_MOD, DECON_MAX_SHINGLE_DF, DECON_NGRAM
+from ..text.tokenizer import ngrams, tokenize
 
 DOCS_SCHEMA = (
     "doc_id long, text string, lang string, source string, n_chars long"
@@ -28,32 +28,50 @@ DOCS_SCHEMA = (
 
 
 def text_shingles(text: str, n: int = DECON_NGRAM):
-    """Distinct n-token shingles of one text — the pure-Python twin of
-    dedup.doc_shingles (same regex, same join-by-space key)."""
-    toks = _TOKEN_RE.findall(text.lower())
-    return {
-        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
-    }
+    """Distinct n-token shingles of one text — composed from the pinned
+    tokenizer spec (text/tokenizer.py), the same functions every other
+    pure-Python surface uses, so a tokenizer change can't silently
+    diverge here."""
+    return set(ngrams(tokenize(text), n))
 
 
 def eval_shingle_set(docs: DataFrame, n: int = DECON_NGRAM,
-                     eval_mod: int = DECON_EVAL_MOD) -> set:
+                     eval_mod: int = DECON_EVAL_MOD,
+                     train_docs: DataFrame | None = None,
+                     max_shingle_df: int = DECON_MAX_SHINGLE_DF) -> set:
     """The eval slice's distinct n-grams, collected to the driver.
 
     The eval set is the BENCHMARK, not the corpus — bounded and known
     up front, so materializing it once is the intended shape (the
     13-gram set of every public benchmark is millions of entries, not
     trillions).  Past broadcast-comfort size, build a Bloom filter from
-    this same DataFrame instead and keep everything else unchanged."""
+    this same DataFrame instead and keep everything else unchanged.
+
+    ``train_docs``: when given, n-grams occurring in more than
+    ``max_shingle_df`` of those docs are REMOVED from the eval set —
+    the batch operator's hot-shingle cap expressed on the other side of
+    the join (dropping a hot shingle from the train side and dropping
+    it from the eval set cut the same pairs), so the stream gate built
+    from a corpus snapshot matches ops/mix.decontaminate over that
+    corpus exactly even when the cap fires."""
+    from ..ops.dedup import doc_shingles
+
     sh = docs.filter(F.col("doc_id") % eval_mod == 0).select(
         "doc_id", "text"
     )
-    from ..ops.dedup import doc_shingles
-
-    return {
-        r["shingle"]
-        for r in doc_shingles(sh, n=n).select("shingle").distinct().collect()
-    }
+    ev = doc_shingles(sh, n=n).select("shingle").distinct()
+    if train_docs is not None:
+        hot = (
+            doc_shingles(
+                train_docs.select("doc_id", "text"), n=n
+            )
+            .groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        ev = ev.join(hot, "shingle", "left_anti")
+    return {r["shingle"] for r in ev.collect()}
 
 
 def decontaminate_stream(
@@ -75,8 +93,11 @@ def decontaminate_stream(
     @F.pandas_udf("boolean")
     def _clean(texts: pd.Series) -> pd.Series:
         ev = bc.value
+        # null text = shingle-free = clean (batch parity: doc_shingles
+        # maps NULL to an empty shingle set)
         return texts.map(
-            lambda t: not any(s in ev for s in text_shingles(t, n))
+            lambda t: t is None
+            or not any(s in ev for s in text_shingles(t, n))
         )
 
     src = spark.readStream.schema(DOCS_SCHEMA).parquet(src_dir)
@@ -88,4 +109,6 @@ def decontaminate_stream(
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(600), "decontaminate stream did not drain"
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("decontaminate stream did not drain in 600s")

@@ -410,15 +410,19 @@ def test_pagerank_dupgraph_matches_python(spark):
             share = rank[u] / len(vs)
             for v in vs:
                 contrib[v] += share
+        # per-iteration 6dp rounding — the cross-engine float contract
+        # (pagerank_df round_to=6 / the oracle's round() per rK stage)
         rank = {
-            i: (1.0 - PR_DAMPING) + PR_DAMPING * contrib.get(i, 0.0)
+            i: round(
+                (1.0 - PR_DAMPING) + PR_DAMPING * contrib.get(i, 0.0), 6
+            )
             for i in ids
         }
     assert set(got) == set(ids)
     # the graph must differentiate: some doc above the teleport floor
     assert max(got.values()) > round(1.0 - PR_DAMPING, 6)
     for i in ids:
-        assert abs(got[i] - round(rank[i], 6)) <= 1e-6
+        assert abs(got[i] - rank[i]) <= 1e-6
 
 
 # -- multimodal ------------------------------------------------------------

@@ -8,6 +8,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from searchengine_spark.ops.mix import DECON_EVAL_MOD, decontaminate
 from searchengine_spark.streaming.decon import (
@@ -36,7 +37,15 @@ def _write_chunks(dirpath, table, n_chunks):
 
 def test_stream_matches_batch_decontaminate(spark, docs_table, tmp_path):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    shingles = eval_shingle_set(docs)
+    # train_docs wires the hot-shingle cap contract (a no-op at this
+    # corpus size — no shingle nears the cap — but the equivalence
+    # below is only exact with the cap expressed on the eval side)
+    shingles = eval_shingle_set(
+        docs,
+        train_docs=docs.filter(
+            F.col("doc_id") % DECON_EVAL_MOD != 0
+        ),
+    )
     assert shingles  # fixture must have a non-trivial eval set
 
     # train-side rows only (the eval slice itself is not streamed —
