@@ -57,7 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..params import BM25_B, BM25_K1, N_TERM_BUCKETS, POSTING_BLOCK
-from .varbyte import encode_block
+from .varbyte import encode_payloads_np
 
 RESUME_GROUPS = 8
 
@@ -83,15 +83,20 @@ def _encode_blocks(batches):
     """mapInArrow over (term, salt, bucket, docid, tf, positions, weight)
     rows sorted by (term, salt, docid) within the partition → block rows.
 
-    Carries an accumulator across Arrow batches; flushes at (term, salt)
-    change, at POSTING_BLOCK postings, and at partition end.  Flushing at
-    salt boundaries makes block layout independent of how (term, salt)
-    groups are packed into partitions — the determinism the resume test
-    asserts.  Arrow-native in/out (columns via to_pylist, output arrays
-    built directly) — the pandas object-column round trip was the
-    dominant cost of this stage.
+    Fully vectorized: block boundaries fall at (term, salt) changes and
+    every POSTING_BLOCK postings within a group (so layout is
+    independent of how groups pack into partitions — the determinism
+    the resume test asserts), computed as one numpy pass; payloads come
+    from varbyte.encode_payloads_np (one global varbyte encode per
+    section + per-block slicing, byte-identical to encode_block — pinned
+    by property tests).  The per-posting Python loop this replaces was
+    the write phase's dominant cost.  The partition is buffered as one
+    Arrow table first — the upstream sortWithinPartitions already holds
+    exactly these rows in executor memory, so peak usage is unchanged.
     """
+    import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     out_schema = pa.schema([
         ("term", pa.string()),
@@ -103,63 +108,64 @@ def _encode_blocks(batches):
         ("max_weight", pa.float64()),
         ("payload", pa.binary()),
     ])
-    cols = ("term", "salt", "bucket", "docid", "tf", "positions", "weight")
-    out = {k: [] for k in
-           ("term", "bucket", "n", "docid_first", "docid_last", "cf",
-            "max_weight", "payload")}
-    cur_key = None
-    cur_term = None
-    cur_bucket = None
-    buf_docids, buf_tfs, buf_pos, buf_w = [], [], [], []
+    blist = list(batches)
+    if not blist:
+        return
+    tbl = pa.Table.from_batches(blist).combine_chunks()
+    n = tbl.num_rows
+    if n == 0:
+        return
 
-    def flush():
-        if not buf_docids:
-            return
-        out["term"].append(cur_term)
-        out["bucket"].append(cur_bucket)
-        out["n"].append(len(buf_docids))
-        out["docid_first"].append(buf_docids[0])
-        out["docid_last"].append(buf_docids[-1])
-        out["cf"].append(sum(buf_tfs))
-        out["max_weight"].append(max(buf_w))
-        out["payload"].append(encode_block(buf_docids, buf_tfs, buf_pos))
-        buf_docids.clear()
-        buf_tfs.clear()
-        buf_pos.clear()
-        buf_w.clear()
+    term = tbl.column("term").chunk(0)
+    salt = tbl.column("salt").chunk(0).to_numpy().astype(np.int64)
+    bucket = tbl.column("bucket").chunk(0)
+    docid = tbl.column("docid").chunk(0).to_numpy().astype(np.int64)
+    tf = tbl.column("tf").chunk(0).to_numpy().astype(np.int64)
+    weight = tbl.column("weight").chunk(0).to_numpy().astype(np.float64)
+    pos = tbl.column("positions").chunk(0)
+    off = pos.offsets.to_numpy().astype(np.int64)
+    off = off - off[0]
+    npos = np.diff(off)
+    flat = pos.flatten().to_numpy().astype(np.int64)
 
-    def emit():
-        rb = pa.RecordBatch.from_arrays(
-            [pa.array(out[f.name], f.type) for f in out_schema],
+    # group change flags via dictionary indices (no per-row string cmp)
+    tidx = pc.dictionary_encode(term).indices.to_numpy().astype(np.int64)
+    g = np.ones(n, dtype=bool)
+    if n > 1:
+        g[1:] = (tidx[1:] != tidx[:-1]) | (salt[1:] != salt[:-1])
+    gid = np.cumsum(g) - 1
+    gstart = np.flatnonzero(g)
+    within = np.arange(n, dtype=np.int64) - gstart[gid]
+    bstart = g | (within % POSTING_BLOCK == 0)
+    starts = np.flatnonzero(bstart)
+    bounds = np.append(starts, n)
+
+    payloads = encode_payloads_np(docid, tf, npos, flat, starts)
+    lens = np.diff(bounds).astype(np.int32)
+    cf = np.add.reduceat(tf, starts)
+    maxw = np.maximum.reduceat(weight, starts)
+    first = docid[starts]
+    last = docid[bounds[1:] - 1]
+    idx = pa.array(starts, pa.int64())
+    term_b = pc.take(term, idx)
+    bucket_b = pc.cast(pc.take(bucket, idx), pa.int32())
+
+    n_blocks = starts.size
+    for lo in range(0, n_blocks, 4096):
+        hi = min(lo + 4096, n_blocks)
+        yield pa.RecordBatch.from_arrays(
+            [
+                term_b.slice(lo, hi - lo),
+                bucket_b.slice(lo, hi - lo),
+                pa.array(lens[lo:hi], pa.int32()),
+                pa.array(first[lo:hi], pa.int64()),
+                pa.array(last[lo:hi], pa.int64()),
+                pa.array(cf[lo:hi], pa.int64()),
+                pa.array(maxw[lo:hi], pa.float64()),
+                pa.array(payloads[lo:hi], pa.binary()),
+            ],
             schema=out_schema,
         )
-        for k in out:
-            out[k] = []
-        return rb
-
-    for rb_in in batches:
-        data = {
-            c: rb_in.column(rb_in.schema.get_field_index(c)).to_pylist()
-            for c in cols
-        }
-        for term, salt, bucket, docid, tf, positions, weight in zip(
-            *(data[c] for c in cols)
-        ):
-            if (term, salt) != cur_key:
-                flush()
-                cur_key = (term, salt)
-                cur_term, cur_bucket = term, bucket
-            buf_docids.append(docid)
-            buf_tfs.append(tf)
-            buf_pos.append(positions)
-            buf_w.append(weight)
-            if len(buf_docids) >= POSTING_BLOCK:
-                flush()
-        if len(out["term"]) >= 4096:
-            yield emit()
-    flush()
-    if out["term"]:
-        yield emit()
 
 
 def decode_blocks(batches):

@@ -313,3 +313,125 @@ def decode_block_py(payload: bytes):
         positions.append(plist)
         i += k
     return docids, tfs, positions
+
+
+# -- vectorized encode (write-path hot kernel) ------------------------------
+#
+# The scalar vb_encode above stays as the independent reference the
+# property tests cross-check against (the same contract as
+# decode_block_py vs the numpy decoders).
+
+_VB_THRESHOLDS = np.array(
+    [1 << (7 * k) for k in range(1, 9)], dtype=np.uint64
+)
+
+
+def vb_encode_np(values: np.ndarray):
+    """Vectorized varbyte encode of a non-negative int array.
+
+    Returns ``(buf, ends)`` — ``buf`` a uint8 array of the concatenated
+    encoding (byte-identical to ``vb_encode``), ``ends`` int64 array of
+    each value's EXCLUSIVE end offset in ``buf`` (so value i occupies
+    ``buf[ends[i-1]:ends[i]]``).  The ends let block writers slice one
+    global encode into per-block sections instead of re-encoding.
+    """
+    v = np.asarray(values)
+    if v.size == 0:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    if v.min() < 0:
+        raise ValueError("varbyte requires non-negative ints")
+    u = v.astype(np.uint64)
+    # bytes per value = number of 7-bit groups (>= 1)
+    nb = 1 + np.searchsorted(
+        _VB_THRESHOLDS, u, side="right"
+    ).astype(np.int64)
+    ends = np.cumsum(nb)
+    total = int(ends[-1])
+    out_idx = np.arange(total, dtype=np.int64)
+    vidx = np.repeat(np.arange(u.size, dtype=np.int64), nb)
+    # place = how many 7-bit groups remain AFTER this byte (0 == last)
+    place = (ends[vidx] - 1 - out_idx).astype(np.uint64)
+    buf = ((u[vidx] >> (np.uint64(7) * place)) & np.uint64(0x7F)).astype(
+        np.uint8
+    )
+    buf[out_idx == ends[vidx] - 1] |= np.uint8(0x80)
+    return buf, ends
+
+
+def encode_payloads_np(docids, tfs, npos, flatpos, block_starts):
+    """Per-block payloads, byte-identical to :func:`encode_block`.
+
+    Inputs are the PARTITION-level parallel arrays (postings sorted so
+    that each block is a contiguous slice): ``docids``/``tfs``/``npos``
+    int64 per posting, ``flatpos`` the row-major concatenation of the
+    position lists (int64), ``block_starts`` int64 start indices of
+    each block (ascending, starting at 0).  Returns a list of bytes.
+
+    One global varbyte pass per section + per-block slicing — the
+    vectorized form of calling encode_block per block (whose layout
+    [n][docid deltas][tfs][npos][pos deltas] it reproduces exactly).
+    """
+    n_post = docids.size
+    starts = np.asarray(block_starts, dtype=np.int64)
+    bounds = np.append(starts, n_post)
+    lens = np.diff(bounds)
+
+    # docid deltas: absolute at each block start, strictly-positive
+    # deltas inside the block
+    dd = docids.copy()
+    dd[1:] -= docids[:-1]
+    dd[starts] = docids[starts]
+    if n_post > 1:
+        inner = np.ones(n_post, dtype=bool)
+        inner[starts] = False
+        if (dd[inner] <= 0).any():
+            raise ValueError("docids not strictly increasing in block")
+
+    # per-row position deltas: absolute first position per row
+    if flatpos.size:
+        pd_ = flatpos.copy()
+        pd_[1:] -= flatpos[:-1]
+        row_starts_flat = np.zeros(flatpos.size, dtype=bool)
+        row_off = np.concatenate(([0], np.cumsum(npos)[:-1]))
+        row_starts_flat[row_off[npos > 0]] = True
+        pd_[row_starts_flat] = flatpos[row_starts_flat]
+    else:
+        pd_ = flatpos
+
+    hdr_buf, hdr_ends = vb_encode_np(lens)
+    did_buf, did_ends = vb_encode_np(dd)
+    tf_buf, tf_ends = vb_encode_np(tfs)
+    np_buf, np_ends = vb_encode_np(npos)
+    pos_buf, pos_ends = vb_encode_np(pd_)
+
+    def sec_bounds(ends, idx_bounds):
+        """Byte offsets of each block's section given value ends and
+        the blocks' value-index bounds."""
+        b = np.empty(idx_bounds.size, dtype=np.int64)
+        for i, ix in enumerate(idx_bounds):
+            b[i] = 0 if ix == 0 else ends[ix - 1]
+        return b
+
+    did_b = sec_bounds(did_ends, bounds)
+    tf_b = sec_bounds(tf_ends, bounds)
+    np_b = sec_bounds(np_ends, bounds)
+    # positions: a block's flat-value range comes from the row offsets
+    posval_off = np.concatenate(([0], np.cumsum(npos)))
+    pos_bounds_vals = posval_off[bounds]
+    pos_b = sec_bounds(pos_ends, pos_bounds_vals)
+    hdr_b = np.concatenate(([0], hdr_ends))
+
+    hdr_m, did_m = memoryview(hdr_buf), memoryview(did_buf)
+    tf_m, np_m, pos_m = (
+        memoryview(tf_buf), memoryview(np_buf), memoryview(pos_buf),
+    )
+    out = []
+    for k in range(starts.size):
+        out.append(
+            bytes(hdr_m[hdr_b[k]:hdr_b[k + 1]])
+            + bytes(did_m[did_b[k]:did_b[k + 1]])
+            + bytes(tf_m[tf_b[k]:tf_b[k + 1]])
+            + bytes(np_m[np_b[k]:np_b[k + 1]])
+            + bytes(pos_m[pos_b[k]:pos_b[k + 1]])
+        )
+    return out

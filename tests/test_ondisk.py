@@ -97,6 +97,67 @@ def test_vectorized_block_decode_matches_reference(rows):
     assert decode_block(payload) == decode_block_py(payload)
 
 
+@given(st.lists(st.integers(min_value=0, max_value=2**62)))
+@settings(max_examples=200, deadline=None)
+def test_vectorized_encode_matches_scalar(values):
+    """vb_encode_np (the write-path numpy kernel) must stay
+    byte-identical to vb_encode (the scalar reference)."""
+    import numpy as np
+
+    from searchengine_spark.index.varbyte import vb_encode_np
+
+    buf, ends = vb_encode_np(np.array(values, dtype=np.int64))
+    assert bytes(buf) == vb_encode(values)
+    if values:
+        assert ends[-1] == len(bytes(buf))
+
+
+@given(
+    st.lists(posting_lists, min_size=1, max_size=5),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=60, deadline=None)
+def test_vectorized_payloads_match_encode_block(groups, block_cap):
+    """encode_payloads_np on a multi-block partition must reproduce
+    encode_block per block byte for byte, for arbitrary block cuts
+    (groups × a small POSTING_BLOCK stand-in)."""
+    import numpy as np
+
+    from searchengine_spark.index.varbyte import encode_payloads_np
+
+    docids, tfs, npos, flat, starts = [], [], [], [], []
+    ref_blocks = []
+    base = 0
+    for rows in groups:
+        # re-key docids so concatenated groups stay strictly increasing
+        # within each block (groups model (term, salt) boundaries)
+        rows = [(base + i + 1, r[1], r[2]) for i, r in enumerate(rows)]
+        base = rows[-1][0]
+        for lo in range(0, len(rows), block_cap):
+            chunk = rows[lo : lo + block_cap]
+            starts.append(len(docids))
+            ref_blocks.append(
+                encode_block(
+                    [r[0] for r in chunk],
+                    [r[1] for r in chunk],
+                    [r[2] for r in chunk],
+                )
+            )
+            for d, t, p in chunk:
+                docids.append(d)
+                tfs.append(t)
+                npos.append(len(p))
+                flat.extend(p)
+    got = encode_payloads_np(
+        np.array(docids, dtype=np.int64),
+        np.array(tfs, dtype=np.int64),
+        np.array(npos, dtype=np.int64),
+        np.array(flat, dtype=np.int64),
+        np.array(starts, dtype=np.int64),
+    )
+    assert got == ref_blocks
+
+
 # -- on-disk index (index_dir fixture in conftest.py) ----------------------
 
 def test_manifest_complete(index_dir):
