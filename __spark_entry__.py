@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": V.embedding_neardup,
         "embedding_neardup_lsh": V.embedding_neardup_lsh,
         "ann_ivf_topk": V.ann_ivf_topk,
+        "ann_recall": V.ann_recall,
         "ann_ivf_kmeans_topk": V.ann_ivf_kmeans_topk,
         "lang_id": T.lang_id,
         "token_counts": T.token_counts,
@@ -1135,6 +1136,75 @@ def oracle_sql() -> dict[str, str]:
             FROM assigned a JOIN probes USING (cid) CROSS JOIN q
             WHERE a.vec_id != 0
             ORDER BY cosine DESC, a.vec_id LIMIT 10
+        """,
+        # recall@10 of the stride-IVF search vs the exact ranking, per
+        # query (vec_id % 25): both rankings use the pinned round-5
+        # cosine + (cosine desc, vec_id) tie-break so the rank-k cut is
+        # engine-identical (ops/vectors.ann_recall)
+        "ann_recall": f"""
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                         FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM emb
+                     WHERE vec_id % 50 = 0),
+            scored AS (
+              SELECT e.vec_id, e.v, c.cid,
+                     {_COS.format(a="e.v", b="c.cv")} AS ccos
+              FROM emb e CROSS JOIN cent c
+            ),
+            assigned AS (
+              SELECT vec_id, v, cid FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+                FROM scored) WHERE rn = 1
+            ),
+            q AS (SELECT vec_id AS qid, v AS qv FROM emb
+                  WHERE vec_id % 25 = 0),
+            pr AS (
+              SELECT q.qid, c.cid,
+                     {_COS.format(a="q.qv", b="c.cv")} AS qcos
+              FROM q CROSS JOIN cent c
+            ),
+            probes AS (
+              SELECT qid, cid FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY qid ORDER BY qcos DESC, cid) AS rn
+                FROM pr) WHERE rn <= 3
+            ),
+            ivf_sc AS (
+              SELECT p.qid, a.vec_id,
+                     round({_COS.format(a="a.v", b="q.qv")}, 5) AS cosine
+              FROM assigned a JOIN probes p USING (cid)
+              JOIN q ON q.qid = p.qid
+              WHERE a.vec_id != p.qid
+            ),
+            ivf_k AS (
+              SELECT qid, vec_id FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+                FROM ivf_sc) WHERE rn <= 10
+            ),
+            ex_sc AS (
+              SELECT q.qid, e.vec_id,
+                     round({_COS.format(a="e.v", b="q.qv")}, 5) AS cosine
+              FROM emb e CROSS JOIN q
+              WHERE e.vec_id != q.qid
+            ),
+            ex_k AS (
+              SELECT qid, vec_id FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+                FROM ex_sc) WHERE rn <= 10
+            ),
+            hits AS (
+              SELECT i.qid, count(*) AS n_hits
+              FROM ivf_k i JOIN ex_k x
+                ON x.qid = i.qid AND x.vec_id = i.vec_id
+              GROUP BY i.qid
+            )
+            SELECT q.qid AS query_vec_id,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   round(coalesce(h.n_hits, 0) / 10, 6) AS recall
+            FROM q LEFT JOIN hits h ON h.qid = q.qid
         """,
         "lang_id": f"""
             WITH toks AS ({_TOKS}),

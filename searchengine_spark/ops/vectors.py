@@ -505,3 +505,90 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ann_recall(spark: SparkSession, sf_dir: str, k: int = 10,
+               query_mod: int = 25) -> DataFrame:
+    """(query_vec_id, n_hits, recall) — recall@k of the stride-IVF
+    approximate search against the exact cosine ranking, one row per
+    query (vec_id % query_mod == 0).
+
+    The evaluation surface every ANN deployment needs: approximate
+    search trades recall for probe cost, and the trade must be
+    MEASURED, not assumed — this runs both rankings over the shared id
+    space and reports per-query overlap, so an nprobe/centroid change
+    shows up as a recall delta in the driver's value hash.  Both
+    rankings use the engine's pinned contracts (round-5 cosine,
+    (cosine desc, vec_id) tie-break), so the DuckDB oracle reproduces
+    the exact cut at rank k.
+
+    Scale: the IVF side is probe-pruned exactly like ann_ivf_topk; the
+    exact side is one broadcast of the query set against the corpus —
+    Q×n, the price of ground truth, run on a sample of queries (the
+    standard recall-eval shape).
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    asg = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cid",
+        _cosine("embedding", "cv").alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assigned = (
+        asg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+
+    queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pr = queries.crossJoin(F.broadcast(cent)).select(
+        "qid", "cid", _cosine("qv", "cv").alias("qcos")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("qcos"), F.asc("cid"))
+    probes = (
+        pr.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= NPROBE)
+        .select("qid", "cid")
+    )
+
+    wr = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    ivf_k = (
+        assigned.join(probes, "cid")
+        .join(F.broadcast(queries), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            F.round(_cosine("embedding", "qv"), 5).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    exact_k = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            F.round(_cosine("embedding", "qv"), 5).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+
+    hits = (
+        ivf_k.join(exact_k, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return queries.select("qid").join(hits, "qid", "left").select(
+        F.col("qid").alias("query_vec_id"),
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / k, 6).alias("recall"),
+    )

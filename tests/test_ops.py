@@ -385,6 +385,31 @@ def test_ivf_is_subset_of_brute_force_ranking(spark):
     assert len(set(ivf) & set(brute)) >= 3  # recall >= 0.3 on this data
 
 
+def test_ann_recall_consistent_with_single_query_ops(spark):
+    """ann_recall's per-query overlap must equal intersecting the
+    existing single-query entries (ann_ivf_topk vs ann_cosine_topk)."""
+    from searchengine_spark.ops.textops import ann_cosine_topk
+    from searchengine_spark.ops.vectors import ann_ivf_topk, ann_recall
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["query_vec_id"]: r for r in ann_recall(spark, sf).collect()
+    }
+    assert len(rows) == 20  # 500 vectors, every 25th is a query
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows.values())
+    for qid in (0, 100):
+        ivf = {
+            r["vec_id"]
+            for r in ann_ivf_topk(spark, sf, query_vec_id=qid).collect()
+        }
+        exact = {
+            r["vec_id"]
+            for r in ann_cosine_topk(spark, sf, query_vec_id=qid).collect()
+        }
+        assert rows[qid]["n_hits"] == len(ivf & exact)
+        assert rows[qid]["recall"] == round(len(ivf & exact) / 10, 6)
+
+
 def test_pagerank_dupgraph_matches_python(spark):
     """Serial PageRank over the same pair graph, 5 pinned iterations —
     recomputes ops/dedup.pagerank_dupgraph (and thereby the G1 loop)

@@ -1,0 +1,62 @@
+"""tools/prepare_training_data_job.py: the spark-submit curation job
+is pure composition of the oracled operators — its survivor set must
+equal intersecting them by hand, through the real deploy surface
+(spark-submit --py-files), not an in-process import.
+"""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def job_result(tmp_path_factory):
+    from tools.make_pyfiles import build_zip
+
+    out = str(tmp_path_factory.mktemp("curated"))
+    zpath = build_zip()
+    p = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zpath,
+            "tools/prepare_training_data_job.py",
+            "--input", SF, "--output", out,
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    lines = [ln for ln in p.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    assert lines, p.stdout[-2000:] + p.stderr[-3000:]
+    return json.loads(lines[-1]), out
+
+
+def test_job_funnel_matches_operators(spark, job_result):
+    metrics, out = job_result
+    from searchengine_spark.ops.mix import decontaminate, stratified_sample
+    from searchengine_spark.ops.prep import training_data_prep
+
+    prep = {r["doc_id"] for r in training_data_prep(spark, SF).collect()}
+    flagged = {r["doc_id"] for r in decontaminate(spark, SF).collect()}
+    sampled = {r["doc_id"] for r in stratified_sample(spark, SF).collect()}
+    expect = (prep - flagged) & sampled
+
+    assert metrics["n_after_prep"] == len(prep)
+    assert metrics["n_after_decon"] == len(prep - flagged)
+    assert metrics["n_final"] == len(expect)
+
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/curated").collect()
+    }
+    assert got == expect
+
+    mix = {
+        r["lang"]: (r["n_docs"], r["n_tokens"])
+        for r in spark.read.parquet(f"{out}/mixture").collect()
+    }
+    assert sum(n for n, _ in mix.values()) == len(expect)
