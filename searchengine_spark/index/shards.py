@@ -79,6 +79,12 @@ def term_bucket_col(term_col="term"):
     )
 
 
+# rows buffered before a chunked encode pass; one (term, salt) group is
+# capped at ~STRIPE_POSTINGS rows by the salted striping, so the carry
+# between chunks (the trailing partial group) is tiny relative to this
+_ENCODE_CHUNK_ROWS = 1 << 18
+
+
 def _encode_blocks(batches):
     """mapInArrow over (term, salt, bucket, docid, tf, positions, weight)
     rows sorted by (term, salt, docid) within the partition → block rows.
@@ -89,11 +95,71 @@ def _encode_blocks(batches):
     the resume test asserts), computed as one numpy pass; payloads come
     from varbyte.encode_payloads_np (one global varbyte encode per
     section + per-block slicing, byte-identical to encode_block — pinned
-    by property tests).  The per-posting Python loop this replaces was
-    the write phase's dominant cost.  The partition is buffered as one
-    Arrow table first — the upstream sortWithinPartitions already holds
-    exactly these rows in executor memory, so peak usage is unchanged.
+    by property tests).  The per-posting Python loop this replaced was
+    the write phase's dominant cost.
+
+    Memory is bounded: input batches buffer up to _ENCODE_CHUNK_ROWS,
+    then every COMPLETE (term, salt) group in the buffer is encoded and
+    the trailing partial group carries into the next chunk.  Block cuts
+    are group-local, so chunking at group boundaries cannot change the
+    layout — and the sort upstream may have spilled, so the worker must
+    not assume the whole partition fits in one table.
     """
+    import pyarrow as pa
+
+    buf, nrows = [], 0
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        buf.append(pa.Table.from_batches([rb]))
+        nrows += rb.num_rows
+        if nrows >= _ENCODE_CHUNK_ROWS:
+            tbl = pa.concat_tables(buf).combine_chunks()
+            head, tail = _split_last_group(tbl)
+            if head is not None:
+                yield from _encode_table(head)
+                buf = [tail]
+                nrows = tail.num_rows
+            # else: one giant group fills the buffer — keep buffering
+            # (bounded by the striping cap, this should not happen)
+    if nrows:
+        yield from _encode_table(pa.concat_tables(buf).combine_chunks())
+
+
+def _split_last_group(tbl):
+    """(head, tail): head = every complete (term, salt) group, tail =
+    the trailing (possibly incomplete) group.  head is None when the
+    whole table is a single group."""
+    g = _group_flags(tbl)
+    import numpy as np
+
+    starts = np.flatnonzero(g)
+    if starts.size <= 1:
+        return None, tbl
+    cut = int(starts[-1])
+    return tbl.slice(0, cut), tbl.slice(cut)
+
+
+def _group_flags(tbl):
+    """(term, salt)-change flags over a combined table (row 0 = True)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    tbl = tbl.combine_chunks()
+    n = tbl.num_rows
+    salt = tbl.column("salt").chunk(0).to_numpy().astype(np.int64)
+    tidx = (
+        pc.dictionary_encode(tbl.column("term").chunk(0))
+        .indices.to_numpy().astype(np.int64)
+    )
+    g = np.ones(n, dtype=bool)
+    if n > 1:
+        g[1:] = (tidx[1:] != tidx[:-1]) | (salt[1:] != salt[:-1])
+    return g
+
+
+def _encode_table(tbl):
+    """Encode one table whose (term, salt) groups are all complete."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -108,16 +174,12 @@ def _encode_blocks(batches):
         ("max_weight", pa.float64()),
         ("payload", pa.binary()),
     ])
-    blist = list(batches)
-    if not blist:
-        return
-    tbl = pa.Table.from_batches(blist).combine_chunks()
+    tbl = tbl.combine_chunks()
     n = tbl.num_rows
     if n == 0:
         return
 
     term = tbl.column("term").chunk(0)
-    salt = tbl.column("salt").chunk(0).to_numpy().astype(np.int64)
     bucket = tbl.column("bucket").chunk(0)
     docid = tbl.column("docid").chunk(0).to_numpy().astype(np.int64)
     tf = tbl.column("tf").chunk(0).to_numpy().astype(np.int64)
@@ -128,11 +190,7 @@ def _encode_blocks(batches):
     npos = np.diff(off)
     flat = pos.flatten().to_numpy().astype(np.int64)
 
-    # group change flags via dictionary indices (no per-row string cmp)
-    tidx = pc.dictionary_encode(term).indices.to_numpy().astype(np.int64)
-    g = np.ones(n, dtype=bool)
-    if n > 1:
-        g[1:] = (tidx[1:] != tidx[:-1]) | (salt[1:] != salt[:-1])
+    g = _group_flags(tbl)
     gid = np.cumsum(g) - 1
     gstart = np.flatnonzero(g)
     within = np.arange(n, dtype=np.int64) - gstart[gid]

@@ -341,6 +341,11 @@ def vb_encode_np(values: np.ndarray):
     if v.min() < 0:
         raise ValueError("varbyte requires non-negative ints")
     u = v.astype(np.uint64)
+    # the threshold table covers 9 bytes = 63 payload bits; a uint64 in
+    # [2^63, 2^64) would silently truncate — unreachable from the int64
+    # call sites, but guard the contract rather than trust the caller
+    if u.max() >= np.uint64(1) << np.uint64(63):
+        raise ValueError("vb_encode_np supports values < 2^63")
     # bytes per value = number of 7-bit groups (>= 1)
     nb = 1 + np.searchsorted(
         _VB_THRESHOLDS, u, side="right"
@@ -406,11 +411,13 @@ def encode_payloads_np(docids, tfs, npos, flatpos, block_starts):
 
     def sec_bounds(ends, idx_bounds):
         """Byte offsets of each block's section given value ends and
-        the blocks' value-index bounds."""
-        b = np.empty(idx_bounds.size, dtype=np.int64)
-        for i, ix in enumerate(idx_bounds):
-            b[i] = 0 if ix == 0 else ends[ix - 1]
-        return b
+        the blocks' value-index bounds (vectorized: offset 0 for the
+        zeroth value, else the previous value's end)."""
+        if ends.size == 0:
+            return np.zeros(idx_bounds.size, dtype=np.int64)
+        return np.where(
+            idx_bounds == 0, 0, ends[np.maximum(idx_bounds, 1) - 1]
+        )
 
     did_b = sec_bounds(did_ends, bounds)
     tf_b = sec_bounds(tf_ends, bounds)

@@ -153,6 +153,15 @@ def stratified_sample(
     )
 
 
+def token_count_col(text_col: str = "text"):
+    """Engine-tokenizer token count as a long column — the ONE
+    definition shared by corpus_mixture and the curation deploy job
+    (the count is interpolated into oracles; keep a single source)."""
+    return F.size(
+        F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_PATTERN), 0)
+    ).cast("long")
+
+
 def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lang, n_docs, n_tokens, token_share, epochs) — the observed
     per-language token mixture and the repetition factor that would
@@ -163,12 +172,7 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratified_sample).  Token counts use the engine tokenizer spec.
     """
     d = documents(spark, sf_dir)
-    per = d.select(
-        "lang",
-        F.size(
-            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)
-        ).cast("long").alias("_n"),
-    )
+    per = d.select("lang", token_count_col().alias("_n"))
     g = per.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("_n").alias("n_tokens"),

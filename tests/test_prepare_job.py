@@ -37,16 +37,23 @@ def job_result(tmp_path_factory):
 
 def test_job_funnel_matches_operators(spark, job_result):
     metrics, out = job_result
-    from searchengine_spark.ops.mix import decontaminate, stratified_sample
+    from searchengine_spark.ops.mix import (
+        DECON_EVAL_MOD,
+        decontaminate,
+        stratified_sample,
+    )
     from searchengine_spark.ops.prep import training_data_prep
 
     prep = {r["doc_id"] for r in training_data_prep(spark, SF).collect()}
     flagged = {r["doc_id"] for r in decontaminate(spark, SF).collect()}
     sampled = {r["doc_id"] for r in stratified_sample(spark, SF).collect()}
-    expect = (prep - flagged) & sampled
+    # the eval slice is held out entirely — the benchmark must never
+    # appear in the curated training set
+    no_eval = {d for d in prep if d % DECON_EVAL_MOD != 0}
+    expect = (no_eval - flagged) & sampled
 
     assert metrics["n_after_prep"] == len(prep)
-    assert metrics["n_after_decon"] == len(prep - flagged)
+    assert metrics["n_after_decon"] == len(no_eval - flagged)
     assert metrics["n_final"] == len(expect)
 
     got = {
@@ -54,6 +61,7 @@ def test_job_funnel_matches_operators(spark, job_result):
         for r in spark.read.parquet(f"{out}/curated").collect()
     }
     assert got == expect
+    assert not any(d % DECON_EVAL_MOD == 0 for d in got)
 
     mix = {
         r["lang"]: (r["n_docs"], r["n_tokens"])

@@ -56,9 +56,13 @@ def main():
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    from searchengine_spark.ops.mix import decontaminate, stratified_sample
+    from searchengine_spark.ops.mix import (
+        DECON_EVAL_MOD,
+        decontaminate,
+        stratified_sample,
+        token_count_col,
+    )
     from searchengine_spark.ops.prep import training_data_prep
-    from searchengine_spark.text.tokenizer import TOKEN_PATTERN
 
     docs = spark.read.parquet(f"{args.input}/documents.parquet")
     n_input = docs.count()
@@ -72,8 +76,14 @@ def main():
     t["prep_sec"] = round(time.time() - t0, 3)
 
     t0 = time.time()
+    # the eval slice is the BENCHMARK — held out entirely, never
+    # trained on; decontaminate then flags the train docs that leak it
     flagged = decontaminate(spark, args.input).select("doc_id")
-    kept2 = kept.join(flagged, "doc_id", "left_anti").persist()
+    kept2 = (
+        kept.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .join(flagged, "doc_id", "left_anti")
+        .persist()
+    )
     n_decon = kept2.count()
     t["decon_sec"] = round(time.time() - t0, 3)
 
@@ -90,14 +100,7 @@ def main():
     final.write.mode("overwrite").parquet(f"{args.output}/curated")
     # per-language mixture of the FINAL corpus (engine tokenizer spec)
     mix = (
-        final.select(
-            "lang",
-            F.size(
-                F.regexp_extract_all(
-                    F.lower("text"), F.lit(TOKEN_PATTERN), 0
-                )
-            ).cast("long").alias("_n"),
-        )
+        final.select("lang", token_count_col().alias("_n"))
         .groupBy("lang")
         .agg(F.count("*").alias("n_docs"), F.sum("_n").alias("n_tokens"))
     )
