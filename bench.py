@@ -273,6 +273,8 @@ def _run_ops_tier(spark):
           lambda: X.corpus_mixture(spark, SF_DIR).count())
     timed("unigram_logprob_sec",
           lambda: X.unigram_logprob(spark, SF_DIR).count())
+    timed("ann_recall_sec",
+          lambda: V.ann_recall(spark, SF_DIR).count())
     return out
 
 
