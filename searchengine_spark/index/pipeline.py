@@ -72,24 +72,35 @@ def assign_docids(
     hash → balanced buckets, no sampling pass, no skew by construction);
     ids stay dense, deterministic, and independent of the partition
     count, they just follow hash order instead of lexicographic.
+
+    The ranking runs over a NARROW (repo, path, commit) projection and
+    the resulting (key, docid) map is joined back to the corpus: the
+    range/bucket shuffle and the internal cache hold keys only, never
+    content (the dominant byte-width).  AQE broadcasts the map when it
+    is small; at 10^12 rows the join degrades to the one content
+    shuffle the old rank-the-full-rows plan always paid.  Requires
+    (repo, path, commit) to be a key — duplicates would already make
+    the old plan's intra-tie row_number order nondeterministic, and
+    corpus producers (testdata, segment appends) guarantee uniqueness.
     """
     spark = corpus.sparkSession
     if n_parts is None:
         n_parts = max(spark.sparkContext.defaultParallelism, 8)
 
+    keys = corpus.select(*CORPUS_KEY)
     if order == "hash":
         k = max(4, (n_parts * 4 - 1).bit_length())
         h = F.xxhash64(*CORPUS_KEY)
         # xor with INT64_MIN maps unsigned order onto signed order, so
         # ORDER BY _u == unsigned hash order == contiguous bucket ranges
-        bucketed = corpus.withColumn(
+        bucketed = keys.withColumn(
             "_u", h.bitwiseXOR(F.lit(-(1 << 63)))
         ).withColumn("_pid", F.shiftrightunsigned(h, 64 - k).cast("int"))
         w = Window.partitionBy("_pid").orderBy("_u", *CORPUS_KEY)
         part = bucketed.repartition(n_parts, "_pid").persist()
     else:
         part = (
-            corpus.repartitionByRange(n_parts, *CORPUS_KEY)
+            keys.repartitionByRange(n_parts, *CORPUS_KEY)
             .withColumn("_pid", F.spark_partition_id())
             .persist()
         )
@@ -104,12 +115,13 @@ def assign_docids(
     off_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
     )
-    out = (
+    idmap = (
         part.withColumn("_rn", F.row_number().over(w))
         .join(F.broadcast(off_df), "_pid")
         .withColumn("docid", (F.col("_off") + F.col("_rn")).cast("long"))
-        .drop("_pid", "_rn", "_off", "_u")
+        .select(*CORPUS_KEY, "docid")
     )
+    out = corpus.join(idmap, CORPUS_KEY)
     # the bucket-count collect already knows the corpus size — callers
     # take it here instead of paying a separate count() job
     return (out, acc) if with_count else out
