@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": T.hybrid_rrf_topk,
         "bm25_snippets": T.bm25_snippets,
         "ann_ivf_persisted_topk": V.ann_ivf_persisted_topk,
+        "ann_ivf_append_topk": V.ann_ivf_append_topk,
         "dup_clusters": lambda spark, sf: D.dup_clusters(
             D.jaccard_pairs(_docs(spark, sf), threshold=0.5)
         ),
@@ -469,12 +470,18 @@ def _neardup_lsh_oracle_sql() -> str:
     """
 
 
-def _ivf_kmeans_oracle_sql() -> str:
+def _ivf_kmeans_oracle_sql(train_pred: str = "TRUE") -> str:
     """DuckDB mirror of ops.vectors.ann_ivf_kmeans_topk: the k-means
     iterations are unrolled into chained CTEs (stride init, max-cosine
     assignment with lowest-cid tie-break, per-dimension mean rounded to
     KMEANS_ROUND — the same cross-engine determinism contract the Spark
-    trainer implements), then the standard IVF probe/scan."""
+    trainer implements), then the standard IVF probe/scan.
+
+    ``train_pred`` restricts the TRAINING set (init + iteration
+    assignments); the final assignment pass always covers all vectors —
+    the append-path oracle (ann_ivf_append_topk) trains on the even
+    vec_ids and assigns everything, exactly what build-on-evens +
+    append-odds computes."""
     from searchengine_spark.ops.vectors import (
         CENTROID_STRIDE,
         KMEANS_ITERS,
@@ -485,10 +492,11 @@ def _ivf_kmeans_oracle_sql() -> str:
     cos = _COS
     parts = [f"""
         emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        trainemb AS (SELECT * FROM emb WHERE {train_pred}),
         cent0 AS (
           SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
                  v AS cv
-          FROM emb WHERE vec_id % {CENTROID_STRIDE} = 0
+          FROM trainemb WHERE vec_id % {CENTROID_STRIDE} = 0
         )"""]
     for i in range(1, KMEANS_ITERS + 1):
         prev = f"cent{i - 1}"
@@ -500,7 +508,7 @@ def _ivf_kmeans_oracle_sql() -> str:
                      PARTITION BY e.vec_id
                      ORDER BY {cos.format(a="e.v", b="c.cv")} DESC, c.cid
                    ) AS rn
-            FROM emb e CROSS JOIN {prev} c) WHERE rn = 1
+            FROM trainemb e CROSS JOIN {prev} c) WHERE rn = 1
         ),
         m{i} AS (
           SELECT cid, pos, round(avg(v[pos]), {KMEANS_ROUND}) AS m
@@ -1474,6 +1482,13 @@ def oracle_sql() -> dict[str, str]:
     # trained path — same oracle proves the build/serve split is pure
     # layout (the vector-side segments_topk_flat analogue)
     d["ann_ivf_persisted_topk"] = _ivf_kmeans_oracle_sql()
+    # incremental IVF append: quantizer trained on the even vec_ids
+    # (build half), one assignment pass over ALL vectors (build half +
+    # appended half share the stored centroids) — append must change
+    # when vectors arrived, never the answer
+    d["ann_ivf_append_topk"] = _ivf_kmeans_oracle_sql(
+        train_pred="vec_id % 2 = 0"
+    )
     # hybrid retrieval: RRF over the bm25_topk and ann_cosine_topk
     # rankings (ranks over ROUNDED scores, doc_id tie-break, list depth
     # 50, rrf_k 60; absent rank encoded 0 — exactly textops.hybrid_rrf_topk)

@@ -257,6 +257,10 @@ def _run_ops_tier(spark):
           lambda: V.ann_ivf_persisted_topk(spark, SF_DIR).count())
     timed("ivf_persisted_warm_sec",
           lambda: V.ann_ivf_persisted_topk(spark, SF_DIR).count())
+    timed("ivf_append_cold_sec",
+          lambda: V.ann_ivf_append_topk(spark, SF_DIR).count())
+    timed("ivf_append_warm_sec",
+          lambda: V.ann_ivf_append_topk(spark, SF_DIR).count())
     timed("hybrid_rrf_sec",
           lambda: T.hybrid_rrf_topk(spark, SF_DIR).count())
     timed("snippets_sec", lambda: T.bm25_snippets(spark, SF_DIR).count())

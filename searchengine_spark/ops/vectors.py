@@ -314,22 +314,115 @@ def build_ivf_index(spark: SparkSession, emb: DataFrame, out_dir: str,
         [(ci, cv) for ci, cv in enumerate(cents)],
         "cid int, cv array<double>",
     )
+    _assign_cells(emb, cent_df).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(os.path.join(out_dir, "cells"))
+    cent_df.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "centroids.parquet")
+    )
+
+
+def _assign_cells(emb: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """Apply the coarse quantizer: assign every vector to its max-cosine
+    centroid, tie-break lowest cid — the shared quantizer-application
+    step of build_ivf_index and append_ivf (one broadcast join over the
+    k-row centroid set, never a literal explosion)."""
     cdf = emb.crossJoin(F.broadcast(cent_df)).select(
         "vec_id", "embedding", "cid",
         _cosine("embedding", F.col("cv")).alias("ccos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
-    assigned = (
+    return (
         cdf.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "cid")
     )
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(
-        os.path.join(out_dir, "cells")
-    )
-    cent_df.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "centroids.parquet")
-    )
+
+
+IVF_MANIFEST = "ivf_segments.json"
+
+
+def _ivf_generations(index_dir: str) -> list:
+    """Committed cell directories of a persisted IVF index: the base
+    ``cells`` plus every generation the manifest has committed.  A
+    generation directory not in the manifest is an orphan from a
+    crashed append — readers never see it and the next append
+    overwrites it."""
+    import json
+    import os
+
+    dirs = ["cells"]
+    mp = os.path.join(index_dir, IVF_MANIFEST)
+    if os.path.exists(mp):
+        with open(mp) as f:
+            dirs += json.load(f)["generations"]
+    return dirs
+
+
+def append_ivf(spark: SparkSession, emb_new: DataFrame,
+               index_dir: str) -> str:
+    """Append new vectors to a persisted IVF index WITHOUT retraining:
+    assign them with the stored centroids (the identical quantizer
+    application as build time, _assign_cells) and commit them as a new
+    cell generation — the vector-side analogue of the inverted index's
+    append_segment (index/segments.py).
+
+    Crash-safe single-writer protocol (same shape as the text-index
+    segments): the generation parquet is written first, then the
+    manifest commits it via an atomic rename — a crash between the two
+    leaves an orphan directory that readers ignore and the next append
+    overwrites.  Queries over the appended index are ranking-identical
+    to one quantizer pass over the union set (tests/test_ops.py):
+    append changes WHEN vectors were added, never the answer — the
+    reference behavior being mirrored is Lucene-style segment append,
+    not any reference-repo feature (the reference has no vector index).
+
+    Caller contract: vec_ids unique across generations (the same key
+    contract as docids); the quantizer is NOT retrained, so recall
+    degrades if the appended distribution drifts far from the training
+    set — rebuild via build_ivf_index to retrain (documented tradeoff).
+
+    :return: the committed generation directory name.
+    """
+    import json
+    import os
+    import tempfile
+
+    cent_path = os.path.join(index_dir, "centroids.parquet")
+    if not os.path.exists(os.path.join(cent_path, "_SUCCESS")):
+        raise ValueError(
+            f"incomplete IVF index at {index_dir}: centroids.parquet "
+            "missing (cells alone = crashed build)"
+        )
+    cent_df = spark.read.parquet(cent_path)
+    gens = _ivf_generations(index_dir)
+    gname = f"cells_g{len(gens)}"
+    _assign_cells(emb_new, cent_df).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(os.path.join(index_dir, gname))
+    fd, tmp = tempfile.mkstemp(dir=index_dir, suffix=".manifest.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"generations": gens[1:] + [gname]}, f)
+    os.replace(tmp, os.path.join(index_dir, IVF_MANIFEST))
+    return gname
+
+
+def _read_cells(spark: SparkSession, index_dir: str,
+                probe_cids: list) -> DataFrame:
+    """Union the committed cell generations with the probe filter
+    applied PER DIRECTORY, so each scan keeps its ``cid IN (probes)``
+    PartitionFilters through the union (the same pruning-survives-union
+    requirement the text-index segment reader pins)."""
+    import os
+    from functools import reduce
+
+    dfs = [
+        spark.read.parquet(os.path.join(index_dir, g))
+        .filter(F.col("cid").isin(probe_cids))
+        .select("vec_id", "embedding", "cid")
+        for g in _ivf_generations(index_dir)
+    ]
+    return reduce(DataFrame.unionByName, dfs)
 
 
 def ivf_topk_ondisk(spark: SparkSession, index_dir: str, query_vec,
@@ -361,9 +454,7 @@ def ivf_topk_ondisk(spark: SparkSession, index_dir: str, query_vec,
         key=lambda cq: (-cq[1], cq[0]),
     )
     probe_cids = [cid for cid, _ in ranked[:nprobe]]
-    cells = spark.read.parquet(os.path.join(index_dir, "cells")).filter(
-        F.col("cid").isin(probe_cids)
-    )
+    cells = _read_cells(spark, index_dir, probe_cids)
     if exclude_vec_id is not None:
         cells = cells.filter(F.col("vec_id") != exclude_vec_id)
     qlit = F.array(*[F.lit(x) for x in qv])
@@ -390,16 +481,17 @@ def _fold_dot(a, b):
 _IVF_INDEX_CACHE = {}
 
 
-def _ivf_index_key_dir(sf_dir):
+def _ivf_index_key_dir(sf_dir, tag=""):
     """(cache key, on-disk dir) for the persisted IVF index over
     ``sf_dir`` — single source for the cache layout (shared with the
-    bench's cold-measurement reset)."""
+    bench's cold-measurement reset).  ``tag`` separates index variants
+    over the same source (e.g. the append-path index)."""
     import hashlib
     import os
     import tempfile
 
     src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
-    key = (src, int(os.path.getmtime(src)))
+    key = (src, int(os.path.getmtime(src)), tag)
     d = os.path.join(
         tempfile.gettempdir(),
         "searchengine_spark_ivf",
@@ -409,14 +501,16 @@ def _ivf_index_key_dir(sf_dir):
 
 
 def ivf_index_cache_reset(sf_dir):
-    """Drop the persisted IVF index for ``sf_dir`` from both cache
-    layers so the next ann_ivf_persisted_topk call is a true cold
-    build (see textops.flat_index_cache_reset)."""
+    """Drop the persisted IVF indexes for ``sf_dir`` (both the
+    monolithic and the append-path variants) from both cache layers so
+    the next ann_ivf_persisted_topk / ann_ivf_append_topk call is a
+    true cold build (see textops.flat_index_cache_reset)."""
     import shutil
 
-    key, d = _ivf_index_key_dir(sf_dir)
-    _IVF_INDEX_CACHE.pop(key, None)
-    shutil.rmtree(d, ignore_errors=True)
+    for tag in ("", "append"):
+        key, d = _ivf_index_key_dir(sf_dir, tag)
+        _IVF_INDEX_CACHE.pop(key, None)
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str,
@@ -438,6 +532,44 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str,
             os.path.join(d, "centroids.parquet", "_SUCCESS")
         ):
             build_ivf_index(spark, emb, d)
+        _IVF_INDEX_CACHE[key] = d
+    qv = (
+        spark.read.parquet(src)
+        .filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .first()["embedding"]
+    )
+    return ivf_topk_ondisk(
+        spark, d, qv, k=k, nprobe=nprobe, exclude_vec_id=query_vec_id
+    )
+
+
+def ann_ivf_append_topk(spark: SparkSession, sf_dir: str,
+                        query_vec_id: int = 0, k: int = 10,
+                        nprobe: int = NPROBE) -> DataFrame:
+    """Driver entry for incremental IVF maintenance: train + build the
+    index over the EVEN vec_ids only, append_ivf the odd half with the
+    stored quantizer (no retrain), then serve from the two-generation
+    union.  The DuckDB oracle trains k-means on the even subset and
+    applies one assignment pass over ALL vectors — proving end-to-end
+    that append changes when vectors arrived, never the answer.
+
+    Completeness marker for the two-step construction: the manifest is
+    written LAST (by append_ivf), so a half-built cache dir is rebuilt
+    from scratch on the next call."""
+    import os
+    import shutil
+
+    src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
+    key, d = _ivf_index_key_dir(sf_dir, "append")
+    if key in _IVF_INDEX_CACHE:
+        d = _IVF_INDEX_CACHE[key]
+    else:
+        emb = spark.read.parquet(src).select("vec_id", "embedding")
+        if not os.path.exists(os.path.join(d, IVF_MANIFEST)):
+            shutil.rmtree(d, ignore_errors=True)
+            build_ivf_index(spark, emb.filter(F.col("vec_id") % 2 == 0), d)
+            append_ivf(spark, emb.filter(F.col("vec_id") % 2 == 1), d)
         _IVF_INDEX_CACHE[key] = d
     qv = (
         spark.read.parquet(src)

@@ -220,6 +220,99 @@ def test_ivf_persisted_identical_and_pruned(spark, tmp_path):
     assert n_cells > NPROBE
 
 
+def test_ivf_append_identity_pruning_and_crash_safety(spark, tmp_path):
+    """append_ivf must change WHEN vectors were added, never the answer:
+    build on evens + append odds == one quantizer pass over the union
+    with the same centroids; probe pruning survives the generation
+    union; an uncommitted generation (crashed append) is invisible and
+    reclaimed by the next append."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.ops.vectors import (
+        _assign_cells,
+        append_ivf,
+        build_ivf_index,
+        ivf_topk_ondisk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    odds = emb.filter(F.col("vec_id") % 2 == 1)
+
+    d1 = str(tmp_path / "ivf_seg")
+    build_ivf_index(spark, evens, d1)
+    assert append_ivf(spark, odds, d1) == "cells_g1"
+
+    # monolithic twin: same centroids, one assignment pass over the union
+    d2 = str(tmp_path / "ivf_mono")
+    cent_df = spark.read.parquet(os.path.join(d1, "centroids.parquet"))
+    _assign_cells(emb, cent_df).write.partitionBy("cid").parquet(
+        os.path.join(d2, "cells")
+    )
+    cent_df.write.parquet(os.path.join(d2, "centroids.parquet"))
+
+    qvs = [r["embedding"] for r in
+           emb.filter(F.col("vec_id").isin([0, 3, 7])).orderBy(
+               "vec_id").collect()]
+    for qv in qvs:
+        a = [(r["vec_id"], r["cosine"]) for r in
+             ivf_topk_ondisk(spark, d1, qv, k=10).collect()]
+        b = [(r["vec_id"], r["cosine"]) for r in
+             ivf_topk_ondisk(spark, d2, qv, k=10).collect()]
+        assert a == b and len(a) == 10
+
+    # pruning survives the union: BOTH generation scans carry the
+    # partition filter
+    served = ivf_topk_ondisk(spark, d1, qvs[0], k=10)
+    plan = served._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert plan.count("PartitionFilters: [cid") >= 2, plan
+
+    # crash safety: an orphan generation dir (no manifest commit) is
+    # never served, and the next append overwrites it
+    orphan = os.path.join(d1, "cells_g2")
+    _assign_cells(
+        emb.filter(F.col("vec_id") == 0).withColumn(
+            "vec_id", F.lit(999_999)
+        ),
+        cent_df,
+    ).write.partitionBy("cid").parquet(orphan)
+    before = [(r["vec_id"], r["cosine"]) for r in
+              ivf_topk_ondisk(spark, d1, qvs[0], k=10).collect()]
+    assert 999_999 not in [v for v, _ in before]
+    assert append_ivf(
+        spark,
+        emb.filter(F.col("vec_id") == 1).withColumn(
+            "vec_id", F.lit(888_888)
+        ),
+        d1,
+    ) == "cells_g2"
+    # the committed copy is an exact duplicate of vec 1: querying with
+    # vec 1's embedding must surface it (cosine 1.0 tops its own cell,
+    # which is the first probe); the orphan's fake vector was
+    # physically overwritten by the commit and must never appear
+    qv1 = emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    got = {r["vec_id"]
+           for r in ivf_topk_ondisk(spark, d1, qv1, k=10).collect()}
+    assert 888_888 in got
+    assert 999_999 not in got
+
+    # appending to an incomplete index (no centroids) must refuse
+    d3 = str(tmp_path / "ivf_crashed")
+    os.makedirs(os.path.join(d3, "cells"), exist_ok=True)
+    import pytest
+
+    with pytest.raises(ValueError):
+        append_ivf(spark, odds, d3)
+
+
 def test_bm25_snippets_match_python_recomputation(spark):
     """Snippets must equal a direct Python recomputation: 80 chars of
     the original text from max(1, strpos(lower(text), rarest) - 40)."""
