@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_snippets": T.bm25_snippets,
         "ann_ivf_persisted_topk": V.ann_ivf_persisted_topk,
         "ann_ivf_append_topk": V.ann_ivf_append_topk,
+        "ann_ivf_maint_topk": V.ann_ivf_maint_topk,
         "dup_clusters": lambda spark, sf: D.dup_clusters(
             D.jaccard_pairs(_docs(spark, sf), threshold=0.5)
         ),
@@ -470,7 +471,8 @@ def _neardup_lsh_oracle_sql() -> str:
     """
 
 
-def _ivf_kmeans_oracle_sql(train_pred: str = "TRUE") -> str:
+def _ivf_kmeans_oracle_sql(train_pred: str = "TRUE",
+                           serve_pred: str = "TRUE") -> str:
     """DuckDB mirror of ops.vectors.ann_ivf_kmeans_topk: the k-means
     iterations are unrolled into chained CTEs (stride init, max-cosine
     assignment with lowest-cid tie-break, per-dimension mean rounded to
@@ -481,7 +483,9 @@ def _ivf_kmeans_oracle_sql(train_pred: str = "TRUE") -> str:
     assignments); the final assignment pass always covers all vectors —
     the append-path oracle (ann_ivf_append_topk) trains on the even
     vec_ids and assigns everything, exactly what build-on-evens +
-    append-odds computes."""
+    append-odds computes.  ``serve_pred`` restricts SERVING eligibility
+    (the maintenance oracle excludes tombstoned ids — deletion and
+    compaction must change storage, never surviving answers)."""
     from searchengine_spark.ops.vectors import (
         CENTROID_STRIDE,
         KMEANS_ITERS,
@@ -545,7 +549,7 @@ def _ivf_kmeans_oracle_sql(train_pred: str = "TRUE") -> str:
         SELECT a.vec_id,
                round({cos.format(a="a.v", b="q.qv")}, 5) AS cosine
         FROM asgf a JOIN probes USING (cid) CROSS JOIN q
-        WHERE a.vec_id != 0
+        WHERE a.vec_id != 0 AND ({serve_pred.replace("vec_id", "a.vec_id")})
         ORDER BY cosine DESC, a.vec_id LIMIT 10
     """
 
@@ -1488,6 +1492,12 @@ def oracle_sql() -> dict[str, str]:
     # when vectors arrived, never the answer
     d["ann_ivf_append_topk"] = _ivf_kmeans_oracle_sql(
         train_pred="vec_id % 2 = 0"
+    )
+    # full maintenance cycle: build evens + append odds (quantizer
+    # trained on evens), tombstone vec_id % 7 = 3, compact — storage
+    # churn must be invisible in surviving answers
+    d["ann_ivf_maint_topk"] = _ivf_kmeans_oracle_sql(
+        train_pred="vec_id % 2 = 0", serve_pred="vec_id % 7 != 3"
     )
     # hybrid retrieval: RRF over the bm25_topk and ann_cosine_topk
     # rankings (ranks over ROUNDED scores, doc_id tie-break, list depth

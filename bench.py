@@ -261,6 +261,10 @@ def _run_ops_tier(spark):
           lambda: V.ann_ivf_append_topk(spark, SF_DIR).count())
     timed("ivf_append_warm_sec",
           lambda: V.ann_ivf_append_topk(spark, SF_DIR).count())
+    timed("ivf_maint_cold_sec",
+          lambda: V.ann_ivf_maint_topk(spark, SF_DIR).count())
+    timed("ivf_maint_warm_sec",
+          lambda: V.ann_ivf_maint_topk(spark, SF_DIR).count())
     timed("hybrid_rrf_sec",
           lambda: T.hybrid_rrf_topk(spark, SF_DIR).count())
     timed("snippets_sec", lambda: T.bm25_snippets(spark, SF_DIR).count())

@@ -342,21 +342,42 @@ def _assign_cells(emb: DataFrame, cent_df: DataFrame) -> DataFrame:
 IVF_MANIFEST = "ivf_segments.json"
 
 
-def _ivf_generations(index_dir: str) -> list:
-    """Committed cell directories of a persisted IVF index: the base
-    ``cells`` plus every generation the manifest has committed.  A
-    generation directory not in the manifest is an orphan from a
-    crashed append — readers never see it and the next append
-    overwrites it."""
+def _ivf_manifest(index_dir: str) -> dict:
+    """Committed maintenance state of a persisted IVF index:
+    ``base`` (the original — or compacted — cells dir), ``generations``
+    (appended cell dirs, in commit order) and ``tombstones`` (deleted
+    vec_id parquet dirs).  Directories not named here are orphans from
+    a crashed append/delete/compact — readers never see them and the
+    next writer overwrites them."""
     import json
     import os
 
-    dirs = ["cells"]
+    m = {"base": "cells", "generations": [], "tombstones": []}
     mp = os.path.join(index_dir, IVF_MANIFEST)
     if os.path.exists(mp):
         with open(mp) as f:
-            dirs += json.load(f)["generations"]
-    return dirs
+            m.update(json.load(f))
+    return m
+
+
+def _ivf_commit(index_dir: str, manifest: dict) -> None:
+    """Atomically publish a manifest (write-then-rename) — the commit
+    point of every IVF maintenance operation."""
+    import json
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=index_dir, suffix=".manifest.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(index_dir, IVF_MANIFEST))
+
+
+def _ivf_generations(index_dir: str) -> list:
+    """Committed cell directories of a persisted IVF index: the base
+    cells plus every generation the manifest has committed."""
+    m = _ivf_manifest(index_dir)
+    return [m["base"]] + m["generations"]
 
 
 def append_ivf(spark: SparkSession, emb_new: DataFrame,
@@ -384,9 +405,7 @@ def append_ivf(spark: SparkSession, emb_new: DataFrame,
 
     :return: the committed generation directory name.
     """
-    import json
     import os
-    import tempfile
 
     cent_path = os.path.join(index_dir, "centroids.parquet")
     if not os.path.exists(os.path.join(cent_path, "_SUCCESS")):
@@ -395,34 +414,132 @@ def append_ivf(spark: SparkSession, emb_new: DataFrame,
             "missing (cells alone = crashed build)"
         )
     cent_df = spark.read.parquet(cent_path)
-    gens = _ivf_generations(index_dir)
-    gname = f"cells_g{len(gens)}"
+    m = _ivf_manifest(index_dir)
+    # first cells_g name no committed dir uses (post-compaction the
+    # BASE may itself be a cells_g dir — never collide with it)
+    taken = [m["base"]] + m["generations"]
+    n = 1
+    while f"cells_g{n}" in taken:
+        n += 1
+    gname = f"cells_g{n}"
     _assign_cells(emb_new, cent_df).write.mode("overwrite").partitionBy(
         "cid"
     ).parquet(os.path.join(index_dir, gname))
-    fd, tmp = tempfile.mkstemp(dir=index_dir, suffix=".manifest.tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump({"generations": gens[1:] + [gname]}, f)
-    os.replace(tmp, os.path.join(index_dir, IVF_MANIFEST))
+    m["generations"].append(gname)
+    _ivf_commit(index_dir, m)
+    return gname
+
+
+def delete_vectors(spark: SparkSession, index_dir: str,
+                   vec_ids) -> str:
+    """Tombstone vectors out of a persisted IVF index — the vector-side
+    analogue of the text index's compact_near_dups tombstones: the
+    stored cells are untouched (no rewrite), the reader anti-joins the
+    committed tombstone set.  ``vec_ids`` is a DataFrame with a vec_id
+    column or an iterable of ids.  Same crash-safe protocol as append:
+    tombstone parquet first, manifest rename commits it.
+
+    Caller contract (single-writer, like all index maintenance here):
+    tombstoned vec_ids are dead until compact_ivf physically drops them;
+    ids are never reused, so a tombstone masking every generation —
+    including later appends — is well-defined.
+
+    :return: the committed tombstone directory name.
+    """
+    import os
+
+    if not isinstance(vec_ids, DataFrame):
+        vec_ids = spark.createDataFrame(
+            [(int(v),) for v in vec_ids], "vec_id long"
+        )
+    m = _ivf_manifest(index_dir)
+    tname = f"tombs_t{len(m['tombstones']) + 1}"
+    vec_ids.select(F.col("vec_id").cast("long")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, tname))
+    m["tombstones"].append(tname)
+    _ivf_commit(index_dir, m)
+    return tname
+
+
+def compact_ivf(spark: SparkSession, index_dir: str) -> str:
+    """Physically merge a maintained IVF index: rewrite the union of
+    all committed generations MINUS tombstones into one fresh base
+    cells dir, then commit a manifest with no generations and no
+    tombstones — the vector-side analogue of the text index's
+    merge_segments.  Centroids are untouched (compaction never
+    retrains), so rankings are identical before and after (tested).
+    After the commit everything except the new base, the centroids and
+    the manifest is removed best-effort — the replaced dirs AND any
+    orphans from crashed appends/deletes (compaction is the GC point;
+    single-writer contract, and readers opening the index after the
+    rename never reference the removed paths).
+
+    :return: the new base cells directory name.
+    """
+    import os
+    import shutil
+
+    m = _ivf_manifest(index_dir)
+    old_dirs = [m["base"]] + m["generations"] + m["tombstones"]
+    # first cells_g name that no committed dir uses — in particular it
+    # must differ from the CURRENT base (a second compaction would
+    # otherwise overwrite the directory it is reading from)
+    n = 1
+    while f"cells_g{n}" in old_dirs:
+        n += 1
+    gname = f"cells_g{n}"
+    _read_cells(spark, index_dir, None).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(os.path.join(index_dir, gname))
+    _ivf_commit(
+        index_dir, {"base": gname, "generations": [], "tombstones": []}
+    )
+    keep = {gname, "centroids.parquet", IVF_MANIFEST}
+    for entry in os.listdir(index_dir):
+        if entry in keep:
+            continue
+        p = os.path.join(index_dir, entry)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
     return gname
 
 
 def _read_cells(spark: SparkSession, index_dir: str,
-                probe_cids: list) -> DataFrame:
+                probe_cids) -> DataFrame:
     """Union the committed cell generations with the probe filter
     applied PER DIRECTORY, so each scan keeps its ``cid IN (probes)``
     PartitionFilters through the union (the same pruning-survives-union
-    requirement the text-index segment reader pins)."""
+    requirement the text-index segment reader pins), then mask the
+    committed tombstones with an anti-join (eligibility only — exactly
+    the text kernels' liveness-mask shape).  ``probe_cids=None`` reads
+    everything (the compaction path)."""
     import os
     from functools import reduce
 
-    dfs = [
-        spark.read.parquet(os.path.join(index_dir, g))
-        .filter(F.col("cid").isin(probe_cids))
-        .select("vec_id", "embedding", "cid")
-        for g in _ivf_generations(index_dir)
-    ]
-    return reduce(DataFrame.unionByName, dfs)
+    m = _ivf_manifest(index_dir)
+    dfs = []
+    for g in [m["base"]] + m["generations"]:
+        df = spark.read.parquet(os.path.join(index_dir, g))
+        if probe_cids is not None:
+            df = df.filter(F.col("cid").isin(probe_cids))
+        dfs.append(df.select("vec_id", "embedding", "cid"))
+    out = reduce(DataFrame.unionByName, dfs)
+    if m["tombstones"]:
+        tomb = reduce(
+            DataFrame.unionByName,
+            [
+                spark.read.parquet(os.path.join(index_dir, t))
+                for t in m["tombstones"]
+            ],
+        )
+        out = out.join(tomb.select("vec_id"), "vec_id", "left_anti")
+    return out
 
 
 def ivf_topk_ondisk(spark: SparkSession, index_dir: str, query_vec,
@@ -507,7 +624,7 @@ def ivf_index_cache_reset(sf_dir):
     true cold build (see textops.flat_index_cache_reset)."""
     import shutil
 
-    for tag in ("", "append"):
+    for tag in ("", "append", "maint"):
         key, d = _ivf_index_key_dir(sf_dir, tag)
         _IVF_INDEX_CACHE.pop(key, None)
         shutil.rmtree(d, ignore_errors=True)
@@ -570,6 +687,49 @@ def ann_ivf_append_topk(spark: SparkSession, sf_dir: str,
             shutil.rmtree(d, ignore_errors=True)
             build_ivf_index(spark, emb.filter(F.col("vec_id") % 2 == 0), d)
             append_ivf(spark, emb.filter(F.col("vec_id") % 2 == 1), d)
+        _IVF_INDEX_CACHE[key] = d
+    qv = (
+        spark.read.parquet(src)
+        .filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .first()["embedding"]
+    )
+    return ivf_topk_ondisk(
+        spark, d, qv, k=k, nprobe=nprobe, exclude_vec_id=query_vec_id
+    )
+
+
+def ann_ivf_maint_topk(spark: SparkSession, sf_dir: str,
+                       query_vec_id: int = 0, k: int = 10,
+                       nprobe: int = NPROBE) -> DataFrame:
+    """Driver entry for the FULL IVF maintenance cycle: build over the
+    even vec_ids, append the odds, tombstone vec_id % 7 == 3, then
+    physically compact — and serve from the result.  The DuckDB oracle
+    trains k-means on the evens, assigns all vectors, and excludes the
+    deleted ids from serving: the whole append→delete→compact history
+    must be invisible in the answer.
+
+    Completeness marker: a compacted manifest (base != 'cells') — any
+    crash mid-construction leaves an uncompacted state and the next
+    call rebuilds from scratch."""
+    import os
+    import shutil
+
+    src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
+    key, d = _ivf_index_key_dir(sf_dir, "maint")
+    if key in _IVF_INDEX_CACHE:
+        d = _IVF_INDEX_CACHE[key]
+    else:
+        if _ivf_manifest(d)["base"] == "cells":
+            shutil.rmtree(d, ignore_errors=True)
+            emb = spark.read.parquet(src).select("vec_id", "embedding")
+            build_ivf_index(spark, emb.filter(F.col("vec_id") % 2 == 0), d)
+            append_ivf(spark, emb.filter(F.col("vec_id") % 2 == 1), d)
+            delete_vectors(
+                spark, d,
+                emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"),
+            )
+            compact_ivf(spark, d)
         _IVF_INDEX_CACHE[key] = d
     qv = (
         spark.read.parquet(src)

@@ -313,6 +313,85 @@ def test_ivf_append_identity_pruning_and_crash_safety(spark, tmp_path):
         append_ivf(spark, odds, d3)
 
 
+def test_ivf_delete_and_compact(spark, tmp_path):
+    """delete_vectors tombstones without rewriting cells; compact_ivf
+    rewrites survivors into one base and drops the old dirs — and
+    neither changes any SURVIVING answer.  A second delete+compact
+    cycle must pick a fresh base name (no overwrite of the dir being
+    read)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.ops.vectors import (
+        _ivf_manifest,
+        append_ivf,
+        build_ivf_index,
+        compact_ivf,
+        delete_vectors,
+        ivf_topk_ondisk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    d = str(tmp_path / "ivf_maint")
+    build_ivf_index(spark, emb.filter(F.col("vec_id") % 2 == 0), d)
+    append_ivf(spark, emb.filter(F.col("vec_id") % 2 == 1), d)
+
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    base100 = [(r["vec_id"], r["cosine"]) for r in
+               ivf_topk_ondisk(spark, d, qv, k=100,
+                               exclude_vec_id=0).collect()]
+
+    # tombstone the current top-3: survivors keep their exact order
+    dead = [v for v, _ in base100[:3]]
+    delete_vectors(spark, d, dead)
+    want = [vc for vc in base100 if vc[0] not in dead][:10]
+    got = [(r["vec_id"], r["cosine"]) for r in
+           ivf_topk_ondisk(spark, d, qv, k=10, exclude_vec_id=0).collect()]
+    assert got == want
+
+    # an uncommitted tombstone dir (crashed delete) is invisible
+    spark.createDataFrame(
+        [(want[0][0],)], "vec_id long"
+    ).write.parquet(os.path.join(d, "tombs_t2"))
+    still = [(r["vec_id"], r["cosine"]) for r in
+             ivf_topk_ondisk(spark, d, qv, k=10, exclude_vec_id=0).collect()]
+    assert still == want
+
+    # compact: same answers, one base dir, old dirs physically gone
+    newbase = compact_ivf(spark, d)
+    m = _ivf_manifest(d)
+    assert m["base"] == newbase and m["generations"] == [] \
+        and m["tombstones"] == []
+    assert not os.path.exists(os.path.join(d, "cells"))
+    assert not os.path.exists(os.path.join(d, "cells_g1"))
+    # compaction is the GC point: the orphan tombstone dir is gone too
+    assert not os.path.exists(os.path.join(d, "tombs_t2"))
+    after = [(r["vec_id"], r["cosine"]) for r in
+             ivf_topk_ondisk(spark, d, qv, k=10, exclude_vec_id=0).collect()]
+    assert after == want
+    plan = ivf_topk_ondisk(
+        spark, d, qv, k=10
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters: [cid" in plan, plan
+
+    # second cycle: the new base must not collide with the current one
+    dead2 = [want[0][0]]
+    delete_vectors(spark, d, dead2)
+    newbase2 = compact_ivf(spark, d)
+    assert newbase2 != newbase
+    want2 = [vc for vc in want if vc[0] not in dead2]
+    got2 = [(r["vec_id"], r["cosine"]) for r in
+            ivf_topk_ondisk(spark, d, qv, k=9, exclude_vec_id=0).collect()]
+    assert got2 == want2[:9]
+
+
 def test_bm25_snippets_match_python_recomputation(spark):
     """Snippets must equal a direct Python recomputation: 80 chars of
     the original text from max(1, strpos(lower(text), rarest) - 40)."""
