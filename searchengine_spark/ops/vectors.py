@@ -352,7 +352,8 @@ def _ivf_manifest(index_dir: str) -> dict:
     import json
     import os
 
-    m = {"base": "cells", "generations": [], "tombstones": []}
+    m = {"base": "cells", "generations": [], "tombstones": [],
+         "batches": []}
     mp = os.path.join(index_dir, IVF_MANIFEST)
     if os.path.exists(mp):
         with open(mp) as f:
@@ -381,7 +382,7 @@ def _ivf_generations(index_dir: str) -> list:
 
 
 def append_ivf(spark: SparkSession, emb_new: DataFrame,
-               index_dir: str) -> str:
+               index_dir: str, batch_tag: str | None = None):
     """Append new vectors to a persisted IVF index WITHOUT retraining:
     assign them with the stored centroids (the identical quantizer
     application as build time, _assign_cells) and commit them as a new
@@ -403,7 +404,14 @@ def append_ivf(spark: SparkSession, emb_new: DataFrame,
     degrades if the appended distribution drifts far from the training
     set — rebuild via build_ivf_index to retrain (documented tradeoff).
 
-    :return: the committed generation directory name.
+    ``batch_tag`` makes the append IDEMPOTENT per tag: a tag already in
+    the manifest is a no-op (returns None).  The streaming front-end
+    (streaming/ivf.py) tags each micro-batch so a crash between the
+    manifest commit and the stream's checkpoint commit cannot
+    double-append the replayed batch.
+
+    :return: the committed generation directory name (None when the
+             batch_tag was already committed).
     """
     import os
 
@@ -415,6 +423,10 @@ def append_ivf(spark: SparkSession, emb_new: DataFrame,
         )
     cent_df = spark.read.parquet(cent_path)
     m = _ivf_manifest(index_dir)
+    if batch_tag is not None:
+        if batch_tag in m.get("batches", []):
+            return None
+        m.setdefault("batches", []).append(batch_tag)
     # first cells_g name no committed dir uses (post-compaction the
     # BASE may itself be a cells_g dir — never collide with it)
     taken = [m["base"]] + m["generations"]
@@ -492,8 +504,13 @@ def compact_ivf(spark: SparkSession, index_dir: str) -> str:
     _read_cells(spark, index_dir, None).write.mode(
         "overwrite"
     ).partitionBy("cid").parquet(os.path.join(index_dir, gname))
+    # the committed batch-tag history SURVIVES compaction: a replayed
+    # streaming micro-batch must stay a no-op even after its generation
+    # was folded into the new base
     _ivf_commit(
-        index_dir, {"base": gname, "generations": [], "tombstones": []}
+        index_dir,
+        {"base": gname, "generations": [], "tombstones": [],
+         "batches": m.get("batches", [])},
     )
     keep = {gname, "centroids.parquet", IVF_MANIFEST}
     for entry in os.listdir(index_dir):

@@ -708,6 +708,83 @@ def test_real_decode_is_gated():
 
 # -- streaming -------------------------------------------------------------
 
+def test_streaming_incremental_ivf(spark, tmp_path):
+    """Streamed embedding files must land as committed IVF generations,
+    exactly-once across an availableNow restart, and serve rankings
+    identical to one quantizer pass over the union — plus the
+    batch_tag no-op guards the manifest-committed/checkpoint-uncommitted
+    replay window, and the tag history survives compaction."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.ops.vectors import (
+        _assign_cells,
+        _ivf_manifest,
+        append_ivf,
+        build_ivf_index,
+        compact_ivf,
+        ivf_topk_ondisk,
+    )
+    from searchengine_spark.streaming.ivf import incremental_ivf
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    d = str(tmp_path / "ivf_stream")
+    in_dir = str(tmp_path / "emb_in")
+    ckpt = str(tmp_path / "ckpt")
+    build_ivf_index(spark, emb.filter(F.col("vec_id") % 2 == 0), d)
+
+    # wave 1: half the odd vectors arrive
+    odds = emb.filter(F.col("vec_id") % 2 == 1)
+    odds.filter(F.col("vec_id") % 4 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    incremental_ivf(spark, in_dir, d, ckpt)
+    m1 = _ivf_manifest(d)
+    assert len(m1["generations"]) == 1 and len(m1["batches"]) == 1
+
+    # re-drain with nothing new: checkpoint replays nothing
+    incremental_ivf(spark, in_dir, d, ckpt)
+    assert _ivf_manifest(d) == m1
+
+    # wave 2: the rest arrives
+    odds.filter(F.col("vec_id") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    incremental_ivf(spark, in_dir, d, ckpt)
+    m2 = _ivf_manifest(d)
+    assert len(m2["generations"]) == 2
+
+    # served union == one quantizer pass over all vectors
+    d2 = str(tmp_path / "ivf_mono")
+    cent_df = spark.read.parquet(os.path.join(d, "centroids.parquet"))
+    _assign_cells(emb, cent_df).write.partitionBy("cid").parquet(
+        os.path.join(d2, "cells")
+    )
+    cent_df.write.parquet(os.path.join(d2, "centroids.parquet"))
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    a = [(r["vec_id"], r["cosine"]) for r in
+         ivf_topk_ondisk(spark, d, qv, k=10, exclude_vec_id=0).collect()]
+    b = [(r["vec_id"], r["cosine"]) for r in
+         ivf_topk_ondisk(spark, d2, qv, k=10, exclude_vec_id=0).collect()]
+    assert a == b and len(a) == 10
+
+    # replay window: an already-committed batch_tag is a no-op
+    assert append_ivf(spark, odds.limit(3), d, batch_tag="stream:0") is None
+    assert _ivf_manifest(d) == m2
+
+    # ...and stays one after compaction folds the generations away
+    compact_ivf(spark, d)
+    m3 = _ivf_manifest(d)
+    assert m3["generations"] == [] and m3["batches"] == m2["batches"]
+    assert append_ivf(spark, odds.limit(3), d, batch_tag="stream:1") is None
+    assert [(r["vec_id"], r["cosine"]) for r in
+            ivf_topk_ondisk(spark, d, qv, k=10,
+                            exclude_vec_id=0).collect()] == a
+
+
 def test_streaming_incremental_ingest(spark, tmp_path):
     from searchengine_spark.streaming.ingest import incremental_postings
     from searchengine_spark.text.analyze import analyze_counts
