@@ -1,0 +1,208 @@
+"""Millisecond ANN serving from the persisted IVF index — no Spark.
+
+The vector-side companion of query/serve_local.LocalSearcher: the SAME
+index directory build_ivf_index/append_ivf/compact_ivf maintain (cells
+parquet partitioned by centroid id + centroids.parquet + the
+ivf_segments.json manifest) read directly with pyarrow and scored in
+numpy — value-identical to ops.vectors.ivf_topk_ondisk (asserted in
+tests/test_serve_ivf.py), at single-digit-millisecond warm latency.
+
+Identity is engineered, not hoped for:
+ - probe selection reuses the exact driver-side sequential-fold cosine
+   (ops.vectors._fold_dot semantics) over the k-row centroid table;
+ - candidate cosines replicate Catalyst's ``aggregate`` left fold by
+   accumulating dimension-by-dimension in float64 across the candidate
+   matrix (each vector sees the identical IEEE operation sequence);
+ - the round-to-5 matches Spark's HALF_UP-on-shortest-decimal rule via
+   Decimal(repr(x)) quantization (numpy's half-even would disagree on
+   exact .000005 boundaries).
+
+Residency envelope: centroids (k×dim float64) and the tombstone id set
+live in RAM; cell payloads are fetched per probe behind a count-capped
+LRU (cells are ~n/k vectors each — the natural fetch unit).  Replicas
+watch the manifest (``maybe_refresh``) exactly like LocalSearcher
+watches the index commit stamp, so appends/deletes/compactions become
+visible without restarting the process.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from collections import OrderedDict
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+
+_Q5 = Decimal("0.00001")
+
+
+def _round5(x: float) -> float:
+    """Spark F.round(col, 5) parity: HALF_UP over the shortest decimal
+    representation of the double (BigDecimal.valueOf semantics)."""
+    return float(Decimal(repr(float(x))).quantize(_Q5, ROUND_HALF_UP))
+
+
+def _fold_dot(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+class LocalANN:
+    """Spark-free reader/scorer over a persisted IVF index dir."""
+
+    def __init__(self, index_dir: str, nprobe: int = 3,
+                 cell_cache_size: int = 512):
+        self.index_dir = index_dir
+        self.nprobe = nprobe
+        self._cache: OrderedDict = OrderedDict()
+        self._cache_size = cell_cache_size
+        self._stamp = None
+        self.refresh()
+
+    # -- state loading ---------------------------------------------------
+
+    def _manifest(self) -> dict:
+        m = {"base": "cells", "generations": [], "tombstones": [],
+             "batches": []}
+        mp = os.path.join(self.index_dir, "ivf_segments.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                m.update(json.load(f))
+        return m
+
+    def _commit_stamp(self):
+        """(mtime_ns, size) of the manifest, falling back to the
+        centroids _SUCCESS marker for a freshly-built index that has
+        never been appended to."""
+        for p in (
+            os.path.join(self.index_dir, "ivf_segments.json"),
+            os.path.join(self.index_dir, "centroids.parquet", "_SUCCESS"),
+        ):
+            if os.path.exists(p):
+                st = os.stat(p)
+                return (p, st.st_mtime_ns, st.st_size)
+        raise FileNotFoundError(
+            f"no complete IVF index at {self.index_dir}"
+        )
+
+    def refresh(self) -> None:
+        import pyarrow.parquet as pq
+
+        self._stamp = self._commit_stamp()
+        m = self._manifest()
+        self.gens = [m["base"]] + m["generations"]
+
+        cent = pq.read_table(
+            os.path.join(self.index_dir, "centroids.parquet"),
+            columns=["cid", "cv"],
+        )
+        rows = sorted(
+            zip(cent["cid"].to_pylist(), cent["cv"].to_pylist())
+        )
+        self.cent = {cid: cv for cid, cv in rows}
+
+        tomb = set()
+        for t in m["tombstones"]:
+            tt = pq.read_table(
+                os.path.join(self.index_dir, t), columns=["vec_id"]
+            )
+            tomb.update(tt["vec_id"].to_pylist())
+        self.tombstones = tomb
+        self._cache.clear()
+
+    def maybe_refresh(self) -> bool:
+        """Reload iff a maintenance commit landed since the last load."""
+        stamp = self._commit_stamp()
+        if stamp != self._stamp:
+            self.refresh()
+            return True
+        return False
+
+    # -- cell fetch -------------------------------------------------------
+
+    def _cell(self, gen: str, cid: int):
+        """(vec_ids int64[n], emb float64[n, dim]) of one cell, LRU'd.
+        Empty cells (cid absent from a generation) return (None, None)."""
+        key = (gen, cid)
+        if key in self._cache:
+            self._cache.move_to_end(key)
+            return self._cache[key]
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.index_dir, gen, f"cid={cid}")
+        if not os.path.isdir(path):
+            val = (None, None)
+        else:
+            t = pq.read_table(path, columns=["vec_id", "embedding"])
+            ids = t["vec_id"].to_numpy()
+            col = t["embedding"].combine_chunks()
+            n = len(col)
+            off = col.offsets.to_numpy()
+            widths = np.diff(off)
+            flat = col.values.to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            if n and (widths == widths[0]).all():
+                emb = flat.reshape(n, widths[0])
+            else:  # ragged (never written by this engine, but safe)
+                emb = np.array(col.to_pylist(), dtype=np.float64)
+            val = (ids.astype(np.int64), emb)
+        self._cache[key] = val
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return val
+
+    # -- query ------------------------------------------------------------
+
+    def topk(self, query_vec, k: int = 10, exclude_vec_id=None):
+        """[(vec_id, cosine)] — value-identical to ivf_topk_ondisk."""
+        qv = [float(x) for x in query_vec]
+        qn = math.sqrt(_fold_dot(qv, qv))
+        ranked = sorted(
+            (
+                (cid, _fold_dot(qv, cv)
+                 / (math.sqrt(_fold_dot(cv, cv)) * qn))
+                for cid, cv in self.cent.items()
+            ),
+            key=lambda cq: (-cq[1], cq[0]),
+        )
+        probes = [cid for cid, _ in ranked[: self.nprobe]]
+
+        qarr = np.asarray(qv, dtype=np.float64)
+        out_ids, out_cos = [], []
+        for gen in self.gens:
+            for cid in probes:
+                ids, emb = self._cell(gen, cid)
+                if ids is None or not len(ids):
+                    continue
+                # Catalyst aggregate-fold parity: accumulate dim by dim
+                # so every vector sees the same IEEE operation order as
+                # the Spark left fold
+                dot = np.zeros(len(ids))
+                nrm = np.zeros(len(ids))
+                for j in range(emb.shape[1]):
+                    col = emb[:, j]
+                    dot += col * qarr[j]
+                    nrm += col * col
+                cos = dot / (np.sqrt(nrm) * qn)
+                out_ids.append(ids)
+                out_cos.append(cos)
+        if not out_ids:
+            return []
+        ids = np.concatenate(out_ids)
+        cos = np.concatenate(out_cos)
+        mask = np.ones(len(ids), dtype=bool)
+        if self.tombstones:
+            mask &= ~np.isin(
+                ids, np.fromiter(self.tombstones, dtype=np.int64)
+            )
+        if exclude_vec_id is not None:
+            mask &= ids != int(exclude_vec_id)
+        ids, cos = ids[mask], cos[mask]
+        rcos = np.array([_round5(c) for c in cos])
+        order = np.lexsort((ids, -rcos))[:k]
+        return [(int(ids[i]), float(rcos[i])) for i in order]

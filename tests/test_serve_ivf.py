@@ -1,0 +1,69 @@
+"""LocalANN (Spark-free IVF serving) must be VALUE-identical to
+ops.vectors.ivf_topk_ondisk over the same index dir — through appends,
+deletes, and compaction — and pick up maintenance commits via
+maybe_refresh, mirroring tests/test_serve_local.py's contract for the
+text tier."""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _spark_topk(spark, d, qv, k=10, exclude=None):
+    from searchengine_spark.ops.vectors import ivf_topk_ondisk
+
+    return [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk_ondisk(
+            spark, d, qv, k=k, exclude_vec_id=exclude
+        ).collect()
+    ]
+
+
+def test_local_ann_identity_through_maintenance(spark, tmp_path):
+    from searchengine_spark.ops.vectors import (
+        append_ivf,
+        build_ivf_index,
+        compact_ivf,
+        delete_vectors,
+    )
+    from searchengine_spark.query.serve_ivf import LocalANN
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    d = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb.filter(F.col("vec_id") % 2 == 0), d)
+    append_ivf(spark, emb.filter(F.col("vec_id") % 2 == 1), d)
+
+    qvs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id").isin([0, 3, 7])).collect()
+    }
+    ann = LocalANN(d)
+    for vid, qv in qvs.items():
+        assert ann.topk(qv, k=10, exclude_vec_id=vid) == _spark_topk(
+            spark, d, qv, k=10, exclude=vid
+        )
+
+    # delete the current top-3 for query 0: the local tier must see the
+    # commit via maybe_refresh and stay identical
+    dead = [v for v, _ in ann.topk(qvs[0], k=3, exclude_vec_id=0)]
+    delete_vectors(spark, d, dead)
+    assert ann.maybe_refresh() is True
+    got = ann.topk(qvs[0], k=10, exclude_vec_id=0)
+    assert got == _spark_topk(spark, d, qvs[0], k=10, exclude=0)
+    assert not set(dead) & {v for v, _ in got}
+    # no commit since → no reload
+    assert ann.maybe_refresh() is False
+
+    # compaction: new base dir, same answers
+    compact_ivf(spark, d)
+    assert ann.maybe_refresh() is True
+    for vid, qv in qvs.items():
+        assert ann.topk(qv, k=10, exclude_vec_id=vid) == _spark_topk(
+            spark, d, qv, k=10, exclude=vid
+        )
+
+    # warm path sanity: repeated queries hit the cell LRU and agree
+    assert ann.topk(qvs[3], k=5) == ann.topk(qvs[3], k=5)
