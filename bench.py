@@ -265,6 +265,30 @@ def _run_ops_tier(spark):
           lambda: V.ann_ivf_maint_topk(spark, SF_DIR).count())
     timed("ivf_maint_warm_sec",
           lambda: V.ann_ivf_maint_topk(spark, SF_DIR).count())
+
+    # Spark-free ANN latency tier over the index the persisted entry
+    # just built (value-identical to ivf_topk_ondisk, test_serve_ivf)
+    import statistics
+
+    from searchengine_spark.query.serve_ivf import LocalANN
+
+    _, ivf_dir = V._ivf_index_key_dir(SF_DIR)
+    qvs = [
+        r["embedding"]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .limit(100).collect()
+    ]
+    ann = LocalANN(ivf_dir)
+    for qv in qvs[:5]:
+        ann.topk(qv, k=10)
+    alat = []
+    for qv in qvs:
+        t1 = time.perf_counter()
+        ann.topk(qv, k=10)
+        alat.append((time.perf_counter() - t1) * 1000)
+    alat.sort()
+    out["ann_local_ms_p50"] = round(statistics.median(alat), 2)
+    out["ann_local_ms_p95"] = round(alat[int(len(alat) * 0.95)], 2)
     timed("hybrid_rrf_sec",
           lambda: T.hybrid_rrf_topk(spark, SF_DIR).count())
     timed("snippets_sec", lambda: T.bm25_snippets(spark, SF_DIR).count())
