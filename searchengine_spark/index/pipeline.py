@@ -82,6 +82,10 @@ def assign_docids(
     (repo, path, commit) to be a key — duplicates would already make
     the old plan's intra-tie row_number order nondeterministic, and
     corpus producers (testdata, segment appends) guarantee uniqueness.
+    The join-back is NULL-SAFE (<=>): a row with a NULL key column is
+    counted by the map (it consumes a dense id) and must come back —
+    a plain equi-join would silently drop the document while keeping
+    its id, which the old rank-the-full-rows plan never did.
     """
     spark = corpus.sparkSession
     if n_parts is None:
@@ -119,9 +123,16 @@ def assign_docids(
         part.withColumn("_rn", F.row_number().over(w))
         .join(F.broadcast(off_df), "_pid")
         .withColumn("docid", (F.col("_off") + F.col("_rn")).cast("long"))
-        .select(*CORPUS_KEY, "docid")
+        .select(
+            *[F.col(c).alias(f"_k_{c}") for c in CORPUS_KEY], "docid"
+        )
     )
-    out = corpus.join(idmap, CORPUS_KEY)
+    # <=> stays an equi-join for planning (hash/sort-merge eligible);
+    # the aliased map columns avoid self-join attribute ambiguity
+    out = corpus.join(
+        idmap,
+        [corpus[c].eqNullSafe(F.col(f"_k_{c}")) for c in CORPUS_KEY],
+    ).drop(*[f"_k_{c}" for c in CORPUS_KEY])
     # the bucket-count collect already knows the corpus size — callers
     # take it here instead of paying a separate count() job
     return (out, acc) if with_count else out

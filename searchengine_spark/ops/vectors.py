@@ -306,8 +306,42 @@ def build_ivf_index(spark: SparkSession, emb: DataFrame, out_dir: str,
     cid) and the 6-decimal centroid rounding contract are unchanged, so
     a probe-identical query returns the IDENTICAL ranking — the driver
     entry shares ann_ivf_kmeans_topk's DuckDB oracle.
+
+    Rebuild-in-place over a MAINTAINED index (one that has appended
+    generations/tombstones) resets the maintenance state first: the
+    completeness marker and manifest are removed (readers see an
+    honest incomplete-index error for the duration, exactly the
+    crashed-build semantics), every committed/orphan cells_g*/tombs_*
+    dir is dropped, and the fresh build commits a reset manifest.  The
+    committed batch-tag history is PRESERVED across the rebuild: a
+    crashed stream whose micro-batch data the rebuild already consumed
+    must still no-op on replay (the same reason tags survive
+    compact_ivf).
     """
     import os
+    import shutil
+
+    old = _ivf_manifest(out_dir)
+    had_state = os.path.exists(os.path.join(out_dir, IVF_MANIFEST))
+    if had_state or os.path.isdir(os.path.join(out_dir, "cells")):
+        # reset protocol: kill the completeness marker FIRST (readers
+        # refuse incomplete indexes), then the manifest, then the old
+        # maintenance dirs — a crash anywhere mid-rebuild leaves an
+        # index that reads as crashed-build and is rebuilt on retry
+        for marker in (
+            os.path.join(out_dir, "centroids.parquet", "_SUCCESS"),
+            os.path.join(out_dir, IVF_MANIFEST),
+        ):
+            try:
+                os.remove(marker)
+            except OSError:
+                pass
+        for entry in os.listdir(out_dir):
+            p = os.path.join(out_dir, entry)
+            if os.path.isdir(p) and (
+                entry.startswith("cells_g") or entry.startswith("tombs_t")
+            ):
+                shutil.rmtree(p, ignore_errors=True)
 
     cents = kmeans_centroids(spark, emb, stride, iters, dim)
     cent_df = spark.createDataFrame(
@@ -320,6 +354,12 @@ def build_ivf_index(spark: SparkSession, emb: DataFrame, out_dir: str,
     cent_df.write.mode("overwrite").parquet(
         os.path.join(out_dir, "centroids.parquet")
     )
+    if had_state and old.get("batches"):
+        _ivf_commit(
+            out_dir,
+            {"base": "cells", "generations": [], "tombstones": [],
+             "gc": [], "batches": old["batches"]},
+        )
 
 
 def _assign_cells(emb: DataFrame, cent_df: DataFrame) -> DataFrame:
@@ -345,15 +385,18 @@ IVF_MANIFEST = "ivf_segments.json"
 def _ivf_manifest(index_dir: str) -> dict:
     """Committed maintenance state of a persisted IVF index:
     ``base`` (the original — or compacted — cells dir), ``generations``
-    (appended cell dirs, in commit order) and ``tombstones`` (deleted
-    vec_id parquet dirs).  Directories not named here are orphans from
-    a crashed append/delete/compact — readers never see them and the
-    next writer overwrites them."""
+    (appended cell dirs, in commit order), ``tombstones`` (deleted
+    vec_id parquet dirs) and ``gc`` (dirs replaced by the LAST
+    compaction, kept on disk for one compaction interval so replicas
+    holding the previous manifest keep serving — the next compaction
+    deletes them).  Directories named nowhere are orphans from a
+    crashed append/delete/compact — readers never see them and the
+    next writer overwrites or GCs them."""
     import json
     import os
 
     m = {"base": "cells", "generations": [], "tombstones": [],
-         "batches": []}
+         "batches": [], "gc": []}
     mp = os.path.join(index_dir, IVF_MANIFEST)
     if os.path.exists(mp):
         with open(mp) as f:
@@ -372,13 +415,6 @@ def _ivf_commit(index_dir: str, manifest: dict) -> None:
     with os.fdopen(fd, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(index_dir, IVF_MANIFEST))
-
-
-def _ivf_generations(index_dir: str) -> list:
-    """Committed cell directories of a persisted IVF index: the base
-    cells plus every generation the manifest has committed."""
-    m = _ivf_manifest(index_dir)
-    return [m["base"]] + m["generations"]
 
 
 def append_ivf(spark: SparkSession, emb_new: DataFrame,
@@ -410,8 +446,14 @@ def append_ivf(spark: SparkSession, emb_new: DataFrame,
     manifest commit and the stream's checkpoint commit cannot
     double-append the replayed batch.
 
+    An EMPTY ``emb_new`` commits no generation (an empty partitioned
+    parquet dir has no readable schema and would poison every later
+    read of the index) — with a batch_tag the tag alone is committed
+    so the empty batch stays idempotent, without one it is a pure
+    no-op.
+
     :return: the committed generation directory name (None when the
-             batch_tag was already committed).
+             batch_tag was already committed or the input was empty).
     """
     import os
 
@@ -421,15 +463,22 @@ def append_ivf(spark: SparkSession, emb_new: DataFrame,
             f"incomplete IVF index at {index_dir}: centroids.parquet "
             "missing (cells alone = crashed build)"
         )
-    cent_df = spark.read.parquet(cent_path)
     m = _ivf_manifest(index_dir)
+    if batch_tag is not None and batch_tag in m.get("batches", []):
+        return None
+    if emb_new.isEmpty():
+        if batch_tag is not None:
+            m.setdefault("batches", []).append(batch_tag)
+            _ivf_commit(index_dir, m)
+        return None
     if batch_tag is not None:
-        if batch_tag in m.get("batches", []):
-            return None
         m.setdefault("batches", []).append(batch_tag)
-    # first cells_g name no committed dir uses (post-compaction the
-    # BASE may itself be a cells_g dir — never collide with it)
-    taken = [m["base"]] + m["generations"]
+    cent_df = spark.read.parquet(cent_path)
+    # first cells_g name no committed (or gc-deferred) dir uses —
+    # post-compaction the BASE may itself be a cells_g dir, and the
+    # previous compaction's replaced dirs are still on disk for
+    # replicas: never collide with any of them
+    taken = [m["base"]] + m["generations"] + m.get("gc", [])
     n = 1
     while f"cells_g{n}" in taken:
         n += 1
@@ -465,7 +514,14 @@ def delete_vectors(spark: SparkSession, index_dir: str,
             [(int(v),) for v in vec_ids], "vec_id long"
         )
     m = _ivf_manifest(index_dir)
-    tname = f"tombs_t{len(m['tombstones']) + 1}"
+    # first tombs_t name no committed (or gc-deferred) dir uses — a
+    # post-compaction delete must not overwrite the previous epoch's
+    # tombstone dir while stale replicas can still read it
+    taken = m["tombstones"] + m.get("gc", [])
+    n = 1
+    while f"tombs_t{n}" in taken:
+        n += 1
+    tname = f"tombs_t{n}"
     vec_ids.select(F.col("vec_id").cast("long")).write.mode(
         "overwrite"
     ).parquet(os.path.join(index_dir, tname))
@@ -481,11 +537,21 @@ def compact_ivf(spark: SparkSession, index_dir: str) -> str:
     tombstones — the vector-side analogue of the text index's
     merge_segments.  Centroids are untouched (compaction never
     retrains), so rankings are identical before and after (tested).
-    After the commit everything except the new base, the centroids and
-    the manifest is removed best-effort — the replaced dirs AND any
-    orphans from crashed appends/deletes (compaction is the GC point;
-    single-writer contract, and readers opening the index after the
-    rename never reference the removed paths).
+
+    GC is DEFERRED by one compaction interval: the dirs this manifest
+    replaces are listed under its ``gc`` key and stay on disk, so a
+    Spark-free replica (query/serve_ivf.LocalANN) still holding the
+    previous manifest keeps serving correct answers until its next
+    ``maybe_refresh`` — the replica contract is "refresh at least once
+    per compaction interval".  What IS removed now: the previous
+    compaction's gc list and any dirs no manifest ever referenced
+    (orphans from crashed appends/deletes).
+
+    Zero survivors (everything tombstoned) commits a NON-partitioned
+    empty base — Spark writes a schema-bearing empty parquet file
+    without partitionBy but nothing at all with it, and a schema-less
+    dir would poison every later read; the empty base still carries
+    the cid column so readers' probe filter stays well-formed.
 
     :return: the new base cells directory name.
     """
@@ -494,25 +560,29 @@ def compact_ivf(spark: SparkSession, index_dir: str) -> str:
 
     m = _ivf_manifest(index_dir)
     old_dirs = [m["base"]] + m["generations"] + m["tombstones"]
-    # first cells_g name that no committed dir uses — in particular it
-    # must differ from the CURRENT base (a second compaction would
-    # otherwise overwrite the directory it is reading from)
+    # first cells_g name that no committed or gc-deferred dir uses —
+    # in particular it must differ from the CURRENT base (a second
+    # compaction would otherwise overwrite the directory it is reading
+    # from) and from the previous compaction's still-served leftovers
+    taken = old_dirs + m.get("gc", [])
     n = 1
-    while f"cells_g{n}" in old_dirs:
+    while f"cells_g{n}" in taken:
         n += 1
     gname = f"cells_g{n}"
-    _read_cells(spark, index_dir, None).write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(os.path.join(index_dir, gname))
+    survivors = _read_cells(spark, index_dir, None)
+    writer = survivors.write.mode("overwrite")
+    if not survivors.isEmpty():
+        writer = writer.partitionBy("cid")
+    writer.parquet(os.path.join(index_dir, gname))
     # the committed batch-tag history SURVIVES compaction: a replayed
     # streaming micro-batch must stay a no-op even after its generation
     # was folded into the new base
     _ivf_commit(
         index_dir,
         {"base": gname, "generations": [], "tombstones": [],
-         "batches": m.get("batches", [])},
+         "gc": old_dirs, "batches": m.get("batches", [])},
     )
-    keep = {gname, "centroids.parquet", IVF_MANIFEST}
+    keep = set(old_dirs) | {gname, "centroids.parquet", IVF_MANIFEST}
     for entry in os.listdir(index_dir):
         if entry in keep:
             continue

@@ -23,6 +23,15 @@ LRU (cells are ~n/k vectors each — the natural fetch unit).  Replicas
 watch the manifest (``maybe_refresh``) exactly like LocalSearcher
 watches the index commit stamp, so appends/deletes/compactions become
 visible without restarting the process.
+
+Replica contract vs compaction GC: compact_ivf defers deleting the
+dirs it replaces until the NEXT compaction (the manifest's ``gc``
+list), so a replica holding the previous manifest keeps serving
+correct answers for a full compaction interval — ``maybe_refresh`` at
+least once between compactions and you never read a deleted dir.
+``refresh`` additionally retries once through a mid-read manifest
+flip, so even a pathologically stale replica recovers instead of
+crashing.
 """
 
 from __future__ import annotations
@@ -67,7 +76,7 @@ class LocalANN:
 
     def _manifest(self) -> dict:
         m = {"base": "cells", "generations": [], "tombstones": [],
-             "batches": []}
+             "batches": [], "gc": []}
         mp = os.path.join(self.index_dir, "ivf_segments.json")
         if os.path.exists(mp):
             with open(mp) as f:
@@ -90,6 +99,15 @@ class LocalANN:
         )
 
     def refresh(self) -> None:
+        try:
+            self._refresh_once()
+        except FileNotFoundError:
+            # a compaction GC'd a dir between our manifest read and the
+            # dir read — the freshly-committed manifest is complete, so
+            # one retry against it succeeds
+            self._refresh_once()
+
+    def _refresh_once(self) -> None:
         import pyarrow.parquet as pq
 
         self._stamp = self._commit_stamp()

@@ -47,21 +47,36 @@ def incremental_ivf(
     at ``index_dir`` (which must exist — the quantizer is trained by a
     prior build_ivf_index; a stream by definition never has the full
     pass training needs).  Returns after the availableNow stream
-    drains; call again after new files land."""
+    drains; call again after new files land.
+
+    Batch tags are namespaced by the STREAM's identity (the query id
+    Structured Streaming persists in the checkpoint's metadata file),
+    not just the batch number: batch ids restart at 0 whenever the
+    checkpoint is recreated, and an un-namespaced ``stream:0`` from the
+    old run would make the manifest silently swallow the new stream's
+    first batches as replays.  A fresh checkpoint gets a fresh query
+    id, so its batches are new tags; the SAME checkpoint replaying
+    after a crash keeps its id, so the replay still no-ops.  Empty
+    micro-batches are handled inside append_ivf (tag-only commit)."""
     from ..ops.vectors import append_ivf
 
     stream = stream_embeddings(spark, input_dir, max_files_per_trigger)
 
+    def _stream_id() -> str:
+        # written by Structured Streaming at stream start, stable for
+        # the lifetime of the checkpoint dir
+        import json
+        import os
+
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return json.load(f)["id"]
+
     def process_batch(batch_df: DataFrame, batch_id: int):
-        if batch_df.isEmpty():
-            # an empty partitioned parquet dir has no readable schema —
-            # commit nothing (the checkpoint still records the batch)
-            return
         append_ivf(
             spark,
             batch_df.select("vec_id", "embedding"),
             index_dir,
-            batch_tag=f"stream:{batch_id}",
+            batch_tag=f"stream:{_stream_id()}:{batch_id}",
         )
 
     q = (

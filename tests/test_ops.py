@@ -360,14 +360,18 @@ def test_ivf_delete_and_compact(spark, tmp_path):
              ivf_topk_ondisk(spark, d, qv, k=10, exclude_vec_id=0).collect()]
     assert still == want
 
-    # compact: same answers, one base dir, old dirs physically gone
+    # compact: same answers, one base dir; the REPLACED dirs stay on
+    # disk for one compaction interval (deferred GC — replicas holding
+    # the previous manifest keep serving), listed under manifest "gc"
     newbase = compact_ivf(spark, d)
     m = _ivf_manifest(d)
     assert m["base"] == newbase and m["generations"] == [] \
         and m["tombstones"] == []
-    assert not os.path.exists(os.path.join(d, "cells"))
-    assert not os.path.exists(os.path.join(d, "cells_g1"))
-    # compaction is the GC point: the orphan tombstone dir is gone too
+    assert sorted(m["gc"]) == ["cells", "cells_g1", "tombs_t1"]
+    assert os.path.exists(os.path.join(d, "cells"))
+    assert os.path.exists(os.path.join(d, "cells_g1"))
+    # never-committed orphans ARE GC'd immediately (no reader can
+    # reference them)
     assert not os.path.exists(os.path.join(d, "tombs_t2"))
     after = [(r["vec_id"], r["cosine"]) for r in
              ivf_topk_ondisk(spark, d, qv, k=10, exclude_vec_id=0).collect()]
@@ -382,14 +386,123 @@ def test_ivf_delete_and_compact(spark, tmp_path):
     assert "PartitionFilters: [cid" in plan, plan
 
     # second cycle: the new base must not collide with the current one
+    # NOR with the deferred-gc dirs still on disk; the first compact's
+    # leftovers are GC'd now (their grace interval is over)
     dead2 = [want[0][0]]
     delete_vectors(spark, d, dead2)
     newbase2 = compact_ivf(spark, d)
     assert newbase2 != newbase
+    assert newbase2 not in ("cells", "cells_g1")
+    assert not os.path.exists(os.path.join(d, "cells"))
+    assert not os.path.exists(os.path.join(d, "cells_g1"))
+    assert not os.path.exists(os.path.join(d, "tombs_t1"))
+    assert os.path.exists(os.path.join(d, newbase))  # deferred one cycle
     want2 = [vc for vc in want if vc[0] not in dead2]
     got2 = [(r["vec_id"], r["cosine"]) for r in
             ivf_topk_ondisk(spark, d, qv, k=9, exclude_vec_id=0).collect()]
     assert got2 == want2[:9]
+
+
+def test_ivf_rebuild_in_place_resets_maintenance(spark, tmp_path):
+    """build_ivf_index over an already-maintained index dir must RESET
+    the maintenance state: the stale manifest's base/generations/
+    tombstones must not survive to serve pre-rebuild data, and the
+    rebuilt index must answer exactly like a fresh build in an empty
+    dir — while the committed batch-tag history is preserved (a
+    replayed stream micro-batch whose rows the rebuild consumed must
+    still no-op)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.ops.vectors import (
+        _ivf_manifest,
+        append_ivf,
+        build_ivf_index,
+        delete_vectors,
+        ivf_topk_ondisk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    d = str(tmp_path / "ivf_rebuild")
+    build_ivf_index(spark, evens, d)
+    append_ivf(spark, emb.filter(F.col("vec_id") % 2 == 1), d,
+               batch_tag="stream:x:0")
+    delete_vectors(spark, d, [2, 4])
+
+    # retrain in place on the evens only (e.g. after a curation pass)
+    build_ivf_index(spark, evens, d)
+    m = _ivf_manifest(d)
+    assert m["base"] == "cells" and m["generations"] == [] \
+        and m["tombstones"] == []
+    assert m["batches"] == ["stream:x:0"]  # replay guard survives
+    assert not os.path.exists(os.path.join(d, "cells_g1"))
+    assert not os.path.exists(os.path.join(d, "tombs_t1"))
+
+    # answers == a fresh build in an empty dir (no stale generations:
+    # odd vectors gone, tombstoned evens resurrected by the rebuild)
+    d2 = str(tmp_path / "ivf_fresh")
+    build_ivf_index(spark, evens, d2)
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    a = [(r["vec_id"], r["cosine"]) for r in
+         ivf_topk_ondisk(spark, d, qv, k=10).collect()]
+    b = [(r["vec_id"], r["cosine"]) for r in
+         ivf_topk_ondisk(spark, d2, qv, k=10).collect()]
+    assert a == b and len(a) == 10
+    assert all(v % 2 == 0 for v, _ in a)
+    # the already-committed tag no-ops against the rebuilt index
+    assert append_ivf(spark, emb.limit(3), d,
+                      batch_tag="stream:x:0") is None
+
+
+def test_ivf_empty_append_and_compact_to_empty(spark, tmp_path):
+    """Empty maintenance inputs must never poison the index: an empty
+    append commits its batch_tag only (idempotence without a schema-
+    less generation dir), and compacting a fully-tombstoned index
+    leaves a readable empty base that later appends grow again."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.ops.vectors import (
+        _ivf_manifest,
+        append_ivf,
+        build_ivf_index,
+        compact_ivf,
+        delete_vectors,
+        ivf_topk_ondisk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    some = emb.filter(F.col("vec_id") < 8)
+    d = str(tmp_path / "ivf_empty")
+    build_ivf_index(spark, some, d)
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+
+    # empty tagged append: no generation, tag committed, index readable
+    empty = some.filter(F.col("vec_id") < 0)
+    assert append_ivf(spark, empty, d, batch_tag="s:0") is None
+    m = _ivf_manifest(d)
+    assert m["generations"] == [] and m["batches"] == ["s:0"]
+    assert len(ivf_topk_ondisk(spark, d, qv, k=8).collect()) == 8
+    # replay of the empty batch still no-ops; untagged empty is a no-op
+    assert append_ivf(spark, some, d, batch_tag="s:0") is None
+    assert append_ivf(spark, empty, d) is None
+    assert _ivf_manifest(d) == m
+
+    # tombstone everything, compact: empty but readable and servable
+    delete_vectors(spark, d, list(range(8)))
+    compact_ivf(spark, d)
+    assert ivf_topk_ondisk(spark, d, qv, k=8).collect() == []
+
+    # the index is not dead: a later append serves again
+    append_ivf(spark, emb.filter(F.col("vec_id").isin([10, 11])), d)
+    got = {r["vec_id"]
+           for r in ivf_topk_ondisk(spark, d, qv, k=8).collect()}
+    assert got == {10, 11}
 
 
 def test_bm25_snippets_match_python_recomputation(spark):
@@ -771,18 +884,43 @@ def test_streaming_incremental_ivf(spark, tmp_path):
          ivf_topk_ondisk(spark, d2, qv, k=10, exclude_vec_id=0).collect()]
     assert a == b and len(a) == 10
 
+    # tags are namespaced by the stream's checkpoint identity
+    assert all(t.startswith("stream:") and t.count(":") == 2
+               for t in m2["batches"])
+
     # replay window: an already-committed batch_tag is a no-op
-    assert append_ivf(spark, odds.limit(3), d, batch_tag="stream:0") is None
+    assert append_ivf(
+        spark, odds.limit(3), d, batch_tag=m2["batches"][0]
+    ) is None
     assert _ivf_manifest(d) == m2
 
     # ...and stays one after compaction folds the generations away
     compact_ivf(spark, d)
     m3 = _ivf_manifest(d)
     assert m3["generations"] == [] and m3["batches"] == m2["batches"]
-    assert append_ivf(spark, odds.limit(3), d, batch_tag="stream:1") is None
+    assert append_ivf(
+        spark, odds.limit(3), d, batch_tag=m2["batches"][1]
+    ) is None
     assert [(r["vec_id"], r["cosine"]) for r in
             ivf_topk_ondisk(spark, d, qv, k=10,
                             exclude_vec_id=0).collect()] == a
+
+    # a FRESH checkpoint is a new stream: its batch ids restart at 0
+    # but its tags must NOT collide with the old stream's — the new
+    # data lands instead of being swallowed as a replay
+    in_dir2 = str(tmp_path / "emb_in2")
+    ckpt2 = str(tmp_path / "ckpt2")
+    spark.createDataFrame(
+        [(777_777, emb.first()["embedding"])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("append").parquet(in_dir2)
+    incremental_ivf(spark, in_dir2, d, ckpt2)
+    m4 = _ivf_manifest(d)
+    assert len(m4["batches"]) > len(m3["batches"])
+    got = {r["vec_id"] for r in
+           ivf_topk_ondisk(spark, d, emb.first()["embedding"],
+                           k=50).collect()}
+    assert 777_777 in got
 
 
 def test_streaming_incremental_ingest(spark, tmp_path):

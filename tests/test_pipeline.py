@@ -36,6 +36,29 @@ def test_docid_partition_count_invariance(spark, corpus_df):
     assert a == b
 
 
+def test_docid_null_key_columns_survive(spark):
+    """The (key, docid) map joins back NULL-SAFELY: a corpus row with a
+    NULL key column must keep its row (and its dense id) in both id
+    orders — a plain equi-join would silently drop the document."""
+    rows = [
+        ("r1", "a.py", "c1", "alpha"),
+        ("r1", "b.py", None, "bravo"),
+        (None, "c.py", "c3", "charlie"),
+        ("r2", None, None, "delta"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string"
+    )
+    for order in ("lexical", "hash"):
+        out = assign_docids(corpus, n_parts=3, order=order)
+        got = sorted(
+            (r["content"], r["docid"]) for r in out.collect()
+        )
+        assert [c for c, _ in got] == ["alpha", "bravo", "charlie",
+                                       "delta"]
+        assert sorted(d for _, d in got) == [1, 2, 3, 4]
+
+
 def test_stats_match_oracle(tables, oracle):
     assert tables.stats["n_total"] == oracle.n_total
     assert tables.stats["n_survivors"] == oracle.n_survivors

@@ -67,3 +67,42 @@ def test_local_ann_identity_through_maintenance(spark, tmp_path):
 
     # warm path sanity: repeated queries hit the cell LRU and agree
     assert ann.topk(qvs[3], k=5) == ann.topk(qvs[3], k=5)
+
+
+def test_stale_replica_serves_across_one_compaction(spark, tmp_path):
+    """The deferred-GC replica contract: a LocalANN that loaded its
+    manifest BEFORE a compaction keeps serving the pre-compaction
+    answers (its dirs survive one compaction interval), and a refresh
+    any time before the NEXT compaction converges it."""
+    from searchengine_spark.ops.vectors import (
+        append_ivf,
+        build_ivf_index,
+        compact_ivf,
+        delete_vectors,
+    )
+    from searchengine_spark.query.serve_ivf import LocalANN
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    d = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb.filter(F.col("vec_id") % 2 == 0), d)
+    append_ivf(spark, emb.filter(F.col("vec_id") % 2 == 1), d)
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+
+    stale = LocalANN(d)
+    before = stale.topk(qv, k=10, exclude_vec_id=0)
+    assert before
+
+    # a delete + compact land while the replica is NOT refreshing:
+    # its old dirs (pre-compaction base + generation + no tombstones)
+    # must still be on disk, so it serves the pre-compaction answers
+    delete_vectors(spark, d, [before[0][0]])
+    compact_ivf(spark, d)
+    assert stale.topk(qv, k=10, exclude_vec_id=0) == before
+
+    # one refresh inside the grace interval converges it exactly
+    assert stale.maybe_refresh() is True
+    got = stale.topk(qv, k=10, exclude_vec_id=0)
+    assert got == _spark_topk(spark, d, qv, k=10, exclude=0)
+    assert before[0][0] not in {v for v, _ in got}
