@@ -399,7 +399,20 @@ class BlockCache:
     block managers on first use, and later batches run their term
     filter over the in-memory rows.  Entries evict least-recently-used
     with an explicit unpersist, so executor memory is bounded by
-    ``capacity`` × (blocks of one batch's terms)."""
+    ``capacity`` × (blocks of one batch's terms).
+
+    Cached rows are stored RANGE-EXPLODED and hash-partitioned on
+    ``range_id`` with the same partition count as the persisted docs
+    projection (``docs_df``), so a warm batch's cogroup reads both
+    sides straight from executor memory with ZERO wide exchanges —
+    the index shuffles once per term set, then serves every later
+    batch.  That is the repeated-batch serving pattern at cluster
+    scale: the shuffle cost is per working set, not per batch.
+
+    The cache also memoizes the termdict rows the planner needs
+    (``df_of``), including NEGATIVE lookups — the reference keeps its
+    whole term dictionary in RAM; here a warm batch plans with zero
+    Spark jobs while absent terms never re-trigger a scan."""
 
     def __init__(self, capacity: int = 32):
         from collections import OrderedDict
@@ -407,21 +420,61 @@ class BlockCache:
         self.capacity = capacity
         self._entries = OrderedDict()  # frozenset(terms) -> persisted DF
         self._shards_key = None
+        self._dpr = None
+        self._docs = None       # persisted (docid, total_tokens, range_id)
+        self._dfmap = {}        # term -> df (None = absent from termdict)
+        self._nparts = None
 
-    def get(self, shards: IndexShards, terms) -> DataFrame:
-        """Block rows covering ``terms`` (possibly a superset — callers
-        keep their own term filter on top).
+    @staticmethod
+    def _persist_partitioned(df: DataFrame) -> DataFrame:
+        """Persist ``df`` with its hash partitioning VISIBLE to
+        consuming plans.  With the Spark 4 default
+        ``canChangeCachedPlanOutputPartitioning=true``, AQE runs inside
+        the cached fragment and the InMemoryRelation reports
+        UnknownPartitioning — EnsureRequirements then re-shuffles the
+        cached rows on every warm batch, defeating the point of
+        co-partitioning them.  The conf matters only while the cached
+        plan is CREATED (measured: flipping it back afterwards keeps
+        the partitioning visible), so it is flipped just around the
+        persist — AQE stays fully live for every other plan, including
+        the whole build path."""
+        conf = df.sparkSession.conf
+        key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+        prev = conf.get(key)
+        conf.set(key, "false")
+        try:
+            return df.persist()
+        finally:
+            conf.set(key, prev)
 
-        Entries are valid only for the shards handle they were built
+    def _sync(self, shards: IndexShards, docs_per_range: int) -> None:
+        """Entries are valid only for the shards handle they were built
         from: a reload after append/compact/merge produces a NEW handle
         (different blocks lineage, possibly rescaled max_weight), and
         serving stale persisted rows would miss new segments or break
-        the block-max bound — so a handle change flushes the cache."""
+        the block-max bound — so a handle change flushes everything.
+        A docs_per_range change invalidates the exploded range ids but
+        NOT the termdict memo."""
         skey = (id(shards.blocks), shards.stats.get("n_survivors"),
                 shards.stats.get("avgdl"))
         if skey != self._shards_key:
             self.clear()
             self._shards_key = skey
+        if docs_per_range != self._dpr:
+            self._flush_frames()
+            self._dpr = docs_per_range
+            self._nparts = int(
+                shards.blocks.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions"
+                )
+            )
+
+    def get(self, shards: IndexShards, terms,
+            docs_per_range: int = DOCS_PER_RANGE) -> DataFrame:
+        """Range-exploded block rows covering ``terms`` (possibly a
+        superset — callers keep their own term filter on top), hash-
+        partitioned on range_id and persisted."""
+        self._sync(shards, docs_per_range)
         key = frozenset(terms)
         hit = None
         if key in self._entries:
@@ -435,23 +488,83 @@ class BlockCache:
             self._entries.move_to_end(hit)
             return self._entries[hit]
         buckets = buckets_of(shards.blocks.sparkSession, sorted(key))
-        df = shards.blocks.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(sorted(key))
-        ).persist()
+        rng = F.sequence(
+            ((F.col("docid_first") - 1) / docs_per_range).cast("long"),
+            ((F.col("docid_last") - 1) / docs_per_range).cast("long"),
+        )
+        df = (
+            shards.blocks.filter(
+                F.col("bucket").isin(buckets)
+                & F.col("term").isin(sorted(key))
+            )
+            .select("term", "docid_first", "docid_last", "max_weight",
+                    "payload")
+            .withColumn("range_id", F.explode(rng))
+            .repartition(self._nparts, "range_id")
+        )
+        df = self._persist_partitioned(df)
         self._entries[key] = df
         if len(self._entries) > self.capacity:
             _, old = self._entries.popitem(last=False)
             old.unpersist()
         return df
 
-    def clear(self):
+    def docs_df(self, shards: IndexShards,
+                docs_per_range: int = DOCS_PER_RANGE) -> DataFrame:
+        """The live-docs (docid, total_tokens, range_id) projection,
+        hash-partitioned on range_id with the same partition count as
+        the block entries (co-partitioned cogroup inputs) and persisted
+        once per shards handle."""
+        self._sync(shards, docs_per_range)
+        if self._docs is None:
+            self._docs = (
+                shards.docs.select(
+                    "docid",
+                    "total_tokens",
+                    ((F.col("docid") - 1) / docs_per_range).cast(
+                        "long"
+                    ).alias("range_id"),
+                )
+                .repartition(self._nparts, "range_id")
+            )
+            self._docs = self._persist_partitioned(self._docs)
+        return self._docs
+
+    def df_of(self, shards: IndexShards, terms) -> dict:
+        """term → document frequency for ``terms`` present in the
+        termdict, collecting only terms never looked up before (absent
+        terms are memoized as None and never re-collected)."""
+        self._sync(shards, self._dpr if self._dpr is not None
+                   else DOCS_PER_RANGE)
+        missing = [t for t in terms if t not in self._dfmap]
+        if missing:
+            found = {
+                r["term"]: r["df"]
+                for r in shards.termdict.filter(
+                    F.col("term").isin(missing)
+                ).select("term", "df").collect()
+            }
+            for t in missing:
+                self._dfmap[t] = found.get(t)
+        return {t: self._dfmap[t] for t in terms
+                if self._dfmap[t] is not None}
+
+    def _flush_frames(self):
         while self._entries:
             _, old = self._entries.popitem()
             old.unpersist()
+        if self._docs is not None:
+            self._docs.unpersist()
+            self._docs = None
+
+    def clear(self):
+        self._flush_frames()
+        self._dfmap = {}
+        self._dpr = None
 
 
 def plan_terms(spark, shards: IndexShards, queries, analyzer=analyze_query,
-               require_all=True):
+               require_all=True, cache: "BlockCache | None" = None):
     """Driver-side planning: per-qid pruned terms with idf + df.
 
     Returns (plans, all_terms) where plans[qid] = [(term, idf, df), ...]
@@ -463,6 +576,8 @@ def plan_terms(spark, shards: IndexShards, queries, analyzer=analyze_query,
 
     ``analyzer`` maps query text → {term: tf}; the default is the
     engine's stemmed analyzer, the flat (unstemmed) index passes its own.
+    ``cache``: optional BlockCache — term df lookups are served from its
+    driver-side termdict memo (zero Spark jobs on a warm batch).
     """
     termset = set()
     analyzed = {}
@@ -472,12 +587,15 @@ def plan_terms(spark, shards: IndexShards, queries, analyzer=analyze_query,
         termset.update(freq)
     if not termset:
         return {}, []
-    dfmap = {
-        r["term"]: r["df"]
-        for r in shards.termdict.filter(
-            F.col("term").isin(list(termset))
-        ).select("term", "df").collect()
-    }
+    if cache is not None:
+        dfmap = cache.df_of(shards, sorted(termset))
+    else:
+        dfmap = {
+            r["term"]: r["df"]
+            for r in shards.termdict.filter(
+                F.col("term").isin(list(termset))
+            ).select("term", "df").collect()
+        }
     n_docs = shards.stats["n_survivors"]
     plans = {}
     needed = set()
@@ -531,7 +649,7 @@ def wand_topk(
     """
     plans, needed = plan_terms(
         spark, shards, queries, analyzer=analyzer,
-        require_all=(mode == "and"),
+        require_all=(mode == "and"), cache=cache,
     )
     empty = spark.createDataFrame(
         [], "qid int, rank int, docid long, score double"
@@ -544,32 +662,45 @@ def wand_topk(
     avgdl = shards.stats["avgdl"] or 1.0
 
     if cache is not None:
-        base = cache.get(shards, needed)  # may cover a superset
+        # cached rows are already range-exploded and co-partitioned on
+        # range_id with docs_df — the warm batch's cogroup reads both
+        # sides from executor memory with no wide exchange
+        base = cache.get(shards, needed, docs_per_range)  # superset ok
+        blocks = base.filter(F.col("term").isin(needed))
     else:
         buckets = buckets_of(spark, needed)
-        base = shards.blocks.filter(
+        blocks = shards.blocks.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(needed)
+        ).select(
+            "term", "docid_first", "docid_last", "max_weight", "payload"
         )
-    blocks = base.filter(F.col("term").isin(needed)).select(
-        "term", "docid_first", "docid_last", "max_weight", "payload"
-    )
-    # a block joins every range its [first,last] span overlaps
-    rng = F.sequence(
-        ((F.col("docid_first") - 1) / docs_per_range).cast("long"),
-        ((F.col("docid_last") - 1) / docs_per_range).cast("long"),
-    )
-    blocks = blocks.withColumn("range_id", F.explode(rng))
+        # a block joins every range its [first,last] span overlaps
+        rng = F.sequence(
+            ((F.col("docid_first") - 1) / docs_per_range).cast("long"),
+            ((F.col("docid_last") - 1) / docs_per_range).cast("long"),
+        )
+        blocks = blocks.withColumn("range_id", F.explode(rng))
 
-    live = shards.docs
     if allowed_docs is not None:
-        live = live.join(allowed_docs.select("docid"), "docid")
-    docs = live.select(
-        "docid",
-        "total_tokens",
-        ((F.col("docid") - 1) / docs_per_range).cast("long").alias(
-            "range_id"
-        ),
-    )
+        docs = shards.docs.join(
+            allowed_docs.select("docid"), "docid"
+        ).select(
+            "docid",
+            "total_tokens",
+            ((F.col("docid") - 1) / docs_per_range).cast("long").alias(
+                "range_id"
+            ),
+        )
+    elif cache is not None:
+        docs = cache.docs_df(shards, docs_per_range)
+    else:
+        docs = shards.docs.select(
+            "docid",
+            "total_tokens",
+            ((F.col("docid") - 1) / docs_per_range).cast("long").alias(
+                "range_id"
+            ),
+        )
 
     plans_b = spark.sparkContext.broadcast(
         {qid: [(t, i) for t, i, _ in plan] for qid, plan in plans.items()}
