@@ -310,6 +310,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": V.ann_ivf_topk,
         "ann_recall": V.ann_recall,
         "ann_ivf_kmeans_topk": V.ann_ivf_kmeans_topk,
+        "pq_codes": V.pq_codes,
+        "ann_ivf_pq_topk": V.ann_ivf_pq_topk,
+        "ann_ivf_pq_rerank_topk": V.ann_ivf_pq_rerank_topk,
         "lang_id": T.lang_id,
         "token_counts": T.token_counts,
         "media_stats": M.media_stats,
@@ -393,6 +396,81 @@ _COS = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
+
+# product-quantization CTEs (ops/vectors.py PQ_M=8 subspaces of 8 dims,
+# PQ_CODES=16, PQ_STRIDE=29, PQ_ROUND=6 — change Spark and SQL
+# together): codebook from fixed-stride rows, per-subspace argmin of
+# the 6dp-rounded squared L2 (tie → lowest code).  Shared by the
+# pq_codes / ann_ivf_pq_topk / ann_ivf_pq_rerank_topk oracles.
+_PQ_CTES = """
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ms AS (SELECT unnest(range(8)) AS m),
+    cb AS (
+      SELECT (vec_id // 29)::INT AS c, ms.m,
+             v[ms.m*8+1 : ms.m*8+8] AS cv
+      FROM emb CROSS JOIN ms
+      WHERE vec_id % 29 = 0 AND vec_id < 16 * 29
+    ),
+    subs AS (
+      SELECT e.vec_id, ms.m, e.v[ms.m*8+1 : ms.m*8+8] AS xv
+      FROM emb e CROSS JOIN ms
+    ),
+    coded AS (
+      SELECT vec_id, m, c FROM (
+        SELECT s.vec_id, s.m, b.c,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY round(
+                   list_dot_product(s.xv, s.xv)
+                   - 2 * list_dot_product(s.xv, b.cv)
+                   + list_dot_product(b.cv, b.cv), 6) ASC,
+                 b.c ASC) AS rn
+        FROM subs s JOIN cb b USING (m)
+      ) WHERE rn = 1
+    )
+"""
+
+# ADC scoring over the stride-IVF probes (the cent/scored/assigned/
+# probes CTEs mirror ann_ivf_topk's; q = the query vector, vec_id 0)
+_PQ_ADC = f"""
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+    lut AS (
+      SELECT b.m, b.c,
+             list_dot_product(q.qv[b.m*8+1 : b.m*8+8], b.cv) AS dq,
+             list_dot_product(b.cv, b.cv) AS cc
+      FROM cb b CROSS JOIN q
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM emb
+             WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             {_COS.format(a="e.v", b="c.cv")} AS ccos
+      FROM emb e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT cid FROM cent CROSS JOIN q
+      ORDER BY {_COS.format(a="qv", b="cv")} DESC, cid
+      LIMIT 3
+    ),
+    adc AS (
+      SELECT cd.vec_id,
+             round(sum(l.dq) / (
+               sqrt((SELECT list_dot_product(qv, qv) FROM q))
+               * sqrt(sum(l.cc))), 5) AS pq_score
+      FROM coded cd
+      JOIN lut l ON l.m = cd.m AND l.c = cd.c
+      JOIN assigned a ON a.vec_id = cd.vec_id
+      JOIN probes p ON p.cid = a.cid
+      WHERE cd.vec_id != 0
+      GROUP BY cd.vec_id
+    )
+"""
 
 # jaccard pair graph over `sh` (_SHINGLES): shared by the dup_clusters
 # and pagerank_dupgraph oracles so the threshold/edge definition can
@@ -1217,6 +1295,43 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hits, 0)::BIGINT AS n_hits,
                    round(coalesce(h.n_hits, 0) / 10, 6) AS recall
             FROM q LEFT JOIN hits h ON h.qid = q.qid
+        """,
+        # PQ codes: per-subspace nearest codebook entry (squared L2,
+        # 6dp-rounded before the argmin, tie → lowest code) against the
+        # fixed-stride codebook (ops/vectors.PQ_* constants — change
+        # Spark and SQL together)
+        "pq_codes": f"""
+            WITH {_PQ_CTES}
+            SELECT vec_id,
+                   {", ".join(
+                       f"max(CASE WHEN m = {m} THEN c END)::INT AS m{m}"
+                       for m in range(8)
+                   )}
+            FROM coded GROUP BY vec_id
+        """,
+        # IVF-PQ ADC ranking: probe the stride-IVF lists (identical
+        # CTEs to ann_ivf_topk), score candidates from the per-query
+        # lookup table of subspace dot products — the quantized cosine
+        # cos(q, x̂) with x̂ reconstructed from the codes
+        "ann_ivf_pq_topk": f"""
+            WITH {_PQ_CTES},
+            {_PQ_ADC}
+            SELECT vec_id, pq_score FROM adc
+            ORDER BY pq_score DESC, vec_id LIMIT 10
+        """,
+        # IVF-PQ with exact reranking: ADC shortlists 32 candidates,
+        # the shortlist alone is rescored with the exact round-5 cosine
+        "ann_ivf_pq_rerank_topk": f"""
+            WITH {_PQ_CTES},
+            {_PQ_ADC},
+            short AS (
+              SELECT vec_id FROM adc
+              ORDER BY pq_score DESC, vec_id LIMIT 32
+            )
+            SELECT s.vec_id,
+                   round({_COS.format(a="e.v", b="q.qv")}, 5) AS cosine
+            FROM short s JOIN emb e USING (vec_id) CROSS JOIN q
+            ORDER BY cosine DESC, s.vec_id LIMIT 10
         """,
         "lang_id": f"""
             WITH toks AS ({_TOKS}),

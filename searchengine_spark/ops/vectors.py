@@ -971,3 +971,239 @@ def ann_recall(spark: SparkSession, sf_dir: str, k: int = 10,
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
         F.round(F.coalesce("n_hits", F.lit(0)) / k, 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ): the 100-TB memory story for the vector
+# side.  Full float32 vectors in the probed cells cost dim×4 bytes of IO
+# per candidate; PQ stores one byte per subspace (here 8 bytes vs 256 —
+# 32×) and scores candidates from a tiny per-query lookup table (ADC,
+# asymmetric distance computation), reranking only a short exact list.
+# Codebooks follow the module's deterministic stand-in pattern
+# (fixed-stride rows, like ann_ivf_topk's centroids) so the DuckDB
+# oracle mirrors the whole pipeline value-for-value; a production build
+# would train them with per-subspace k-means (kmeans_centroids has the
+# machinery) with identical downstream plumbing.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8                      # subspaces (EMB_DIM 64 → 8 dims each)
+PQ_SUB = EMB_DIM // PQ_M
+PQ_CODES = 16                 # codes per subspace codebook
+PQ_STRIDE = 29                # codebook rows: vec_id = c * PQ_STRIDE
+PQ_ROUND = 6                  # encode-distance rounding (cross-engine)
+PQ_RERANK = 32                # exact-rerank shortlist size
+
+
+def _pq_codebook(emb: DataFrame):
+    """cb[m][c] = the m-th subvector (float64) of the vector at
+    vec_id = c*PQ_STRIDE — a pure function of the data, shared
+    value-for-value with the SQL oracle.  Collect is PQ_CODES rows
+    (codebook-sized, not data-sized)."""
+    rows = (
+        emb.filter(
+            (F.col("vec_id") % PQ_STRIDE == 0)
+            & (F.col("vec_id") < PQ_CODES * PQ_STRIDE)
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    if len(rows) < PQ_CODES:
+        raise ValueError(
+            f"corpus too small for a {PQ_CODES}-code PQ codebook: "
+            f"{len(rows)} stride rows"
+        )
+    full = [[float(x) for x in r["embedding"]] for r in rows]
+    return [
+        [v[m * PQ_SUB:(m + 1) * PQ_SUB] for v in full]
+        for m in range(PQ_M)
+    ]
+
+
+def _pq_encode(emb: DataFrame, cb) -> DataFrame:
+    """(vec_id, codes array<int>) — per subspace, the code of the
+    nearest codebook entry by squared L2 distance, rounded to PQ_ROUND
+    decimals before the argmin (absorbs fold-order ulp noise across
+    engines; ties break to the lowest code on both)."""
+    spark = emb.sparkSession
+    cb_df = spark.createDataFrame(
+        [(m, c, cb[m][c]) for m in range(PQ_M) for c in range(PQ_CODES)],
+        "m int, c int, cv array<double>",
+    )
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[
+                F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
+                for m in range(PQ_M)
+            ])
+        ).alias("m", "xv"),
+    )
+    dist = (
+        _dot("xv", "xv") - 2.0 * _dot("xv", "cv") + _dot("cv", "cv")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.asc("d"), F.asc("c")
+    )
+    coded = (
+        subs.join(F.broadcast(cb_df), "m")
+        .withColumn("d", F.round(dist, PQ_ROUND))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "c")
+    )
+    return coded.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "c"))),
+            lambda s: s["c"],
+        ).alias("codes")
+    )
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: the PQ code of every vector, one INT column per
+    subspace (m0..m7) so the oracle compare is column-wise exact."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    codes = _pq_encode(emb, _pq_codebook(emb))
+    return codes.select(
+        "vec_id",
+        *[
+            F.element_at("codes", m + 1).alias(f"m{m}")
+            for m in range(PQ_M)
+        ],
+    )
+
+
+def _seq_dot(a, b):
+    """Sequential left-fold float64 dot — the cross-engine contract."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _pq_adc_scored(spark: SparkSession, sf_dir: str, query_vec_id: int,
+                   nprobe: int):
+    """Shared ADC pipeline: stride-IVF probe pruning (identical to
+    ann_ivf_topk) + PQ scores from a per-query lookup table.
+
+    ADC: with x̂ = concat_m cb[m][code_m], the approximate cosine is
+      cos(q, x̂) = Σ_m dot(q_m, cb[m][code_m])
+                  / (|q| · sqrt(Σ_m |cb[m][code_m]|²)),
+    so a query needs only dq[m][c] = dot(q_m, cb[m][c]) and
+    cc[m][c] = |cb[m][c]|² — PQ_M×PQ_CODES doubles, computed driver-
+    side with sequential folds and folded over each row's codes array
+    as literal lookup arrays (no shuffle, no per-row Python).
+    Returns (vec_id, pq_score) over the probed cells.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cb = _pq_codebook(emb)
+    codes = _pq_encode(emb, cb)
+
+    cent = emb.filter(
+        F.col("vec_id") % CENTROID_STRIDE == 0
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    asg = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", _cosine("embedding", "cv").alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assigned = (
+        asg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).first()
+    q = [float(x) for x in qrow["embedding"]]
+    qnorm = _seq_dot(q, q) ** 0.5
+    probes = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("qv"))
+        .crossJoin(F.broadcast(cent))
+        .select("cid", _cosine("qv", "cv").alias("qcos"))
+        .orderBy(F.desc("qcos"), F.asc("cid"))
+        .limit(nprobe)
+    )
+
+    dq, cc = [], []
+    for m in range(PQ_M):
+        qm = q[m * PQ_SUB:(m + 1) * PQ_SUB]
+        for c in range(PQ_CODES):
+            dq.append(_seq_dot(qm, cb[m][c]))
+            cc.append(_seq_dot(cb[m][c], cb[m][c]))
+    dq_lit = F.array(*[F.lit(v) for v in dq])
+    cc_lit = F.array(*[F.lit(v) for v in cc])
+
+    def lut_sum(lut):
+        # sequential fold over the codes array: acc + lut[m*CODES+code]
+        return F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda c, m: F.element_at(
+                    lut, (m * PQ_CODES + c + 1).cast("int")
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cands = (
+        assigned.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(probes.select("cid")), "cid")
+        .join(codes, "vec_id")
+    )
+    return cands.select(
+        "vec_id",
+        F.round(
+            lut_sum(dq_lit) / (F.lit(qnorm) * F.sqrt(lut_sum(cc_lit))),
+            5,
+        ).alias("pq_score"),
+    )
+
+
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str,
+                    query_vec_id: int = 0, k: int = 10,
+                    nprobe: int = NPROBE) -> DataFrame:
+    """IVF-PQ ANN, pure ADC ranking: (vec_id, pq_score) top-k by the
+    quantized cosine.  The approximation itself is the contract here
+    (the oracle recomputes the identical quantization); the serving
+    variant with exact reranking is ann_ivf_pq_rerank_topk."""
+    return (
+        _pq_adc_scored(spark, sf_dir, query_vec_id, nprobe)
+        .orderBy(F.desc("pq_score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str,
+                           query_vec_id: int = 0, k: int = 10,
+                           nprobe: int = NPROBE,
+                           rerank: int = PQ_RERANK) -> DataFrame:
+    """IVF-PQ with exact reranking — the standard serving shape: ADC
+    shortlists `rerank` candidates from the probed cells (cheap, code
+    bytes only), then the shortlist alone is rescored with the exact
+    float cosine (round-5, (cosine desc, vec_id) tie-break).  At scale
+    the full vectors are fetched for `rerank` rows instead of every
+    probed candidate."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).first()
+    short = (
+        _pq_adc_scored(spark, sf_dir, query_vec_id, nprobe)
+        .orderBy(F.desc("pq_score"), F.asc("vec_id"))
+        .limit(rerank)
+    )
+    qv = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+    return (
+        short.join(emb, "vec_id")
+        .select(
+            "vec_id",
+            F.round(_cosine("embedding", qv), 5).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

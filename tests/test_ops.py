@@ -1106,3 +1106,90 @@ def test_streaming_queries_match_batch(spark, tables, index_dir, tmp_path):
         for r in score_queries_ondisk(spark, queries, shards, k=10).collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_pq_codes_deterministic_and_exact_on_codebook_rows(spark):
+    """PQ encoding is a pure function of the data: codes are invariant
+    to input partitioning, and every codebook-source row must encode to
+    its own code in all subspaces (distance exactly 0)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.ops.vectors import (
+        PQ_CODES,
+        PQ_M,
+        PQ_STRIDE,
+        _pq_codebook,
+        _pq_encode,
+        pq_codes,
+    )
+
+    got = {
+        r["vec_id"]: [r[f"m{m}"] for m in range(PQ_M)]
+        for r in pq_codes(spark, SF).collect()
+    }
+    assert len(got) == 500
+    for c in range(PQ_CODES):
+        assert got[c * PQ_STRIDE] == [c] * PQ_M  # self-encodes exactly
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cb = _pq_codebook(emb)
+    re32 = {
+        r["vec_id"]: list(r["codes"])
+        for r in _pq_encode(emb.repartition(32), cb).collect()
+    }
+    assert re32 == got  # partition-count invariant
+
+
+def test_pq_adc_approximates_and_rerank_recovers_exact_order(spark):
+    """ADC scores are the quantized cosine (recomputed in pure Python
+    from the shared codebook); the rerank variant must equal the exact
+    round-5 cosine ranking restricted to its ADC shortlist, and keep
+    decent recall vs the exhaustive baseline."""
+    from searchengine_spark.ops.textops import ann_cosine_topk
+    from searchengine_spark.ops.vectors import (
+        PQ_CODES,
+        PQ_M,
+        PQ_SUB,
+        _pq_codebook,
+        _pq_encode,
+        _seq_dot,
+        ann_ivf_pq_rerank_topk,
+        ann_ivf_pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cb = _pq_codebook(emb)
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in _pq_encode(emb, cb).collect()
+    }
+    q = [float(x) for x in emb.filter(
+        F.col("vec_id") == 0
+    ).first()["embedding"]]
+    qn = _seq_dot(q, q) ** 0.5
+
+    got = ann_ivf_pq_topk(spark, SF, k=10).collect()
+    assert len(got) == 10
+    for r in got:
+        cs = codes[r["vec_id"]]
+        sdq = sum(
+            _seq_dot(q[m * PQ_SUB:(m + 1) * PQ_SUB], cb[m][cs[m]])
+            for m in range(PQ_M)
+        )
+        scc = sum(_seq_dot(cb[m][cs[m]], cb[m][cs[m]])
+                  for m in range(PQ_M))
+        assert abs(r["pq_score"] - round(sdq / (qn * scc ** 0.5), 5)) \
+            <= 1e-5
+
+    rr = [(r["vec_id"], r["cosine"])
+          for r in ann_ivf_pq_rerank_topk(spark, SF, k=10).collect()]
+    assert [c for _, c in rr] == sorted(
+        (c for _, c in rr), reverse=True
+    )
+    brute = [r["vec_id"]
+             for r in ann_cosine_topk(spark, SF, k=10).collect()]
+    assert len({v for v, _ in rr} & set(brute)) >= 3
