@@ -342,6 +342,11 @@ def build_ivf_index(spark: SparkSession, emb: DataFrame, out_dir: str,
                 entry.startswith("cells_g") or entry.startswith("tombs_t")
             ):
                 shutil.rmtree(p, ignore_errors=True)
+        # the PQ codebook derives from the (old) corpus — a retrain on
+        # new data would silently serve stale ADC tables; callers
+        # re-attach after the rebuild
+        shutil.rmtree(os.path.join(out_dir, PQ_CODEBOOK),
+                      ignore_errors=True)
 
     cents = kmeans_centroids(spark, emb, stride, iters, dim)
     cent_df = spark.createDataFrame(
@@ -582,7 +587,9 @@ def compact_ivf(spark: SparkSession, index_dir: str) -> str:
         {"base": gname, "generations": [], "tombstones": [],
          "gc": old_dirs, "batches": m.get("batches", [])},
     )
-    keep = set(old_dirs) | {gname, "centroids.parquet", IVF_MANIFEST}
+    keep = set(old_dirs) | {
+        gname, "centroids.parquet", PQ_CODEBOOK, IVF_MANIFEST
+    }
     for entry in os.listdir(index_dir):
         if entry in keep:
             continue
@@ -1127,12 +1134,34 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str, query_vec_id: int,
         .limit(nprobe)
     )
 
+    dq, cc = _pq_query_lut(q, cb)
+    cands = (
+        assigned.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(probes.select("cid")), "cid")
+        .join(codes, "vec_id")
+    )
+    return cands.select(
+        "vec_id", _pq_adc_score(dq, cc, qnorm).alias("pq_score")
+    )
+
+
+def _pq_query_lut(q, cb):
+    """Per-query ADC lookup tables, flattened m-major:
+    dq[m*CODES+c] = dot(q_m, cb[m][c]), cc[...] = |cb[m][c]|² —
+    sequential float64 folds (the cross-engine contract)."""
     dq, cc = [], []
     for m in range(PQ_M):
         qm = q[m * PQ_SUB:(m + 1) * PQ_SUB]
         for c in range(PQ_CODES):
             dq.append(_seq_dot(qm, cb[m][c]))
             cc.append(_seq_dot(cb[m][c], cb[m][c]))
+    return dq, cc
+
+
+def _pq_adc_score(dq, cc, qnorm):
+    """Round-5 quantized cosine of the row's ``codes`` array: a
+    sequential fold over the codes with the LUTs as literal arrays —
+    no shuffle, no per-row Python."""
     dq_lit = F.array(*[F.lit(v) for v in dq])
     cc_lit = F.array(*[F.lit(v) for v in cc])
 
@@ -1150,17 +1179,8 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str, query_vec_id: int,
             lambda acc, x: acc + x,
         )
 
-    cands = (
-        assigned.filter(F.col("vec_id") != query_vec_id)
-        .join(F.broadcast(probes.select("cid")), "cid")
-        .join(codes, "vec_id")
-    )
-    return cands.select(
-        "vec_id",
-        F.round(
-            lut_sum(dq_lit) / (F.lit(qnorm) * F.sqrt(lut_sum(cc_lit))),
-            5,
-        ).alias("pq_score"),
+    return F.round(
+        lut_sum(dq_lit) / (F.lit(qnorm) * F.sqrt(lut_sum(cc_lit))), 5
     )
 
 
@@ -1203,6 +1223,99 @@ def ann_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str,
         .select(
             "vec_id",
             F.round(_cosine("embedding", qv), 5).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+PQ_CODEBOOK = "pq_codebook.parquet"
+
+
+def attach_pq_codebook(spark: SparkSession, emb: DataFrame,
+                       index_dir: str) -> None:
+    """Persist the PQ codebook beside a built IVF index (index
+    metadata, like centroids.parquet): (m, c, cv) — PQ_M×PQ_CODES rows.
+    Enables the PQ serving paths (ivf_pq_topk_ondisk and
+    query/serve_ivf.LocalANN.pq_topk); the plain exact paths ignore it.
+    Codes themselves are NOT stored — readers encode cells on fetch
+    against this codebook, so appends/deletes/compactions need no PQ
+    bookkeeping (encode-on-fetch is cached at the replica)."""
+    import os
+
+    cb = _pq_codebook(emb)
+    spark.createDataFrame(
+        [(m, c, cb[m][c]) for m in range(PQ_M) for c in range(PQ_CODES)],
+        "m int, c int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, PQ_CODEBOOK)
+    )
+
+
+def _load_pq_codebook(spark: SparkSession, index_dir: str):
+    """cb[m][c] (python float64 lists) from the persisted codebook —
+    PQ_M×PQ_CODES rows, codebook-sized collect."""
+    import os
+
+    rows = spark.read.parquet(
+        os.path.join(index_dir, PQ_CODEBOOK)
+    ).collect()
+    cb = [[None] * PQ_CODES for _ in range(PQ_M)]
+    for r in rows:
+        cb[r["m"]][r["c"]] = [float(x) for x in r["cv"]]
+    return cb
+
+
+def ivf_pq_topk_ondisk(spark: SparkSession, index_dir: str, query_vec,
+                       k: int = 10, nprobe: int = NPROBE,
+                       exclude_vec_id=None,
+                       rerank: int = PQ_RERANK) -> DataFrame:
+    """IVF-PQ serving from a persisted index: probe selection and the
+    cid-pruned cells scan are ivf_topk_ondisk's, candidates are ADC-
+    shortlisted from on-the-fly codes against the attached codebook,
+    and only the shortlist is rescored with the exact round-5 cosine.
+    Same maintenance semantics as the exact reader (tombstones masked
+    by _read_cells, generations unioned with pruning intact).
+    Returns (vec_id, cosine) — the exact cosine of the reranked top-k.
+    """
+    import math
+    import os
+
+    qv = [float(x) for x in query_vec]
+    cb = _load_pq_codebook(spark, index_dir)
+    cents = spark.read.parquet(
+        os.path.join(index_dir, "centroids.parquet")
+    ).collect()
+    qn = math.sqrt(_fold_dot(qv, qv))
+    ranked = sorted(
+        (
+            (r["cid"],
+             _fold_dot(qv, r["cv"])
+             / (math.sqrt(_fold_dot(r["cv"], r["cv"])) * qn))
+            for r in cents
+        ),
+        key=lambda cq: (-cq[1], cq[0]),
+    )
+    probe_cids = [cid for cid, _ in ranked[:nprobe]]
+    cells = _read_cells(spark, index_dir, probe_cids)
+    if exclude_vec_id is not None:
+        cells = cells.filter(F.col("vec_id") != exclude_vec_id)
+
+    codes = _pq_encode(cells.select("vec_id", "embedding"), cb)
+    dq, cc = _pq_query_lut(qv, cb)
+    short = (
+        codes.select(
+            "vec_id", _pq_adc_score(dq, cc, qn).alias("pq_score")
+        )
+        .orderBy(F.desc("pq_score"), F.asc("vec_id"))
+        .limit(rerank)
+    )
+    qlit = F.array(*[F.lit(x) for x in qv])
+    return (
+        short.join(cells, "vec_id")
+        .select(
+            "vec_id",
+            F.round(_cosine("embedding", qlit), 5).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)

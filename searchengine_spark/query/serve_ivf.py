@@ -45,12 +45,18 @@ from decimal import ROUND_HALF_UP, Decimal
 import numpy as np
 
 _Q5 = Decimal("0.00001")
+_Q6 = Decimal("0.000001")
 
 
 def _round5(x: float) -> float:
     """Spark F.round(col, 5) parity: HALF_UP over the shortest decimal
     representation of the double (BigDecimal.valueOf semantics)."""
     return float(Decimal(repr(float(x))).quantize(_Q5, ROUND_HALF_UP))
+
+
+def _round6(x: float) -> float:
+    """F.round(col, 6) parity — the PQ encode-distance rounding."""
+    return float(Decimal(repr(float(x))).quantize(_Q6, ROUND_HALF_UP))
 
 
 def _fold_dot(a, b) -> float:
@@ -132,6 +138,23 @@ class LocalANN:
         self.tombstones = tomb
         self._cache.clear()
 
+        # PQ serving mode: available iff the codebook sidecar exists
+        # (ops/vectors.attach_pq_codebook); codes are encoded on cell
+        # fetch and cached instead of the float matrix — 8 B of codes
+        # vs dim×8 B per vector in replica RAM
+        self.pq_cb = None
+        self._pq_cache: OrderedDict = OrderedDict()
+        cb_path = os.path.join(self.index_dir, "pq_codebook.parquet")
+        if os.path.isdir(cb_path):
+            t = pq.read_table(cb_path, columns=["m", "c", "cv"])
+            rows = sorted(zip(t["m"].to_pylist(), t["c"].to_pylist(),
+                              t["cv"].to_pylist()))
+            n_m = max(r[0] for r in rows) + 1
+            n_c = max(r[1] for r in rows) + 1
+            self.pq_cb = [[None] * n_c for _ in range(n_m)]
+            for m_, c_, cv in rows:
+                self.pq_cb[m_][c_] = [float(x) for x in cv]
+
     def maybe_refresh(self) -> bool:
         """Reload iff a maintenance commit landed since the last load."""
         stamp = self._commit_stamp()
@@ -149,6 +172,15 @@ class LocalANN:
         if key in self._cache:
             self._cache.move_to_end(key)
             return self._cache[key]
+        val = self._read_cell(gen, cid)
+        self._cache[key] = val
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return val
+
+    def _read_cell(self, gen: str, cid: int):
+        """Uncached cell read (the PQ encoder uses this directly so the
+        float matrix stays transient)."""
         import pyarrow.parquet as pq
 
         path = os.path.join(self.index_dir, gen, f"cid={cid}")
@@ -169,9 +201,51 @@ class LocalANN:
             else:  # ragged (never written by this engine, but safe)
                 emb = np.array(col.to_pylist(), dtype=np.float64)
             val = (ids.astype(np.int64), emb)
-        self._cache[key] = val
-        if len(self._cache) > self._cache_size:
-            self._cache.popitem(last=False)
+        return val
+
+    def _cell_codes(self, gen: str, cid: int):
+        """(vec_ids int64[n], codes uint8[n, M]) of one cell — encoded
+        on first fetch against the attached codebook and LRU'd.  The
+        float matrix is transient: the steady-state cache holds 1 byte
+        per subspace per vector.
+
+        Encode parity with ops/vectors._pq_encode is engineered: the
+        squared-L2 terms accumulate dimension-by-dimension (Catalyst's
+        left-fold IEEE order), combine as (xx - 2·xc) + cc, round via
+        the HALF_UP 6-decimal rule, and argmin takes the first (lowest
+        code) minimum."""
+        key = (gen, cid)
+        if key in self._pq_cache:
+            self._pq_cache.move_to_end(key)
+            return self._pq_cache[key]
+        ids, emb = self._read_cell(gen, cid)
+        if ids is None:
+            val = (None, None)
+        else:
+            n = len(ids)
+            n_m = len(self.pq_cb)
+            sub = emb.shape[1] // n_m
+            codes = np.empty((n, n_m), dtype=np.uint8)
+            for m in range(n_m):
+                X = emb[:, m * sub:(m + 1) * sub]
+                xx = np.zeros(n)
+                for j in range(sub):
+                    xx += X[:, j] * X[:, j]
+                dmat = np.empty((n, len(self.pq_cb[m])))
+                for c, cv in enumerate(self.pq_cb[m]):
+                    xc = np.zeros(n)
+                    for j in range(sub):
+                        xc += X[:, j] * cv[j]
+                    cc = _fold_dot(cv, cv)
+                    dmat[:, c] = (xx - 2.0 * xc) + cc
+                for i in range(n):
+                    codes[i, m] = int(np.argmin(
+                        [_round6(d) for d in dmat[i]]
+                    ))
+            val = (ids, codes)
+        self._pq_cache[key] = val
+        if len(self._pq_cache) > self._cache_size:
+            self._pq_cache.popitem(last=False)
         return val
 
     # -- query ------------------------------------------------------------
@@ -221,6 +295,108 @@ class LocalANN:
         if exclude_vec_id is not None:
             mask &= ids != int(exclude_vec_id)
         ids, cos = ids[mask], cos[mask]
+        rcos = np.array([_round5(c) for c in cos])
+        order = np.lexsort((ids, -rcos))[:k]
+        return [(int(ids[i]), float(rcos[i])) for i in order]
+
+    def pq_topk(self, query_vec, k: int = 10, exclude_vec_id=None,
+                rerank: int = 32):
+        """[(vec_id, cosine)] — the IVF-PQ serving path, value-identical
+        to ops.vectors.ivf_pq_topk_ondisk: candidates ADC-scored from
+        the cached codes (quantized cosine via the per-query lookup
+        table, round-5), the top-``rerank`` shortlist rescored with the
+        exact cosine (only those full vectors are read, via a vec_id
+        predicate on the probed cells)."""
+        if self.pq_cb is None:
+            raise ValueError(
+                "no PQ codebook attached to this index "
+                "(ops.vectors.attach_pq_codebook)"
+            )
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        qv = [float(x) for x in query_vec]
+        qn = math.sqrt(_fold_dot(qv, qv))
+        ranked = sorted(
+            (
+                (cid, _fold_dot(qv, cv)
+                 / (math.sqrt(_fold_dot(cv, cv)) * qn))
+                for cid, cv in self.cent.items()
+            ),
+            key=lambda cq: (-cq[1], cq[0]),
+        )
+        probes = [cid for cid, _ in ranked[: self.nprobe]]
+
+        n_m = len(self.pq_cb)
+        n_c = len(self.pq_cb[0])
+        sub = len(self.pq_cb[0][0])
+        dq = np.empty((n_m, n_c))
+        cc = np.empty((n_m, n_c))
+        for m in range(n_m):
+            qm = qv[m * sub:(m + 1) * sub]
+            for c in range(n_c):
+                dq[m, c] = _fold_dot(qm, self.pq_cb[m][c])
+                cc[m, c] = _fold_dot(self.pq_cb[m][c], self.pq_cb[m][c])
+
+        out_ids, out_sc = [], []
+        for gen in self.gens:
+            for cid in probes:
+                ids, codes = self._cell_codes(gen, cid)
+                if ids is None or not len(ids):
+                    continue
+                # m-ascending accumulation = Spark's sequential fold
+                numer = np.zeros(len(ids))
+                denom = np.zeros(len(ids))
+                for m in range(n_m):
+                    numer += dq[m][codes[:, m]]
+                    denom += cc[m][codes[:, m]]
+                out_ids.append(ids)
+                out_sc.append(numer / (qn * np.sqrt(denom)))
+        if not out_ids:
+            return []
+        ids = np.concatenate(out_ids)
+        sc = np.concatenate(out_sc)
+        mask = np.ones(len(ids), dtype=bool)
+        if self.tombstones:
+            mask &= ~np.isin(
+                ids, np.fromiter(self.tombstones, dtype=np.int64)
+            )
+        if exclude_vec_id is not None:
+            mask &= ids != int(exclude_vec_id)
+        ids, sc = ids[mask], sc[mask]
+        rsc = np.array([_round5(s) for s in sc])
+        order = np.lexsort((ids, -rsc))[:rerank]
+        short = set(int(ids[i]) for i in order)
+
+        # exact rerank: read ONLY the shortlist rows back from the
+        # probed cells (predicate pushdown on vec_id), score with the
+        # fold-parity exact cosine
+        qarr = np.asarray(qv, dtype=np.float64)
+        r_ids, r_cos = [], []
+        want = pc.field("vec_id").isin(list(short))
+        for gen in self.gens:
+            for cid in probes:
+                path = os.path.join(self.index_dir, gen, f"cid={cid}")
+                if not os.path.isdir(path):
+                    continue
+                t = pq.read_table(
+                    path, columns=["vec_id", "embedding"], filters=want
+                )
+                if not t.num_rows:
+                    continue
+                rids = t["vec_id"].to_numpy().astype(np.int64)
+                col = t["embedding"].combine_chunks()
+                emb = np.array(col.to_pylist(), dtype=np.float64)
+                dot = np.zeros(len(rids))
+                nrm = np.zeros(len(rids))
+                for j in range(emb.shape[1]):
+                    cj = emb[:, j]
+                    dot += cj * qarr[j]
+                    nrm += cj * cj
+                r_ids.append(rids)
+                r_cos.append(dot / (np.sqrt(nrm) * qn))
+        ids = np.concatenate(r_ids)
+        cos = np.concatenate(r_cos)
         rcos = np.array([_round5(c) for c in cos])
         order = np.lexsort((ids, -rcos))[:k]
         return [(int(ids[i]), float(rcos[i])) for i in order]

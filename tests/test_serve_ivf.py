@@ -106,3 +106,88 @@ def test_stale_replica_serves_across_one_compaction(spark, tmp_path):
     got = stale.topk(qv, k=10, exclude_vec_id=0)
     assert got == _spark_topk(spark, d, qv, k=10, exclude=0)
     assert before[0][0] not in {v for v, _ in got}
+
+
+def test_local_ann_pq_identity_through_maintenance(spark, tmp_path):
+    """The PQ serving path: LocalANN.pq_topk must be VALUE-identical to
+    ivf_pq_topk_ondisk over the same index dir — fresh build, append,
+    delete, compaction — with codes encoded on fetch matching the Spark
+    encoder exactly, and the exact-rerank cosines equal to the exact
+    tier's for the same ids."""
+    from searchengine_spark.ops.vectors import (
+        _pq_encode,
+        append_ivf,
+        attach_pq_codebook,
+        build_ivf_index,
+        compact_ivf,
+        delete_vectors,
+        ivf_pq_topk_ondisk,
+    )
+    from searchengine_spark.query.serve_ivf import LocalANN
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    d = str(tmp_path / "ivfpq")
+    build_ivf_index(spark, emb.filter(F.col("vec_id") % 2 == 0), d)
+    attach_pq_codebook(spark, emb, d)
+    append_ivf(spark, emb.filter(F.col("vec_id") % 2 == 1), d)
+
+    qvs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id").isin([0, 7])).collect()
+    }
+
+    def spark_pq(qv, exclude):
+        return [
+            (r["vec_id"], r["cosine"])
+            for r in ivf_pq_topk_ondisk(
+                spark, d, qv, k=10, exclude_vec_id=exclude
+            ).collect()
+        ]
+
+    ann = LocalANN(d)
+    assert ann.pq_cb is not None
+    for vid, qv in qvs.items():
+        got = ann.pq_topk(qv, k=10, exclude_vec_id=vid)
+        assert got == spark_pq(qv, vid), vid
+        assert len(got) == 10
+
+    # code parity: the replica's encode-on-fetch equals _pq_encode for
+    # a probed cell's vectors
+    gen, cid = ann.gens[0], sorted(ann.cent)[0]
+    ids, codes = ann._cell_codes(gen, cid)
+    if ids is not None and len(ids):
+        want = {
+            r["vec_id"]: list(r["codes"])
+            for r in _pq_encode(
+                emb.filter(F.col("vec_id").isin([int(i) for i in ids])),
+                ann.pq_cb,
+            ).collect()
+        }
+        got_codes = {int(i): [int(c) for c in row]
+                     for i, row in zip(ids, codes)}
+        assert got_codes == want
+
+    # maintenance: delete the current top result, compact — identity
+    # holds through both and the codebook survives compaction GC
+    dead = ann.pq_topk(qvs[0], k=1, exclude_vec_id=0)[0][0]
+    delete_vectors(spark, d, [dead])
+    compact_ivf(spark, d)
+    assert ann.maybe_refresh() is True
+    assert ann.pq_cb is not None  # sidecar survived the GC
+    for vid, qv in qvs.items():
+        got = ann.pq_topk(qv, k=10, exclude_vec_id=vid)
+        assert got == spark_pq(qv, vid), vid
+    assert dead not in {v for v, _ in ann.pq_topk(qvs[0], k=10,
+                                                  exclude_vec_id=0)}
+
+    # rerank cosines are the EXACT tier's values for the same ids
+    exact = dict(ann.topk(qvs[0], k=50, exclude_vec_id=0))
+    for vid, cos in ann.pq_topk(qvs[0], k=10, exclude_vec_id=0):
+        assert exact[vid] == cos
+
+    # rebuild-in-place drops the stale codebook (callers re-attach)
+    build_ivf_index(spark, emb.filter(F.col("vec_id") % 2 == 0), d)
+    ann2 = LocalANN(d)
+    assert ann2.pq_cb is None
