@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": V.pq_codes,
         "ann_ivf_pq_topk": V.ann_ivf_pq_topk,
         "ann_ivf_pq_rerank_topk": V.ann_ivf_pq_rerank_topk,
+        "ann_ivf_pq_trained_topk": V.ann_ivf_pq_trained_topk,
         "lang_id": T.lang_id,
         "token_counts": T.token_counts,
         "media_stats": M.media_stats,
@@ -629,6 +630,133 @@ def _ivf_kmeans_oracle_sql(train_pred: str = "TRUE",
         FROM asgf a JOIN probes USING (cid) CROSS JOIN q
         WHERE a.vec_id != 0 AND ({serve_pred.replace("vec_id", "a.vec_id")})
         ORDER BY cosine DESC, a.vec_id LIMIT 10
+    """
+
+
+def _pq_trained_oracle_sql() -> str:
+    """DuckDB mirror of ops.vectors.ann_ivf_pq_trained_topk: the
+    per-subspace k-means iterations are unrolled into chained CTEs
+    (stride-codebook init; assignment by the encoder's rounded
+    squared-L2 rule, tie → lowest code; per-(m, c, pos) means rounded
+    to KMEANS_ROUND; empty codes keep their previous entry), then the
+    standard encode → ADC-shortlist → exact round-5 rerank over the
+    stride-IVF probes."""
+    from searchengine_spark.ops.vectors import (
+        CENTROID_STRIDE,
+        KMEANS_ROUND,
+        NPROBE,
+        PQ_CODES,
+        PQ_KMEANS_ITERS,
+        PQ_M,
+        PQ_RERANK,
+        PQ_ROUND,
+        PQ_STRIDE,
+        PQ_SUB,
+    )
+
+    dist = (f"round(list_dot_product(s.xv, s.xv)"
+            f" - 2 * list_dot_product(s.xv, b.cv)"
+            f" + list_dot_product(b.cv, b.cv), {PQ_ROUND})")
+    parts = [f"""
+        emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        ms AS (SELECT unnest(range({PQ_M})) AS m),
+        cb0 AS (
+          SELECT (vec_id // {PQ_STRIDE})::INT AS c, ms.m,
+                 v[ms.m*{PQ_SUB}+1 : ms.m*{PQ_SUB}+{PQ_SUB}] AS cv
+          FROM emb CROSS JOIN ms
+          WHERE vec_id % {PQ_STRIDE} = 0
+            AND vec_id < {PQ_CODES} * {PQ_STRIDE}
+        ),
+        subs AS (
+          SELECT e.vec_id, ms.m,
+                 e.v[ms.m*{PQ_SUB}+1 : ms.m*{PQ_SUB}+{PQ_SUB}] AS xv
+          FROM emb e CROSS JOIN ms
+        )"""]
+    for i in range(1, PQ_KMEANS_ITERS + 1):
+        prev = f"cb{i - 1}"
+        parts.append(f"""
+        pasg{i} AS (
+          SELECT vec_id, m, xv, c FROM (
+            SELECT s.vec_id, s.m, s.xv, b.c,
+                   row_number() OVER (
+                     PARTITION BY s.vec_id, s.m
+                     ORDER BY {dist} ASC, b.c ASC) AS rn
+            FROM subs s JOIN {prev} b USING (m)) WHERE rn = 1
+        ),
+        pm{i} AS (
+          SELECT m, c, pos,
+                 round(avg(xv[pos]), {KMEANS_ROUND}) AS mn
+          FROM pasg{i}, LATERAL (
+            SELECT unnest(generate_series(1, len(xv))) AS pos) g
+          GROUP BY m, c, pos
+        ),
+        pu{i} AS (SELECT m, c, list(mn ORDER BY pos) AS cv
+                  FROM pm{i} GROUP BY m, c),
+        cb{i} AS (
+          SELECT p.m, p.c, coalesce(u.cv, p.cv) AS cv
+          FROM {prev} p LEFT JOIN pu{i} u
+            ON u.m = p.m AND u.c = p.c
+        )""")
+    last = f"cb{PQ_KMEANS_ITERS}"
+    parts.append(f"""
+        coded AS (
+          SELECT vec_id, m, c FROM (
+            SELECT s.vec_id, s.m, b.c,
+                   row_number() OVER (
+                     PARTITION BY s.vec_id, s.m
+                     ORDER BY {dist} ASC, b.c ASC) AS rn
+            FROM subs s JOIN {last} b USING (m)) WHERE rn = 1
+        ),
+        q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+        lut AS (
+          SELECT b.m, b.c,
+                 list_dot_product(
+                   q.qv[b.m*{PQ_SUB}+1 : b.m*{PQ_SUB}+{PQ_SUB}], b.cv
+                 ) AS dq,
+                 list_dot_product(b.cv, b.cv) AS cc
+          FROM {last} b CROSS JOIN q
+        ),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM emb
+                 WHERE vec_id % {CENTROID_STRIDE} = 0),
+        scored AS (
+          SELECT e.vec_id, c.cid,
+                 {_COS.format(a="e.v", b="c.cv")} AS ccos
+          FROM emb e CROSS JOIN cent c
+        ),
+        assigned AS (
+          SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+            FROM scored) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT cid FROM cent CROSS JOIN q
+          ORDER BY {_COS.format(a="qv", b="cv")} DESC, cid
+          LIMIT {NPROBE}
+        ),
+        adc AS (
+          SELECT cd.vec_id,
+                 round(sum(l.dq) / (
+                   sqrt((SELECT list_dot_product(qv, qv) FROM q))
+                   * sqrt(sum(l.cc))), 5) AS pq_score
+          FROM coded cd
+          JOIN lut l ON l.m = cd.m AND l.c = cd.c
+          JOIN assigned a ON a.vec_id = cd.vec_id
+          JOIN probes p ON p.cid = a.cid
+          WHERE cd.vec_id != 0
+          GROUP BY cd.vec_id
+        ),
+        short AS (
+          SELECT vec_id FROM adc
+          ORDER BY pq_score DESC, vec_id LIMIT {PQ_RERANK}
+        )""")
+    body = ",".join(parts)
+    return f"""
+        WITH {body}
+        SELECT s.vec_id,
+               round({_COS.format(a="e.v", b="q.qv")}, 5) AS cosine
+        FROM short s JOIN emb e USING (vec_id) CROSS JOIN q
+        ORDER BY cosine DESC, s.vec_id LIMIT 10
     """
 
 
@@ -1333,6 +1461,7 @@ def oracle_sql() -> dict[str, str]:
             FROM short s JOIN emb e USING (vec_id) CROSS JOIN q
             ORDER BY cosine DESC, s.vec_id LIMIT 10
         """,
+        "ann_ivf_pq_trained_topk": _pq_trained_oracle_sql(),
         "lang_id": f"""
             WITH toks AS ({_TOKS}),
             per AS (

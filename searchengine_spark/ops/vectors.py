@@ -1091,7 +1091,7 @@ def _seq_dot(a, b):
 
 
 def _pq_adc_scored(spark: SparkSession, sf_dir: str, query_vec_id: int,
-                   nprobe: int):
+                   nprobe: int, trained: bool = False):
     """Shared ADC pipeline: stride-IVF probe pruning (identical to
     ann_ivf_topk) + PQ scores from a per-query lookup table.
 
@@ -1107,7 +1107,8 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str, query_vec_id: int,
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
-    cb = _pq_codebook(emb)
+    cb = (pq_kmeans_codebooks(spark, emb) if trained
+          else _pq_codebook(emb))
     codes = _pq_encode(emb, cb)
 
     cent = emb.filter(
@@ -1181,6 +1182,96 @@ def _pq_adc_score(dq, cc, qnorm):
 
     return F.round(
         lut_sum(dq_lit) / (F.lit(qnorm) * F.sqrt(lut_sum(cc_lit))), 5
+    )
+
+
+PQ_KMEANS_ITERS = 2
+
+
+def pq_kmeans_codebooks(spark: SparkSession, emb: DataFrame,
+                        iters: int = PQ_KMEANS_ITERS):
+    """Per-subspace k-means refinement of the stride PQ codebook — the
+    production training path (the stride codebook is its init, exactly
+    like kmeans_centroids refines ann_ivf_topk's stride centroids).
+
+    One distributed pass per iteration over ALL subspaces at once:
+    subvectors are assigned to their nearest code by the same rounded
+    squared-L2 rule the encoder uses (round PQ_ROUND before the argmin,
+    tie → lowest code), means recompute per (m, c, pos) rounded to
+    KMEANS_ROUND, empty codes keep their previous entry.  The collect
+    per iteration is PQ_M×PQ_CODES×PQ_SUB rows — codebook-sized.
+    """
+    cb = _pq_codebook(emb)
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[
+                F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
+                for m in range(PQ_M)
+            ])
+        ).alias("m", "xv"),
+    )
+    for _ in range(iters):
+        cb_df = spark.createDataFrame(
+            [(m, c, cb[m][c])
+             for m in range(PQ_M) for c in range(PQ_CODES)],
+            "m int, c int, cv array<double>",
+        )
+        dist = (
+            _dot("xv", "xv") - 2.0 * _dot("xv", "cv") + _dot("cv", "cv")
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy(
+            F.asc("d"), F.asc("c")
+        )
+        assigned = (
+            subs.join(F.broadcast(cb_df), "m")
+            .withColumn("d", F.round(dist, PQ_ROUND))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("m", "c", F.posexplode("xv").alias("pos", "x"))
+        )
+        rows = (
+            assigned.groupBy("m", "c", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")),
+                         KMEANS_ROUND).alias("mean"))
+            .collect()
+        )
+        nxt = [[list(v) for v in sub] for sub in cb]  # empty → keep
+        upd = {}
+        for r in rows:
+            upd.setdefault((r["m"], r["c"]), {})[r["pos"]] = r["mean"]
+        for (m, c), d in upd.items():
+            nxt[m][c] = [d[j] for j in range(PQ_SUB)]
+        cb = nxt
+    return cb
+
+
+def ann_ivf_pq_trained_topk(spark: SparkSession, sf_dir: str,
+                            query_vec_id: int = 0, k: int = 10,
+                            nprobe: int = NPROBE,
+                            rerank: int = PQ_RERANK) -> DataFrame:
+    """IVF-PQ with TRAINED per-subspace codebooks + exact rerank — the
+    production serving shape end-to-end: k-means-refined quantization,
+    ADC shortlist over the IVF probes, exact round-5 rerank.  Oracled
+    by an unrolled-CTE DuckDB mirror of the whole chain."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).first()
+    short = (
+        _pq_adc_scored(spark, sf_dir, query_vec_id, nprobe, trained=True)
+        .orderBy(F.desc("pq_score"), F.asc("vec_id"))
+        .limit(rerank)
+    )
+    qv = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+    return (
+        short.join(emb, "vec_id")
+        .select(
+            "vec_id",
+            F.round(_cosine("embedding", qv), 5).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
     )
 
 

@@ -1193,3 +1193,49 @@ def test_pq_adc_approximates_and_rerank_recovers_exact_order(spark):
     brute = [r["vec_id"]
              for r in ann_cosine_topk(spark, SF, k=10).collect()]
     assert len({v for v, _ in rr} & set(brute)) >= 3
+
+
+def test_pq_kmeans_training_reduces_distortion(spark):
+    """The trained codebooks must be a genuine refinement: total squared
+    reconstruction error over the corpus is no worse than the stride
+    init's (k-means descent; 6dp mean rounding can only add ulp-scale
+    noise), and the codebooks actually move."""
+    import numpy as np
+
+    from searchengine_spark.ops.vectors import (
+        PQ_M,
+        PQ_SUB,
+        _pq_codebook,
+        _pq_encode,
+        pq_kmeans_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    cb0 = _pq_codebook(emb)
+    cb1 = pq_kmeans_codebooks(spark, emb)
+    assert cb1 != cb0  # training moved the codebooks
+
+    def distortion(cb):
+        codes = {
+            r["vec_id"]: list(r["codes"])
+            for r in _pq_encode(emb, cb).collect()
+        }
+        tot = 0.0
+        for vid, v in vecs.items():
+            for m in range(PQ_M):
+                d = v[m * PQ_SUB:(m + 1) * PQ_SUB] - np.asarray(
+                    cb[m][codes[vid][m]]
+                )
+                tot += float(d @ d)
+        return tot
+
+    d0, d1 = distortion(cb0), distortion(cb1)
+    assert d1 <= d0 * (1 + 1e-9), (d0, d1)
+    assert d1 < d0 * 0.9  # and materially better, not just ulps
