@@ -336,6 +336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": lambda spark, sf: D.dup_clusters(
             D.jaccard_pairs(_docs(spark, sf), threshold=0.5)
         ),
+        "span_dedup": lambda spark, sf: D.span_dedup(_docs(spark, sf)),
+        "fuzzy_terms": T.fuzzy_terms,
         "pagerank_dupgraph": lambda spark, sf: D.pagerank_dupgraph(
             _docs(spark, sf)
         ),
@@ -1044,6 +1046,76 @@ def _pagerank_dupgraph_oracle_sql(n_iter: int = 5) -> str:
     """
 
 
+def _span_dedup_oracle_sql() -> str:
+    """DuckDB mirror of ops.dedup.span_dedup: w-token windows, a window
+    duplicated iff its shingle has >= 2 total corpus occurrences; per-doc
+    duplicated-window count and covered-token fraction (round 6dp)."""
+    from searchengine_spark.ops.dedup import SPAN_W as W
+
+    return f"""
+        WITH toks AS (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                      FROM documents),
+        wins AS (
+          SELECT doc_id, i AS s, array_to_string(t[i:i+{W - 1}], ' ') AS sh
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - {W - 1})) AS i) g
+          WHERE len(t) >= {W}
+        ),
+        dupsh AS (SELECT sh FROM wins GROUP BY sh HAVING count(*) >= 2),
+        dupocc AS (SELECT w.doc_id, w.s FROM wins w JOIN dupsh USING (sh)),
+        spans AS (SELECT doc_id, count(*)::BIGINT AS dup_spans
+                  FROM dupocc GROUP BY doc_id),
+        cov AS (SELECT doc_id, count(DISTINCT p)::BIGINT AS dup_tokens
+                FROM dupocc, LATERAL (
+                  SELECT unnest(generate_series(s, s + {W - 1})) AS p) g
+                GROUP BY doc_id)
+        SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+               coalesce(s.dup_spans, 0)::BIGINT AS dup_spans,
+               CASE WHEN len(t.t) > 0
+                    THEN round(coalesce(c.dup_tokens, 0)::DOUBLE / len(t.t), 6)
+                    ELSE 0.0 END AS dup_token_frac
+        FROM toks t
+        LEFT JOIN spans s USING (doc_id)
+        LEFT JOIN cov c USING (doc_id)
+    """
+
+
+def _fuzzy_terms_oracle_sql() -> str:
+    """DuckDB mirror of ops.textops.fuzzy_terms — brute-force: every
+    (probe, dict term) pair at levenshtein <= 1, ranked (dist, df desc,
+    term).  Spark prunes candidates via symmetric deletes; identical
+    output here proves that pruning lossless."""
+    from searchengine_spark.ops.textops import (
+        FUZZY_MIN_LEN,
+        FUZZY_Q,
+        FUZZY_TOPN,
+    )
+
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dict AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                 FROM toks GROUP BY term),
+        probes AS (
+          SELECT DISTINCT substr(term, 1, 1) || substr(term, 3) AS q
+          FROM (SELECT term FROM dict
+                WHERE length(term) >= {FUZZY_MIN_LEN}
+                ORDER BY df DESC, term LIMIT {FUZZY_Q})
+        ),
+        cand AS (
+          SELECT p.q, d.term, d.df,
+                 levenshtein(p.q, d.term)::BIGINT AS dist
+          FROM probes p CROSS JOIN dict d
+          WHERE levenshtein(p.q, d.term) <= 1
+        )
+        SELECT q, term, df, dist, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q ORDER BY dist, df DESC, term)::BIGINT AS rank
+          FROM cand)
+        WHERE rank <= {FUZZY_TOPN}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from searchengine_spark.ops.textops import LANG_MARKERS, QUALITY_STOPWORDS
     from searchengine_spark.ops.prep import (
@@ -1109,6 +1181,15 @@ def oracle_sql() -> dict[str, str]:
             FROM bands x JOIN bands y
               ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
         """,
+        # span-level exact dedup (ops/dedup.span_dedup): every SPAN_W-token
+        # window with >= 2 corpus occurrences is duplicated text; per-doc
+        # duplicated-window count + covered-token fraction.  Same rule
+        # verbatim; Spark's shingle-hash shuffle vs this window function.
+        "span_dedup": _span_dedup_oracle_sql(),
+        # SymSpell fuzzy correction (ops/textops.fuzzy_terms): brute-force
+        # cross join + levenshtein here proves Spark's symmetric-delete
+        # candidate pruning lossless for ed <= 1.
+        "fuzzy_terms": _fuzzy_terms_oracle_sql(),
         # the composed training-data pipeline: exact dedup → minhash
         # near-dup (local-min) → one-pass token features → quality gate
         # → token-budget prefix cut.  Same shingle/signature/lang/quality

@@ -252,6 +252,87 @@ def jaccard_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
     )
 
 
+SPAN_W = 8  # tokens per span window (shared with the DuckDB oracle)
+
+
+def span_dedup(docs: DataFrame, id_col="doc_id", text_col="text",
+               w: int = SPAN_W) -> DataFrame:
+    """Span-level exact duplicate detection — the sub-document
+    complement of the doc-level dedup family (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better": any fixed-width token
+    window occurring more than once in the corpus is duplicated text).
+
+    Rule (shared verbatim with the SQL oracle): every w-token window is
+    an occurrence; a window's shingle is DUPLICATED when the corpus
+    holds >= 2 occurrences of it (cross-doc or within-doc — a license
+    header pasted twice in one file is boilerplate all the same).
+    Output per document: (doc_id, n_tokens, dup_spans,
+    dup_token_frac) — the duplicated-window count and the fraction of
+    token positions covered by at least one duplicated window, rounded
+    to 6 places (0.0 for empty docs).
+
+    Scale: one shuffle on the shingle hash (agg side is 1 row per
+    distinct shingle); the flag joins back to occurrences carrying no
+    payload, so hot boilerplate shingles skew only the join key, never
+    row width; the coverage explode is w x the DUPLICATED occurrences
+    only, then a per-doc distinct — all shuffle-on-key, no driver state.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    sh = F.when(
+        F.size("t") >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - w),
+            lambda i: F.array_join(F.slice("t", i + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = base.select(
+        "doc_id", F.posexplode(sh).alias("p0", "sh")
+    ).select("doc_id", (F.col("p0") + 1).alias("s"), "sh")
+    dupsh = (
+        wins.groupBy("sh")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("sh")
+    )
+    dupocc = wins.join(dupsh, "sh").select("doc_id", "s")
+    spans = dupocc.groupBy("doc_id").agg(
+        F.count("*").alias("dup_spans")
+    )
+    cov = (
+        dupocc.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + F.lit(w - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_tokens"))
+    )
+    n_tok = F.size("t").cast("long")
+    frac = F.when(
+        n_tok > 0,
+        F.round(
+            F.coalesce(F.col("dup_tokens"), F.lit(0)) / n_tok, 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(spans, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            F.coalesce(F.col("dup_spans"), F.lit(0).cast("long")).alias(
+                "dup_spans"
+            ),
+            frac.alias("dup_token_frac"),
+        )
+    )
+
+
 def pagerank_dupgraph(docs: DataFrame, n_iter: int = 5,
                       threshold: float = 0.5) -> DataFrame:
     """(doc_id, pr) — PageRank centrality over the UNDIRECTED near-dup

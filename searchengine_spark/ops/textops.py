@@ -422,6 +422,91 @@ def doc_fingerprint(spark, sf_dir) -> DataFrame:
     )
 
 
+FUZZY_Q = 5        # misspelled probe terms derived from the corpus
+FUZZY_MIN_LEN = 4  # only misspell terms this long (1 char carries less)
+FUZZY_TOPN = 3     # candidates returned per query term
+
+
+def fuzzy_terms(spark, sf_dir, topn: int = FUZZY_TOPN) -> DataFrame:
+    """SymSpell-style fuzzy term correction over the term dictionary —
+    the did-you-mean surface of the query path.
+
+    Probe terms are derived deterministically from the corpus itself
+    (no external data): the FUZZY_Q highest-df dictionary terms of
+    length >= FUZZY_MIN_LEN (ties -> lexicographic), each misspelled by
+    deleting its 2nd character.  For each probe q the op returns the
+    dictionary terms within Levenshtein distance <= 1, ranked by
+    (distance asc, df desc, term asc), top FUZZY_TOPN.
+
+    Scale path (what makes this not a |dict| scan per query): symmetric
+    deletes.  d(q, t) <= 1  implies q and t share a variant in
+    {self} + single-deletions — insertion puts q in del1(t), deletion
+    puts t in del1(q), substitution meets in the middle — so candidates
+    come from an equi-join of the two variant sets (dict side expands
+    ~|term|+1 rows, once; at serving scale it would be precomputed and
+    bucketed on the variant hash).  The join is a SUPERSET of ed<=1
+    (e.g. transposed neighbors), so the exact levenshtein filter runs
+    after; the DuckDB oracle is the brute-force cross join with the
+    same filter, proving the pruning lossless.
+    """
+    dict_df = term_dict(spark, sf_dir)  # (term, df, cf)
+    probes = (
+        dict_df.filter(F.length("term") >= FUZZY_MIN_LEN)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(FUZZY_Q)
+        .select(
+            F.concat(
+                F.substring("term", 1, 1), F.expr("substring(term, 3)")
+            ).alias("q")
+        )
+        .distinct()
+    )
+
+    # variant set = the string itself + every single-deletion string
+    # (expr-based: substring with a per-element column index)
+    dvar = dict_df.select(
+        "term", "df",
+        F.explode(
+            F.array_union(
+                F.array(F.col("term")),
+                F.expr(
+                    "transform(sequence(1, length(term)), i -> "
+                    "concat(substring(term, 1, i - 1), "
+                    "substring(term, i + 1, length(term))))"
+                ),
+            )
+        ).alias("v"),
+    )
+    qvar = probes.select(
+        "q",
+        F.explode(
+            F.array_union(
+                F.array(F.col("q")),
+                F.expr(
+                    "transform(sequence(1, length(q)), i -> "
+                    "concat(substring(q, 1, i - 1), "
+                    "substring(q, i + 1, length(q))))"
+                ),
+            )
+        ).alias("v"),
+    )
+    cand = (
+        qvar.join(dvar, "v")
+        .select("q", "term", "df")
+        .distinct()
+        .withColumn("dist", F.levenshtein("q", "term").cast("long"))
+        .filter(F.col("dist") <= 1)
+    )
+    w = Window.partitionBy("q").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topn)
+        .select("q", "term", "df", "dist", "rank")
+    )
+
+
 def phrase_match(spark, sf_dir, phrase=("table", "hash"), k=20) -> DataFrame:
     """Exact-phrase search via token positions (the [NORTH-EXT] positions
     stored in every posting exist precisely for this): a doc matches

@@ -1239,3 +1239,106 @@ def test_pq_kmeans_training_reduces_distortion(spark):
     d0, d1 = distortion(cb0), distortion(cb1)
     assert d1 <= d0 * (1 + 1e-9), (d0, d1)
     assert d1 < d0 * 0.9  # and materially better, not just ulps
+
+
+def test_span_dedup_matches_brute_force(tiny_docs):
+    """Planted corpus: docs 1/2 are token-identical (every window
+    duplicated, frac 1.0), doc 3 shares its first 20 tokens, docs 4/5
+    have no duplicated window.  Expected values recomputed brute-force
+    with the engine tokenizer."""
+    from collections import Counter
+
+    from searchengine_spark.ops.dedup import SPAN_W, span_dedup
+    from searchengine_spark.text.tokenizer import tokenize
+
+    rows = {r["doc_id"]: r["text"] for r in tiny_docs.collect()}
+    toks = {d: tokenize(t) for d, t in rows.items()}
+    occ = Counter()
+    for d, ts in toks.items():
+        for i in range(len(ts) - SPAN_W + 1):
+            occ[" ".join(ts[i:i + SPAN_W])] += 1
+    expect = {}
+    for d, ts in toks.items():
+        starts = [
+            i for i in range(len(ts) - SPAN_W + 1)
+            if occ[" ".join(ts[i:i + SPAN_W])] >= 2
+        ]
+        covered = {p for s in starts for p in range(s, s + SPAN_W)}
+        frac = round(len(covered) / len(ts), 6) if ts else 0.0
+        expect[d] = (len(ts), len(starts), frac)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_spans"], r["dup_token_frac"])
+        for r in span_dedup(tiny_docs).collect()
+    }
+    assert got == expect
+    assert got[1][2] == 1.0 and got[2][2] == 1.0   # identical twins
+    assert got[1][1] > 0
+    assert 0.9 < got[3][2] < 1.0                   # shared prefix only
+    assert got[4] == (got[4][0], 0, 0.0)
+    assert got[5] == (got[5][0], 0, 0.0)           # shorter than a window
+
+
+def test_fuzzy_terms_ranking_matches_brute_force(spark, tmp_path):
+    """Planted vocabulary where one probe has MULTIPLE ed<=1 candidates
+    with distinct df (ranking exercised: dist asc, df desc, term asc);
+    expected output recomputed with a pure-Python Levenshtein."""
+    from searchengine_spark.ops.textops import (
+        FUZZY_MIN_LEN,
+        FUZZY_Q,
+        FUZZY_TOPN,
+        fuzzy_terms,
+    )
+    from searchengine_spark.text.tokenizer import tokenize
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    # "words" dominates df; "wards"/"wores" sit at lev<=1 of its probe
+    # "wrds"... (probe = drop 2nd char).  Five len>=4 terms so FUZZY_Q
+    # probes exist; "of" is sub-threshold noise.
+    rows = []
+    for i in range(8):
+        rows.append((i, "words alpha bravo charlie delta of"))
+    for i in range(8, 12):
+        rows.append((i, "wards of"))
+    rows.append((12, "wordsy of"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path / "fz")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    # brute-force expectation
+    df_count = {}
+    for d, t in rows:
+        for term in set(tokenize(t)):
+            df_count[term] = df_count.get(term, 0) + 1
+    top = sorted(
+        (t for t in df_count if len(t) >= FUZZY_MIN_LEN),
+        key=lambda t: (-df_count[t], t),
+    )[:FUZZY_Q]
+    probes = sorted({t[0] + t[2:] for t in top})
+    expect = []
+    for q in probes:
+        cand = sorted(
+            ((lev(q, t), -df_count[t], t) for t in df_count
+             if lev(q, t) <= 1),
+        )[:FUZZY_TOPN]
+        for rk, (ds, negdf, t) in enumerate(cand, 1):
+            expect.append((q, t, -negdf, ds, rk))
+
+    got = [
+        (r["q"], r["term"], r["df"], r["dist"], r["rank"])
+        for r in fuzzy_terms(spark, sf)
+        .orderBy("q", "rank").collect()
+    ]
+    assert got == sorted(expect, key=lambda x: (x[0], x[4]))
+    # the multi-candidate probe really has >1 candidate
+    from collections import Counter as C
+    assert max(C(q for q, *_ in got).values()) > 1
