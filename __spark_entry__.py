@@ -337,6 +337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             D.jaccard_pairs(_docs(spark, sf), threshold=0.5)
         ),
         "span_dedup": lambda spark, sf: D.span_dedup(_docs(spark, sf)),
+        "strip_dup_spans": lambda spark, sf: D.strip_dup_spans(
+            _docs(spark, sf)
+        ),
         "fuzzy_terms": T.fuzzy_terms,
         "pagerank_dupgraph": lambda spark, sf: D.pagerank_dupgraph(
             _docs(spark, sf)
@@ -1081,6 +1084,58 @@ def _span_dedup_oracle_sql() -> str:
     """
 
 
+def _strip_dup_spans_oracle_sql() -> str:
+    """DuckDB mirror of ops.dedup.strip_dup_spans: canonical occurrence
+    per duplicated shingle = row_number 1 over (doc_id, start); every
+    other occurrence removes its w positions; clean_text reassembles
+    surviving tokens in order."""
+    from searchengine_spark.ops.dedup import SPAN_W as W
+
+    return f"""
+        WITH toks AS (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                      FROM documents),
+        tokpos AS (
+          SELECT doc_id, g.p, t[g.p] AS term
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t))) AS p) g
+        ),
+        wins AS (
+          SELECT doc_id, i AS s, array_to_string(t[i:i+{W - 1}], ' ') AS sh
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - {W - 1})) AS i) g
+          WHERE len(t) >= {W}
+        ),
+        dupocc AS (
+          SELECT doc_id, s,
+                 row_number() OVER (
+                   PARTITION BY sh ORDER BY doc_id, s) AS rn,
+                 count(*) OVER (PARTITION BY sh) AS occ
+          FROM wins
+        ),
+        rem AS (
+          SELECT DISTINCT doc_id, p
+          FROM dupocc, LATERAL (
+            SELECT unnest(generate_series(s, s + {W - 1})) AS p) g
+          WHERE occ >= 2 AND rn >= 2
+        ),
+        kept AS (
+          SELECT tp.doc_id, tp.p, tp.term
+          FROM tokpos tp ANTI JOIN rem r
+            ON tp.doc_id = r.doc_id AND tp.p = r.p
+        ),
+        agg AS (
+          SELECT doc_id, count(*)::BIGINT AS n_kept,
+                 string_agg(term, ' ' ORDER BY p) AS clean_text
+          FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+               (len(t.t) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+               coalesce(a.clean_text, '') AS clean_text
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+    """
+
+
 def _fuzzy_terms_oracle_sql() -> str:
     """DuckDB mirror of ops.textops.fuzzy_terms — brute-force: every
     (probe, dict term) pair at levenshtein <= 1, ranked (dist, df desc,
@@ -1186,6 +1241,12 @@ def oracle_sql() -> dict[str, str]:
         # duplicated-window count + covered-token fraction.  Same rule
         # verbatim; Spark's shingle-hash shuffle vs this window function.
         "span_dedup": _span_dedup_oracle_sql(),
+        # the actionable half: strip every non-canonical duplicated-span
+        # occurrence (canonical = smallest (doc_id, start) per shingle)
+        # and reassemble the surviving tokens.  Spark picks the canonical
+        # via a min-struct agg (skew-safe); row_number here is the same
+        # argmin.
+        "strip_dup_spans": _strip_dup_spans_oracle_sql(),
         # SymSpell fuzzy correction (ops/textops.fuzzy_terms): brute-force
         # cross join + levenshtein here proves Spark's symmetric-delete
         # candidate pruning lossless for ed <= 1.

@@ -333,6 +333,90 @@ def span_dedup(docs: DataFrame, id_col="doc_id", text_col="text",
     )
 
 
+def strip_dup_spans(docs: DataFrame, id_col="doc_id", text_col="text",
+                    w: int = SPAN_W) -> DataFrame:
+    """The ACTIONABLE half of span_dedup — rewrite each document with
+    duplicated spans removed, keeping one canonical copy corpus-wide
+    (Lee et al. leave the first occurrence in place so no content is
+    lost, only its repeats).
+
+    Rule (shared verbatim with the SQL oracle): for each duplicated
+    shingle (>= 2 occurrences, span_dedup's rule) the occurrence with
+    the smallest (doc_id, start) is canonical; every other occurrence
+    marks its w token positions for removal; the cleaned text joins the
+    surviving tokens in position order ('' when everything goes).
+    Output: (doc_id, n_tokens, n_removed, clean_text).
+
+    Scale: the canonical pick is a min-STRUCT aggregate per shingle —
+    map-side combinable, so a boilerplate shingle with millions of
+    occurrences never funnels through one window partition (the SQL
+    oracle uses row_number; the argmin semantics are identical).  The
+    rest is span_dedup's shuffle-on-key shape plus one anti-join on
+    (doc, pos) and a per-doc sort-agg for reassembly.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    tokpos = base.select(
+        "doc_id", F.posexplode("t").alias("p0", "term")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "term")
+    sh = F.when(
+        F.size("t") >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - w),
+            lambda i: F.array_join(F.slice("t", i + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = base.select(
+        "doc_id", F.posexplode(sh).alias("p0", "sh")
+    ).select("doc_id", (F.col("p0") + 1).alias("s"), "sh")
+    firsts = (
+        wins.groupBy("sh")
+        .agg(
+            F.count("*").alias("occ"),
+            F.min(F.struct("doc_id", "s")).alias("first"),
+        )
+        .filter(F.col("occ") >= 2)
+        .select("sh", "first")
+    )
+    marked = wins.join(firsts, "sh").filter(
+        ~(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("s") == F.col("first.s"))
+        )
+    )
+    rem = marked.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("s"), F.col("s") + F.lit(w - 1))
+        ).alias("p"),
+    ).distinct()
+    kept = tokpos.join(rem, ["doc_id", "p"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "term"))),
+                lambda x: x["term"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    n_tok = F.size("t").cast("long")
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            (
+                n_tok - F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
+            ).alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def pagerank_dupgraph(docs: DataFrame, n_iter: int = 5,
                       threshold: float = 0.5) -> DataFrame:
     """(doc_id, pr) — PageRank centrality over the UNDIRECTED near-dup

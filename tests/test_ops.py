@@ -1342,3 +1342,44 @@ def test_fuzzy_terms_ranking_matches_brute_force(spark, tmp_path):
     # the multi-candidate probe really has >1 candidate
     from collections import Counter as C
     assert max(C(q for q, *_ in got).values()) > 1
+
+
+def test_strip_dup_spans_keeps_canonical_copy(tiny_docs):
+    """Docs 1/2 token-identical: doc 1 (smaller doc_id) holds every
+    canonical occurrence and survives untouched; doc 2 is fully
+    stripped; doc 3 loses exactly its shared 20-token prefix.  Expected
+    output recomputed brute-force with the engine tokenizer."""
+    from collections import Counter
+
+    from searchengine_spark.ops.dedup import SPAN_W, strip_dup_spans
+    from searchengine_spark.text.tokenizer import tokenize
+
+    rows = {r["doc_id"]: r["text"] for r in tiny_docs.collect()}
+    toks = {d: tokenize(t) for d, t in rows.items()}
+    occ, firsts = Counter(), {}
+    for d in sorted(toks):
+        ts = toks[d]
+        for i in range(len(ts) - SPAN_W + 1):
+            s = " ".join(ts[i:i + SPAN_W])
+            occ[s] += 1
+            firsts.setdefault(s, (d, i))
+    expect = {}
+    for d, ts in toks.items():
+        rem = set()
+        for i in range(len(ts) - SPAN_W + 1):
+            s = " ".join(ts[i:i + SPAN_W])
+            if occ[s] >= 2 and firsts[s] != (d, i):
+                rem.update(range(i, i + SPAN_W))
+        kept = [t for p, t in enumerate(ts) if p not in rem]
+        expect[d] = (len(ts), len(ts) - len(kept), " ".join(kept))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in strip_dup_spans(tiny_docs).collect()
+    }
+    assert got == expect
+    assert got[1][1] == 0                       # canonical copy intact
+    assert got[1][2] == " ".join(toks[1])
+    assert got[2][1] == got[2][0] and got[2][2] == ""   # twin stripped
+    assert 0 < got[3][1] < got[3][0]            # prefix-only removal
+    assert got[4][1] == 0 and got[5][1] == 0
