@@ -57,6 +57,25 @@ from collections import OrderedDict
 import numpy as np
 
 from ..index.xxhash64 import term_bucket
+
+
+def _del1(s: str) -> set:
+    """The string itself + every single-deletion variant (SymSpell)."""
+    return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Classic edit distance (matches Spark/DuckDB ``levenshtein``)."""
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
 from ..params import N_TERM_BUCKETS
 from .prune import analyze_query
 from .wand import bm25_idf, bmw_or_range, bmw_range
@@ -552,6 +571,40 @@ class LocalSearcher:
             (int(common[i]), int(mind[i]), float(score[i])) for i in top
         ]
 
+    def suggest(self, term: str, topn: int = 3):
+        """SymSpell did-you-mean over the served term dictionary — the
+        serving-tier twin of ops/textops.fuzzy_terms, same rule: dict
+        terms within Levenshtein <= 1 of the lowercased probe, ranked
+        (distance asc, df desc, term asc), as [(term, df, dist)].
+
+        Candidates come from a lazily built symmetric-delete variant
+        map over ``self._df`` (the variant intersection is a SUPERSET
+        of ed<=1, so the exact filter runs after — fuzzy_terms'
+        losslessness argument verbatim).  The map costs ~|term|+1
+        entries per dict term, built once per load; refresh() rebuilds
+        state so a maintenance commit invalidates it for free.
+        Suggestions are the STORED surface forms — under stem=True
+        that is the stemmed vocabulary, by design (the corrected term
+        feeds straight back into topk()).
+        """
+        q = term.lower()
+        vm = getattr(self, "_variant_map", None)
+        if vm is None:
+            vm = {}
+            for t in self._df:
+                for v in _del1(t):
+                    vm.setdefault(v, []).append(t)
+            self._variant_map = vm
+        cand = set()
+        for v in _del1(q):
+            cand.update(vm.get(v, ()))
+        scored = sorted(
+            (d, -self._df[t], t)
+            for t in cand
+            if (d := _levenshtein(q, t)) <= 1
+        )
+        return [(t, -negdf, d) for d, negdf, t in scored[:topn]]
+
     def _blended_candidates(self, text: str):
         """Raw per-candidate blend components over THIS replica's docid
         partition: ``(docids, bm25_sum, cosine, pr, hub, auth)`` float
@@ -797,3 +850,9 @@ class ShardedSearcher:
             cands.extend(sh.proximity_topk(terms, k=k, analyzer=analyzer))
         cands.sort(key=lambda t: (-t[2], t[0]))
         return cands[:k]
+
+    def suggest(self, term: str, topn: int = 3):
+        """Did-you-mean: every replica loads the GLOBAL termdict (df is
+        a corpus-wide stat every shard needs for idf), so shard 0's
+        answer is already exact — no merge."""
+        return self.shards[0].suggest(term, topn=topn)

@@ -583,3 +583,32 @@ def test_sharded_serving_equals_unsharded(spark, tmp_path_factory):
 def test_shard_param_validation(index_dir):
     with pytest.raises(ValueError):
         LocalSearcher(index_dir, segments=["g0"])  # not a segmented dir
+
+
+def test_suggest_matches_brute_force(searcher):
+    """suggest() must equal a brute-force scan of the served termdict
+    under the fuzzy_terms rule (lev <= 1; dist asc, df desc, term asc)
+    — proving the symmetric-delete variant map lossless on a real
+    index vocabulary."""
+    from searchengine_spark.query.serve_local import _levenshtein
+
+    def brute(q, topn=3):
+        scored = sorted(
+            (d, -df, t)
+            for t, df in searcher._df.items()
+            if (d := _levenshtein(q, t)) <= 1
+        )
+        return [(t, df and -df, d) for d, df, t in scored[:topn]]
+
+    vocab = sorted(searcher._df, key=lambda t: (-searcher._df[t], t))
+    probes = [t[0] + t[2:] for t in vocab[:5] if len(t) >= 4]
+    probes += [vocab[0], "zzzzqqqxx", ""]
+    assert probes
+    for q in probes:
+        assert searcher.suggest(q) == brute(q), q
+    # an in-vocab probe suggests itself first at distance 0
+    assert searcher.suggest(vocab[0])[0] == (
+        vocab[0], searcher._df[vocab[0]], 0
+    )
+    # garbage finds nothing
+    assert searcher.suggest("zzzzqqqxx") == []
