@@ -276,6 +276,10 @@ def span_dedup(docs: DataFrame, id_col="doc_id", text_col="text",
     payload, so hot boilerplate shingles skew only the join key, never
     row width; the coverage explode is w x the DUPLICATED occurrences
     only, then a per-doc distinct — all shuffle-on-key, no driver state.
+    The windows subtree is deliberately RECOMPUTED for the agg and the
+    join-back rather than persisted: materializing (doc, start,
+    shingle) rows caches ~w x corpus bytes, while the recompute is one
+    extra codegen'd scan+tokenize pass — the cheaper side at 100 TB.
     """
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0
@@ -345,7 +349,11 @@ def strip_dup_spans(docs: DataFrame, id_col="doc_id", text_col="text",
     the smallest (doc_id, start) is canonical; every other occurrence
     marks its w token positions for removal; the cleaned text joins the
     surviving tokens in position order ('' when everything goes).
-    Output: (doc_id, n_tokens, n_removed, clean_text).
+    Output: (doc_id, n_tokens, n_removed, clean_text).  Removal is
+    POSITION-level: a canonical window overlapped by marked windows
+    (self-repetition like "x x x ... x") keeps only the positions no
+    marked window reaches — tested in
+    test_span_ops_self_overlapping_repetition.
 
     Scale: the canonical pick is a min-STRUCT aggregate per shingle —
     map-side combinable, so a boilerplate shingle with millions of

@@ -1383,3 +1383,59 @@ def test_strip_dup_spans_keeps_canonical_copy(tiny_docs):
     assert got[2][1] == got[2][0] and got[2][2] == ""   # twin stripped
     assert 0 < got[3][1] < got[3][0]            # prefix-only removal
     assert got[4][1] == 0 and got[5][1] == 0
+
+
+def test_span_ops_self_overlapping_repetition(spark):
+    """A doc that is one token repeated 5x SPAN_W: every window is the
+    SAME shingle (within-doc duplication, fully self-overlapping).
+    span_dedup must flag everything; strip_dup_spans must keep exactly
+    the canonical window's span plus the tail the later windows no
+    longer cover once removed... — both recomputed brute-force."""
+    from collections import Counter
+
+    from searchengine_spark.ops.dedup import (
+        SPAN_W,
+        span_dedup,
+        strip_dup_spans,
+    )
+    from searchengine_spark.text.tokenizer import tokenize
+
+    n = 5 * SPAN_W
+    rows = [
+        (1, " ".join(["loop"] * n)),
+        (2, "alpha bravo " + " ".join(["loop"] * SPAN_W) + " charlie"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    toks = {d: tokenize(t) for d, t in rows}
+    occ, firsts = Counter(), {}
+    for d in sorted(toks):
+        ts = toks[d]
+        for i in range(len(ts) - SPAN_W + 1):
+            s = " ".join(ts[i:i + SPAN_W])
+            occ[s] += 1
+            firsts.setdefault(s, (d, i))
+
+    sd = {r["doc_id"]: r for r in span_dedup(docs).collect()}
+    assert sd[1]["dup_spans"] == n - SPAN_W + 1
+    assert sd[1]["dup_token_frac"] == 1.0
+    # doc 2's loop-run window also collides with doc 1's shingle
+    assert sd[2]["dup_spans"] == 1
+
+    st = {r["doc_id"]: r for r in strip_dup_spans(docs).collect()}
+    for d, ts in toks.items():
+        rem = set()
+        for i in range(len(ts) - SPAN_W + 1):
+            s = " ".join(ts[i:i + SPAN_W])
+            if occ[s] >= 2 and firsts[s] != (d, i):
+                rem.update(range(i, i + SPAN_W))
+        kept = [t for p, t in enumerate(ts) if p not in rem]
+        assert st[d]["n_removed"] == len(ts) - len(kept), d
+        assert st[d]["clean_text"] == " ".join(kept), d
+    # the canonical window is itself ERODED by overlapping marked
+    # windows (positions 2..SPAN_W are covered by starts 2..): only the
+    # single position no marked window reaches survives — the rule is
+    # position-level, not occurrence-level, and self-overlap shows it
+    assert st[1]["clean_text"] == "loop"
+    # doc 2 loses its whole loop run, keeps the unique frame
+    assert st[2]["clean_text"] == "alpha bravo charlie"
