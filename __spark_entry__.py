@@ -341,6 +341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "fuzzy_terms": T.fuzzy_terms,
+        "tfidf_keywords": T.tfidf_keywords,
+        "more_like_this": T.more_like_this,
+        "search_eval_ndcg": T.search_eval_ndcg,
         "pagerank_dupgraph": lambda spark, sf: D.pagerank_dupgraph(
             _docs(spark, sf)
         ),
@@ -1136,6 +1139,137 @@ def _strip_dup_spans_oracle_sql() -> str:
     """
 
 
+def _tfidf_keywords_oracle_sql() -> str:
+    """DuckDB mirror of ops.textops.tfidf_keywords: tf * ln(N/df)
+    rounded to 6dp BEFORE the per-doc rank (rounded-rank contract),
+    ties -> term asc."""
+    from searchengine_spark.ops.textops import MLT_KEYWORDS
+
+    return f"""
+        WITH toks AS ({_TOKS}),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        stats AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM tf GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 round(tf.tf * ln(stats.n::DOUBLE / dft.df), 6) AS tfidf
+          FROM tf JOIN dft USING (term) CROSS JOIN stats
+        )
+        SELECT doc_id, term, tfidf, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY tfidf DESC, term)::BIGINT AS rank
+          FROM scored)
+        WHERE rank <= {MLT_KEYWORDS}
+    """
+
+
+def _more_like_this_oracle_sql() -> str:
+    """DuckDB mirror of ops.textops.more_like_this: the pinned source
+    doc's top keywords -> disjunctive BM25 (the wand_or scorer, no
+    nmatch gate), source excluded, corpus-global stats."""
+    from searchengine_spark.ops.textops import MLT_DOC_ID, MLT_KEYWORDS
+
+    return f"""
+        WITH toks AS ({_TOKS}),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, count(*) AS total_tokens
+               FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(total_tokens) AS avgdl
+                  FROM dl),
+        dft_all AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM tf GROUP BY term),
+        kscored AS (
+          SELECT tf.term,
+                 round(tf.tf * ln(stats.n::DOUBLE / dft_all.df), 6)
+                   AS tfidf
+          FROM tf JOIN dft_all USING (term) CROSS JOIN stats
+          WHERE tf.doc_id = {MLT_DOC_ID}
+        ),
+        kws AS (
+          SELECT term FROM (
+            SELECT *, row_number() OVER (
+              ORDER BY tfidf DESC, term) AS rk FROM kscored)
+          WHERE rk <= {MLT_KEYWORDS}
+        ),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum( ln((stats.n - dft_all.df + 0.5)
+                         / (dft_all.df + 0.5) + 1.0)
+                      * tf.tf * 2.2
+                      / (tf.tf + 1.2 * (0.25 + 0.75
+                         * dl.total_tokens / stats.avgdl))
+                 ) AS s
+          FROM tf JOIN kws USING (term) JOIN dft_all USING (term)
+               JOIN dl USING (doc_id) CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(s, 6) AS score FROM scored
+        WHERE doc_id != {MLT_DOC_ID}
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _search_eval_oracle_sql() -> str:
+    """DuckDB mirror of ops.textops.search_eval_ndcg: disjunctive BM25
+    per pinned query, rel = distinct query terms in the doc,
+    gain 2^rel - 1, ranking over the rounded score, NDCG@10."""
+    from searchengine_spark.ops.textops import EVAL_QUERIES
+
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in EVAL_QUERIES for t in terms
+    )
+    return f"""
+        WITH toks AS ({_TOKS}),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, count(*) AS total_tokens
+               FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(total_tokens) AS avgdl
+                  FROM dl),
+        qterms AS (SELECT * FROM (VALUES {qvals}) AS v(qid, term)),
+        dft AS (SELECT term, count(DISTINCT tf.doc_id) AS df
+                FROM tf JOIN (SELECT DISTINCT term FROM qterms)
+                  USING (term)
+                GROUP BY term),
+        cand AS (
+          SELECT q.qid, tf.doc_id,
+                 round(sum( ln((stats.n - dft.df + 0.5)
+                               / (dft.df + 0.5) + 1.0)
+                            * tf.tf * 2.2
+                            / (tf.tf + 1.2 * (0.25 + 0.75
+                               * dl.total_tokens / stats.avgdl))
+                 ), 6) AS score,
+                 count(*) AS rel
+          FROM tf JOIN qterms q USING (term) JOIN dft USING (term)
+               JOIN dl USING (doc_id) CROSS JOIN stats
+          GROUP BY q.qid, tf.doc_id
+        ),
+        dcg AS (
+          SELECT qid, sum((power(2, rel) - 1)
+                          / log2(rank + 1)) AS dcg
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+                FROM cand)
+          WHERE rank <= 10 GROUP BY qid
+        ),
+        idcg AS (
+          SELECT qid, sum((power(2, rel) - 1)
+                          / log2(irank + 1)) AS idcg
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY qid ORDER BY rel DESC, doc_id) AS irank
+                FROM cand)
+          WHERE irank <= 10 GROUP BY qid
+        )
+        SELECT d.qid::BIGINT AS qid, round(d.dcg / i.idcg, 6) AS ndcg
+        FROM dcg d JOIN idcg i USING (qid)
+    """
+
+
 def _fuzzy_terms_oracle_sql() -> str:
     """DuckDB mirror of ops.textops.fuzzy_terms — brute-force: every
     (probe, dict term) pair at levenshtein <= 1, ranked (dist, df desc,
@@ -1251,6 +1385,14 @@ def oracle_sql() -> dict[str, str]:
         # cross join + levenshtein here proves Spark's symmetric-delete
         # candidate pruning lossless for ed <= 1.
         "fuzzy_terms": _fuzzy_terms_oracle_sql(),
+        # per-doc keyword extraction + Lucene-style more-like-this
+        # (keywords of the pinned source doc -> disjunctive BM25,
+        # source excluded, stats corpus-global)
+        "tfidf_keywords": _tfidf_keywords_oracle_sql(),
+        "more_like_this": _more_like_this_oracle_sql(),
+        # retrieval-quality evaluation: NDCG@10 of the disjunctive BM25
+        # ranking vs term-overlap graded relevance (lexical ann_recall)
+        "search_eval_ndcg": _search_eval_oracle_sql(),
         # the composed training-data pipeline: exact dedup → minhash
         # near-dup (local-min) → one-pass token features → quality gate
         # → token-budget prefix cut.  Same shingle/signature/lang/quality

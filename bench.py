@@ -314,6 +314,12 @@ def _run_ops_tier(spark):
           lambda: D.strip_dup_spans(docs).count())
     timed("fuzzy_terms_sec",
           lambda: T.fuzzy_terms(spark, SF_DIR).count())
+    timed("tfidf_keywords_sec",
+          lambda: T.tfidf_keywords(spark, SF_DIR).count())
+    timed("more_like_this_sec",
+          lambda: T.more_like_this(spark, SF_DIR).count())
+    timed("search_eval_ndcg_sec",
+          lambda: T.search_eval_ndcg(spark, SF_DIR).count())
     return out
 
 

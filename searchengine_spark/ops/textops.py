@@ -422,6 +422,202 @@ def doc_fingerprint(spark, sf_dir) -> DataFrame:
     )
 
 
+EVAL_QUERIES = [
+    (1, ("spark", "query", "join")),
+    (2, ("table", "hash")),
+    (3, ("data", "stream", "batch")),
+]
+
+
+def search_eval_ndcg(spark, sf_dir, k: int = 10) -> DataFrame:
+    """Retrieval-quality evaluation: NDCG@k of the disjunctive BM25
+    ranking per pinned query, graded relevance = number of distinct
+    query terms the doc contains (the deterministic qrels any synthetic
+    corpus supports — the lexical twin of ann_recall).
+
+    gain = 2^rel - 1, discount = log2(rank + 1); ranking rank over the
+    6dp-ROUNDED score with doc_id tie-break (rounded-rank contract);
+    ideal ranking over (rel desc, doc_id asc).  (qid, ndcg) rounded 6.
+
+    Scale: the query set broadcasts; rel and score are one shuffle agg
+    each over the qterm-joined postings; both windows partition by qid
+    over ... the qid-matched candidate set (bounded by matching docs).
+    At 100 TB the candidate windows are the same two-phase salted
+    top-k the engine's scorer uses — here the driver-entry form keeps
+    the plain window for oracle parity.
+    """
+    qrows = [(qid, t) for qid, terms in EVAL_QUERIES for t in terms]
+    qterms = spark.createDataFrame(qrows, "qid long, term string")
+    tf = term_tf(spark, sf_dir)
+    dl = tf.groupBy("doc_id").agg(F.count("*").alias("total_tokens"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg("total_tokens").alias("avgdl")
+    )
+    dft = tf.join(F.broadcast(qterms.select("term").distinct()),
+                  "term").groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    hits = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    bm25 = (
+        idf
+        * F.col("tf").cast("double")
+        * F.lit(BM25_K1 + 1)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1 - BM25_B)
+                + F.lit(BM25_B)
+                * F.col("total_tokens").cast("double")
+                / F.col("avgdl")
+            )
+        )
+    )
+    cand = hits.withColumn("bm25", bm25).groupBy("qid", "doc_id").agg(
+        F.round(F.sum("bm25"), 6).alias("score"),
+        F.count("*").alias("rel"),  # distinct terms matched (tf rows)
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0
+    wr = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    dcg = (
+        cand.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .withColumn(
+            "g", gain / F.log2(F.col("rank").cast("double") + 1.0)
+        )
+        .groupBy("qid")
+        .agg(F.sum("g").alias("dcg"))
+    )
+    wi = Window.partitionBy("qid").orderBy(
+        F.desc("rel"), F.asc("doc_id")
+    )
+    idcg = (
+        cand.withColumn("irank", F.row_number().over(wi))
+        .filter(F.col("irank") <= k)
+        .withColumn(
+            "g", gain / F.log2(F.col("irank").cast("double") + 1.0)
+        )
+        .groupBy("qid")
+        .agg(F.sum("g").alias("idcg"))
+    )
+    return (
+        dcg.join(idcg, "qid")
+        .select(
+            "qid",
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+    )
+
+
+MLT_DOC_ID = 1     # pinned driver-entry source document
+MLT_KEYWORDS = 5   # keywords extracted per document
+
+
+def tfidf_keywords(spark, sf_dir, topn: int = MLT_KEYWORDS) -> DataFrame:
+    """Per-document keyword extraction: top-n terms by classic tf-idf
+    (tf * ln(N/df), N = docs with >= 1 token — the bm25 stats
+    convention), rounded to 6 places BEFORE ranking (the hybrid_rrf
+    rounded-rank contract), ties -> term asc.
+    (doc_id, term, tfidf, rank).
+
+    Scale: one shuffle to tf, one to df, a per-doc window (partition =
+    one document's distinct terms — inherently small).
+    """
+    tf = term_tf(spark, sf_dir)
+    stats = tf.agg(F.countDistinct("doc_id").alias("n"))
+    dft = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "term",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topn)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+def more_like_this(spark, sf_dir, doc_id: int = MLT_DOC_ID,
+                   k: int = 10, topn: int = MLT_KEYWORDS) -> DataFrame:
+    """Lucene-style more-like-this: the source document's top-n tf-idf
+    keywords become a DISJUNCTIVE BM25 query (wand_or semantics — no
+    nmatch gate), source excluded from the results (eligibility only:
+    corpus stats stay global, the filtered-search rule).
+    (doc_id, score desc, doc_id asc, top k).
+
+    Scale: the keyword set is topn rows (broadcast); everything else
+    is the bm25 chain's shuffle shape.  At serving scale the keywords
+    come straight off the source doc's stored postings instead of the
+    corpus-wide window — the driver entry proves the semantics.
+    """
+    kws = (
+        tfidf_keywords(spark, sf_dir, topn)
+        .filter(F.col("doc_id") == doc_id)
+        .select("term")
+    )
+    tf = term_tf(spark, sf_dir)
+    dl = tf.groupBy("doc_id").agg(F.count("*").alias("total_tokens"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg("total_tokens").alias("avgdl")
+    )
+    dft = tf.join(F.broadcast(kws), "term").groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    hits = (
+        tf.join(F.broadcast(kws), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    bm25 = (
+        idf
+        * F.col("tf").cast("double")
+        * F.lit(BM25_K1 + 1)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1 - BM25_B)
+                + F.lit(BM25_B)
+                * F.col("total_tokens").cast("double")
+                / F.col("avgdl")
+            )
+        )
+    )
+    return (
+        hits.withColumn("bm25", bm25)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("bm25"), 6).alias("score"))
+        .filter(F.col("doc_id") != doc_id)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 FUZZY_Q = 5        # misspelled probe terms derived from the corpus
 FUZZY_MIN_LEN = 4  # only misspell terms this long (1 char carries less)
 FUZZY_TOPN = 3     # candidates returned per query term

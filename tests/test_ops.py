@@ -1439,3 +1439,114 @@ def test_span_ops_self_overlapping_repetition(spark):
     assert st[1]["clean_text"] == "loop"
     # doc 2 loses its whole loop run, keeps the unique frame
     assert st[2]["clean_text"] == "alpha bravo charlie"
+
+
+def test_tfidf_keywords_and_more_like_this(spark, tmp_path):
+    """Planted corpus: keywords of the source doc are its distinctive
+    (low-df) terms, not the corpus-wide boilerplate; more_like_this
+    ranks the doc sharing those keywords first and never returns the
+    source itself."""
+    from searchengine_spark.ops.textops import (
+        more_like_this,
+        tfidf_keywords,
+    )
+
+    filler = "common words shared by every document here"
+    rows = [
+        (1, f"{filler} quantum entanglement teleportation qubit decoherence"),
+        (2, f"{filler} quantum entanglement teleportation qubit photon"),
+        (3, f"{filler} gardening compost seedling trowel mulch"),
+        (4, f"{filler} gardening compost seedling trowel pruning"),
+        (5, filler),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path / "mlt")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    kw = {
+        r["rank"]: r["term"]
+        for r in tfidf_keywords(spark, sf)
+        .filter(F.col("doc_id") == 1).collect()
+    }
+    assert set(kw.values()) == {
+        "quantum", "entanglement", "teleportation", "qubit", "decoherence"
+    }
+    # df=1 'decoherence' outranks the df=2 quantum terms (higher idf)
+    assert kw[1] == "decoherence"
+
+    got = [r["doc_id"] for r in more_like_this(spark, sf, doc_id=1).collect()]
+    assert 1 not in got
+    assert got[0] == 2          # shares 4 of 5 keywords
+    assert set(got[1:]) <= {3, 4, 5}
+
+
+def test_search_eval_ndcg_matches_python(spark, tmp_path, monkeypatch):
+    """Planted corpus where the BM25 ranking diverges from the ideal
+    (a term-stuffed rel=1 doc outscores short rel=2 docs), so NDCG < 1
+    for the planted query — recomputed brute-force in Python with the
+    same formulas."""
+    import math
+
+    import searchengine_spark.ops.textops as TT
+    from searchengine_spark.text.tokenizer import tokenize
+
+    monkeypatch.setattr(
+        TT, "EVAL_QUERIES", [(1, ("apple", "banana")), (2, ("cherry",))]
+    )
+    rows = [
+        (1, " ".join(["apple"] * 30)),               # rel 1, huge tf
+        (2, "apple banana " + " ".join(f"f{i}" for i in range(40))),
+        (3, "apple banana fig"),                      # rel 2, short
+        (4, "banana only here"),
+        (5, "cherry pie cherry cobbler"),
+        (6, "no relevant terms at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path / "ndcg")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    # brute force with the op's exact conventions
+    toks = {d: tokenize(t) for d, t in rows}
+    tf = {d: {} for d in toks}
+    for d, ts in toks.items():
+        for t in ts:
+            tf[d][t] = tf[d].get(t, 0) + 1
+    dl = {d: len(v) for d, v in tf.items()}          # distinct terms
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    df = {}
+    for d, v in tf.items():
+        for t in v:
+            df[t] = df.get(t, 0) + 1
+
+    def bm25(d, terms):
+        s = 0.0
+        for t in terms:
+            if t in tf[d]:
+                idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                x = tf[d][t]
+                s += idf * x * 2.2 / (
+                    x + 1.2 * (0.25 + 0.75 * dl[d] / avgdl)
+                )
+        return round(s, 6)
+
+    def ndcg(terms, k=10):
+        cand = [
+            (d, bm25(d, terms), len([t for t in terms if t in tf[d]]))
+            for d in tf if any(t in tf[d] for t in terms)
+        ]
+        bydcg = sorted(cand, key=lambda x: (-x[1], x[0]))[:k]
+        byrel = sorted(cand, key=lambda x: (-x[2], x[0]))[:k]
+        dcg = sum((2 ** r - 1) / math.log2(i + 2)
+                  for i, (_, _, r) in enumerate(bydcg))
+        idcg = sum((2 ** r - 1) / math.log2(i + 2)
+                   for i, (_, _, r) in enumerate(byrel))
+        return round(dcg / idcg, 6)
+
+    got = {
+        r["qid"]: r["ndcg"]
+        for r in TT.search_eval_ndcg(spark, sf).collect()
+    }
+    assert got == {1: ndcg(("apple", "banana")), 2: ndcg(("cherry",))}
+    assert got[2] == 1.0          # single-term: ranking == ideal
+    assert got[1] < 1.0           # the planted divergence is real
