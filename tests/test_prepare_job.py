@@ -68,3 +68,48 @@ def test_job_funnel_matches_operators(spark, job_result):
         for r in spark.read.parquet(f"{out}/mixture").collect()
     }
     assert sum(n for n, _ in mix.values()) == len(expect)
+
+
+def test_job_strip_spans_flag(spark, job_result, tmp_path_factory):
+    """--strip-spans must rewrite the curated text exactly as
+    strip_dup_spans over the final survivor corpus (composition through
+    the real spark-submit surface), and report the removed-token sum."""
+    from tools.make_pyfiles import build_zip
+
+    _, base_out = job_result
+    out = str(tmp_path_factory.mktemp("curated_spans"))
+    p = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", build_zip(),
+            "tools/prepare_training_data_job.py",
+            "--input", SF, "--output", out, "--strip-spans",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    lines = [ln for ln in p.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    assert lines, p.stdout[-2000:] + p.stderr[-3000:]
+    metrics = json.loads(lines[-1])
+
+    from searchengine_spark.ops.dedup import strip_dup_spans
+
+    base = spark.read.parquet(f"{base_out}/curated")
+    want = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_dup_spans(
+            base.select("doc_id", "text")
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{out}/curated").collect()
+    }
+    assert got == want
+    n_removed = sum(
+        r["n_removed"]
+        for r in strip_dup_spans(base.select("doc_id", "text")).collect()
+    )
+    assert metrics["span_tokens_removed"] == n_removed
+    assert "span_sec" in metrics

@@ -37,6 +37,10 @@ def main():
                     help="sf dir with documents.parquet")
     ap.add_argument("--output", required=True, help="curated output dir")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--strip-spans", action="store_true",
+                    help="span-level dedup of the FINAL corpus: rewrite "
+                         "text with non-canonical duplicated spans "
+                         "removed (ops/dedup.strip_dup_spans)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -93,10 +97,32 @@ def main():
     n_final = final_ids.count()
     t["sample_sec"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
     final = final_ids.join(docs, "doc_id").select(
         "doc_id", "lang", "text", "n_pieces_bpe"
     )
+    n_span_tokens = None
+    if args.strip_spans:
+        # span-level dedup runs over the FINAL survivor set (after doc
+        # dedup/decon/sampling): canonicals are picked among the docs
+        # that will actually ship
+        from searchengine_spark.ops.dedup import strip_dup_spans
+
+        t0 = time.time()
+        cleaned = strip_dup_spans(
+            final.select("doc_id", "text")
+        ).persist()
+        n_span_tokens = cleaned.agg(
+            F.sum("n_removed").alias("s")
+        ).collect()[0]["s"]
+        final = final.drop("text").join(
+            cleaned.select(
+                "doc_id", F.col("clean_text").alias("text")
+            ),
+            "doc_id",
+        )
+        t["span_sec"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
     final.write.mode("overwrite").parquet(f"{args.output}/curated")
     # per-language mixture of the FINAL corpus (engine tokenizer spec)
     mix = (
@@ -116,6 +142,7 @@ def main():
         "n_after_prep": n_prep,
         "n_after_decon": n_decon,
         "n_final": n_final,
+        "span_tokens_removed": n_span_tokens,
         "wall_sec": round(wall, 3),
         "value": round(n_input / wall, 2) if wall else None,
         **t,
