@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": T.bm25_topk,
         "wand_topk": T.wand_topk,
         "wand_or_topk": T.wand_or_topk,
+        "bm25_not_topk": T.bm25_not_topk,
         "wand_topk_filtered": T.wand_topk_filtered,
         "hybrid_rrf_topk": T.hybrid_rrf_topk,
         "bm25_snippets": T.bm25_snippets,
@@ -1868,6 +1869,34 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY tf.doc_id
             )
             SELECT doc_id, round(s, 6) AS score FROM scored WHERE nmatch = 3
+            ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        # boolean NOT: conjunctive BM25 minus docs containing any
+        # excluded term (eligibility-only — stats stay corpus-global,
+        # so surviving scores equal the unexcluded ones)
+        "bm25_not_topk": f"""
+            WITH toks AS ({_TOKS}),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*) AS total_tokens FROM tf GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n, avg(total_tokens) AS avgdl FROM dl),
+            qterms AS (SELECT unnest(['spark', 'query']) AS term),
+            dft AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM tf JOIN qterms USING (term) GROUP BY term),
+            excl AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('hash')),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.total_tokens / stats.avgdl))
+                     ) AS s,
+                     count(*) AS nmatch
+              FROM tf JOIN qterms USING (term) JOIN dft USING (term)
+                   JOIN dl USING (doc_id) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(s, 6) AS score FROM scored
+            WHERE nmatch = 2
+              AND doc_id NOT IN (SELECT doc_id FROM excl)
             ORDER BY score DESC, doc_id LIMIT 10
         """,
         "lang_counts": """

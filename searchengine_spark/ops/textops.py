@@ -104,6 +104,35 @@ def dedup_exact(spark, sf_dir) -> DataFrame:
     ).select("doc_id", "dup_count")
 
 
+def bm25_not_topk(spark, sf_dir, terms=("spark", "query"),
+                  exclude=("hash",), k=10) -> DataFrame:
+    """Boolean NOT — the third leg of the query algebra next to AND
+    (bm25_topk/wand_topk) and OR (wand_or_topk): conjunctive BM25 over
+    ``terms``, docs containing ANY ``exclude`` term dropped.  Exclusion
+    is eligibility-only (the filtered-search rule): BM25 stats stay
+    corpus-global, so scores of surviving docs equal their unexcluded
+    scores exactly.
+
+    Scale: the exclusion doc set rides a left-anti join on doc_id —
+    one shuffle, no new scan (term_tf is the shared upstream); on the
+    index path the same set comes from the exclude terms' postings and
+    feeds the WAND kernels' liveness mask like allowed_docs does.
+    """
+    excl = spark.createDataFrame([(t,) for t in exclude], "term string")
+    excl_docs = (
+        term_tf(spark, sf_dir)
+        .join(F.broadcast(excl), "term")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        _bm25_scored(spark, sf_dir, terms)
+        .join(excl_docs, "doc_id", "left_anti")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25_topk(spark, sf_dir, terms=("spark", "query", "join"), k=10) -> DataFrame:
     """Conjunctive BM25 top-k, unstemmed — the SQL-checkable twin of the
     engine's scorer (k1/b from params.py; idf = ln((N-df+.5)/(df+.5)+1))."""

@@ -403,7 +403,7 @@ class LocalSearcher:
     # -- queries ----------------------------------------------------------
 
     def topk(self, text: str, k: int = 10, mode: str = "and",
-             analyzer=None, allowed=None):
+             analyzer=None, allowed=None, exclude_terms=None):
         """[(rank, docid, score)] — identical semantics (and scores) to
         wand_topk over the same index: conjunctive by default, classic
         disjunctive WAND with ``mode="or"``.  ``analyzer`` overrides the
@@ -412,7 +412,11 @@ class LocalSearcher:
         corpus-global — the filtered-search semantics of wand_topk's
         ``allowed_docs``, implemented by shrinking the kernel's dl
         membership mask (pruning stays lossless: block maxima bound a
-        superset)."""
+        superset).  ``exclude_terms`` is boolean NOT (the
+        ops/textops.bm25_not_topk rule): docs containing ANY excluded
+        term drop from eligibility — their docids come off the excluded
+        terms' own postings (the index IS the exclusion list) and
+        shrink the same mask, composing with ``allowed``."""
         if analyzer is None:
             freq = analyze_query(text, stem=self.stem)
         else:
@@ -425,6 +429,24 @@ class LocalSearcher:
         elif not known:
             return []
         dl = self._dl
+        if exclude_terms:
+            if analyzer is None:
+                exfreq = analyze_query(
+                    " ".join(exclude_terms), stem=self.stem
+                )
+            else:
+                exfreq = analyzer(" ".join(exclude_terms))
+            parts = [
+                blk[3][0]
+                for t in sorted(exfreq) if t in self._df
+                for blk in self._blocks_for(t)
+            ]
+            if parts:
+                ex = np.unique(np.concatenate(parts))
+                keep = ~np.isin(dl[0], ex, assume_unique=True)
+                if not keep.any():
+                    return []
+                dl = (dl[0][keep], dl[1][keep])
         if allowed is not None:
             ids = np.unique(np.fromiter(
                 (int(d) for d in allowed), dtype=np.int64
@@ -805,17 +827,19 @@ class ShardedSearcher:
         return True
 
     def topk(self, text: str, k: int = 10, mode: str = "and",
-             analyzer=None, allowed=None):
+             analyzer=None, allowed=None, exclude_terms=None):
         """Global [(rank, docid, score)] — merge of per-shard WAND
         top-k's, identical to an unsharded replica's answer.
-        ``allowed`` filters eligibility exactly as LocalSearcher.topk's
-        (each shard intersects it with its own docid range)."""
+        ``allowed``/``exclude_terms`` filter eligibility exactly as
+        LocalSearcher.topk's (each shard applies them to its own docid
+        range)."""
         cands = []
         for sh in self.shards:
             cands.extend(
                 (s, d) for _, d, s in sh.topk(text, k=k, mode=mode,
                                               analyzer=analyzer,
-                                              allowed=allowed)
+                                              allowed=allowed,
+                                              exclude_terms=exclude_terms)
             )
         cands.sort(key=lambda sd: (-sd[0], sd[1]))
         return [(r + 1, d, s) for r, (s, d) in enumerate(cands[:k])]

@@ -612,3 +612,45 @@ def test_suggest_matches_brute_force(searcher):
     )
     # garbage finds nothing
     assert searcher.suggest("zzzzqqqxx") == []
+
+
+def test_topk_exclude_terms_matches_brute_force(searcher):
+    """Boolean NOT on the serving tier: topk(exclude_terms=...) must
+    equal re-ranking the UNFILTERED full result with the excluded
+    terms' posting docids dropped (eligibility only — surviving scores
+    unchanged), and compose with mode='or'."""
+    from searchengine_spark.query.prune import analyze_query
+
+    q = QUERIES[0][1]
+    excl_raw = ["table"]
+    exfreq = analyze_query(" ".join(excl_raw), stem=searcher.stem)
+    ex_docs = set()
+    for t in exfreq:
+        if t in searcher._df:
+            for blk in searcher._blocks_for(t):
+                ex_docs.update(int(d) for d in blk[3][0])
+    # liveness: only docs present in dl count
+    dl_ids = set(int(d) for d in searcher._dl[0])
+    ex_docs &= dl_ids
+
+    for mode in ("and", "or"):
+        base = searcher.topk(q, k=10_000, mode=mode)  # full ranking
+        want = [(d, s) for _, d, s in base if d not in ex_docs][:10]
+        got = [
+            (d, s)
+            for _, d, s in searcher.topk(
+                q, k=10, mode=mode, exclude_terms=excl_raw
+            )
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], mode
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12)
+    # the exclusion actually bit
+    assert ex_docs, "fixture lost the excluded term"
+    base_ids = {d for _, d, _ in searcher.topk(q, k=10)}
+    if base_ids & ex_docs:
+        got_ids = {
+            d for _, d, _ in searcher.topk(q, k=10,
+                                           exclude_terms=excl_raw)
+        }
+        assert not (got_ids & ex_docs)
