@@ -100,10 +100,22 @@ def run(cpus: int, n_docs: int):
         bdf.mapInArrow(decode_blocks, schema=DECODE_SCHEMA).count()
         t_decode.append(time.time() - t0)
 
+    # span-level dedup (ops/dedup.span_dedup): the shingle-hash shuffle
+    # + payload-free flag join — the round-3 dedup family's hot shape
+    from searchengine_spark.ops.dedup import span_dedup
+
+    sdocs = df.selectExpr("docid AS doc_id", "content AS text")
+    t_span = []
+    for _ in range(2):
+        t0 = time.time()
+        span_dedup(sdocs).count()
+        t_span.append(time.time() - t0)
+
     spark.stop()
     return {"analyze": round(min(t_analyze), 2),
             "simhash": round(min(t_simhash), 2),
             "decode": round(min(t_decode), 2),
+            "span": round(min(t_span), 2),
             "n_blocks": n_blocks,
             "postings": n_postings}
 
@@ -137,7 +149,7 @@ def main():
         "n_docs": n_docs,
         "stages": res,
     }
-    for s in ("analyze", "simhash", "decode"):
+    for s in ("analyze", "simhash", "decode", "span"):
         speedup = res[lo][s] / res[hi][s]
         out[f"{s}_speedup"] = round(speedup, 3)
         out[f"{s}_efficiency"] = round(speedup / (hi / lo), 3)
