@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from searchengine_spark.ops import multimodal as M
     from searchengine_spark.ops import prep as P
     from searchengine_spark.ops import mix as X
+    from searchengine_spark.ops import search as S
 
     def _docs(spark, sf):
         return spark.read.parquet(f"{sf}/documents.parquet")
@@ -380,6 +381,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_topk_flat_bm25f": lambda spark, sf: _run_engine_flat_bm25f(
             spark, sf, ENGINE_FLAT_QUERIES, k=10
         ),
+        # query-surface family (ops/search.py): prefix expansion,
+        # facets, diversification, synonym groups, the mini query
+        # language, and PMI related-terms — all pinned-constant ops
+        # whose oracles are built from the same constants
+        "prefix_topk": S.prefix_topk,
+        "facet_counts": S.facet_counts,
+        "diversified_topk": S.diversified_topk,
+        "synonym_topk": S.synonym_topk,
+        "query_topk": S.query_topk,
+        "related_terms": S.related_terms,
     }
 
 
@@ -2190,4 +2201,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.nmatch = 2
             ORDER BY score DESC, s.doc_id LIMIT 10
         """
+    # query-surface family: oracles built by ops/search.py from the SAME
+    # pinned constants the Spark ops default to (they cannot desync)
+    from searchengine_spark.ops import search as SRCH
+
+    d["prefix_topk"] = SRCH.prefix_topk_oracle_sql()
+    d["facet_counts"] = SRCH.facet_counts_oracle_sql()
+    d["diversified_topk"] = SRCH.diversified_topk_oracle_sql()
+    d["synonym_topk"] = SRCH.synonym_topk_oracle_sql()
+    d["query_topk"] = SRCH.query_topk_oracle_sql()
+    d["related_terms"] = SRCH.related_terms_oracle_sql()
     return d

@@ -1,0 +1,489 @@
+"""User-facing query surface beyond bare term lists ([NORTH-EXT]).
+
+The reference serves free-text conjunctive queries (lib/search.py:21-45);
+every production engine that starts there grows the same next layer:
+prefix/wildcard expansion, faceting, result diversification, synonym
+groups, a small query language (must / -not / "phrase" / field:filter),
+and related-term suggestion.  This module adds that layer as thin
+COMPOSITIONS of the existing oracled kernels — scoring stays the one
+BM25 definition (params.BM25_K1/B, idf = ln((N-df+.5)/(df+.5)+1)),
+filters stay eligibility-only (corpus-global stats, the invariant shared
+with allowed_docs / exclude_terms), and every op ships a same-constant
+DuckDB oracle built by the ``*_oracle_sql`` functions below so the SQL
+cannot desynchronize from the Spark definitions.
+
+Scale shape (100 TB framing): all expansion / synonym / facet dimension
+tables are term-dictionary-sized or smaller and broadcast; the only wide
+shuffles are the per-doc score aggregations the base scorer already
+does.  Rounding contract: scores round(6) after the final sum in BOTH
+engines; ranks are computed over the rounded score with doc_id
+tie-break (the hybrid_rrf rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..params import BM25_B, BM25_K1
+from ..text.querylang import parse_query
+from .textops import _bm25_scored, doc_tokens, documents, term_tf
+
+__all__ = [
+    "parse_query", "prefix_topk", "facet_counts", "diversified_topk",
+    "synonym_topk", "query_topk", "related_terms",
+]
+
+# --- pinned driver-entry constants (interpolated into the oracles) --------
+PREFIX_Q = "s"              # matches 6 of the 31 vocab terms -> cap binds
+PREFIX_MAX_EXPAND = 4       # keep the top-4 expansions by (df desc, term)
+FACET_TERMS = ("join", "hash")
+DIVERSE_TERMS = ("join", "hash")
+DIVERSE_PER_SOURCE = 2      # max hits surfaced per source collection
+SYN_GROUPS = (("join", "merge"), ("fast", "slow"))
+QL_QUERY = 'spark query "table hash" -dup lang:en'
+RELATED_SEED = "spark"
+RELATED_MIN_CO = 5          # ignore co-occurrence counts below this
+RELATED_TOPN = 10
+
+# the one BM25 expression, interpolated into every oracle here so the
+# constants can't drift from params.py (repr keeps full float precision)
+_BM25_SQL = (
+    "ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)"
+    f" * tf.tf * {BM25_K1 + 1!r}"
+    f" / (tf.tf + {BM25_K1!r} * ({1 - BM25_B!r}"
+    f" + {BM25_B!r} * dl.total_tokens / stats.avgdl))"
+)
+
+_TOKS = (
+    "SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+    " AS term FROM documents"
+)
+
+# tf/dl/stats CTE prefix shared by every scoring oracle below
+_SCORE_BASE = f"""
+    toks AS ({_TOKS}),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS total_tokens FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(total_tokens) AS avgdl FROM dl)
+"""
+
+
+def _dl_stats(tf):
+    """(dl, stats) DataFrames off the shared term_tf projection —
+    the same definitions _bm25_scored uses (dl = distinct-term count,
+    the reference's total_tokens quirk, makeindex.py:223-224)."""
+    dl = tf.groupBy("doc_id").agg(F.count("*").alias("total_tokens"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg("total_tokens").alias("avgdl")
+    )
+    return dl, stats
+
+
+def _bm25_col():
+    """The scoring expression over columns (tf, df, total_tokens, n,
+    avgdl) — one definition for every op in this module."""
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    return (
+        idf
+        * F.col("tf").cast("double")
+        * F.lit(BM25_K1 + 1)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1 - BM25_B)
+                + F.lit(BM25_B)
+                * F.col("total_tokens").cast("double")
+                / F.col("avgdl")
+            )
+        )
+    )
+
+
+# --- prefix / wildcard search ----------------------------------------------
+
+def prefix_topk(spark, sf_dir, prefix=PREFIX_Q,
+                max_expand=PREFIX_MAX_EXPAND, k=10) -> DataFrame:
+    """Prefix (trailing-wildcard) search: expand ``prefix`` against the
+    term dictionary, keep the top ``max_expand`` expansions by
+    (df desc, term asc) — the Lucene rewrite-cap rule, deterministic —
+    then score DISJUNCTIVELY (a doc matching any expansion scores the
+    sum over the expansions it contains).
+
+    Scale: the dictionary is corpus-vocabulary-sized (millions of rows
+    at 100 TB, KBs after the prefix filter); the cap is a
+    TakeOrderedAndProject on that filtered dictionary and the surviving
+    expansions broadcast into the tf join — no new wide shuffle beyond
+    the per-doc sum.  On the serving tier the same expansion comes from
+    a bisect over the sorted in-RAM termdict (LocalSearcher.prefix_topk)
+    feeding the OR-mode WAND kernel.
+    """
+    tf = term_tf(spark, sf_dir)
+    exp = (
+        tf.filter(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expand)
+    )
+    dl, stats = _dl_stats(tf)
+    hits = (
+        tf.join(F.broadcast(exp), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    return (
+        hits.withColumn("bm25", _bm25_col())
+        .groupBy("doc_id")
+        .agg(F.sum("bm25").alias("s"))
+        .select("doc_id", F.round(F.col("s"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def prefix_topk_oracle_sql(prefix=PREFIX_Q, max_expand=PREFIX_MAX_EXPAND,
+                           k=10) -> str:
+    return f"""
+        WITH {_SCORE_BASE},
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+                WHERE term LIKE '{prefix}%' GROUP BY term
+                ORDER BY df DESC, term LIMIT {max_expand}),
+        scored AS (
+          SELECT tf.doc_id, sum({_BM25_SQL}) AS s
+          FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+               CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(s, 6) AS score FROM scored
+        ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+# --- faceted search ---------------------------------------------------------
+
+def facet_counts(spark, sf_dir, terms=FACET_TERMS,
+                 facet="lang") -> DataFrame:
+    """Facet aggregation over the FULL conjunctive match set (not just
+    the served page): per facet value, how many docs match and the best
+    rounded score — the sidebar counts next to search results.
+
+    Scale: reuses the conjunctive scorer's per-doc aggregate, then one
+    narrow join to the docs metadata projection and a facet-cardinality
+    group-by (bounded by the facet's distinct values, trivially small
+    vs the corpus)."""
+    matches = _bm25_scored(spark, sf_dir, terms)
+    meta = documents(spark, sf_dir).select("doc_id", facet)
+    return (
+        matches.join(meta, "doc_id")
+        .groupBy(facet)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("score").alias("top_score"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc(facet))
+    )
+
+
+def _conj_scored_sql(terms) -> str:
+    """Conjunctive-BM25 'scored' CTE tail (all matches, rounded score)
+    for oracle reuse — mirror of textops._bm25_scored."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        qterms AS (SELECT unnest([{tlist}]) AS term),
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM tf JOIN qterms USING (term) GROUP BY term),
+        scored0 AS (
+          SELECT tf.doc_id, sum({_BM25_SQL}) AS s, count(*) AS nmatch
+          FROM tf JOIN qterms USING (term) JOIN dft USING (term)
+               JOIN dl USING (doc_id) CROSS JOIN stats
+          GROUP BY tf.doc_id
+        ),
+        scored AS (SELECT doc_id, round(s, 6) AS score FROM scored0
+                   WHERE nmatch = {len(terms)})
+    """
+
+
+def facet_counts_oracle_sql(terms=FACET_TERMS, facet="lang") -> str:
+    return f"""
+        WITH {_SCORE_BASE},
+        {_conj_scored_sql(terms)}
+        SELECT d.{facet}, count(*) AS n_docs, max(score) AS top_score
+        FROM scored JOIN documents d USING (doc_id)
+        GROUP BY d.{facet}
+        ORDER BY n_docs DESC, d.{facet}
+    """
+
+
+# --- result diversification -------------------------------------------------
+
+def diversified_topk(spark, sf_dir, terms=DIVERSE_TERMS,
+                     per_source=DIVERSE_PER_SOURCE, k=10) -> DataFrame:
+    """Source-diversified top-k: at most ``per_source`` hits per source
+    collection survive, ranked within source by (score desc, doc_id) —
+    the "collapse duplicates from one site" rule of web search, over the
+    corpus' ``source`` column.
+
+    Ranks follow the rounded-rank contract (row_number over the
+    6dp-rounded score, doc_id tie-break) so both engines rank identical
+    values.  Scale: the per-source window shuffles the MATCH SET (not
+    the corpus) on source; source cardinality is high (hosts/repos) so
+    partitions stay balanced; the global top-k is
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    matches = _bm25_scored(spark, sf_dir, terms)
+    meta = documents(spark, sf_dir).select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        matches.join(meta, "doc_id")
+        .withColumn("src_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("src_rank") <= per_source)
+        .select("doc_id", "source", "score", "src_rank")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def diversified_topk_oracle_sql(terms=DIVERSE_TERMS,
+                                per_source=DIVERSE_PER_SOURCE,
+                                k=10) -> str:
+    return f"""
+        WITH {_SCORE_BASE},
+        {_conj_scored_sql(terms)},
+        ranked AS (
+          SELECT scored.doc_id, d.source, scored.score,
+                 row_number() OVER (PARTITION BY d.source
+                   ORDER BY scored.score DESC, scored.doc_id)::BIGINT
+                   AS src_rank
+          FROM scored JOIN documents d USING (doc_id)
+        )
+        SELECT doc_id, source, score, src_rank FROM ranked
+        WHERE src_rank <= {per_source}
+        ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+# --- synonym-group search ----------------------------------------------------
+
+def synonym_topk(spark, sf_dir, groups=SYN_GROUPS, k=10) -> DataFrame:
+    """Synonym-expanded search: each query slot is a group of
+    interchangeable terms; a doc is eligible iff it matches AT LEAST ONE
+    term of EVERY group (conjunctive over groups, disjunctive within),
+    and its score sums BM25 over ALL matched terms — Lucene's
+    SynonymQuery-inside-BooleanQuery shape.
+
+    Scale: the (term, gid) expansion table is query-sized and
+    broadcast; eligibility is a countDistinct(gid) on the same per-doc
+    aggregate the scorer already computes — no extra shuffle."""
+    rows = [(t, gi) for gi, g in enumerate(groups) for t in g]
+    qterms = spark.createDataFrame(rows, "term string, gid int")
+    tf = term_tf(spark, sf_dir)
+    dft = tf.join(F.broadcast(qterms.select("term")), "term").groupBy(
+        "term"
+    ).agg(F.countDistinct("doc_id").alias("df"))
+    dl, stats = _dl_stats(tf)
+    hits = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    return (
+        hits.withColumn("bm25", _bm25_col())
+        .groupBy("doc_id")
+        .agg(
+            F.sum("bm25").alias("s"),
+            F.countDistinct("gid").alias("ngroups"),
+        )
+        .filter(F.col("ngroups") == len(groups))
+        .select("doc_id", F.round(F.col("s"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def synonym_topk_oracle_sql(groups=SYN_GROUPS, k=10) -> str:
+    vals = ", ".join(
+        f"('{t}', {gi})" for gi, g in enumerate(groups) for t in g
+    )
+    return f"""
+        WITH {_SCORE_BASE},
+        qterms AS (SELECT * FROM (VALUES {vals}) v(term, gid)),
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM tf JOIN qterms USING (term) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({_BM25_SQL}) AS s,
+                 count(DISTINCT qterms.gid) AS ngroups
+          FROM tf JOIN qterms USING (term) JOIN dft USING (term)
+               JOIN dl USING (doc_id) CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(s, 6) AS score FROM scored
+        WHERE ngroups = {len(groups)}
+        ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+# --- mini query language ------------------------------------------------------
+# parse_query lives in text/querylang.py (Spark-free, shared with the
+# serving tier); re-exported here as part of the op family's surface.
+
+
+def query_topk(spark, sf_dir, q=QL_QUERY, k=10) -> DataFrame:
+    """Execute a mini-query-language string: conjunctive BM25 over the
+    scoring terms, then eligibility trims for each phrase (adjacent
+    positions), the lang filter, and the must_not terms.  All trims are
+    eligibility-only — stats stay corpus-global, so surviving scores
+    equal the plain conjunctive scores exactly (the filtered-search
+    invariant).
+
+    Scale: phrase adjacency is the (doc,pos)-equi-join of
+    phrase_match (positions come from posexplode, one shuffle on
+    doc_id); filters/NOT are semi/anti joins on doc_id against sets
+    already bounded by the match set."""
+    parsed = parse_query(q)
+    if not parsed["scoring"]:
+        raise ValueError("query has no scoring terms")
+    res = _bm25_scored(spark, sf_dir, parsed["scoring"])
+
+    if parsed["phrases"] or parsed["must_not"]:
+        toks = doc_tokens(spark, sf_dir)
+    for phrase in parsed["phrases"]:
+        first = toks.filter(F.col("term") == phrase[0]).select(
+            "doc_id", "pos"
+        )
+        cur = first
+        for i, t in enumerate(phrase[1:], start=1):
+            nxt = toks.filter(F.col("term") == t).select(
+                F.col("doc_id"), (F.col("pos") - i).alias("pos")
+            )
+            cur = cur.join(nxt, ["doc_id", "pos"])
+        res = res.join(cur.select("doc_id").distinct(), "doc_id")
+
+    if parsed["filters"].get("lang"):
+        allowed = documents(spark, sf_dir).filter(
+            F.col("lang") == parsed["filters"]["lang"]
+        ).select("doc_id")
+        res = res.join(allowed, "doc_id", "left_semi")
+
+    if parsed["must_not"]:
+        ex = spark.createDataFrame(
+            [(t,) for t in parsed["must_not"]], "term string"
+        )
+        excl = (
+            toks.join(F.broadcast(ex), "term").select("doc_id").distinct()
+        )
+        res = res.join(excl, "doc_id", "left_anti")
+
+    return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def query_topk_oracle_sql(q=QL_QUERY, k=10) -> str:
+    parsed = parse_query(q)
+    parts = [f"WITH {_SCORE_BASE},"]
+    parts.append(_conj_scored_sql(parsed["scoring"]))
+    conds = []
+    if parsed["phrases"] or parsed["must_not"]:
+        parts.append(f""",
+        pos AS (
+          SELECT doc_id, i AS pos, t[i] AS term FROM (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents), LATERAL (
+            SELECT unnest(generate_series(1, len(t))) AS i) g
+        )""")
+    for pi, phrase in enumerate(parsed["phrases"]):
+        joins = " ".join(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id"
+            f" AND p{i}.pos = p0.pos + {i} AND p{i}.term = '{t}'"
+            for i, t in enumerate(phrase[1:], start=1)
+        )
+        parts.append(f""",
+        ph{pi} AS (SELECT DISTINCT p0.doc_id FROM pos p0 {joins}
+                   WHERE p0.term = '{phrase[0]}')""")
+        conds.append(f"doc_id IN (SELECT doc_id FROM ph{pi})")
+    if parsed["filters"].get("lang"):
+        conds.append(
+            "doc_id IN (SELECT doc_id FROM documents"
+            f" WHERE lang = '{parsed['filters']['lang']}')"
+        )
+    if parsed["must_not"]:
+        tlist = ", ".join(f"'{t}'" for t in parsed["must_not"])
+        conds.append(
+            f"doc_id NOT IN (SELECT doc_id FROM pos WHERE term IN ({tlist}))"
+        )
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    parts.append(f"""
+        SELECT doc_id, score FROM scored{where}
+        ORDER BY score DESC, doc_id LIMIT {k}
+    """)
+    return "".join(parts)
+
+
+# --- related terms (doc-level PMI) -------------------------------------------
+
+def related_terms(spark, sf_dir, seed=RELATED_SEED, topn=RELATED_TOPN,
+                  min_co=RELATED_MIN_CO) -> DataFrame:
+    """Query-suggestion mining: terms most associated with ``seed`` by
+    doc-level pointwise mutual information, pmi = ln(co_df * N /
+    (df_seed * df_term)) over the doc-incidence sets, co_df >= min_co
+    to kill noise.  This is the "searches related to X" primitive
+    derived from the corpus instead of query logs.
+
+    Scale: doc-incidence (distinct (doc,term)) is the term_tf
+    projection; the seed's doc set semi-joins it (one shuffle on
+    doc_id), then a vocabulary-sized aggregate; df_seed and N broadcast
+    as 1-row tables."""
+    inc = term_tf(spark, sf_dir).select("doc_id", "term")
+    n = inc.select("doc_id").distinct().agg(
+        F.count("*").alias("n_docs")
+    )
+    seed_docs = inc.filter(F.col("term") == seed).select("doc_id")
+    df_seed = seed_docs.agg(F.count("*").alias("df_seed"))
+    co = (
+        inc.join(seed_docs, "doc_id", "left_semi")
+        .filter(F.col("term") != seed)
+        .groupBy("term")
+        .agg(F.count("*").alias("co_df"))
+        .filter(F.col("co_df") >= min_co)
+    )
+    dft = inc.groupBy("term").agg(F.count("*").alias("df"))
+    pmi = F.log(
+        F.col("co_df").cast("double") * F.col("n_docs")
+        / (F.col("df_seed").cast("double") * F.col("df"))
+    )
+    return (
+        co.join(dft, "term")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(df_seed))
+        .select("term", "co_df", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("term"))
+        .limit(topn)
+    )
+
+
+def related_terms_oracle_sql(seed=RELATED_SEED, topn=RELATED_TOPN,
+                             min_co=RELATED_MIN_CO) -> str:
+    return f"""
+        WITH toks AS ({_TOKS}),
+        inc AS (SELECT DISTINCT doc_id, term FROM toks),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM inc),
+        sd AS (SELECT doc_id FROM inc WHERE term = '{seed}'),
+        dfs AS (SELECT count(*) AS df_seed FROM sd),
+        co AS (SELECT term, count(*) AS co_df FROM inc
+               WHERE doc_id IN (SELECT doc_id FROM sd)
+                 AND term != '{seed}'
+               GROUP BY term HAVING count(*) >= {min_co}),
+        dft AS (SELECT term, count(*) AS df FROM inc GROUP BY term)
+        SELECT co.term, co.co_df,
+               round(ln(co.co_df::DOUBLE * n.n_docs
+                        / (dfs.df_seed::DOUBLE * dft.df)), 6) AS pmi
+        FROM co JOIN dft USING (term) CROSS JOIN n CROSS JOIN dfs
+        ORDER BY pmi DESC, term LIMIT {topn}
+    """

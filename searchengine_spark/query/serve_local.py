@@ -77,6 +77,7 @@ def _levenshtein(a: str, b: str) -> int:
         prev = cur
     return prev[-1]
 from ..params import N_TERM_BUCKETS
+from ..text.querylang import parse_query
 from .prune import analyze_query
 from .wand import bm25_idf, bmw_or_range, bmw_range
 
@@ -496,20 +497,31 @@ class LocalSearcher:
         text = phrase if isinstance(phrase, str) else " ".join(phrase)
         terms = (analyzer(text) if analyzer is not None
                  else analyze(text, stem=self.stem))
+        docs, counts = self._phrase_docs(terms)
+        top = np.lexsort((docs, -counts))[:k]
+        return [(int(docs[i]), int(counts[i])) for i in top]
+
+    def _phrase_docs(self, terms):
+        """ALL docs containing ``terms`` at consecutive positions, as
+        (docids, occurrence_counts) sorted-by-docid arrays (empty pair
+        when nothing matches) — the shared kernel of phrase_topk (which
+        ranks by count) and search() (which needs the full eligibility
+        set for a "quoted phrase" clause)."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
         if not terms:
-            return []
+            return empty
         slots = []
         max_base = 0
         for i, t in enumerate(terms):
             ids, _tfs, off, flat = self._postings_for(t)
             if flat.size == 0:
-                return []
+                return empty
             doc_rep = np.repeat(ids, np.diff(off))
             base = flat - i
             good = base >= 1  # a phrase starts at position >= 1
             doc_rep, base = doc_rep[good], base[good]
             if doc_rep.size == 0:
-                return []
+                return empty
             slots.append((doc_rep, base))
             max_base = max(max_base, int(base.max()))
         # composite (docid, base) key: base ∈ [1, M) keeps keys
@@ -521,10 +533,59 @@ class LocalSearcher:
             cur = np.intersect1d(cur, doc_rep * m + base,
                                  assume_unique=True)
             if cur.size == 0:
+                return empty
+        return np.unique(cur // m, return_counts=True)
+
+    def search(self, q: str, k: int = 10, allowed=None, analyzer=None):
+        """Mini-query-language entry point — the serving-tier twin of
+        ops/search.query_topk, fed by the SAME parser
+        (text/querylang.parse_query) so the syntax cannot fork.
+        Composition rule is identical: conjunctive BM25 over the
+        scoring terms (must + phrase tokens), then ELIGIBILITY-ONLY
+        trims — each "quoted phrase" keeps only docs with its terms at
+        consecutive positions (_phrase_docs), ``-term`` exclusions ride
+        topk's exclusion mask, and ``allowed`` intersects in.  Stats
+        stay corpus-global, so every survivor's score equals its plain
+        conjunctive score exactly (the filtered-search invariant).
+
+        Metadata field filters (``lang:``) are NOT resolvable here —
+        the index stores no metadata columns — so they raise; callers
+        resolve them to an ``allowed`` docid set upstream (the batch
+        tier resolves them against the documents table instead).
+        ``analyzer`` (text → ordered term list, the phrase_topk
+        contract) overrides the index analyzer for every clause.
+        Returns [(rank, docid, score)]."""
+        from collections import Counter
+
+        from ..text.analyze import analyze
+
+        parsed = parse_query(q)
+        if parsed["filters"]:
+            raise ValueError(
+                "index stores no metadata columns; resolve field "
+                f"filters to allowed= docids: {parsed['filters']}"
+            )
+        if not parsed["scoring"]:
+            raise ValueError("query has no scoring terms")
+        ana = (analyzer if analyzer is not None
+               else lambda text: analyze(text, stem=self.stem))
+        allow = None
+        if allowed is not None:
+            allow = np.unique(np.fromiter(
+                (int(d) for d in allowed), dtype=np.int64
+            ))
+        for phrase in parsed["phrases"]:
+            docs, _ = self._phrase_docs(ana(" ".join(phrase)))
+            allow = docs if allow is None else np.intersect1d(
+                allow, docs, assume_unique=True
+            )
+            if allow.size == 0:
                 return []
-        docs, counts = np.unique(cur // m, return_counts=True)
-        top = np.lexsort((docs, -counts))[:k]
-        return [(int(docs[i]), int(counts[i])) for i in top]
+        return self.topk(
+            " ".join(parsed["scoring"]), k=k, allowed=allow,
+            exclude_terms=parsed["must_not"] or None,
+            analyzer=lambda text: Counter(ana(text)),
+        )
 
     def proximity_topk(self, terms, k: int = 10, analyzer=None):
         """Proximity-boosted conjunctive ranking from stored positions —
@@ -863,6 +924,20 @@ class ShardedSearcher:
             cands.extend(sh.phrase_topk(phrase, k=k, analyzer=analyzer))
         cands.sort(key=lambda dc: (-dc[1], dc[0]))
         return cands[:k]
+
+    def search(self, q: str, k: int = 10, allowed=None, analyzer=None):
+        """Global query-language search: phrase eligibility is
+        shard-local (every doc's positions live in exactly one shard)
+        and scores are global-stat-only, so merging per-shard answers
+        by (score desc, docid asc) is exact — same argument as topk."""
+        cands = []
+        for sh in self.shards:
+            cands.extend(
+                (s, d) for _, d, s in sh.search(q, k=k, allowed=allowed,
+                                                analyzer=analyzer)
+            )
+        cands.sort(key=lambda sd: (-sd[0], sd[1]))
+        return [(r + 1, d, s) for r, (s, d) in enumerate(cands[:k])]
 
     def proximity_topk(self, terms, k: int = 10, analyzer=None):
         """Global proximity top-k: scores depend only on global stats

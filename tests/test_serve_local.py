@@ -566,6 +566,17 @@ def test_sharded_serving_equals_unsharded(spark, tmp_path_factory):
         for (_, _, gs), (_, _, es) in zip(got_px, exp_px):
             assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
 
+        # the query-language surface shard-merges exactly too
+        ql_probe = f'{toks[2]} "{phrase_probe}"'
+        exp_s = whole.search(ql_probe, k=10)
+        assert exp_s  # the probe doc matches its own phrase + term
+        got_s = router.search(ql_probe, k=10)
+        assert [(r, d) for r, d, _ in got_s] == [
+            (r, d) for r, d, _ in exp_s
+        ], n_shards
+        for (_, _, gs), (_, _, es) in zip(got_s, exp_s):
+            assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+
     # physical merge under a live router: refresh re-partitions onto
     # the single merged generation, answers unchanged
     router = ShardedSearcher(seg_dir, n_shards=2, stem=True)
@@ -654,3 +665,97 @@ def test_topk_exclude_terms_matches_brute_force(searcher):
                                            exclude_terms=excl_raw)
         }
         assert not (got_ids & ex_docs)
+
+
+def test_search_query_language_matches_oracle(searcher, oracle):
+    """search() — the query-language surface — must equal an
+    independent recomputation from the oracle postings: conjunctive
+    BM25 over the scoring terms, phrase eligibility from positions,
+    NOT/allowed eligibility trims with survivor scores UNCHANGED
+    (the filtered-search invariant)."""
+    from searchengine_spark.params import BM25_B, BM25_K1
+    from searchengine_spark.query.wand import bm25_idf
+
+    pm = _pos_term_map(oracle)
+    d = ph = must = None
+    for d0 in sorted(pm):
+        at = pm[d0]
+        if {1, 2, 3} <= set(at) and len({at[1], at[2], at[3]}) == 3:
+            d, ph, must = d0, [at[1], at[2]], at[3]
+            break
+    assert d is not None
+    scoring = sorted({must, *ph})
+
+    def expect(phrase=None, must_not=(), allowed=None):
+        posts = {t: oracle.postings.get(t) for t in scoring}
+        if any(p is None for p in posts.values()):
+            return []
+        cand = set.intersection(*(set(p) for p in posts.values()))
+        if phrase is not None:
+            cand &= {dd for dd, _ in _oracle_phrase(oracle, phrase,
+                                                    k=10 ** 9)}
+        for t in must_not:
+            cand -= set(oracle.postings.get(t, {}))
+        if allowed is not None:
+            cand &= set(allowed)
+        out = []
+        for dd in cand:
+            dl = oracle.docs[dd]["total_tokens"]
+            s = sum(
+                bm25_idf(oracle.n_survivors, len(posts[t]))
+                * posts[t][dd][0] * (BM25_K1 + 1.0)
+                / (posts[t][dd][0]
+                   + BM25_K1 * (1 - BM25_B + BM25_B * dl / oracle.avgdl))
+                for t in scoring
+            )
+            out.append((dd, s))
+        out.sort(key=lambda ds: (-ds[1], ds[0]))
+        return [(r + 1, dd, s) for r, (dd, s) in enumerate(out)]
+
+    def check(got, exp):
+        assert [(r, dd) for r, dd, _ in got] == [
+            (r, dd) for r, dd, _ in exp
+        ]
+        for (_, _, gs), (_, _, es) in zip(got, exp):
+            assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+
+    q = f'{must} "{ph[0]} {ph[1]}"'
+    full = expect(phrase=ph)
+    assert full  # doc d holds the phrase at 1-2 and `must` at 3
+    check(searcher.search(q, k=10, analyzer=_ident), full[:10])
+    # the phrase clause actually trimmed the bare conjunctive set
+    base = expect()
+    assert len(base) > len(full) or base == full
+
+    # NOT exclusion: drops d_drop, keeps d_keep, survivor scores exact
+    d_drop = full[0][1]
+    d_keep = full[-1][1] if len(full) >= 2 else None
+    ex = next(
+        t for t, m in sorted(oracle.postings.items())
+        if d_drop in m and t not in scoring
+        and (d_keep is None or d_keep not in m)
+    )
+    got_ex = searcher.search(f'{q} -{ex}', k=10, analyzer=_ident)
+    exp_ex = expect(phrase=ph, must_not=[ex])
+    check(got_ex, exp_ex[:10])
+    assert d_drop not in [dd for _, dd, _ in got_ex]
+    surv = {dd: s for _, dd, s in full}
+    for _, dd, s in got_ex:
+        assert math.isclose(s, surv[dd], rel_tol=1e-9, abs_tol=1e-12)
+
+    # allowed= composes with the phrase trim
+    check(
+        searcher.search(q, k=10, allowed=[d], analyzer=_ident),
+        expect(phrase=ph, allowed=[d]),
+    )
+
+
+def test_search_query_language_edges(searcher):
+    with pytest.raises(ValueError):
+        searcher.search("parser lang:en")  # no metadata on this tier
+    with pytest.raises(ValueError):
+        searcher.search("site:x parser")   # unknown field (parser-level)
+    with pytest.raises(ValueError):
+        searcher.search("-parser")         # no scoring terms
+    assert searcher.search('parser "zzzqx vvkwq"') == []
+    assert searcher.search('zzzqx "parser notes"') == []

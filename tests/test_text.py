@@ -194,3 +194,34 @@ def test_extract_importance_text_title_tokens():
     eight = "one two three four five six seven eight"
     assert extract_importance_text(f"{eight}\ndef one():\n")["one"] == 1
     assert extract_importance_text(f"{eight}\ndef alpha():\n")["alpha"] == 2
+
+
+def test_parse_query_clauses():
+    """The mini query language (text/querylang.py): bare tokens = must,
+    quotes = phrase (tokens also score), -tok = must_not, lang: = the
+    one metadata filter, anything else raises."""
+    import pytest
+
+    from searchengine_spark.text.querylang import parse_query
+
+    p = parse_query('Spark query "Table HASH" -dup lang:en')
+    assert p["must"] == ["spark", "query"]
+    assert p["phrases"] == [["table", "hash"]]
+    assert p["must_not"] == ["dup"]
+    assert p["filters"] == {"lang": "en"}
+    # scoring = sorted distinct union of must + phrase tokens
+    assert p["scoring"] == ["hash", "query", "spark", "table"]
+
+    with pytest.raises(ValueError):
+        parse_query("site:github.com spark")
+
+    # punctuation splits like the tokenizer; empty clauses vanish
+    p2 = parse_query('spark-shuffle "" -')
+    assert p2["must"] == ["spark", "shuffle"]
+    assert p2["phrases"] == []
+    assert p2["must_not"] == []
+    assert p2["filters"] == {}
+
+    # -tok with punctuation expands to multiple NOT terms, deduped+sorted
+    p3 = parse_query("query -b.a -a")
+    assert p3["must_not"] == ["a", "b"]
