@@ -120,6 +120,12 @@ class LocalSearcher:
         self._pos_lru: OrderedDict[str, tuple] = OrderedDict()
         self._pos_bytes = 0
         self._pos_budget = int(positions_cache_bytes)
+        # lazy derived views of the termdict (suggest's symmetric-delete
+        # variant map, prefix_topk's sorted term list) — reset HERE so
+        # refresh(), which re-runs __init__ on the same object, cannot
+        # serve them stale after a maintenance commit
+        self._variant_map = None
+        self._sorted_terms = None
 
         seg_meta_path = os.path.join(index_dir, "segments.json")
         if os.path.exists(seg_meta_path):
@@ -671,7 +677,7 @@ class LocalSearcher:
         feeds straight back into topk()).
         """
         q = term.lower()
-        vm = getattr(self, "_variant_map", None)
+        vm = self._variant_map
         if vm is None:
             vm = {}
             for t in self._df:
@@ -687,6 +693,39 @@ class LocalSearcher:
             if (d := _levenshtein(q, t)) <= 1
         )
         return [(t, -negdf, d) for d, negdf, t in scored[:topn]]
+
+    def prefix_topk(self, prefix: str, k: int = 10,
+                    max_expand: int = 4):
+        """Trailing-wildcard search — the serving-tier twin of
+        ops/search.prefix_topk, same composition: expand ``prefix``
+        against the served term dictionary (bisect over a lazily
+        sorted term list), keep the top ``max_expand`` expansions by
+        (df desc, term asc) — the Lucene rewrite-cap rule — then
+        score DISJUNCTIVELY through the OR-mode WAND kernel (a doc
+        sums BM25 over the expansions it contains).  The prefix
+        matches STORED surface forms (the stemmed vocabulary under
+        stem=True, by design — a wildcard has no stem) and is NOT
+        analyzed.  Returns [(rank, docid, score)]."""
+        import bisect
+        from collections import Counter
+
+        p = prefix.lower()
+        if not p:
+            return []
+        terms = self._sorted_terms
+        if terms is None:
+            terms = self._sorted_terms = sorted(self._df)
+        lo = bisect.bisect_left(terms, p)
+        hi = bisect.bisect_right(terms, p + "\uffff")
+        exp = sorted(
+            terms[lo:hi], key=lambda t: (-self._df[t], t)
+        )[:max_expand]
+        if not exp:
+            return []
+        return self.topk(
+            " ".join(exp), k=k, mode="or",
+            analyzer=lambda text: Counter(text.split()),
+        )
 
     def _blended_candidates(self, text: str):
         """Raw per-candidate blend components over THIS replica's docid
@@ -955,3 +994,20 @@ class ShardedSearcher:
         a corpus-wide stat every shard needs for idf), so shard 0's
         answer is already exact — no merge."""
         return self.shards[0].suggest(term, topn=topn)
+
+    def prefix_topk(self, prefix: str, k: int = 10,
+                    max_expand: int = 4):
+        """Global prefix search: the termdict (and so the capped
+        expansion set) is GLOBAL in every shard — each shard expands
+        to the identical term list — and OR-mode scores are
+        global-stat-only, so merging per-shard answers by
+        (score desc, docid asc) is exact, same argument as topk."""
+        cands = []
+        for sh in self.shards:
+            cands.extend(
+                (s, d) for _, d, s in sh.prefix_topk(
+                    prefix, k=k, max_expand=max_expand
+                )
+            )
+        cands.sort(key=lambda sd: (-sd[0], sd[1]))
+        return [(r + 1, d, s) for r, (s, d) in enumerate(cands[:k])]

@@ -361,12 +361,23 @@ def test_local_searcher_refresh_on_append(spark, split_corpora,
     append_segment(
         spark, seg_dir, b.unionByName(marker), compute_quality=False
     )
-    # stale replica: new content invisible until refresh
+    # stale replica: new content invisible until refresh — including
+    # the LAZY termdict views (suggest's variant map, prefix_topk's
+    # sorted term list), built NOW off the old termdict
+    from searchengine_spark.text.analyze import analyze
+
+    marker_stem = analyze("qqlivemarker")[0]
     assert ls.topk("qqlivemarker", mode="or") == []
+    assert ls.suggest(marker_stem) == []
+    assert ls.prefix_topk("qqlivemark") == []
     assert ls.maybe_refresh() is True
     assert ls.n_survivors > n0
     hits = ls.topk("qqlivemarker", mode="or")
     assert len(hits) == 1
+    # refresh must invalidate the lazy views, not just the termdict
+    assert [t for t, _, _ in ls.suggest(marker_stem)] == [marker_stem]
+    pf = ls.prefix_topk("qqlivemark")
+    assert [(r, d) for r, d, _ in pf] == [(r, d) for r, d, _ in hits]
     assert ls.maybe_refresh() is False  # idempotent
 
 
@@ -566,6 +577,17 @@ def test_sharded_serving_equals_unsharded(spark, tmp_path_factory):
         for (_, _, gs), (_, _, es) in zip(got_px, exp_px):
             assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
 
+        # prefix search shard-merges exactly (termdict — and so the
+        # capped expansion set — is global in every shard)
+        exp_pf = whole.prefix_topk(stem0[:2], k=10)
+        assert exp_pf
+        got_pf = router.prefix_topk(stem0[:2], k=10)
+        assert [(r, d) for r, d, _ in got_pf] == [
+            (r, d) for r, d, _ in exp_pf
+        ], n_shards
+        for (_, _, gs), (_, _, es) in zip(got_pf, exp_pf):
+            assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+
         # the query-language surface shard-merges exactly too
         ql_probe = f'{toks[2]} "{phrase_probe}"'
         exp_s = whole.search(ql_probe, k=10)
@@ -759,3 +781,55 @@ def test_search_query_language_edges(searcher):
         searcher.search("-parser")         # no scoring terms
     assert searcher.search('parser "zzzqx vvkwq"') == []
     assert searcher.search('zzzqx "parser notes"') == []
+
+
+def test_prefix_topk_matches_oracle(searcher, oracle):
+    """Serving-tier prefix search must equal an independent
+    recomputation from the oracle postings: expansions = dictionary
+    terms under the prefix, top max_expand by (df desc, term asc),
+    then DISJUNCTIVE BM25 (sum over matched expansions), ranked
+    (score desc, docid asc)."""
+    from collections import Counter
+
+    from searchengine_spark.params import BM25_B, BM25_K1
+    from searchengine_spark.query.wand import bm25_idf
+
+    # pick a prefix where the rewrite cap BINDS (> max_expand matches)
+    firsts = Counter(t[0] for t in oracle.postings)
+    p = min(c for c, n in firsts.items() if n > 4)
+
+    def expect(prefix, max_expand=4, k=10):
+        match = sorted(
+            (t for t in oracle.postings if t.startswith(prefix)),
+            key=lambda t: (-len(oracle.postings[t]), t),
+        )[:max_expand]
+        scores = {}
+        for t in match:
+            posts = oracle.postings[t]
+            idf = bm25_idf(oracle.n_survivors, len(posts))
+            for dd, (tf, _) in posts.items():
+                dl = oracle.docs[dd]["total_tokens"]
+                scores[dd] = scores.get(dd, 0.0) + (
+                    idf * tf * (BM25_K1 + 1.0)
+                    / (tf + BM25_K1
+                       * (1 - BM25_B + BM25_B * dl / oracle.avgdl))
+                )
+        out = sorted(scores.items(), key=lambda ds: (-ds[1], ds[0]))
+        return [(r + 1, dd, s) for r, (dd, s) in enumerate(out[:k])]
+
+    exp = expect(p)
+    assert len(exp) == 10  # cap bound AND plenty of matches
+    got = searcher.prefix_topk(p, k=10)
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in exp]
+    for (_, _, gs), (_, _, es) in zip(got, exp):
+        assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+
+    # uncapped narrow prefix: every matching term scores
+    narrow = sorted(t for t in oracle.postings if t.startswith(p))[0][:3]
+    exp_n = expect(narrow)
+    got_n = searcher.prefix_topk(narrow, k=10)
+    assert [(r, d) for r, d, _ in got_n] == [(r, d) for r, d, _ in exp_n]
+
+    # edges: empty / unknown prefix
+    assert searcher.prefix_topk("") == []
+    assert searcher.prefix_topk("zzzzzznope") == []
