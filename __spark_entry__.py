@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from searchengine_spark.ops import prep as P
     from searchengine_spark.ops import mix as X
     from searchengine_spark.ops import search as S
+    from searchengine_spark.ops import passages as PSG
 
     def _docs(spark, sf):
         return spark.read.parquet(f"{sf}/documents.parquet")
@@ -391,6 +392,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_topk": S.synonym_topk,
         "query_topk": S.query_topk,
         "related_terms": S.related_terms,
+        # passage/chunk family (ops/passages.py): RAG chunking,
+        # passage-level BM25, positions-based best-window snippets —
+        # pinned-constant ops with same-constant oracle builders
+        "chunk_docs": PSG.chunk_docs,
+        "passage_topk": PSG.passage_topk,
+        "window_snippets": PSG.window_snippets,
     }
 
 
@@ -2211,4 +2218,10 @@ def oracle_sql() -> dict[str, str]:
     d["synonym_topk"] = SRCH.synonym_topk_oracle_sql()
     d["query_topk"] = SRCH.query_topk_oracle_sql()
     d["related_terms"] = SRCH.related_terms_oracle_sql()
+    # passage/chunk family: oracles built from the same pinned constants
+    from searchengine_spark.ops import passages as PSGO
+
+    d["chunk_docs"] = PSGO.chunk_docs_oracle_sql()
+    d["passage_topk"] = PSGO.passage_topk_oracle_sql()
+    d["window_snippets"] = PSGO.window_snippets_oracle_sql()
     return d
