@@ -392,6 +392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_topk": S.synonym_topk,
         "query_topk": S.query_topk,
         "related_terms": S.related_terms,
+        "suffix_topk": S.suffix_topk,
+        "search_after_topk": S.search_after_topk,
+        "explain_score": S.explain_score,
         # passage/chunk family (ops/passages.py): RAG chunking,
         # passage-level BM25, positions-based best-window snippets —
         # pinned-constant ops with same-constant oracle builders
@@ -2218,6 +2221,9 @@ def oracle_sql() -> dict[str, str]:
     d["synonym_topk"] = SRCH.synonym_topk_oracle_sql()
     d["query_topk"] = SRCH.query_topk_oracle_sql()
     d["related_terms"] = SRCH.related_terms_oracle_sql()
+    d["suffix_topk"] = SRCH.suffix_topk_oracle_sql()
+    d["search_after_topk"] = SRCH.search_after_topk_oracle_sql()
+    d["explain_score"] = SRCH.explain_score_oracle_sql()
     # passage/chunk family: oracles built from the same pinned constants
     from searchengine_spark.ops import passages as PSGO
 

@@ -30,7 +30,8 @@ from .textops import _bm25_scored, doc_tokens, documents, term_tf
 
 __all__ = [
     "parse_query", "prefix_topk", "facet_counts", "diversified_topk",
-    "synonym_topk", "query_topk", "related_terms",
+    "synonym_topk", "query_topk", "related_terms", "suffix_topk",
+    "search_after_topk", "explain_score",
 ]
 
 # --- pinned driver-entry constants (interpolated into the oracles) --------
@@ -44,6 +45,12 @@ QL_QUERY = 'spark query "table hash" -dup lang:en'
 RELATED_SEED = "spark"
 RELATED_MIN_CO = 5          # ignore co-occurrence counts below this
 RELATED_TOPN = 10
+SUFFIX_Q = "er"             # leading wildcard *er (customer/filter/order)
+SUFFIX_MAX_EXPAND = 2       # cap binds: 3 vocab terms end in "er"
+CURSOR_TERMS = ("join", "hash")
+CURSOR_K = 10               # page size; the cursor is hit #CURSOR_K
+EXPLAIN_TERMS = ("spark", "join")
+EXPLAIN_K = 5
 
 # the one BM25 expression, interpolated into every oracle here so the
 # constants can't drift from params.py (repr keeps full float precision)
@@ -486,4 +493,199 @@ def related_terms_oracle_sql(seed=RELATED_SEED, topn=RELATED_TOPN,
                         / (dfs.df_seed::DOUBLE * dft.df)), 6) AS pmi
         FROM co JOIN dft USING (term) CROSS JOIN n CROSS JOIN dfs
         ORDER BY pmi DESC, term LIMIT {topn}
+    """
+
+
+# --- leading-wildcard (suffix) search ---------------------------------------
+
+def suffix_topk(spark, sf_dir, suffix=SUFFIX_Q,
+                max_expand=SUFFIX_MAX_EXPAND, k=10) -> DataFrame:
+    """Leading-wildcard search (``*suffix``): expand against the term
+    dictionary, keep the top ``max_expand`` expansions by
+    (df desc, term asc) — the same rewrite-cap rule as prefix_topk —
+    then score disjunctively.
+
+    Scale: a leading wildcard cannot prefix-scan the forward term
+    dictionary; the classic fix (Lucene's ReversedWildcardFilter) is a
+    REVERSED term dictionary, where ``*suffix`` becomes the prefix scan
+    ``reverse(suffix)*``.  Here the dictionary is a vocabulary-sized
+    aggregate so a filter suffices; the serving tier
+    (LocalSearcher.suffix_topk) implements the real reversed-dictionary
+    bisect over its in-RAM sorted reversed term list."""
+    tf = term_tf(spark, sf_dir)
+    exp = (
+        tf.filter(F.col("term").endswith(suffix))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expand)
+    )
+    dl, stats = _dl_stats(tf)
+    hits = (
+        tf.join(F.broadcast(exp), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    return (
+        hits.withColumn("bm25", _bm25_col())
+        .groupBy("doc_id")
+        .agg(F.sum("bm25").alias("s"))
+        .select("doc_id", F.round(F.col("s"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def suffix_topk_oracle_sql(suffix=SUFFIX_Q, max_expand=SUFFIX_MAX_EXPAND,
+                           k=10) -> str:
+    return f"""
+        WITH {_SCORE_BASE},
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+                WHERE term LIKE '%{suffix}' GROUP BY term
+                ORDER BY df DESC, term LIMIT {max_expand}),
+        scored AS (
+          SELECT tf.doc_id, sum({_BM25_SQL}) AS s
+          FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+               CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(s, 6) AS score FROM scored
+        ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+# --- cursor pagination (search_after) ---------------------------------------
+
+def search_after_topk(spark, sf_dir, terms=CURSOR_TERMS,
+                      k=CURSOR_K) -> DataFrame:
+    """Page 2 by CURSOR, not offset: the cursor is page 1's last hit
+    (score, doc_id), and page 2 is the top-k of the survivors under
+    the strict total order (score < cs) OR (score = cs AND doc_id >
+    cd) — the search_after rule.  Because (score desc, doc_id asc) is
+    a total order over the rounded scores, cursor pagination must
+    equal offset pagination exactly; the oracle states the offset
+    form, so the driver compare proves the equivalence.
+
+    Scale: this is WHY deep paging uses cursors — each page is a
+    TakeOrderedAndProject over a cursor-FILTERED match set (the filter
+    pushes into the scan of the per-doc aggregate), never a global
+    rank materialization of offset+k rows."""
+    scored = _bm25_scored(spark, sf_dir, terms)
+    cursor = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .orderBy(F.asc("score"), F.desc("doc_id"))
+        .limit(1)
+        .select(
+            F.col("score").alias("c_score"), F.col("doc_id").alias("c_doc")
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(cursor))
+        .filter(
+            (F.col("score") < F.col("c_score"))
+            | (
+                (F.col("score") == F.col("c_score"))
+                & (F.col("doc_id") > F.col("c_doc"))
+            )
+        )
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def search_after_topk_oracle_sql(terms=CURSOR_TERMS, k=CURSOR_K) -> str:
+    return f"""
+        WITH {_SCORE_BASE},
+        {_conj_scored_sql(terms)}
+        SELECT doc_id, score FROM (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+          FROM scored)
+        WHERE rnk BETWEEN {k + 1} AND {2 * k}
+        ORDER BY score DESC, doc_id
+    """
+
+
+# --- score explanation -------------------------------------------------------
+
+def explain_score(spark, sf_dir, terms=EXPLAIN_TERMS,
+                  k=EXPLAIN_K) -> DataFrame:
+    """Per-term score breakdown for the top-k conjunctive hits — the
+    Lucene ``explain`` surface: one row per (doc, term) with tf, df,
+    rounded idf, the term's rounded BM25 contribution, and the doc's
+    rounded total, so a relevance engineer can see WHY a doc ranked.
+
+    Scale: the breakdown reuses the scorer's own hit rows (no second
+    scoring pass); only the k winners' rows survive the final
+    broadcast semi-join."""
+    tf = term_tf(spark, sf_dir)
+    dl, stats = _dl_stats(tf)
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    dft = tf.join(F.broadcast(qterms), "term").groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    hits = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("bm25", _bm25_col())
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+    )
+    top = (
+        hits.groupBy("doc_id")
+        .agg(F.sum("bm25").alias("s"), F.count("*").alias("nmatch"))
+        .filter(F.col("nmatch") == len(terms))
+        .select("doc_id", F.round(F.col("s"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return (
+        hits.join(F.broadcast(top), "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(F.col("idf"), 6).alias("idf"),
+            F.round(F.col("bm25"), 6).alias("contrib"),
+            "score",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("term"))
+    )
+
+
+def explain_score_oracle_sql(terms=EXPLAIN_TERMS, k=EXPLAIN_K) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH {_SCORE_BASE},
+        qterms AS (SELECT unnest([{tlist}]) AS term),
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM tf JOIN qterms USING (term) GROUP BY term),
+        hits AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+                 round(ln((stats.n - dft.df + 0.5) / (dft.df + 0.5)
+                          + 1.0), 6) AS idf,
+                 round({_BM25_SQL}, 6) AS contrib,
+                 {_BM25_SQL} AS raw
+          FROM tf JOIN qterms USING (term) JOIN dft USING (term)
+               JOIN dl USING (doc_id) CROSS JOIN stats
+        ),
+        top AS (
+          SELECT doc_id, round(sum(raw), 6) AS score
+          FROM hits GROUP BY doc_id HAVING count(*) = {len(terms)}
+          ORDER BY score DESC, doc_id LIMIT {k}
+        )
+        SELECT h.doc_id, h.term, h.tf::BIGINT AS tf, h.df::BIGINT AS df,
+               h.idf, h.contrib, t.score
+        FROM hits h JOIN top t USING (doc_id)
+        ORDER BY t.score DESC, h.doc_id, h.term
     """

@@ -126,6 +126,7 @@ class LocalSearcher:
         # serve them stale after a maintenance commit
         self._variant_map = None
         self._sorted_terms = None
+        self._rev_terms = None
 
         seg_meta_path = os.path.join(index_dir, "segments.json")
         if os.path.exists(seg_meta_path):
@@ -719,6 +720,41 @@ class LocalSearcher:
         hi = bisect.bisect_right(terms, p + "\uffff")
         exp = sorted(
             terms[lo:hi], key=lambda t: (-self._df[t], t)
+        )[:max_expand]
+        if not exp:
+            return []
+        return self.topk(
+            " ".join(exp), k=k, mode="or",
+            analyzer=lambda text: Counter(text.split()),
+        )
+
+    def suffix_topk(self, suffix: str, k: int = 10,
+                    max_expand: int = 4):
+        """Leading-wildcard search (``*suffix``) — the reversed-termdict
+        twin of prefix_topk (ops/search.suffix_topk on the Spark tier):
+        ``*suffix`` becomes the prefix scan ``reverse(suffix)*`` over a
+        lazily sorted REVERSED term list (Lucene's
+        ReversedWildcardFilter rule), then the top ``max_expand``
+        expansions by (df desc, term asc) score disjunctively through
+        the OR-mode WAND kernel.  Matches STORED surface forms and is
+        NOT analyzed, like prefix_topk.  Returns [(rank, docid,
+        score)].  The reversed list is a lazy termdict view and MUST be
+        reset in __init__ (the refresh-staleness contract)."""
+        import bisect
+        from collections import Counter
+
+        s = suffix.lower()
+        if not s:
+            return []
+        rev = self._rev_terms
+        if rev is None:
+            rev = self._rev_terms = sorted(t[::-1] for t in self._df)
+        p = s[::-1]
+        lo = bisect.bisect_left(rev, p)
+        hi = bisect.bisect_right(rev, p + "\uffff")
+        exp = sorted(
+            (r[::-1] for r in rev[lo:hi]),
+            key=lambda t: (-self._df[t], t),
         )[:max_expand]
         if not exp:
             return []

@@ -367,9 +367,11 @@ def test_local_searcher_refresh_on_append(spark, split_corpora,
     from searchengine_spark.text.analyze import analyze
 
     marker_stem = analyze("qqlivemarker")[0]
+    marker_suffix = marker_stem[-8:]
     assert ls.topk("qqlivemarker", mode="or") == []
     assert ls.suggest(marker_stem) == []
     assert ls.prefix_topk("qqlivemark") == []
+    assert ls.suffix_topk(marker_suffix) == []
     assert ls.maybe_refresh() is True
     assert ls.n_survivors > n0
     hits = ls.topk("qqlivemarker", mode="or")
@@ -378,6 +380,8 @@ def test_local_searcher_refresh_on_append(spark, split_corpora,
     assert [t for t, _, _ in ls.suggest(marker_stem)] == [marker_stem]
     pf = ls.prefix_topk("qqlivemark")
     assert [(r, d) for r, d, _ in pf] == [(r, d) for r, d, _ in hits]
+    sf = ls.suffix_topk(marker_suffix)
+    assert [(r, d) for r, d, _ in sf] == [(r, d) for r, d, _ in hits]
     assert ls.maybe_refresh() is False  # idempotent
 
 
@@ -833,3 +837,54 @@ def test_prefix_topk_matches_oracle(searcher, oracle):
     # edges: empty / unknown prefix
     assert searcher.prefix_topk("") == []
     assert searcher.prefix_topk("zzzzzznope") == []
+
+
+def test_suffix_topk_matches_oracle(searcher, oracle):
+    """Serving-tier leading-wildcard search must equal an independent
+    recomputation: expansions = dictionary terms ENDING in the suffix
+    (found via the reversed-termdict bisect), top max_expand by
+    (df desc, term asc), then disjunctive BM25."""
+    from collections import Counter
+
+    from searchengine_spark.params import BM25_B, BM25_K1
+    from searchengine_spark.query.wand import bm25_idf
+
+    # pick a last char where the rewrite cap BINDS (> max_expand terms)
+    lasts = Counter(t[-1] for t in oracle.postings)
+    s = min(c for c, n in lasts.items() if n > 4)
+
+    def expect(suffix, max_expand=4, k=10):
+        match = sorted(
+            (t for t in oracle.postings if t.endswith(suffix)),
+            key=lambda t: (-len(oracle.postings[t]), t),
+        )[:max_expand]
+        scores = {}
+        for t in match:
+            posts = oracle.postings[t]
+            idf = bm25_idf(oracle.n_survivors, len(posts))
+            for dd, (tf, _) in posts.items():
+                dl = oracle.docs[dd]["total_tokens"]
+                scores[dd] = scores.get(dd, 0.0) + (
+                    idf * tf * (BM25_K1 + 1.0)
+                    / (tf + BM25_K1
+                       * (1 - BM25_B + BM25_B * dl / oracle.avgdl))
+                )
+        out = sorted(scores.items(), key=lambda ds: (-ds[1], ds[0]))
+        return [(r + 1, dd, sc) for r, (dd, sc) in enumerate(out[:k])]
+
+    exp = expect(s)
+    assert len(exp) == 10  # cap bound AND plenty of matches
+    got = searcher.suffix_topk(s, k=10)
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in exp]
+    for (_, _, gs), (_, _, es) in zip(got, exp):
+        assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+
+    # longer suffix (usually uncapped): every matching term scores
+    longer = sorted(t for t in oracle.postings if t.endswith(s))[0][-3:]
+    exp_n = expect(longer)
+    got_n = searcher.suffix_topk(longer, k=10)
+    assert [(r, d) for r, d, _ in got_n] == [(r, d) for r, d, _ in exp_n]
+
+    # edges: empty / unknown suffix
+    assert searcher.suffix_topk("") == []
+    assert searcher.suffix_topk("zzzzzznope") == []
