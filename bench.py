@@ -320,6 +320,19 @@ def _run_ops_tier(spark):
           lambda: T.more_like_this(spark, SF_DIR).count())
     timed("search_eval_ndcg_sec",
           lambda: T.search_eval_ndcg(spark, SF_DIR).count())
+
+    # round-3 passage + query-surface additions
+    from searchengine_spark.ops import passages as PSG
+    from searchengine_spark.ops import search as SRC
+
+    timed("chunk_docs_sec", lambda: PSG.chunk_docs(spark, SF_DIR).count())
+    timed("passage_topk_sec",
+          lambda: PSG.passage_topk(spark, SF_DIR).count())
+    timed("window_snippets_sec",
+          lambda: PSG.window_snippets(spark, SF_DIR).count())
+    timed("suffix_topk_sec", lambda: SRC.suffix_topk(spark, SF_DIR).count())
+    timed("search_after_sec",
+          lambda: SRC.search_after_topk(spark, SF_DIR).count())
     return out
 
 
