@@ -569,3 +569,201 @@ def merge_segments(spark: SparkSession, index_dir: str) -> str:
     for d in (TOMBSTONES_DIR, DF_CORRECTIONS_DIR):
         shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
     return name
+
+
+def merge_run(spark: SparkSession, index_dir: str, start: int,
+              length: int) -> str:
+    """Physically merge an ADJACENT run ``segments[start:start+length]``
+    into one fresh generation — the PARTIAL analogue of merge_segments,
+    the unit a tiered policy (maybe_merge) invokes.  At 100 TB a full
+    rewrite per maintenance window is not an option; Lucene/LSM engines
+    only ever merge small adjacent runs, and this is that operation.
+
+    Adjacency is required because segment docid ranges ascend in list
+    order (appends continue the dense space), so an adjacent run covers
+    one CONTIGUOUS docid interval — the merged segment slots back into
+    the list with the sorted-block/disjoint-range invariants intact.
+
+    Semantics (all proven by tests/test_segments.py):
+     * docids preserved; tombstoned docs INSIDE the run are removed
+       physically (their postings decode-filter away, their tokens
+       leave the segment's token_sum);
+     * tombstones OUTSIDE the run survive: they are rewritten into a
+       fresh tombstone generation and their df/cf corrections are
+       RECOMPUTED from the unmerged segments' blocks (one pruned scan)
+       — the union termdict stays exactly the monolithic rebuild's;
+     * stats compose: merged n_total = Σ run n_total (docid-offset
+       accounting for future appends is unchanged), n_survivors /
+       token_sum subtract the run's tombstones;
+     * commit is one atomic segments.json swap AFTER the new segment
+       and the new tombstone/correction generations are fully written;
+       a crash before the swap leaves only invisible orphans (fresh
+       reserved names, never reused) and the rerun redoes the merge
+       from unchanged serving state.  Merged-away dirs and stale
+       tombstone generations are deleted after the swap; leftovers
+       from a crash between swap and cleanup are reclaimed by the next
+       full merge's sweep.
+    """
+    import shutil
+
+    from .pipeline import IndexTables
+    from .shards import decode_blocks
+
+    meta = _read_meta(index_dir)
+    segs = meta["segments"]
+    if not (0 <= start and length >= 2 and start + length <= len(segs)):
+        raise ValueError(
+            f"invalid run [{start}:{start + length}) of {len(segs)} segments"
+        )
+    run = segs[start:start + length]
+    all_stats = _seg_stats(index_dir, segs)
+    run_stats = all_stats[start:start + length]
+
+    # the run's contiguous docid interval (docids are offset+1..offset+n)
+    lo = sum(st["n_total"] for st in all_stats[:start]) + 1
+    hi = lo + sum(st["n_total"] for st in run_stats) - 1
+
+    parts = [
+        load_index(spark, os.path.join(index_dir, s), cache_meta=False)
+        for s in run
+    ]
+    blocks = parts[0].blocks
+    docs = parts[0].docs
+    for p in parts[1:]:
+        blocks = blocks.unionByName(p.blocks)
+        docs = docs.unionByName(p.docs)
+
+    # ---- tombstone split: inside the run -> removed physically now;
+    # outside -> survive into a recomputed generation
+    tomb_gens = meta.get("tomb_gens", [])
+    run_tomb_tokens = 0
+    remaining_ids: list[int] = []
+    if tomb_gens:
+        tombs = spark.read.parquet(*[
+            os.path.join(index_dir, TOMBSTONES_DIR, g) for g in tomb_gens
+        ])
+        in_run = F.col("docid").between(lo, hi)
+        row = (
+            docs.join(tombs.filter(in_run), "docid")
+            .agg(F.coalesce(F.sum("total_tokens"), F.lit(0)).alias("t"))
+            .collect()[0]
+        )
+        run_tomb_tokens = int(row["t"])
+        remaining_ids = [
+            int(r["docid"])
+            for r in tombs.filter(~in_run).select("docid").collect()
+        ]
+        docs = docs.join(tombs, "docid", "left_anti")
+
+    postings = (
+        blocks.select("term", "payload")
+        .mapInArrow(
+            decode_blocks,
+            schema="term string, docid long, tf int, positions array<int>",
+        )
+        .join(docs.select("docid", "total_tokens"), "docid")
+    )
+
+    n_total = sum(st["n_total"] for st in run_stats)
+    token_sum = sum(st["token_sum"] for st in run_stats) - run_tomb_tokens
+    # survivors after physical tombstone removal = stored docs kept
+    n_surv_merged = docs.count()
+    tables = IndexTables(
+        postings=postings,
+        docs=docs,
+        stats={
+            "n_total": n_total,
+            "n_survivors": n_surv_merged,
+            "avgdl": token_sum / n_surv_merged if n_surv_merged else 0.0,
+            "token_sum": token_sum,
+        },
+    )
+    name = _reserve_name(index_dir, meta)
+    write_index(spark, tables, os.path.join(index_dir, name))
+
+    # ---- remaining tombstone state, written BEFORE the commit swap
+    meta = _read_meta(index_dir)
+    new_segs = segs[:start] + [name] + segs[start + length:]
+    new_tomb_gens: list[str] = []
+    n_remain = len(remaining_ids)
+    tokens_remain = 0
+    gen = f"g{int(meta.get('next_tomb_gen', 0))}"
+    if n_remain:
+        others = [s for s in segs if s not in run]
+        odocs = _raw_docs(spark, index_dir, others)
+        rem_df = spark.createDataFrame(
+            [(d,) for d in remaining_ids], "docid long"
+        )
+        tokens_remain = int(
+            odocs.join(rem_df, "docid")
+            .agg(F.coalesce(F.sum("total_tokens"), F.lit(0)).alias("t"))
+            .collect()[0]["t"]
+        )
+        oblocks = None
+        for s in others:
+            p = load_index(
+                spark, os.path.join(index_dir, s), cache_meta=False
+            )
+            oblocks = (
+                p.blocks if oblocks is None
+                else oblocks.unionByName(p.blocks)
+            )
+        corr = _tombstone_corrections(spark, oblocks, remaining_ids)
+        corr.write.mode("overwrite").parquet(
+            os.path.join(index_dir, DF_CORRECTIONS_DIR, gen)
+        )
+        rem_df.write.mode("overwrite").parquet(
+            os.path.join(index_dir, TOMBSTONES_DIR, gen)
+        )
+        new_tomb_gens = [gen]
+
+    old_tomb_gens = meta.get("tomb_gens", [])
+    meta["segments"] = new_segs
+    meta["tomb_gens"] = new_tomb_gens
+    meta["next_tomb_gen"] = int(meta.get("next_tomb_gen", 0)) + 1
+    meta["n_tombstones"] = n_remain
+    meta["tomb_tokens"] = tokens_remain
+    _save_meta(index_dir, meta)  # the one atomic commit
+
+    for s in run:
+        shutil.rmtree(os.path.join(index_dir, s), ignore_errors=True)
+    for g in old_tomb_gens:
+        if g not in new_tomb_gens:
+            for d in (TOMBSTONES_DIR, DF_CORRECTIONS_DIR):
+                shutil.rmtree(os.path.join(index_dir, d, g),
+                              ignore_errors=True)
+    return name
+
+
+def maybe_merge(spark: SparkSession, index_dir: str,
+                merge_factor: int = 4) -> str | None:
+    """Size-tiered merge policy (Lucene's LogDocMergePolicy shape):
+    segments tier by floor(log_mf(n_total)); the FIRST adjacent run of
+    ``merge_factor`` same-tier segments is merged via merge_run.  Call
+    after every append (the deploy loop in tools/maintain_index_job):
+    steady state is O(merge_factor · log(N)) segments, and each doc is
+    rewritten O(log(N)) times total — the LSM write-amplification
+    bound — instead of participating in a full rewrite per window.
+
+    Deterministic: the policy reads only committed mergeinfo stats, so
+    the same segment list always picks the same run.  Returns the new
+    segment's name, or None when no tier is full.
+    """
+    import math
+
+    meta = _read_meta(index_dir)
+    segs = meta["segments"]
+    if len(segs) < merge_factor:
+        return None
+    stats = _seg_stats(index_dir, segs)
+    levels = [
+        int(math.floor(
+            math.log(max(int(st["n_total"]), 1), merge_factor)
+        )) if int(st["n_total"]) > 0 else 0
+        for st in stats
+    ]
+    for i in range(len(segs) - merge_factor + 1):
+        window = levels[i:i + merge_factor]
+        if max(window) == min(window):
+            return merge_run(spark, index_dir, i, merge_factor)
+    return None

@@ -613,3 +613,144 @@ def test_stream_compaction_to_segments(spark, split_corpora, tmp_path_factory):
     assert seg.stats["n_total"] == n1 + b.count()
     shas = [r["sha256"] for r in seg.docs.select("sha256").collect()]
     assert len(shas) == len(set(shas))
+
+
+def test_partial_merge_run_preserves_serving_state(spark,
+                                                   tmp_path_factory):
+    """merge_run over an adjacent 2-of-3 run must leave the serving
+    view EXACTLY unchanged: termdict (with corrections recomputed for
+    the surviving out-of-run tombstone), stats, and rankings — while
+    physically removing the in-run tombstone and shrinking the list."""
+    from searchengine_spark.index.segments import (
+        _read_meta,
+        compact_near_dups,
+        merge_run,
+    )
+    from searchengine_spark.query.wand import wand_topk
+
+    rows = sorted(
+        synth_corpus(180), key=lambda r: (r["repo"], r["path"], r["commit"])
+    )
+    third = len(rows) // 3
+    a = spark.createDataFrame(rows[:third])
+    b = spark.createDataFrame(rows[third:2 * third])
+    c = spark.createDataFrame(rows[2 * third:])
+
+    def twin_of(src_df, tag):
+        src = src_df.orderBy("repo", "path", "commit").limit(1).collect()[0]
+        return spark.createDataFrame(
+            [(f"zz-{tag}", src["path"], src["commit"], src["lang"],
+              src["content"] + f" zz{tag} zzmore")],
+            "repo string, path string, commit string, lang string,"
+            " content string",
+        )
+
+    seg_dir = str(tmp_path_factory.mktemp("pmerge") / "idx")
+    init_segmented(
+        spark, build_tables(spark, a, compute_quality=False,
+                            simhash_bits=32), seg_dir,
+    )
+    # twin1 lands in gen1 (inside the merge run), twin2 in gen2 (outside)
+    append_segment(spark, seg_dir, b.unionByName(twin_of(a, "t1")),
+                   compute_quality=False, simhash_bits=32)
+    append_segment(spark, seg_dir, c.unionByName(twin_of(b, "t2")),
+                   compute_quality=False, simhash_bits=32)
+    n_dropped = compact_near_dups(spark, seg_dir, bits=32)
+    assert n_dropped >= 2
+
+    pre = load_segments(spark, seg_dir, cache_meta=False)
+    qs = [(qid, q) for qid, q in QUERIES]
+    pre_scores = _by_url(
+        score_queries_ondisk(spark, qs, pre, k=10), pre.docs
+    )
+    pre_wand = _by_url(wand_topk(spark, pre, qs, k=10), pre.docs)
+    pre_td = {r["term"]: (r["df"], r["cf"])
+              for r in pre.termdict.collect()}
+    pre_docids = {r["docid"] for r in pre.docs.select("docid").collect()}
+    pre_stats = dict(pre.stats)
+    meta0 = _read_meta(seg_dir)
+    assert meta0["n_tombstones"] >= 2
+
+    merge_run(spark, seg_dir, 0, 2)
+
+    meta1 = _read_meta(seg_dir)
+    assert len(meta1["segments"]) == 2
+    # the out-of-run tombstone survives into a recomputed generation
+    assert 1 <= meta1["n_tombstones"] < meta0["n_tombstones"]
+    assert meta1["tomb_gens"] and meta1["tomb_gens"] != meta0["tomb_gens"]
+
+    post = load_segments(spark, seg_dir, cache_meta=False)
+    assert {r["docid"] for r in post.docs.select("docid").collect()} \
+        == pre_docids
+    assert {r["term"]: (r["df"], r["cf"])
+            for r in post.termdict.collect()} == pre_td
+    assert post.stats["n_survivors"] == pre_stats["n_survivors"]
+    assert post.stats["token_sum"] == pre_stats["token_sum"]
+    assert post.stats["avgdl"] == pre_stats["avgdl"]
+    assert post.stats["n_total"] == pre_stats["n_total"]
+    _assert_rank_identity(
+        _by_url(score_queries_ondisk(spark, qs, post, k=10), post.docs),
+        pre_scores,
+    )
+    _assert_rank_identity(
+        _by_url(wand_topk(spark, post, qs, k=10), post.docs), pre_wand
+    )
+
+    # dense-id continuity: a post-merge append starts after n_total
+    name = append_segment(
+        spark, seg_dir, twin_of(c, "t3").withColumn(
+            "content", F.concat(F.col("content"), F.lit(" fresh xqz"))
+        ),
+        compute_quality=False, simhash_bits=32,
+    )
+    import os
+
+    new_docs = spark.read.parquet(
+        os.path.join(seg_dir, name, "docs")
+    )
+    assert new_docs.agg(F.min("docid")).collect()[0][0] \
+        == pre_stats["n_total"] + 1
+
+
+def test_maybe_merge_log_doc_policy(spark, tmp_path_factory):
+    """The tiered policy merges the first adjacent same-tier run of
+    merge_factor segments, and leaves mixed-tier prefixes alone —
+    steady state stays O(mf·log N) segments, never a full rewrite."""
+    from searchengine_spark.index.segments import _read_meta, maybe_merge
+
+    rows = sorted(
+        synth_corpus(160), key=lambda r: (r["repo"], r["path"], r["commit"])
+    )
+    chunks = [rows[i * 20:(i + 1) * 20] for i in range(8)]
+    seg_dir = str(tmp_path_factory.mktemp("tiered") / "idx")
+    init_segmented(
+        spark,
+        build_tables(spark, spark.createDataFrame(chunks[0]),
+                     compute_quality=False, near_dup=False),
+        seg_dir,
+    )
+    for ch in chunks[1:4]:
+        append_segment(spark, seg_dir, spark.createDataFrame(ch),
+                       compute_quality=False, near_dup=False)
+    assert maybe_merge(spark, seg_dir, merge_factor=4) is not None
+    assert len(_read_meta(seg_dir)["segments"]) == 1
+
+    for ch in chunks[4:7]:
+        append_segment(spark, seg_dir, spark.createDataFrame(ch),
+                       compute_quality=False, near_dup=False)
+    # window [big, s, s, s] spans two tiers -> no merge yet
+    assert maybe_merge(spark, seg_dir, merge_factor=4) is None
+    append_segment(spark, seg_dir, spark.createDataFrame(chunks[7]),
+                   compute_quality=False, near_dup=False)
+    # now [big, s, s, s, s]: the small tier is full and merges
+    assert maybe_merge(spark, seg_dir, merge_factor=4) is not None
+    meta = _read_meta(seg_dir)
+    assert len(meta["segments"]) == 2
+
+    # the union still serves: every stored doc is reachable
+    shards = load_segments(spark, seg_dir, cache_meta=False)
+    assert shards.docs.count() == shards.stats["n_survivors"]
+    res = score_queries_ondisk(
+        spark, [(1, "parser")], shards, k=10
+    )
+    assert res.count() >= 0

@@ -16,6 +16,10 @@ fingerprints — tombstones only, no segment rewrite; serving state
 one fresh segment (the reference's merge step, lib/writer.py:166-300
 behavior), resetting tombstone state.  ``--compact --merge`` runs both
 in order — the typical maintenance window.
+``--tiered [--merge-factor N]``: size-tiered PARTIAL merge instead —
+repeatedly merge the first adjacent same-tier run of N segments
+(segments.maybe_merge), the 100-TB steady-state policy where a full
+rewrite per window is not an option.
 
 Prints ONE JSON line with what changed.
 """
@@ -34,12 +38,18 @@ def main():
                     help="tombstone cross-segment near-dups")
     ap.add_argument("--merge", action="store_true",
                     help="physically merge generations (minus tombstones)")
+    ap.add_argument("--tiered", action="store_true",
+                    help="size-tiered partial merges until no tier is full")
+    ap.add_argument("--merge-factor", type=int, default=4,
+                    help="segments per tier before a tiered merge fires")
     ap.add_argument("--simhash-bits", type=int, default=64,
                     choices=(32, 64),
                     help="must match the bits the segments were built with")
     args = ap.parse_args()
-    if not (args.compact or args.merge):
-        ap.error("nothing to do: pass --compact and/or --merge")
+    if not (args.compact or args.merge or args.tiered):
+        ap.error("nothing to do: pass --compact, --merge and/or --tiered")
+    if args.merge and args.tiered:
+        ap.error("--merge and --tiered are mutually exclusive")
 
     from pyspark.sql import SparkSession
 
@@ -56,6 +66,7 @@ def main():
         _read_meta,
         compact_near_dups,
         load_segments,
+        maybe_merge,
         merge_segments,
     )
 
@@ -68,6 +79,13 @@ def main():
         )
     if args.merge:
         out["merged_into"] = merge_segments(spark, args.index)
+    if args.tiered:
+        tiered = []
+        while (m := maybe_merge(
+            spark, args.index, merge_factor=args.merge_factor
+        )) is not None:
+            tiered.append(m)
+        out["tiered_merges"] = tiered
     out["segments_after"] = list(_read_meta(args.index)["segments"])
     st = load_segments(spark, args.index, cache_meta=False).stats
     out.update({
