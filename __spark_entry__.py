@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_topk": T.proximity_topk,
         "text_quality": T.text_quality,
         "doc_fingerprint": T.doc_fingerprint,
+        "repetition_stats": T.repetition_stats,
         "ann_cosine_topk": T.ann_cosine_topk,
         "engine_topk": lambda spark, sf: _run_engine(
             spark, sf, FLAGSHIP_QUERIES, k=10
@@ -1960,6 +1961,32 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(
                        regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp
             FROM documents
+        """,
+        "repetition_stats": """
+            WITH t AS (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                       FROM documents),
+            g2 AS (SELECT doc_id, array_to_string(t[i: i+1], ' ') AS g
+                   FROM t, LATERAL (SELECT unnest(
+                     generate_series(1, len(t) - 1)) AS i) s),
+            c2 AS (SELECT doc_id, g, count(*) AS c FROM g2
+                   GROUP BY doc_id, g),
+            a2 AS (SELECT doc_id,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c)
+                     AS f2 FROM c2 GROUP BY doc_id),
+            g3 AS (SELECT doc_id, array_to_string(t[i: i+2], ' ') AS g
+                   FROM t, LATERAL (SELECT unnest(
+                     generate_series(1, len(t) - 2)) AS i) s),
+            c3 AS (SELECT doc_id, g, count(*) AS c FROM g3
+                   GROUP BY doc_id, g),
+            a3 AS (SELECT doc_id,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c)
+                     AS f3 FROM c3 GROUP BY doc_id)
+            SELECT d.doc_id, round(coalesce(a2.f2, 0), 6) AS dup_frac_2,
+                   round(coalesce(a3.f3, 0), 6) AS dup_frac_3
+            FROM documents d LEFT JOIN a2 USING (doc_id)
+                 LEFT JOIN a3 USING (doc_id)
+            ORDER BY doc_id
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

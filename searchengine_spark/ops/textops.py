@@ -436,6 +436,54 @@ def text_quality(spark, sf_dir) -> DataFrame:
     )
 
 
+def repetition_stats(spark, sf_dir, ns=(2, 3)) -> DataFrame:
+    """Per-doc repeated-n-gram occupancy — the Gopher-family repetition
+    filter signal: for each n, the fraction of n-gram OCCURRENCES whose
+    n-gram appears more than once in the doc (0 when the doc has no
+    n-grams).  Repetition-heavy docs (boilerplate, templated spam,
+    decoding loops) score high and get culled before training.
+
+    Scale: n-grams are a per-doc arithmetic transform over the token
+    array (no join), and the two aggregations key on (doc, gram) /
+    doc — the same shuffle shape as text_quality."""
+    d = documents(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower("text"), F.lit(TOKEN_PATTERN), 0
+        ).alias("t"),
+    )
+    out = d.select("doc_id")
+    for n in ns:
+        grams = d.filter(F.size("t") >= n).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n} + 1),"
+                    f" i -> array_join(slice(t, i, {n}), ' '))"
+                )
+            ).alias("g"),
+        )
+        per = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        agg = per.groupBy("doc_id").agg(
+            (
+                F.sum(
+                    F.when(F.col("c") > 1, F.col("c")).otherwise(0)
+                ).cast("double")
+                / F.sum("c")
+            ).alias(f"f{n}")
+        )
+        out = out.join(agg, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        *[
+            F.round(F.coalesce(f"f{n}", F.lit(0.0)), 6).alias(
+                f"dup_frac_{n}"
+            )
+            for n in ns
+        ],
+    ).orderBy("doc_id")
+
+
 def doc_fingerprint(spark, sf_dir) -> DataFrame:
     """Deterministic document fingerprint: md5 over the normalized token
     stream (dedup/fingerprinting primitive, exactly mirrorable in SQL)."""

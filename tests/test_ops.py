@@ -1550,3 +1550,38 @@ def test_search_eval_ndcg_matches_python(spark, tmp_path, monkeypatch):
     assert got == {1: ndcg(("apple", "banana")), 2: ndcg(("cherry",))}
     assert got[2] == 1.0          # single-term: ranking == ideal
     assert got[1] < 1.0           # the planted divergence is real
+
+
+def test_repetition_stats_match_python(spark):
+    """Dup-n-gram occupancy equals a direct Python recomputation,
+    including the no-n-gram -> 0.0 convention."""
+    import re
+
+    from searchengine_spark.ops.textops import repetition_stats
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+
+    def frac(tokens, n):
+        grams = [" ".join(tokens[i:i + n])
+                 for i in range(len(tokens) - n + 1)]
+        if not grams:
+            return 0.0
+        from collections import Counter
+
+        c = Counter(grams)
+        return round(sum(v for v in c.values() if v > 1) / len(grams), 6)
+
+    want = {}
+    for d, text in texts.items():
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        want[d] = (frac(toks, 2), frac(toks, 3))
+    got = {
+        r["doc_id"]: (r["dup_frac_2"], r["dup_frac_3"])
+        for r in repetition_stats(spark, SF).collect()
+    }
+    assert got == want
+    # the synthetic corpus must actually exercise the signal
+    assert any(f2 > 0 for f2, _ in got.values())
