@@ -661,6 +661,55 @@ class LocalSearcher:
             (int(common[i]), int(mind[i]), float(score[i])) for i in top
         ]
 
+    def snippet_windows(self, text, k: int = 10, w: int = 12,
+                        analyzer=None):
+        """Best-window snippet OFFSETS for the top-k conjunctive hits,
+        from the index's stored positions — the serving-tier twin of
+        ops/passages.window_snippets' window rule: among windows of
+        ``w`` tokens anchored at each query-term match position, pick
+        the one covering the most DISTINCT query terms (ties: more
+        total matches, then earliest start).
+
+        The index stores no document text, so this returns offsets —
+        [(rank, docid, score, win_start, n_terms, n_matches)] — and a
+        front-end renders the snippet from its document store using
+        win_start..win_start+w-1 (1-based token positions, exactly the
+        Spark op's coordinates).  Positions ride the same byte-budgeted
+        LRU as phrase/proximity; per-doc cost is the query terms'
+        positions in that doc, not the doc length."""
+        from ..text.analyze import analyze
+
+        terms = (analyzer(text) if analyzer is not None
+                 else analyze(text, stem=self.stem))
+        terms = list(dict.fromkeys(terms))
+        top = self.topk(text, k=k, mode="and", analyzer=analyzer)
+        if not top:
+            return []
+        posted = {t: self._postings_for(t) for t in terms}
+        out = []
+        for rank, docid, score in top:
+            ppt = []
+            for t in terms:
+                ids, _tfs, off, flat = posted[t]
+                j = int(np.searchsorted(ids, docid))
+                ppt.append(flat[off[j]:off[j + 1]])  # docid ∈ every term
+            allpos = np.sort(np.concatenate(ppt))
+            best = None
+            for p in (int(x) for x in allpos):
+                n_terms = 0
+                for pp in ppt:
+                    i = int(np.searchsorted(pp, p))
+                    if i < pp.size and pp[i] < p + w:
+                        n_terms += 1
+                lo_hi = np.searchsorted(allpos, [p, p + w])
+                n_matches = int(lo_hi[1] - lo_hi[0])
+                key = (-n_terms, -n_matches, p)
+                if best is None or key < best[0]:
+                    best = (key, p, n_terms, n_matches)
+            _, p, nt, nm = best
+            out.append((rank, docid, score, p, nt, nm))
+        return out
+
     def suggest(self, term: str, topn: int = 3):
         """SymSpell did-you-mean over the served term dictionary — the
         serving-tier twin of ops/textops.fuzzy_terms, same rule: dict

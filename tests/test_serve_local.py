@@ -888,3 +888,44 @@ def test_suffix_topk_matches_oracle(searcher, oracle):
     # edges: empty / unknown suffix
     assert searcher.suffix_topk("") == []
     assert searcher.suffix_topk("zzzzzznope") == []
+
+
+def test_snippet_windows_match_oracle(searcher, oracle):
+    """snippet_windows must reproduce the pinned best-window rule
+    (n_terms desc, n_matches desc, start asc over match-anchored
+    windows) from an independent recomputation over the oracle's
+    stored positions, for the SAME top-k set topk() already serves."""
+    pm = _pos_term_map(oracle)
+    d = next(d for d in sorted(pm) if {1, 2} <= set(pm[d]))
+    terms = [pm[d][1], pm[d][2]]
+    w = 12
+    got = searcher.snippet_windows(" ".join(terms), k=10, w=w,
+                                   analyzer=_ident)
+    top = searcher.topk(" ".join(terms), k=10, analyzer=_ident)
+    assert [(r, dd, s) for r, dd, s, *_ in got] == top
+    assert len(got) > 0
+    for _rank, docid, _score, p, nt, nm in got:
+        ppt = [sorted(oracle.postings[t][docid][1]) for t in terms]
+        allpos = sorted(x for pp in ppt for x in pp)
+        best = None
+        for a in allpos:
+            n_terms = sum(
+                1 for pp in ppt if any(a <= q < a + w for q in pp)
+            )
+            n_matches = sum(1 for q in allpos if a <= q < a + w)
+            key = (-n_terms, -n_matches, a)
+            if best is None or key < best:
+                best = key
+        assert (p, nt, nm) == (best[2], -best[0], -best[1]), docid
+
+    # duplicate query tokens dedup for the WINDOW rule (scores may
+    # differ: topk legitimately weights repeated query tokens)
+    dup = searcher.snippet_windows(
+        f"{terms[0]} {terms[0]} {terms[1]}", k=10, w=w, analyzer=_ident
+    )
+    gotmap = {dd: (p, nt, nm) for _r, dd, _s, p, nt, nm in got}
+    overlap = [row for row in dup if row[1] in gotmap]
+    assert overlap  # rankings may reorder, the window rule may not
+    for _r, dd, _s, p, nt, nm in overlap:
+        assert gotmap[dd] == (p, nt, nm), dd
+    assert searcher.snippet_windows("zzzqx", analyzer=_ident) == []
