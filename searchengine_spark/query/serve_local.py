@@ -1096,3 +1096,35 @@ class ShardedSearcher:
             )
         cands.sort(key=lambda sd: (-sd[0], sd[1]))
         return [(r + 1, d, s) for r, (s, d) in enumerate(cands[:k])]
+
+    def suffix_topk(self, suffix: str, k: int = 10,
+                    max_expand: int = 4):
+        """Global leading-wildcard search: the reversed-termdict
+        expansion is GLOBAL in every shard (identical capped term
+        list), so the merge is exact — prefix_topk's argument
+        verbatim."""
+        cands = []
+        for sh in self.shards:
+            cands.extend(
+                (s, d) for _, d, s in sh.suffix_topk(
+                    suffix, k=k, max_expand=max_expand
+                )
+            )
+        cands.sort(key=lambda sd: (-sd[0], sd[1]))
+        return [(r + 1, d, s) for r, (s, d) in enumerate(cands[:k])]
+
+    def snippet_windows(self, text, k: int = 10, w: int = 12,
+                        analyzer=None):
+        """Global snippet offsets: window fields are computed from one
+        doc's own positions (shard-local by construction), and scores
+        are global-stat-only — so merging per-shard rows by
+        (score desc, docid asc) and re-ranking is exact."""
+        cands = []
+        for sh in self.shards:
+            cands.extend(
+                row[1:] for row in sh.snippet_windows(
+                    text, k=k, w=w, analyzer=analyzer
+                )
+            )
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        return [(r + 1, *row) for r, row in enumerate(cands[:k])]

@@ -592,6 +592,29 @@ def test_sharded_serving_equals_unsharded(spark, tmp_path_factory):
         for (_, _, gs), (_, _, es) in zip(got_pf, exp_pf):
             assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
 
+        # suffix search shard-merges exactly (reversed termdict is
+        # global in every shard, same argument as prefix)
+        exp_sf = whole.suffix_topk(stem0[-2:], k=10)
+        assert exp_sf
+        got_sf = router.suffix_topk(stem0[-2:], k=10)
+        assert [(r, d) for r, d, _ in got_sf] == [
+            (r, d) for r, d, _ in exp_sf
+        ], n_shards
+        for (_, _, gs), (_, _, es) in zip(got_sf, exp_sf):
+            assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+
+        # snippet offsets shard-merge exactly (window fields are
+        # doc-local; scores are global-stat-only)
+        snip_probe = " ".join(prox_probe)
+        exp_sw = whole.snippet_windows(snip_probe, k=10)
+        assert exp_sw
+        got_sw = router.snippet_windows(snip_probe, k=10)
+        assert [(r, d, p, nt, nm) for r, d, _s, p, nt, nm in got_sw] \
+            == [(r, d, p, nt, nm) for r, d, _s, p, nt, nm in exp_sw], \
+            n_shards
+        for (_, _, gs, *_), (_, _, es, *_) in zip(got_sw, exp_sw):
+            assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+
         # the query-language surface shard-merges exactly too
         ql_probe = f'{toks[2]} "{phrase_probe}"'
         exp_s = whole.search(ql_probe, k=10)
