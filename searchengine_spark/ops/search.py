@@ -41,7 +41,7 @@ FACET_TERMS = ("join", "hash")
 DIVERSE_TERMS = ("join", "hash")
 DIVERSE_PER_SOURCE = 2      # max hits surfaced per source collection
 SYN_GROUPS = (("join", "merge"), ("fast", "slow"))
-QL_QUERY = 'spark query "table hash" -dup lang:en'
+QL_QUERY = 'spark query "table hash" -dup lang:en sc* *er'
 RELATED_SEED = "spark"
 RELATED_MIN_CO = 5          # ignore co-occurrence counts below this
 RELATED_TOPN = 10
@@ -388,6 +388,22 @@ def query_topk(spark, sf_dir, q=QL_QUERY, k=10) -> DataFrame:
         )
         res = res.join(excl, "doc_id", "left_anti")
 
+    for kind, base in parsed["wildcards"]:
+        # constant-score rewrite: eligibility-only, uncapped expansion
+        # against the vocabulary (the querylang contract)
+        cond = (
+            F.col("term").startswith(base)
+            if kind == "prefix"
+            else F.col("term").endswith(base)
+        )
+        wdocs = (
+            term_tf(spark, sf_dir)
+            .filter(cond)
+            .select("doc_id")
+            .distinct()
+        )
+        res = res.join(wdocs, "doc_id", "left_semi")
+
     return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -424,6 +440,11 @@ def query_topk_oracle_sql(q=QL_QUERY, k=10) -> str:
         tlist = ", ".join(f"'{t}'" for t in parsed["must_not"])
         conds.append(
             f"doc_id NOT IN (SELECT doc_id FROM pos WHERE term IN ({tlist}))"
+        )
+    for kind, base in parsed["wildcards"]:
+        pat = f"{base}%" if kind == "prefix" else f"%{base}"
+        conds.append(
+            f"doc_id IN (SELECT doc_id FROM tf WHERE term LIKE '{pat}')"
         )
     where = (" WHERE " + " AND ".join(conds)) if conds else ""
     parts.append(f"""

@@ -588,6 +588,23 @@ class LocalSearcher:
             )
             if allow.size == 0:
                 return []
+        for kind, base in parsed["wildcards"]:
+            # constant-score rewrite (the querylang contract):
+            # eligibility-only, uncapped, matched on STORED surface
+            # forms — docids come straight off the expansions' postings
+            parts = [
+                blk[3][0]
+                for t in self._terms_matching(kind, base)
+                for blk in self._blocks_for(t)
+            ]
+            if not parts:
+                return []
+            docs = np.unique(np.concatenate(parts))
+            allow = docs if allow is None else np.intersect1d(
+                allow, docs, assume_unique=True
+            )
+            if allow.size == 0:
+                return []
         return self.topk(
             " ".join(parsed["scoring"]), k=k, allowed=allow,
             exclude_terms=parsed["must_not"] or None,
@@ -744,31 +761,42 @@ class LocalSearcher:
         )
         return [(t, -negdf, d) for d, negdf, t in scored[:topn]]
 
-    def prefix_topk(self, prefix: str, k: int = 10,
-                    max_expand: int = 4):
-        """Trailing-wildcard search — the serving-tier twin of
-        ops/search.prefix_topk, same composition: expand ``prefix``
-        against the served term dictionary (bisect over a lazily
-        sorted term list), keep the top ``max_expand`` expansions by
-        (df desc, term asc) — the Lucene rewrite-cap rule — then
-        score DISJUNCTIVELY through the OR-mode WAND kernel (a doc
-        sums BM25 over the expansions it contains).  The prefix
-        matches STORED surface forms (the stemmed vocabulary under
-        stem=True, by design — a wildcard has no stem) and is NOT
-        analyzed.  Returns [(rank, docid, score)]."""
+    def _terms_matching(self, kind: str, base: str) -> list:
+        """All STORED dictionary terms matching the pattern — a bisect
+        over the lazily sorted term list ("prefix": ``base*``) or the
+        lazily sorted REVERSED term list ("suffix": ``*base``, Lucene's
+        ReversedWildcardFilter rule).  Both lists are lazy termdict
+        views and MUST be reset in __init__ (the refresh-staleness
+        contract).  Uncapped: callers apply their own rewrite cap."""
         import bisect
-        from collections import Counter
 
-        p = prefix.lower()
+        p = base.lower()
         if not p:
             return []
-        terms = self._sorted_terms
-        if terms is None:
-            terms = self._sorted_terms = sorted(self._df)
-        lo = bisect.bisect_left(terms, p)
-        hi = bisect.bisect_right(terms, p + "\uffff")
+        if kind == "prefix":
+            terms = self._sorted_terms
+            if terms is None:
+                terms = self._sorted_terms = sorted(self._df)
+            lo = bisect.bisect_left(terms, p)
+            hi = bisect.bisect_right(terms, p + "\uffff")
+            return terms[lo:hi]
+        rev = self._rev_terms
+        if rev is None:
+            rev = self._rev_terms = sorted(t[::-1] for t in self._df)
+        rp = p[::-1]
+        lo = bisect.bisect_left(rev, rp)
+        hi = bisect.bisect_right(rev, rp + "\uffff")
+        return [r[::-1] for r in rev[lo:hi]]
+
+    def _expanded_topk(self, match_terms, k, max_expand):
+        """Shared tail of prefix/suffix search: cap the expansions by
+        (df desc, term asc) — the Lucene rewrite-cap rule — then score
+        DISJUNCTIVELY through the OR-mode WAND kernel (a doc sums BM25
+        over the expansions it contains)."""
+        from collections import Counter
+
         exp = sorted(
-            terms[lo:hi], key=lambda t: (-self._df[t], t)
+            match_terms, key=lambda t: (-self._df[t], t)
         )[:max_expand]
         if not exp:
             return []
@@ -777,39 +805,27 @@ class LocalSearcher:
             analyzer=lambda text: Counter(text.split()),
         )
 
+    def prefix_topk(self, prefix: str, k: int = 10,
+                    max_expand: int = 4):
+        """Trailing-wildcard search — the serving-tier twin of
+        ops/search.prefix_topk: expand against the served term
+        dictionary (_terms_matching bisect), cap, score disjunctively.
+        The prefix matches STORED surface forms (the stemmed
+        vocabulary under stem=True, by design — a wildcard has no
+        stem) and is NOT analyzed.  Returns [(rank, docid, score)]."""
+        return self._expanded_topk(
+            self._terms_matching("prefix", prefix), k, max_expand
+        )
+
     def suffix_topk(self, suffix: str, k: int = 10,
                     max_expand: int = 4):
         """Leading-wildcard search (``*suffix``) — the reversed-termdict
         twin of prefix_topk (ops/search.suffix_topk on the Spark tier):
-        ``*suffix`` becomes the prefix scan ``reverse(suffix)*`` over a
-        lazily sorted REVERSED term list (Lucene's
-        ReversedWildcardFilter rule), then the top ``max_expand``
-        expansions by (df desc, term asc) score disjunctively through
-        the OR-mode WAND kernel.  Matches STORED surface forms and is
-        NOT analyzed, like prefix_topk.  Returns [(rank, docid,
-        score)].  The reversed list is a lazy termdict view and MUST be
-        reset in __init__ (the refresh-staleness contract)."""
-        import bisect
-        from collections import Counter
-
-        s = suffix.lower()
-        if not s:
-            return []
-        rev = self._rev_terms
-        if rev is None:
-            rev = self._rev_terms = sorted(t[::-1] for t in self._df)
-        p = s[::-1]
-        lo = bisect.bisect_left(rev, p)
-        hi = bisect.bisect_right(rev, p + "\uffff")
-        exp = sorted(
-            (r[::-1] for r in rev[lo:hi]),
-            key=lambda t: (-self._df[t], t),
-        )[:max_expand]
-        if not exp:
-            return []
-        return self.topk(
-            " ".join(exp), k=k, mode="or",
-            analyzer=lambda text: Counter(text.split()),
+        ``*suffix`` becomes the prefix scan ``reverse(suffix)*``.
+        Matches STORED surface forms, NOT analyzed.  Returns
+        [(rank, docid, score)]."""
+        return self._expanded_topk(
+            self._terms_matching("suffix", suffix), k, max_expand
         )
 
     def _blended_candidates(self, text: str):

@@ -13,6 +13,16 @@ Syntax:
                         also score like must terms)
   -token             -> must_not (boolean NOT, eligibility-only)
   lang:value         -> metadata filter (the only field understood)
+  tok* / *tok        -> wildcard clause (prefix / suffix): the doc must
+                        contain at least one dictionary term matching
+                        the pattern.  ELIGIBILITY-ONLY and uncapped —
+                        Lucene's constant-score MultiTermQuery rewrite:
+                        wildcard expansions never contribute BM25, so
+                        survivor scores equal the plain conjunctive
+                        scores exactly (the filtered-search invariant).
+                        The base matches STORED surface forms and is
+                        not analyzed (a wildcard has no stem).  Infix
+                        and multi-star patterns raise.
 """
 
 from __future__ import annotations
@@ -30,9 +40,26 @@ def parse_query(q: str) -> dict:
     phrases = [tokenize(p) for p in re.findall(r'"([^"]*)"', q)]
     phrases = [p for p in phrases if p]
     rest = re.sub(r'"[^"]*"', " ", q)
-    must, must_not, filters = [], [], {}
+    must, must_not, filters, wildcards = [], [], {}, []
     for tok in rest.split():
-        if tok.startswith("-"):
+        if "*" in tok:
+            if tok.startswith("-") or ":" in tok:
+                raise ValueError(f"wildcards unsupported in {tok!r}")
+            if tok.count("*") != 1 or len(tok) < 2:
+                raise ValueError(f"bad wildcard: {tok!r}")
+            if tok.endswith("*"):
+                kind, base = "prefix", tok[:-1]
+            elif tok.startswith("*"):
+                kind, base = "suffix", tok[1:]
+            else:
+                raise ValueError(f"bad wildcard (infix): {tok!r}")
+            bt = tokenize(base)
+            if len(bt) != 1:
+                raise ValueError(
+                    f"wildcard base must be one token: {tok!r}"
+                )
+            wildcards.append((kind, bt[0]))
+        elif tok.startswith("-"):
             must_not.extend(tokenize(tok[1:]))
         elif ":" in tok:
             field, value = tok.split(":", 1)
@@ -47,5 +74,6 @@ def parse_query(q: str) -> dict:
         "must_not": sorted(set(must_not)),
         "phrases": phrases,
         "filters": filters,
+        "wildcards": sorted(set(wildcards)),
         "scoring": scoring,
     }

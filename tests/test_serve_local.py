@@ -952,3 +952,58 @@ def test_snippet_windows_match_oracle(searcher, oracle):
     for _r, dd, _s, p, nt, nm in overlap:
         assert gotmap[dd] == (p, nt, nm), dd
     assert searcher.snippet_windows("zzzqx", analyzer=_ident) == []
+
+
+def test_search_wildcard_clauses_match_oracle(searcher, oracle):
+    """Wildcard clauses in the query language are eligibility-only
+    (constant-score rewrite): survivors are docs containing >=1
+    dictionary term matching the pattern, and their scores equal the
+    plain conjunctive scores exactly — recomputed from the oracle's
+    postings."""
+    from searchengine_spark.params import BM25_B, BM25_K1
+    from searchengine_spark.query.wand import bm25_idf
+
+    must = max(oracle.postings, key=lambda t: len(oracle.postings[t]))
+    vocab = sorted(oracle.postings)
+    w_term = next(t for t in vocab if t != must and len(t) >= 4)
+    pre, suf = w_term[:3], w_term[-3:]
+
+    def elig(kind, base):
+        docs = set()
+        for t in vocab:
+            if (t.startswith(base) if kind == "prefix"
+                    else t.endswith(base)):
+                docs.update(oracle.postings[t])
+        return docs
+
+    def expect(allowed_docs):
+        posts = oracle.postings[must]
+        out = []
+        for dd in set(posts) & allowed_docs:
+            dl = oracle.docs[dd]["total_tokens"]
+            tf = posts[dd][0]
+            s = (
+                bm25_idf(oracle.n_survivors, len(posts)) * tf
+                * (BM25_K1 + 1.0)
+                / (tf + BM25_K1
+                   * (1 - BM25_B + BM25_B * dl / oracle.avgdl))
+            )
+            out.append((dd, s))
+        out.sort(key=lambda ds: (-ds[1], ds[0]))
+        return [(r + 1, dd, s) for r, (dd, s) in enumerate(out[:10])]
+
+    for q, kind, base in ((f"{must} {pre}*", "prefix", pre),
+                          (f"{must} *{suf}", "suffix", suf)):
+        exp = expect(elig(kind, base))
+        assert exp, q  # the probe pattern must actually match
+        got = searcher.search(q, k=10, analyzer=_ident)
+        assert [(r, dd) for r, dd, _ in got] == [
+            (r, dd) for r, dd, _ in exp
+        ], q
+        for (_, _, gs), (_, _, es) in zip(got, exp):
+            assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+
+    # unknown pattern empties; malformed raises at the parser
+    assert searcher.search(f"{must} zzzq*", analyzer=_ident) == []
+    with pytest.raises(ValueError):
+        searcher.search(f"{must} a*b", analyzer=_ident)

@@ -225,3 +225,21 @@ def test_parse_query_clauses():
     # -tok with punctuation expands to multiple NOT terms, deduped+sorted
     p3 = parse_query("query -b.a -a")
     assert p3["must_not"] == ["a", "b"]
+
+
+def test_parse_query_wildcards():
+    """Wildcard clauses: tok* = prefix, *tok = suffix — eligibility-only
+    (constant-score rewrite), deduped+sorted; malformed patterns raise."""
+    import pytest
+
+    from searchengine_spark.text.querylang import parse_query
+
+    p = parse_query('spark sc* *er sc* "table hash"')
+    assert p["wildcards"] == [("prefix", "sc"), ("suffix", "er")]
+    assert p["must"] == ["spark"]
+    # wildcards never enter scoring
+    assert p["scoring"] == ["hash", "spark", "table"]
+
+    for bad in ("a*b", "*", "**", "*ab*", "-dup*", "lang:e*"):
+        with pytest.raises(ValueError):
+            parse_query(f"spark {bad}")
