@@ -84,6 +84,7 @@ def compact_stream_to_segment(
     input_dir: str,
     index_dir: str,
     processed_marker: str,
+    merge_factor: int | None = None,
     **build_kwargs,
 ):
     """Fold newly-arrived corpus files into the segmented index.
@@ -101,6 +102,15 @@ def compact_stream_to_segment(
     micro-batch appends stage raw postings for low-latency serving,
     while compaction periodically folds the backlog into first-class
     compressed, WAND-servable segments.
+
+    ``merge_factor`` switches on LSM behavior under continuous
+    arrival: after each committed append, size-tiered partial merges
+    (segments.maybe_merge) run until no tier is full, so the segment
+    count stays O(merge_factor · log N) no matter how many waves
+    arrive.  Merges run AFTER the marker advance — the append is
+    already committed, and a crash mid-merge leaves only invisible
+    orphans; the next call (or a manual maybe_merge) resumes the
+    policy from committed state.
     """
     import json
     import os
@@ -125,4 +135,11 @@ def compact_stream_to_segment(
     with open(tmp, "w") as f:
         json.dump({"version": 1, "files": sorted(seen | set(new))}, f)
     os.replace(tmp, processed_marker)
+    if merge_factor:
+        from ..index.segments import maybe_merge
+
+        while maybe_merge(
+            spark, index_dir, merge_factor=merge_factor
+        ) is not None:
+            pass
     return name

@@ -754,3 +754,61 @@ def test_maybe_merge_log_doc_policy(spark, tmp_path_factory):
         spark, [(1, "parser")], shards, k=10
     )
     assert res.count() >= 0
+
+
+def test_stream_compaction_with_tiered_merge(spark, tmp_path_factory):
+    """Continuous arrival with merge_factor set behaves like an LSM:
+    the segment count stays bounded while the served answers equal an
+    unmerged twin dir fed the identical waves."""
+    import glob
+    import shutil
+
+    from searchengine_spark.index.segments import _read_meta
+    from searchengine_spark.streaming.ingest import (
+        compact_stream_to_segment,
+    )
+
+    rows = sorted(
+        synth_corpus(150), key=lambda r: (r["repo"], r["path"], r["commit"])
+    )
+    waves = [rows[i * 30:(i + 1) * 30] for i in range(5)]
+    base = tmp_path_factory.mktemp("stream_tier")
+    dirs = {}
+    for mode in ("merged", "plain"):
+        inbox = base / f"inbox_{mode}"
+        inbox.mkdir()
+        seg_dir = str(base / f"idx_{mode}")
+        marker = str(base / f"processed_{mode}.json")
+        init_segmented(
+            spark,
+            build_tables(spark, spark.createDataFrame(waves[0]),
+                         compute_quality=False, near_dup=False),
+            seg_dir,
+        )
+        for i, wave in enumerate(waves[1:], start=1):
+            tmp = base / f"tmp_{mode}_{i}"
+            spark.createDataFrame(wave).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(tmp))
+            (pfile,) = glob.glob(str(tmp / "*.parquet"))
+            shutil.copy(pfile, str(inbox / f"wave{i}.parquet"))
+            assert compact_stream_to_segment(
+                spark, str(inbox), seg_dir, marker,
+                merge_factor=2 if mode == "merged" else None,
+                compute_quality=False, near_dup=False,
+            ) is not None
+        dirs[mode] = seg_dir
+
+    n_merged = len(_read_meta(dirs["merged"])["segments"])
+    n_plain = len(_read_meta(dirs["plain"])["segments"])
+    assert n_plain == 5
+    assert n_merged < n_plain  # the policy actually fired
+
+    sm = load_segments(spark, dirs["merged"], cache_meta=False)
+    sp = load_segments(spark, dirs["plain"], cache_meta=False)
+    assert sm.stats == sp.stats
+    qs = [(qid, q) for qid, q in QUERIES]
+    _assert_rank_identity(
+        _by_url(score_queries_ondisk(spark, qs, sm, k=10), sm.docs),
+        _by_url(score_queries_ondisk(spark, qs, sp, k=10), sp.docs),
+    )
