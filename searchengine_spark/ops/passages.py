@@ -246,8 +246,10 @@ def window_snippets(spark, sf_dir, terms=SNIPPET_TERMS, w=SNIPPET_W,
         .select("doc_id", "pos", "term")
     )
     anchors = matches.select("doc_id", F.col("pos").alias("win_start"))
+    # matches covers only the k winners' query-term positions — tiny;
+    # broadcast both the window self-join and the token re-join sides
     wins = (
-        anchors.join(matches, "doc_id")
+        anchors.join(F.broadcast(matches), "doc_id")
         .filter(
             (F.col("pos") >= F.col("win_start"))
             & (F.col("pos") < F.col("win_start") + w)
@@ -272,7 +274,7 @@ def window_snippets(spark, sf_dir, terms=SNIPPET_TERMS, w=SNIPPET_W,
         .drop("wr")
     )
     snips = (
-        best.join(toks, "doc_id")
+        toks.join(F.broadcast(best), "doc_id")
         .filter(
             (F.col("pos") >= F.col("win_start"))
             & (F.col("pos") < F.col("win_start") + w)
