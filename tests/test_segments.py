@@ -812,3 +812,66 @@ def test_stream_compaction_with_tiered_merge(spark, tmp_path_factory):
         _by_url(score_queries_ondisk(spark, qs, sm, k=10), sm.docs),
         _by_url(score_queries_ondisk(spark, qs, sp, k=10), sp.docs),
     )
+
+
+def test_crashed_partial_merge_is_invisible_and_rerunnable(
+        spark, tmp_path_factory, monkeypatch):
+    """A merge_run that dies before its segments.json swap leaves only
+    invisible orphans: readers see the old state unchanged, and the
+    rerun completes from committed state (fresh reserved name; the
+    uncommitted tombstone generation is overwritten, never applied
+    twice)."""
+    from searchengine_spark.index import segments as segmod
+
+    rows = sorted(
+        synth_corpus(120), key=lambda r: (r["repo"], r["path"], r["commit"])
+    )
+    chunks = [rows[i * 40:(i + 1) * 40] for i in range(3)]
+    seg_dir = str(tmp_path_factory.mktemp("pm_crash") / "idx")
+    init_segmented(
+        spark,
+        build_tables(spark, spark.createDataFrame(chunks[0]),
+                     compute_quality=False, near_dup=False),
+        seg_dir,
+    )
+    for ch in chunks[1:]:
+        append_segment(spark, seg_dir, spark.createDataFrame(ch),
+                       compute_quality=False, near_dup=False)
+
+    before_meta = segmod._read_meta(seg_dir)
+    qs = [(qid, q) for qid, q in QUERIES]
+    pre = load_segments(spark, seg_dir, cache_meta=False)
+    pre_scores = _by_url(
+        score_queries_ondisk(spark, qs, pre, k=10), pre.docs
+    )
+
+    orig = segmod._save_meta
+
+    def boom(index_dir, meta):
+        if meta.get("segments") != before_meta["segments"]:
+            raise RuntimeError("crash before the commit swap")
+        return orig(index_dir, meta)
+
+    monkeypatch.setattr(segmod, "_save_meta", boom)
+    with pytest.raises(RuntimeError):
+        segmod.merge_run(spark, seg_dir, 0, 2)
+    monkeypatch.setattr(segmod, "_save_meta", orig)
+
+    # invisible: readers see the exact pre-crash state
+    mid_meta = segmod._read_meta(seg_dir)
+    assert mid_meta["segments"] == before_meta["segments"]
+    mid = load_segments(spark, seg_dir, cache_meta=False)
+    _assert_rank_identity(
+        _by_url(score_queries_ondisk(spark, qs, mid, k=10), mid.docs),
+        pre_scores,
+    )
+
+    # rerun completes on a FRESH reserved name and serves identically
+    name = segmod.merge_run(spark, seg_dir, 0, 2)
+    meta = segmod._read_meta(seg_dir)
+    assert meta["segments"] == [name, before_meta["segments"][2]]
+    post = load_segments(spark, seg_dir, cache_meta=False)
+    _assert_rank_identity(
+        _by_url(score_queries_ondisk(spark, qs, post, k=10), post.docs),
+        pre_scores,
+    )
