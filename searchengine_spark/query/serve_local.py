@@ -727,6 +727,45 @@ class LocalSearcher:
             out.append((rank, docid, score, p, nt, nm))
         return out
 
+    def explain(self, text: str, docid: int, analyzer=None):
+        """Per-term score breakdown for ONE doc — the serving-tier twin
+        of ops/search.explain_score (the Lucene ``explain`` surface):
+        [(term, tf, df, idf, contribution)] rows, conjunctive BM25 over
+        the analyzed terms, using the exact serving state (corrected
+        df, composed avgdl, tombstone liveness).  Returns [] when the
+        doc is missing any term or is not live."""
+        from ..params import BM25_B, BM25_K1
+
+        if analyzer is None:
+            freq = analyze_query(text, stem=self.stem)
+        else:
+            freq = analyzer(text)
+        terms = sorted(freq)
+        if not terms or any(t not in self._df for t in terms):
+            return []
+        dl_ids, dl_lens = self._dl
+        at = int(np.searchsorted(dl_ids, docid))
+        if at >= dl_ids.size or dl_ids[at] != docid:
+            return []  # not live (tombstoned or never stored)
+        dl = float(dl_lens[at])
+        k1, b = BM25_K1, BM25_B
+        denom = k1 * (1.0 - b + b * dl / self.avgdl)
+        out = []
+        for t in terms:
+            tf = 0
+            for d1, d2, _mw, (ids, tfs) in self._blocks_for(t):
+                if d1 <= docid <= d2:
+                    j = int(np.searchsorted(ids, docid))
+                    if j < ids.size and ids[j] == docid:
+                        tf = int(tfs[j])
+                    break
+            if tf == 0:
+                return []  # conjunctive: every term must match
+            idf = bm25_idf(self.n_survivors, self._df[t])
+            contrib = idf * tf * (k1 + 1.0) / (tf + denom)
+            out.append((t, tf, self._df[t], idf, contrib))
+        return out
+
     def suggest(self, term: str, topn: int = 3):
         """SymSpell did-you-mean over the served term dictionary — the
         serving-tier twin of ops/textops.fuzzy_terms, same rule: dict

@@ -1007,3 +1007,32 @@ def test_search_wildcard_clauses_match_oracle(searcher, oracle):
     assert searcher.search(f"{must} zzzq*", analyzer=_ident) == []
     with pytest.raises(ValueError):
         searcher.search(f"{must} a*b", analyzer=_ident)
+
+
+def test_explain_matches_topk_scores_and_oracle(searcher, oracle):
+    """explain() rows must recompose the served score exactly (sum of
+    contributions == topk's score) with tf/df drawn from the same
+    postings the oracle stores."""
+    pm = _pos_term_map(oracle)
+    d = next(d for d in sorted(pm) if {1, 2} <= set(pm[d]))
+    terms = sorted({pm[d][1], pm[d][2]})
+    q = " ".join(terms)
+    top = searcher.topk(q, k=10, analyzer=_ident)
+    assert top
+    for _rank, docid, score in top:
+        rows = searcher.explain(q, docid, analyzer=_ident)
+        assert [t for t, *_ in rows] == terms
+        assert math.isclose(
+            sum(c for *_, c in rows), score, rel_tol=1e-9, abs_tol=1e-12
+        ), docid
+        for t, tf, df, _idf, _c in rows:
+            assert tf == oracle.postings[t][docid][0], (t, docid)
+            assert df == len(oracle.postings[t]), t
+    # edges: unknown term, non-live docid, doc missing a term
+    assert searcher.explain("zzzqx", top[0][1], analyzer=_ident) == []
+    assert searcher.explain(q, 10 ** 9, analyzer=_ident) == []
+    only_one = next(
+        dd for dd in oracle.postings[terms[0]]
+        if dd not in oracle.postings[terms[1]]
+    )
+    assert searcher.explain(q, only_one, analyzer=_ident) == []
