@@ -402,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": PSG.chunk_docs,
         "passage_topk": PSG.passage_topk,
         "window_snippets": PSG.window_snippets,
+        "dup_chunks": PSG.dup_chunks,
     }
 
 
@@ -2257,4 +2258,5 @@ def oracle_sql() -> dict[str, str]:
     d["chunk_docs"] = PSGO.chunk_docs_oracle_sql()
     d["passage_topk"] = PSGO.passage_topk_oracle_sql()
     d["window_snippets"] = PSGO.window_snippets_oracle_sql()
+    d["dup_chunks"] = PSGO.dup_chunks_oracle_sql()
     return d

@@ -330,6 +330,7 @@ def _run_ops_tier(spark):
           lambda: PSG.passage_topk(spark, SF_DIR).count())
     timed("window_snippets_sec",
           lambda: PSG.window_snippets(spark, SF_DIR).count())
+    timed("dup_chunks_sec", lambda: PSG.dup_chunks(spark, SF_DIR).count())
     timed("repetition_stats_sec",
           lambda: T.repetition_stats(spark, SF_DIR).count())
     timed("suffix_topk_sec", lambda: SRC.suffix_topk(spark, SF_DIR).count())

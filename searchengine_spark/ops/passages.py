@@ -35,9 +35,9 @@ from .search import _BM25_SQL, _SCORE_BASE, _bm25_col, _conj_scored_sql
 from .textops import _bm25_scored, doc_tokens
 
 __all__ = [
-    "chunk_docs", "passage_topk", "window_snippets",
+    "chunk_docs", "passage_topk", "window_snippets", "dup_chunks",
     "chunk_docs_oracle_sql", "passage_topk_oracle_sql",
-    "window_snippets_oracle_sql",
+    "window_snippets_oracle_sql", "dup_chunks_oracle_sql",
 ]
 
 # --- pinned driver-entry constants (interpolated into the oracles) --------
@@ -343,4 +343,58 @@ def window_snippets_oracle_sql(terms=SNIPPET_TERMS, w=SNIPPET_W,
                AND p.pos >= b.win_start AND p.pos < b.win_start + {w}
         GROUP BY b.doc_id, t.score, b.win_start, b.n_terms, b.n_matches
         ORDER BY t.score DESC, b.doc_id
+    """
+
+
+def dup_chunks(spark, sf_dir, w=CHUNK_W, stride=CHUNK_STRIDE) -> DataFrame:
+    """Chunk-level exact dedup — the RAG-pipeline staple the span-dedup
+    family covers at window granularity and dedup_exact covers at doc
+    granularity: chunks whose token text repeats anywhere in the corpus,
+    one row per duplicated fingerprint with the canonical copy
+    (smallest (doc_id, chunk_id), the strip_dup_spans argmin rule,
+    computed as a min-STRUCT agg — skew-safe, no window) and the copy
+    count.  Feeds chunk-store dedup before embedding: embed each
+    fingerprint once, not once per copy.
+
+    Scale: one md5-keyed aggregation over the chunk rows — the
+    exact-dedup shuffle shape at ceil(w/stride)× the token count."""
+    ch = chunk_docs(spark, sf_dir, w, stride)
+    return (
+        ch.select(
+            F.md5("chunk_text").alias("fp"), "doc_id", "chunk_id"
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(F.struct("doc_id", "chunk_id")).alias("c"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "fp",
+            F.col("c.doc_id").alias("doc_id"),
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+        .orderBy("fp")
+    )
+
+
+def dup_chunks_oracle_sql(w=CHUNK_W, stride=CHUNK_STRIDE) -> str:
+    return f"""
+        WITH {_memb_sql(w, stride)},
+        chunks AS (
+          SELECT doc_id, chunk_id,
+                 md5(string_agg(term, ' ' ORDER BY pos, term)) AS fp
+          FROM memb GROUP BY doc_id, chunk_id
+        ),
+        ranked AS (
+          SELECT fp, doc_id, chunk_id,
+                 row_number() OVER (PARTITION BY fp
+                   ORDER BY doc_id, chunk_id) AS rn,
+                 count(*) OVER (PARTITION BY fp)::BIGINT AS n_copies
+          FROM chunks
+        )
+        SELECT fp, doc_id, chunk_id, n_copies FROM ranked
+        WHERE rn = 1 AND n_copies > 1
+        ORDER BY fp
     """

@@ -178,3 +178,29 @@ def test_window_snippets_match_python(spark):
         for r in window_snippets(spark, SF).collect()
     }
     assert got == want
+
+
+def test_dup_chunks_match_python(spark):
+    """Duplicated-chunk detection equals a Python recomputation:
+    canonical = smallest (doc_id, chunk_id) per repeated chunk text."""
+    import hashlib
+    from collections import defaultdict
+
+    from searchengine_spark.ops.passages import dup_chunks
+
+    texts = _texts(spark)
+    by_fp = defaultdict(list)
+    for d, text in texts.items():
+        for c, win in _py_chunks(_tok(text)).items():
+            fp = hashlib.md5(" ".join(win).encode()).hexdigest()
+            by_fp[fp].append((d, c))
+    want = {
+        fp: (min(locs), len(locs))
+        for fp, locs in by_fp.items() if len(locs) > 1
+    }
+    got = {
+        r["fp"]: ((r["doc_id"], r["chunk_id"]), r["n_copies"])
+        for r in dup_chunks(spark, SF).collect()
+    }
+    assert got == want
+    assert want  # planted dups guarantee repeated chunks exist
