@@ -209,6 +209,21 @@ def _run_leg(spark):
             searcher.phrase_topk(q, k=10, analyzer=phrase_ident)
             plat.append((time.perf_counter() - t1) * 1000)
         plat.sort()
+        # round-3 additions: snippet offsets (positions LRU already
+        # warm from the phrase pass) and the query-language surface
+        slat, qlat = [], []
+        for _, q in BENCH_QUERIES:  # warm
+            searcher.snippet_windows(q, k=10)
+        for _ in range(5):
+            for _, q in BENCH_QUERIES:
+                t1 = time.perf_counter()
+                searcher.snippet_windows(q, k=10)
+                slat.append((time.perf_counter() - t1) * 1000)
+                t1 = time.perf_counter()
+                searcher.search(q, k=10)
+                qlat.append((time.perf_counter() - t1) * 1000)
+        slat.sort()
+        qlat.sort()
         result["latency"] = {
             "local_load_sec": round(load_sec, 3),
             "single_query_ms_p50": round(statistics.median(lat), 2),
@@ -217,6 +232,8 @@ def _run_leg(spark):
             "blended_ms_p95": round(blat[int(len(blat) * 0.95)], 2),
             "phrase_ms_p50": round(statistics.median(plat), 2),
             "phrase_ms_p95": round(plat[int(len(plat) * 0.95)], 2),
+            "snippet_ms_p50": round(statistics.median(slat), 2),
+            "querylang_ms_p50": round(statistics.median(qlat), 2),
         }
 
         result["value"] = round(total, 3)
