@@ -50,9 +50,11 @@ SNIPPET_W = 12        # snippet window width in tokens
 SNIPPET_K = 10
 
 
-def chunk_tokens(spark, sf_dir, w=CHUNK_W, stride=CHUNK_STRIDE) -> DataFrame:
-    """(doc_id, chunk_id, pos, term): every token mapped to the chunks
-    whose window [1+c*stride, c*stride+w] contains it.
+def chunk_tokens_from(toks: DataFrame, w=CHUNK_W,
+                      stride=CHUNK_STRIDE) -> DataFrame:
+    """(doc_id, chunk_id, pos, term) from a (doc_id, pos, term) token
+    DataFrame: every token mapped to the chunks whose window
+    [1+c*stride, c*stride+w] contains it.
 
     The membership range is computed arithmetically per token —
     c_lo = ceil((pos-w)/stride) clamped at 0, c_hi = (pos-1) div stride
@@ -61,7 +63,6 @@ def chunk_tokens(spark, sf_dir, w=CHUNK_W, stride=CHUNK_STRIDE) -> DataFrame:
     document length (no per-doc ntokens join is needed: a chunk id is
     generated iff some token falls in its window, and the token at the
     chunk's start position always does)."""
-    toks = doc_tokens(spark, sf_dir)
     c_lo = F.expr(
         f"CASE WHEN pos <= {w} THEN 0L "
         f"ELSE (pos - {w} + {stride} - 1) div {stride} END"
@@ -71,6 +72,11 @@ def chunk_tokens(spark, sf_dir, w=CHUNK_W, stride=CHUNK_STRIDE) -> DataFrame:
         "doc_id", "pos", "term",
         F.explode(F.sequence(c_lo, c_hi)).alias("chunk_id"),
     )
+
+
+def chunk_tokens(spark, sf_dir, w=CHUNK_W, stride=CHUNK_STRIDE) -> DataFrame:
+    """chunk_tokens_from over the sf_dir documents table."""
+    return chunk_tokens_from(doc_tokens(spark, sf_dir), w, stride)
 
 
 def chunk_docs(spark, sf_dir, w=CHUNK_W, stride=CHUNK_STRIDE) -> DataFrame:

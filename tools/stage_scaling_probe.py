@@ -111,11 +111,36 @@ def run(cpus: int, n_docs: int):
         span_dedup(sdocs).count()
         t_span.append(time.time() - t0)
 
+    # chunk-membership explode + per-chunk TF agg (ops/passages — the
+    # passage family's hot shape: arithmetic explode, shuffle on
+    # (doc, chunk, term))
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.ops.passages import chunk_tokens_from
+    from searchengine_spark.text.tokenizer import TOKEN_PATTERN
+
+    toks = sdocs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)
+        ).alias("pos0", "term"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "term"
+    )
+    t_chunk = []
+    for _ in range(2):
+        t0 = time.time()
+        chunk_tokens_from(toks).groupBy(
+            "doc_id", "chunk_id", "term"
+        ).count().count()
+        t_chunk.append(time.time() - t0)
+
     spark.stop()
     return {"analyze": round(min(t_analyze), 2),
             "simhash": round(min(t_simhash), 2),
             "decode": round(min(t_decode), 2),
             "span": round(min(t_span), 2),
+            "chunk": round(min(t_chunk), 2),
             "n_blocks": n_blocks,
             "postings": n_postings}
 
@@ -149,7 +174,7 @@ def main():
         "n_docs": n_docs,
         "stages": res,
     }
-    for s in ("analyze", "simhash", "decode", "span"):
+    for s in ("analyze", "simhash", "decode", "span", "chunk"):
         speedup = res[lo][s] / res[hi][s]
         out[f"{s}_speedup"] = round(speedup, 3)
         out[f"{s}_efficiency"] = round(speedup / (hi / lo), 3)
