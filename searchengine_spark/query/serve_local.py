@@ -727,6 +727,37 @@ class LocalSearcher:
             out.append((rank, docid, score, p, nt, nm))
         return out
 
+    def topk_after(self, text: str, cursor, k: int = 10,
+                   cursor_rank: int | None = None, mode: str = "and",
+                   analyzer=None):
+        """Cursor pagination — the serving-tier twin of
+        ops/search.search_after_topk: the next ``k`` hits strictly
+        after ``cursor`` = (score, docid) under the (score desc,
+        docid asc) total order.  ``cursor_rank`` (the cursor's global
+        rank, known to a sequential pager: page*k) sizes the first
+        kernel call; without it the fetch depth doubles until the page
+        fills or the result set is exhausted — each probe is still the
+        block-max-pruned kernel, so deep pages cost more (the
+        documented deep-paging behavior of every cursor API), never a
+        full rescore of shallow pages.  Returns [(rank, docid, score)]
+        with ranks continuing after the cursor position when
+        cursor_rank is given, else 1-based within the page."""
+        c_score, c_doc = float(cursor[0]), int(cursor[1])
+        m = (int(cursor_rank) if cursor_rank else k) + k
+        while True:
+            rows = self.topk(text, k=m, mode=mode, analyzer=analyzer)
+            after = [
+                (d, s) for _, d, s in rows
+                if s < c_score or (s == c_score and d > c_doc)
+            ]
+            if len(after) >= k or len(rows) < m:
+                break
+            m *= 2
+        base = int(cursor_rank) if cursor_rank else 0
+        return [
+            (base + i + 1, d, s) for i, (d, s) in enumerate(after[:k])
+        ]
+
     def explain(self, text: str, docid: int, analyzer=None):
         """Per-term score breakdown for ONE doc — the serving-tier twin
         of ops/search.explain_score (the Lucene ``explain`` surface):

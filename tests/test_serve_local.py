@@ -1036,3 +1036,34 @@ def test_explain_matches_topk_scores_and_oracle(searcher, oracle):
         if dd not in oracle.postings[terms[1]]
     )
     assert searcher.explain(q, only_one, analyzer=_ident) == []
+
+
+def test_topk_after_paginates_exactly(searcher, oracle):
+    """Cursor pagination equals slicing the full ranking: page p is
+    rows [p*k, (p+1)*k) of one big topk, whether or not the caller
+    provides the cursor's rank (the rank only sizes the first probe)."""
+    q = max(oracle.postings, key=lambda t: len(oracle.postings[t]))
+    full = searcher.topk(q, k=10_000, analyzer=_ident, mode="or")
+    assert len(full) > 25  # needs 3 pages to be meaningful
+    k = 10
+    page1 = searcher.topk(q, k=k, analyzer=_ident, mode="or")
+    assert page1 == full[:k]
+    cursor = (page1[-1][2], page1[-1][1])
+    page2 = searcher.topk_after(q, cursor, k=k, cursor_rank=k,
+                                mode="or", analyzer=_ident)
+    assert page2 == full[k:2 * k]
+    # rank unknown: doubling probe finds the same page (1-based ranks)
+    page2b = searcher.topk_after(q, cursor, k=k, mode="or",
+                                 analyzer=_ident)
+    assert [(d, s) for _, d, s in page2b] == [
+        (d, s) for _, d, s in full[k:2 * k]
+    ]
+    cursor3 = (page2[-1][2], page2[-1][1])
+    page3 = searcher.topk_after(q, cursor3, k=k, cursor_rank=2 * k,
+                                mode="or", analyzer=_ident)
+    assert page3 == full[2 * k:3 * k]
+    # past the end: empty
+    last = (full[-1][2], full[-1][1])
+    assert searcher.topk_after(q, last, k=k,
+                               cursor_rank=len(full), mode="or",
+                               analyzer=_ident) == []
