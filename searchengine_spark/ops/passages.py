@@ -30,7 +30,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..params import BM25_B, BM25_K1
 from .search import _BM25_SQL, _SCORE_BASE, _bm25_col, _conj_scored_sql
 from .textops import _bm25_scored, doc_tokens
 
