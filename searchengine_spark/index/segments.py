@@ -751,6 +751,8 @@ def maybe_merge(spark: SparkSession, index_dir: str,
     """
     import math
 
+    if merge_factor < 2:
+        raise ValueError("merge_factor must be >= 2")
     meta = _read_meta(index_dir)
     segs = meta["segments"]
     if len(segs) < merge_factor:
