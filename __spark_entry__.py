@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_topk": PSG.passage_topk,
         "window_snippets": PSG.window_snippets,
         "dup_chunks": PSG.dup_chunks,
+        "pack_sequences": P.pack_sequences,
     }
 
 
@@ -2259,4 +2260,7 @@ def oracle_sql() -> dict[str, str]:
     d["passage_topk"] = PSGO.passage_topk_oracle_sql()
     d["window_snippets"] = PSGO.window_snippets_oracle_sql()
     d["dup_chunks"] = PSGO.dup_chunks_oracle_sql()
+    from searchengine_spark.ops.prep import pack_sequences_oracle_sql
+
+    d["pack_sequences"] = pack_sequences_oracle_sql()
     return d

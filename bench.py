@@ -348,6 +348,10 @@ def _run_ops_tier(spark):
     timed("window_snippets_sec",
           lambda: PSG.window_snippets(spark, SF_DIR).count())
     timed("dup_chunks_sec", lambda: PSG.dup_chunks(spark, SF_DIR).count())
+    from searchengine_spark.ops.prep import pack_sequences
+
+    timed("pack_sequences_sec",
+          lambda: pack_sequences(spark, SF_DIR).count())
     timed("repetition_stats_sec",
           lambda: T.repetition_stats(spark, SF_DIR).count())
     timed("suffix_topk_sec", lambda: SRC.suffix_topk(spark, SF_DIR).count())

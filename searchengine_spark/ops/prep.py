@@ -198,3 +198,91 @@ def training_data_prep(
         # within partitions — a total sort of the curated corpus would
         # be a pure-overhead exchange at 100 TB
     )
+
+
+# pinned packing parameter, interpolated into the DuckDB oracle —
+# change Spark and SQL together
+PACK_SEQ_LEN = 512
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str,
+                   seq_len: int = PACK_SEQ_LEN) -> DataFrame:
+    """GPT-style sample packing: concatenate every doc's token stream
+    in doc_id order and cut fixed ``seq_len``-token training sequences
+    — one row per sequence with how many docs it touches, its token
+    count (= seq_len except the tail), and its first/last doc.  This
+    is the pretraining batch-construction step that turns a curated
+    corpus into equal-length samples; the per-sequence doc counts are
+    the attention-mask boundary statistics a packing-aware loader
+    needs.
+
+    Scale shape: one narrow token-count projection, the two-phase
+    range-partition prefix sum (_prefix_sum — partition-count
+    invariant, never a single-partition window), then a PER-DOC
+    arithmetic explode of the <= n/seq_len + 1 sequences the doc
+    spans, aggregated on seq_id.  Zero-token docs pack nothing and are
+    excluded up front."""
+    d = documents(spark, sf_dir)
+    counts = d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)
+        ).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    cum, _total = _prefix_sum(counts, "n_tokens", ["doc_id"])
+    spanned = cum.select(
+        "doc_id",
+        "cum_tokens",
+        (F.col("cum_tokens") - F.col("n_tokens")).alias("start"),
+    ).select(
+        "doc_id",
+        "cum_tokens",
+        "start",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {seq_len}"),
+                F.expr(f"(cum_tokens - 1) div {seq_len}"),
+            )
+        ).alias("seq_id"),
+    )
+    overlap = F.least(
+        F.col("cum_tokens"), (F.col("seq_id") + 1) * seq_len
+    ) - F.greatest(F.col("start"), F.col("seq_id") * seq_len)
+    return (
+        spanned.groupBy("seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(overlap).cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select("seq_id", "n_docs", "n_tokens", "first_doc", "last_doc")
+        .orderBy("seq_id")
+    )
+
+
+def pack_sequences_oracle_sql(seq_len: int = PACK_SEQ_LEN) -> str:
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+                   AS n
+          FROM documents
+        ),
+        nz AS (SELECT doc_id, n FROM c WHERE n > 0),
+        cum AS (SELECT doc_id, n,
+                       sum(n) OVER (ORDER BY doc_id)::BIGINT AS cum
+                FROM nz),
+        sp AS (
+          SELECT doc_id, cum, cum - n AS start,
+                 unnest(generate_series((cum - n) // {seq_len},
+                                        (cum - 1) // {seq_len})) AS seq_id
+          FROM cum
+        )
+        SELECT seq_id::BIGINT AS seq_id, count(*)::BIGINT AS n_docs,
+               sum(least(cum, (seq_id + 1) * {seq_len})
+                   - greatest(start, seq_id * {seq_len}))::BIGINT
+                 AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM sp GROUP BY seq_id ORDER BY seq_id
+    """

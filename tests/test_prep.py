@@ -147,3 +147,41 @@ def test_prefix_sum_property(spark_prop, vals, n_parts, seed):
         expect[doc_id] = acc
     assert got == expect
     assert total == acc
+
+
+def test_pack_sequences_match_python(spark):
+    """Sequence packing equals the sequential recomputation: cut the
+    doc_id-ordered concatenated token stream into seq_len windows."""
+    import re
+
+    from searchengine_spark.ops.prep import PACK_SEQ_LEN, pack_sequences
+
+    sf = "/root/testdata/sf0.001"
+    counts = {
+        r["doc_id"]: len(re.findall(r"[a-z0-9]+", r["text"].lower()))
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    L = PACK_SEQ_LEN
+    want = {}
+    gpos = 0
+    for d in sorted(counts):
+        n = counts[d]
+        if n == 0:
+            continue
+        start, end = gpos, gpos + n
+        gpos = end
+        for s in range(start // L, (end - 1) // L + 1):
+            ov = min(end, (s + 1) * L) - max(start, s * L)
+            nd, nt, fd, ld = want.get(s, (0, 0, d, d))
+            want[s] = (nd + 1, nt + ov, min(fd, d), max(ld, d))
+    got = {
+        r["seq_id"]: (
+            r["n_docs"], r["n_tokens"], r["first_doc"], r["last_doc"],
+        )
+        for r in pack_sequences(spark, sf).collect()
+    }
+    assert got == want
+    # every sequence but the tail is exactly full
+    full = sorted(got)[:-1]
+    assert all(got[s][1] == L for s in full)
+    assert got[max(got)][1] <= L
