@@ -611,7 +611,9 @@ def merge_run(spark: SparkSession, index_dir: str, start: int,
 
     meta = _read_meta(index_dir)
     segs = meta["segments"]
-    if not (0 <= start and length >= 2 and start + length <= len(segs)):
+    # length 1 is a single-segment rewrite (expunge_deletes' unit):
+    # same contiguous-interval math, the "merge" just drops tombstones
+    if not (0 <= start and length >= 1 and start + length <= len(segs)):
         raise ValueError(
             f"invalid run [{start}:{start + length}) of {len(segs)} segments"
         )
@@ -668,6 +670,15 @@ def merge_run(spark: SparkSession, index_dir: str, start: int,
     token_sum = sum(st["token_sum"] for st in run_stats) - run_tomb_tokens
     # survivors after physical tombstone removal = stored docs kept
     n_surv_merged = docs.count()
+    if n_surv_merged == 0:
+        # an empty partitionBy parquet dir is schema-less and poisons
+        # reads (the IVF compact-to-zero rule) — and dropping the
+        # segment would break the dense docid-offset accounting.
+        # A fully-dead run stays in place (serving already masks it);
+        # merge_segments or a wider run reclaims it.
+        raise ValueError(
+            "run has no surviving docs; widen the run or merge_segments"
+        )
     tables = IndexTables(
         postings=postings,
         docs=docs,
@@ -769,3 +780,51 @@ def maybe_merge(spark: SparkSession, index_dir: str,
         if max(window) == min(window):
             return merge_run(spark, index_dir, i, merge_factor)
     return None
+
+
+def expunge_deletes(spark: SparkSession, index_dir: str,
+                    max_del_frac: float = 0.2) -> list[str]:
+    """Rewrite every segment whose tombstoned-doc fraction exceeds
+    ``max_del_frac`` — Lucene's expungeDeletes: reclaim dead postings
+    without merging anything, touching ONLY the segments that carry
+    the garbage.  Each rewrite is a single-segment merge_run, so all
+    of its guarantees hold (docids preserved, out-of-segment
+    tombstones recomputed, atomic swap per segment).
+
+    Returns the new segment names (empty when no segment crosses the
+    threshold).  Complements maybe_merge: the tier policy bounds
+    segment COUNT, this bounds dead-posting OCCUPANCY — a deployment
+    runs both in its maintenance window.
+    """
+    meta = _read_meta(index_dir)
+    segs = meta["segments"]
+    tomb_gens = meta.get("tomb_gens", [])
+    if not segs or not tomb_gens or not meta.get("n_tombstones"):
+        return []
+    tombs = spark.read.parquet(*[
+        os.path.join(index_dir, TOMBSTONES_DIR, g) for g in tomb_gens
+    ])
+    stats = _seg_stats(index_dir, segs)
+    bounds, off = [], 0
+    for st in stats:
+        bounds.append((off + 1, off + st["n_total"]))
+        off += st["n_total"]
+    # one pass over the (small) tombstone set: docid -> segment index
+    tomb_ids = [int(r["docid"]) for r in tombs.select("docid").collect()]
+    import bisect
+
+    starts = [lo for lo, _ in bounds]
+    per_seg = [0] * len(segs)
+    for d in tomb_ids:
+        per_seg[bisect.bisect_right(starts, d) - 1] += 1
+    out = []
+    for i in range(len(segs) - 1, -1, -1):  # right-to-left: indices of
+        # unprocessed (smaller-i) segments survive earlier rewrites
+        n_surv = stats[i]["n_survivors"]
+        # fully-dead segments are skipped: a zero-survivor rewrite
+        # cannot be written (merge_run refuses) and serving already
+        # masks every doc — the next full/tiered merge reclaims them
+        if (n_surv and per_seg[i] < n_surv
+                and per_seg[i] / n_surv > max_del_frac):
+            out.append(merge_run(spark, index_dir, i, 1))
+    return out

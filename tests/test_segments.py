@@ -875,3 +875,77 @@ def test_crashed_partial_merge_is_invisible_and_rerunnable(
         _by_url(score_queries_ondisk(spark, qs, post, k=10), post.docs),
         pre_scores,
     )
+
+
+def test_expunge_deletes_rewrites_only_heavy_segments(
+        spark, tmp_path_factory):
+    """expunge_deletes touches only segments whose tombstone fraction
+    crosses the threshold: the heavy segment's dead postings leave
+    physically, the light segment keeps its tombstone (still masked at
+    serving), and answers are unchanged throughout."""
+    from searchengine_spark.index.segments import (
+        _read_meta,
+        compact_near_dups,
+        expunge_deletes,
+    )
+
+    rows = sorted(
+        synth_corpus(130), key=lambda r: (r["repo"], r["path"], r["commit"])
+    )
+    a, b = rows[:60], rows[60:120]
+
+    def twin_of(src, tag):
+        return {
+            "repo": f"zz-{tag}", "path": src["path"],
+            "commit": src["commit"], "lang": src["lang"],
+            "content": src["content"] + f" zz{tag} zzmore",
+        }
+
+    seg_dir = str(tmp_path_factory.mktemp("expunge") / "idx")
+    # gen0: 60 docs, clean
+    init_segmented(
+        spark,
+        build_tables(spark, spark.createDataFrame(a),
+                     compute_quality=False, simhash_bits=32),
+        seg_dir,
+    )
+    # gen1: 60 docs + a twin of a gen0 doc — the twin (larger docid)
+    # tombstones HERE at compaction, fraction 1/61 << threshold (light)
+    append_segment(
+        spark, seg_dir,
+        spark.createDataFrame(b + [twin_of(a[1], "t1")]),
+        compute_quality=False, simhash_bits=32,
+    )
+    # gen2: tiny — two fresh docs + a twin of a gen1 doc; one of its
+    # 3 docs tombstones (fraction 1/3 > threshold, survivors remain)
+    tiny = spark.createDataFrame(
+        [rows[120], rows[121], twin_of(b[0], "t2")]
+    )
+    append_segment(spark, seg_dir, tiny,
+                   compute_quality=False, simhash_bits=32)
+    assert compact_near_dups(spark, seg_dir, bits=32) >= 2
+
+    meta0 = _read_meta(seg_dir)
+    pre = load_segments(spark, seg_dir, cache_meta=False)
+    qs = [(qid, q) for qid, q in QUERIES]
+    pre_scores = _by_url(
+        score_queries_ondisk(spark, qs, pre, k=10), pre.docs
+    )
+    pre_stats = dict(pre.stats)
+
+    new = expunge_deletes(spark, seg_dir, max_del_frac=0.2)
+    assert len(new) == 1  # only the tiny tombstone-heavy segment
+    meta1 = _read_meta(seg_dir)
+    assert meta1["segments"][:2] == meta0["segments"][:2]  # untouched
+    assert meta1["segments"][2] == new[0]
+    # the light segment's tombstone survives; the heavy one's is gone
+    assert 1 <= meta1["n_tombstones"] < meta0["n_tombstones"]
+
+    post = load_segments(spark, seg_dir, cache_meta=False)
+    assert post.stats == pre_stats
+    _assert_rank_identity(
+        _by_url(score_queries_ondisk(spark, qs, post, k=10), post.docs),
+        pre_scores,
+    )
+    # below-threshold second pass is a no-op
+    assert expunge_deletes(spark, seg_dir, max_del_frac=0.2) == []

@@ -42,12 +42,18 @@ def main():
                     help="size-tiered partial merges until no tier is full")
     ap.add_argument("--merge-factor", type=int, default=4,
                     help="segments per tier before a tiered merge fires")
+    ap.add_argument("--expunge", type=float, metavar="MAX_DEL_FRAC",
+                    default=None,
+                    help="rewrite segments whose tombstone fraction "
+                         "exceeds this (Lucene expungeDeletes)")
     ap.add_argument("--simhash-bits", type=int, default=64,
                     choices=(32, 64),
                     help="must match the bits the segments were built with")
     args = ap.parse_args()
-    if not (args.compact or args.merge or args.tiered):
-        ap.error("nothing to do: pass --compact, --merge and/or --tiered")
+    if not (args.compact or args.merge or args.tiered
+            or args.expunge is not None):
+        ap.error("nothing to do: pass --compact, --merge, --tiered "
+                 "and/or --expunge")
     if args.merge and args.tiered:
         ap.error("--merge and --tiered are mutually exclusive")
 
@@ -65,6 +71,7 @@ def main():
     from searchengine_spark.index.segments import (
         _read_meta,
         compact_near_dups,
+        expunge_deletes,
         load_segments,
         maybe_merge,
         merge_segments,
@@ -79,6 +86,10 @@ def main():
         )
     if args.merge:
         out["merged_into"] = merge_segments(spark, args.index)
+    if args.expunge is not None:
+        out["expunged"] = expunge_deletes(
+            spark, args.index, max_del_frac=args.expunge
+        )
     if args.tiered:
         tiered = []
         while (m := maybe_merge(
