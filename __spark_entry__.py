@@ -404,6 +404,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_snippets": PSG.window_snippets,
         "dup_chunks": PSG.dup_chunks,
         "pack_sequences": P.pack_sequences,
+        "bpe_train": __import__(
+            "searchengine_spark.ops.bpe", fromlist=["bpe_train"]
+        ).bpe_train,
     }
 
 
@@ -2263,4 +2266,7 @@ def oracle_sql() -> dict[str, str]:
     from searchengine_spark.ops.prep import pack_sequences_oracle_sql
 
     d["pack_sequences"] = pack_sequences_oracle_sql()
+    from searchengine_spark.ops.bpe import bpe_train_oracle_sql
+
+    d["bpe_train"] = bpe_train_oracle_sql()
     return d

@@ -352,6 +352,9 @@ def _run_ops_tier(spark):
 
     timed("pack_sequences_sec",
           lambda: pack_sequences(spark, SF_DIR).count())
+    from searchengine_spark.ops.bpe import bpe_train
+
+    timed("bpe_train_sec", lambda: bpe_train(spark, SF_DIR).count())
     timed("repetition_stats_sec",
           lambda: T.repetition_stats(spark, SF_DIR).count())
     timed("suffix_topk_sec", lambda: SRC.suffix_topk(spark, SF_DIR).count())

@@ -1,0 +1,157 @@
+"""BPE tokenizer training as a distributed job ([NORTH-EXT]).
+
+Training a byte-pair-encoding vocabulary is the canonical
+tokenizer-construction step of an LLM data pipeline, and it is
+map-reduce-shaped: each merge step is one weighted pair-count
+aggregation over the (vocabulary-sized) word-frequency table plus a
+per-word symbol rewrite — never a pass over the raw corpus.  This
+module trains ``BPE_STEPS`` merges over the engine's tokenizer output
+and emits the merge table, the artifact a tokenizer ships.
+
+Semantics (pinned, shared with the DuckDB oracle and the pure-Python
+reference in tests):
+ * words = the pinned regex tokens; per-word frequency from one corpus
+   aggregation; symbols start as single characters (no end-of-word
+   marker).
+ * each step counts ADJACENT symbol pairs weighted by word frequency,
+   merges the argmax pair (ties: count desc, lhs asc, rhs asc), and
+   rewrites every word greedily left-to-right.
+ * the greedy left-to-right rewrite equals the fold "merge when the
+   accumulator's last symbol == lhs and the next == rhs": after a
+   merge the accumulator ends with lhs||rhs, which can only equal lhs
+   again in the lhs == rhs case — exactly the case where greedy also
+   re-merges (aaaa -> aa aa) — so fold == scan.  Both engines
+   implement that fold (Spark: aggregate() over the symbol array;
+   DuckDB: list_reduce over a space-joined symbol string).
+
+Scale shape: the corpus is touched ONCE (word frequencies); every
+step's aggregation is over the vocabulary (10^7 rows at 100 TB, a
+small shuffle), and only the 1-row argmax is collected per step — the
+trained-k-means driver-loop pattern (ops/vectors.kmeans_centroids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textops import doc_tokens
+
+__all__ = ["bpe_train", "bpe_train_oracle_sql", "BPE_STEPS"]
+
+# pinned step count, interpolated into the oracle — change both
+# together; 10 reaches the first CHAINED merges on the test corpus
+# (p+ar, m+er at steps 7-8), proving multi-char symbols flow through
+BPE_STEPS = 10
+
+
+def _merge_fold_expr(l: str, r: str) -> str:
+    """Spark fold applying one merge greedily over the symbol array."""
+    return (
+        "aggregate(syms, cast(array() as array<string>), (acc, x) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{l}' "
+        f"AND x = '{r}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{l}{r}')) "
+        "ELSE concat(acc, array(x)) END)"
+    )
+
+
+def bpe_train(spark, sf_dir, steps: int = BPE_STEPS) -> DataFrame:
+    """Train ``steps`` BPE merges; returns the merge table
+    (step, lhs, rhs, n) — n is the frequency-weighted count of the
+    merged pair at the time it was chosen."""
+    vocab = (
+        doc_tokens(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .withColumn(
+            "syms", F.expr("filter(split(term, ''), x -> x != '')")
+        )
+        .persist()
+    )
+    vocab.count()
+    merges = []
+    cur = vocab
+    for step in range(steps):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), i -> "
+                        "struct(element_at(syms, i) AS l, "
+                        "element_at(syms, i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), F.asc("l"), F.asc("r")).limit(
+            1
+        ).collect()
+        if not top:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((step, l, r, n))
+        nxt = cur.select(
+            "term", "freq", F.expr(_merge_fold_expr(l, r)).alias("syms")
+        ).persist()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges, "step long, lhs string, rhs string, n long"
+    ).orderBy("step")
+
+
+def bpe_train_oracle_sql(steps: int = BPE_STEPS) -> str:
+    """Unrolled-CTE oracle: s{k} holds (term, freq, sym) with sym the
+    space-joined symbol string; m{k} is step k's argmax pair; the fold
+    lambda applies it (same greedy-equals-fold argument as the Spark
+    side)."""
+    parts = ["""
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+            AS term FROM documents
+        ),
+        vocab AS (SELECT term, count(*)::BIGINT AS freq FROM toks
+                  GROUP BY term),
+        s0 AS (
+          SELECT term, freq,
+                 array_to_string(
+                   [x FOR x IN split(term, '') IF x != ''], ' ') AS sym
+          FROM vocab
+        )"""]
+    for k in range(steps):
+        parts.append(f""",
+        p{k} AS (
+          SELECT a[i] AS l, a[i + 1] AS r, sum(freq)::BIGINT AS n
+          FROM (SELECT freq, split(sym, ' ') AS a FROM s{k}
+                WHERE len(split(sym, ' ')) >= 2),
+               LATERAL (SELECT unnest(
+                 generate_series(1, len(a) - 1)) AS i) g
+          GROUP BY a[i], a[i + 1]
+        ),
+        m{k} AS (SELECT l, r, n FROM p{k}
+                 ORDER BY n DESC, l, r LIMIT 1),
+        s{k + 1} AS (
+          SELECT term, freq,
+                 list_reduce(
+                   split(sym, ' '),
+                   (acc, x) -> CASE
+                     WHEN (acc = m.l OR suffix(acc, ' ' || m.l))
+                          AND x = m.r
+                       THEN substr(acc, 1, len(acc) - len(m.l))
+                            || m.l || m.r
+                     ELSE acc || ' ' || x END
+                 ) AS sym
+          FROM s{k} CROSS JOIN m{k} m
+        )""")
+    selects = " UNION ALL ".join(
+        f"SELECT {k}::BIGINT AS step, l AS lhs, r AS rhs, n FROM m{k}"
+        for k in range(steps)
+    )
+    parts.append(f" {selects} ORDER BY step")
+    return "".join(parts)

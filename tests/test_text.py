@@ -243,3 +243,52 @@ def test_parse_query_wildcards():
     for bad in ("a*b", "*", "**", "*ab*", "-dup*", "lang:e*"):
         with pytest.raises(ValueError):
             parse_query(f"spark {bad}")
+
+
+def test_bpe_train_matches_classic_greedy(spark):
+    """The distributed BPE trainer must equal the textbook algorithm:
+    scan-based greedy left-to-right merge application (with skip), not
+    just the fold both engines implement — proving fold == greedy."""
+    import re
+    from collections import Counter
+
+    from searchengine_spark.ops.bpe import BPE_STEPS, bpe_train
+
+    sf = "/root/testdata/sf0.001"
+    words = Counter()
+    for r in spark.read.parquet(f"{sf}/documents.parquet").collect():
+        words.update(re.findall(r"[a-z0-9]+", r["text"].lower()))
+
+    def greedy_apply(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    vocab = {w: list(w) for w in words}
+    want = []
+    for step in range(BPE_STEPS):
+        counts = Counter()
+        for w, syms in vocab.items():
+            f = words[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        (l, r), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        want.append((step, l, r, n))
+        vocab = {w: greedy_apply(s, l, r) for w, s in vocab.items()}
+
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["n"])
+        for r in bpe_train(spark, sf).collect()
+    ]
+    assert got == want
+    # merges must actually chain (a later merge uses an earlier output)
+    built = {l + r for _, l, r, _ in want}
+    assert any(l in built or r in built for _, l, r, _ in want[1:])
