@@ -407,6 +407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": __import__(
             "searchengine_spark.ops.bpe", fromlist=["bpe_train"]
         ).bpe_train,
+        "bpe_encode": __import__(
+            "searchengine_spark.ops.bpe", fromlist=["bpe_encode"]
+        ).bpe_encode,
     }
 
 
@@ -2266,7 +2269,11 @@ def oracle_sql() -> dict[str, str]:
     from searchengine_spark.ops.prep import pack_sequences_oracle_sql
 
     d["pack_sequences"] = pack_sequences_oracle_sql()
-    from searchengine_spark.ops.bpe import bpe_train_oracle_sql
+    from searchengine_spark.ops.bpe import (
+        bpe_encode_oracle_sql,
+        bpe_train_oracle_sql,
+    )
 
     d["bpe_train"] = bpe_train_oracle_sql()
+    d["bpe_encode"] = bpe_encode_oracle_sql()
     return d

@@ -355,6 +355,9 @@ def _run_ops_tier(spark):
     from searchengine_spark.ops.bpe import bpe_train
 
     timed("bpe_train_sec", lambda: bpe_train(spark, SF_DIR).count())
+    from searchengine_spark.ops.bpe import bpe_encode
+
+    timed("bpe_encode_sec", lambda: bpe_encode(spark, SF_DIR).count())
     timed("repetition_stats_sec",
           lambda: T.repetition_stats(spark, SF_DIR).count())
     timed("suffix_topk_sec", lambda: SRC.suffix_topk(spark, SF_DIR).count())

@@ -36,7 +36,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from .textops import doc_tokens
 
-__all__ = ["bpe_train", "bpe_train_oracle_sql", "BPE_STEPS"]
+__all__ = ["bpe_train", "bpe_encode", "bpe_train_oracle_sql",
+           "bpe_encode_oracle_sql", "BPE_STEPS"]
 
 # pinned step count, interpolated into the oracle — change both
 # together; 10 reaches the first CHAINED merges on the test corpus
@@ -55,10 +56,9 @@ def _merge_fold_expr(l: str, r: str) -> str:
     )
 
 
-def bpe_train(spark, sf_dir, steps: int = BPE_STEPS) -> DataFrame:
-    """Train ``steps`` BPE merges; returns the merge table
-    (step, lhs, rhs, n) — n is the frequency-weighted count of the
-    merged pair at the time it was chosen."""
+def _train(spark, sf_dir, steps):
+    """Shared training loop: returns (merge rows, final vocab DF with
+    per-word symbol arrays — PERSISTED; the caller unpersists)."""
     vocab = (
         doc_tokens(spark, sf_dir)
         .groupBy("term")
@@ -100,17 +100,54 @@ def bpe_train(spark, sf_dir, steps: int = BPE_STEPS) -> DataFrame:
         nxt.count()
         cur.unpersist()
         cur = nxt
+    return merges, cur
+
+
+def bpe_train(spark, sf_dir, steps: int = BPE_STEPS) -> DataFrame:
+    """Train ``steps`` BPE merges; returns the merge table
+    (step, lhs, rhs, n) — n is the frequency-weighted count of the
+    merged pair at the time it was chosen."""
+    merges, cur = _train(spark, sf_dir, steps)
     cur.unpersist()
     return spark.createDataFrame(
         merges, "step long, lhs string, rhs string, n long"
     ).orderBy("step")
 
 
-def bpe_train_oracle_sql(steps: int = BPE_STEPS) -> str:
-    """Unrolled-CTE oracle: s{k} holds (term, freq, sym) with sym the
-    space-joined symbol string; m{k} is step k's argmax pair; the fold
-    lambda applies it (same greedy-equals-fold argument as the Spark
-    side)."""
+def bpe_encode(spark, sf_dir, steps: int = BPE_STEPS) -> DataFrame:
+    """Apply the trained vocabulary: per-doc piece counts under the
+    learned merges — (doc_id, n_tokens, n_pieces).  The corpus is
+    encoded by JOINING tokens against the per-WORD piece count of the
+    final training state (vocabulary-sized), never by re-folding every
+    token occurrence — the word table is the tokenizer artifact, the
+    join is the application.
+
+    Scale: one (term)-keyed join of the token stream against the
+    vocabulary + a per-doc aggregation — the token_counts shape with a
+    learned instead of heuristic piece function."""
+    _merges, cur = _train(spark, sf_dir, steps)
+    pieces = cur.select(
+        "term", F.size("syms").cast("long").alias("pieces")
+    )
+    out = (
+        doc_tokens(spark, sf_dir)
+        .join(pieces, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("pieces").cast("long").alias("n_pieces"),
+        )
+        .orderBy("doc_id")
+    )
+    cur.unpersist()  # eligibility only: the plan recomputes if evicted
+    return out
+
+
+def _cte_prefix(steps: int) -> str:
+    """Unrolled-CTE body shared by both oracles: s{k} holds
+    (term, freq, sym) with sym the space-joined symbol string; m{k} is
+    step k's argmax pair; the fold lambda applies it (same
+    greedy-equals-fold argument as the Spark side)."""
     parts = ["""
         WITH toks AS (
           SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
@@ -149,9 +186,29 @@ def bpe_train_oracle_sql(steps: int = BPE_STEPS) -> str:
                  ) AS sym
           FROM s{k} CROSS JOIN m{k} m
         )""")
+    return "".join(parts)
+
+
+def bpe_train_oracle_sql(steps: int = BPE_STEPS) -> str:
     selects = " UNION ALL ".join(
         f"SELECT {k}::BIGINT AS step, l AS lhs, r AS rhs, n FROM m{k}"
         for k in range(steps)
     )
-    parts.append(f" {selects} ORDER BY step")
-    return "".join(parts)
+    return f"{_cte_prefix(steps)} {selects} ORDER BY step"
+
+
+def bpe_encode_oracle_sql(steps: int = BPE_STEPS) -> str:
+    return f"""{_cte_prefix(steps)},
+        pieces AS (SELECT term, len(split(sym, ' '))::BIGINT AS pieces
+                   FROM s{steps}),
+        dtoks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS term
+          FROM documents
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(pieces)::BIGINT AS n_pieces
+        FROM dtoks JOIN pieces USING (term)
+        GROUP BY doc_id ORDER BY doc_id
+    """

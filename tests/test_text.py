@@ -292,3 +292,59 @@ def test_bpe_train_matches_classic_greedy(spark):
     # merges must actually chain (a later merge uses an earlier output)
     built = {l + r for _, l, r, _ in want}
     assert any(l in built or r in built for _, l, r, _ in want[1:])
+
+
+def test_bpe_encode_matches_classic(spark):
+    """Piece counts under the learned merges equal the textbook
+    application: encode each word with the scan-based greedy merges in
+    training order, sum per doc."""
+    import re
+    from collections import Counter
+
+    from searchengine_spark.ops.bpe import (
+        BPE_STEPS,
+        bpe_encode,
+        bpe_train,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: re.findall(r"[a-z0-9]+", r["text"].lower())
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(spark, sf).collect()
+    ]
+    assert len(merges) == BPE_STEPS
+
+    def encode(word):
+        syms = list(word)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l
+                        and syms[i + 1] == r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    cache = {}
+    want = {}
+    for d, toks in docs.items():
+        if not toks:
+            continue
+        want[d] = (len(toks),
+                   sum(cache.setdefault(t, encode(t)) for t in toks))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_pieces"])
+        for r in bpe_encode(spark, sf).collect()
+    }
+    assert got == want
+    # the learned tokenizer compresses: pieces < chars, > tokens
+    for d, (nt, np_) in got.items():
+        assert nt <= np_ <= sum(len(t) for t in docs[d])
