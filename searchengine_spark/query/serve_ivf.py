@@ -70,11 +70,18 @@ class LocalANN:
     """Spark-free reader/scorer over a persisted IVF index dir."""
 
     def __init__(self, index_dir: str, nprobe: int = 3,
-                 cell_cache_size: int = 512):
+                 cell_cache_size: int = 512,
+                 cells: set | None = None):
         self.index_dir = index_dir
         self.nprobe = nprobe
         self._cache: OrderedDict = OrderedDict()
         self._cache_size = cell_cache_size
+        # cells= restricts SCANNING to a cid subset (a cell-partition
+        # shard: ShardedANN) — probe selection stays GLOBAL (every
+        # replica holds the tiny centroid table), so per-vector scores
+        # are identical to an unsharded replica and only the cell LRU
+        # (the O(corpus) RAM) restricts to the subset
+        self._cells = None if cells is None else {int(c) for c in cells}
         self._stamp = None
         self.refresh()
 
@@ -268,6 +275,8 @@ class LocalANN:
         out_ids, out_cos = [], []
         for gen in self.gens:
             for cid in probes:
+                if self._cells is not None and cid not in self._cells:
+                    continue
                 ids, emb = self._cell(gen, cid)
                 if ids is None or not len(ids):
                     continue
@@ -312,9 +321,6 @@ class LocalANN:
                 "no PQ codebook attached to this index "
                 "(ops.vectors.attach_pq_codebook)"
             )
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
         qv = [float(x) for x in query_vec]
         qn = math.sqrt(_fold_dot(qv, qv))
         ranked = sorted(
@@ -326,7 +332,20 @@ class LocalANN:
             key=lambda cq: (-cq[1], cq[0]),
         )
         probes = [cid for cid, _ in ranked[: self.nprobe]]
+        ids, rsc = self._adc_scores(qv, qn, probes, exclude_vec_id)
+        if ids is None:
+            return []
+        order = np.lexsort((ids, -rsc))[:rerank]
+        short = set(int(ids[i]) for i in order)
+        r_ids, r_cos = self._exact_rescore(qv, qn, probes, short)
+        rcos = np.array([_round5(c) for c in r_cos])
+        order = np.lexsort((r_ids, -rcos))[:k]
+        return [(int(r_ids[i]), float(rcos[i])) for i in order]
 
+    def _adc_scores(self, qv, qn, probes, exclude_vec_id=None):
+        """ADC phase of pq_topk over THIS replica's cells: (ids,
+        round-5 quantized cosines) post tombstone/exclude mask, or
+        (None, None) when nothing matches."""
         n_m = len(self.pq_cb)
         n_c = len(self.pq_cb[0])
         sub = len(self.pq_cb[0][0])
@@ -341,6 +360,8 @@ class LocalANN:
         out_ids, out_sc = [], []
         for gen in self.gens:
             for cid in probes:
+                if self._cells is not None and cid not in self._cells:
+                    continue
                 ids, codes = self._cell_codes(gen, cid)
                 if ids is None or not len(ids):
                     continue
@@ -353,7 +374,7 @@ class LocalANN:
                 out_ids.append(ids)
                 out_sc.append(numer / (qn * np.sqrt(denom)))
         if not out_ids:
-            return []
+            return None, None
         ids = np.concatenate(out_ids)
         sc = np.concatenate(out_sc)
         mask = np.ones(len(ids), dtype=bool)
@@ -364,18 +385,22 @@ class LocalANN:
         if exclude_vec_id is not None:
             mask &= ids != int(exclude_vec_id)
         ids, sc = ids[mask], sc[mask]
-        rsc = np.array([_round5(s) for s in sc])
-        order = np.lexsort((ids, -rsc))[:rerank]
-        short = set(int(ids[i]) for i in order)
+        return ids, np.array([_round5(x) for x in sc])
 
-        # exact rerank: read ONLY the shortlist rows back from the
-        # probed cells (predicate pushdown on vec_id), score with the
-        # fold-parity exact cosine
+    def _exact_rescore(self, qv, qn, probes, short):
+        """Exact-rerank phase: read ONLY the shortlist rows back from
+        this replica's probed cells (predicate pushdown on vec_id),
+        score with the fold-parity exact cosine; (ids, cosines)."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
         qarr = np.asarray(qv, dtype=np.float64)
         r_ids, r_cos = [], []
         want = pc.field("vec_id").isin(list(short))
         for gen in self.gens:
             for cid in probes:
+                if self._cells is not None and cid not in self._cells:
+                    continue
                 path = os.path.join(self.index_dir, gen, f"cid={cid}")
                 if not os.path.isdir(path):
                     continue
@@ -395,8 +420,115 @@ class LocalANN:
                     nrm += cj * cj
                 r_ids.append(rids)
                 r_cos.append(dot / (np.sqrt(nrm) * qn))
-        ids = np.concatenate(r_ids)
-        cos = np.concatenate(r_cos)
-        rcos = np.array([_round5(c) for c in cos])
-        order = np.lexsort((ids, -rcos))[:k]
-        return [(int(ids[i]), float(rcos[i])) for i in order]
+        if not r_ids:
+            return np.empty(0, np.int64), np.empty(0)
+        return np.concatenate(r_ids), np.concatenate(r_cos)
+
+
+class ShardedANN:
+    """Cell-partitioned ANN serving over ONE IVF dir — the vector
+    twin of serve_local.ShardedSearcher: past one replica's RAM
+    envelope, cells (the O(corpus) state: vectors or PQ codes) split
+    round-robin across shard replicas while the tiny centroid table
+    and tombstone set stay global in every shard.
+
+    Losslessness: probe selection is a pure function of the global
+    centroids (identical in every shard), cells partition the vectors
+    disjointly, and a vector's cosine depends only on itself and the
+    query — so the exact path merges per-shard top-k by (cosine desc,
+    vec_id asc) losslessly.  The PQ path is TWO-PHASE at the router:
+    per-shard ADC scores pool into ONE global top-``rerank`` shortlist
+    (a shard-local shortlist could let extra reranked candidates
+    intrude), then each shard exact-rescores the shortlist rows it
+    owns — value-identical to an unsharded LocalANN.pq_topk
+    (asserted in tests/test_serve_ivf.py).
+
+    In production each shard is its own replica process fed the same
+    parquet off shared storage; here they are in-process objects —
+    the state partitioning, not the transport, is the demonstration.
+    """
+
+    def __init__(self, index_dir: str, n_shards: int, nprobe: int = 3,
+                 cell_cache_size: int = 512):
+        if n_shards < 1:
+            raise ValueError("n_shards must be >= 1")
+        self.index_dir = index_dir
+        self.nprobe = nprobe
+        self._cache_size = cell_cache_size
+        self._n_shards = n_shards
+        self._build()
+
+    def _build(self) -> None:
+        first = LocalANN(self.index_dir, nprobe=self.nprobe,
+                         cell_cache_size=self._cache_size)
+        cids = sorted(first.cent)
+        n = min(self._n_shards, max(1, len(cids)))
+        owned = [set(cids[i::n]) for i in range(n)]
+        first._cells = owned[0]
+        first._cache.clear()  # may hold cells shard 0 no longer owns
+        self.shards = [first] + [
+            LocalANN(self.index_dir, nprobe=self.nprobe,
+                     cell_cache_size=self._cache_size, cells=owned[i])
+            for i in range(1, n)
+        ]
+        self._stamp = first._stamp
+
+    def maybe_refresh(self) -> bool:
+        """Re-partition on any maintenance commit: a rebuild can change
+        the centroid SET, so ownership is recomputed from scratch."""
+        if self.shards[0]._commit_stamp() != self._stamp:
+            self._build()
+            return True
+        return False
+
+    def topk(self, query_vec, k: int = 10, exclude_vec_id=None):
+        cands = []
+        for sh in self.shards:
+            cands.extend(
+                sh.topk(query_vec, k=k, exclude_vec_id=exclude_vec_id)
+            )
+        cands.sort(key=lambda vc: (-vc[1], vc[0]))
+        return cands[:k]
+
+    def pq_topk(self, query_vec, k: int = 10, exclude_vec_id=None,
+                rerank: int = 32):
+        qv = [float(x) for x in query_vec]
+        qn = math.sqrt(_fold_dot(qv, qv))
+        sh0 = self.shards[0]
+        ranked = sorted(
+            (
+                (cid, _fold_dot(qv, cv)
+                 / (math.sqrt(_fold_dot(cv, cv)) * qn))
+                for cid, cv in sh0.cent.items()
+            ),
+            key=lambda cq: (-cq[1], cq[0]),
+        )
+        probes = [cid for cid, _ in ranked[:self.nprobe]]
+        all_ids, all_rsc = [], []
+        for sh in self.shards:
+            if sh.pq_cb is None:
+                raise ValueError(
+                    "no PQ codebook attached to this index "
+                    "(ops.vectors.attach_pq_codebook)"
+                )
+            ids, rsc = sh._adc_scores(qv, qn, probes, exclude_vec_id)
+            if ids is not None and len(ids):
+                all_ids.append(ids)
+                all_rsc.append(rsc)
+        if not all_ids:
+            return []
+        ids = np.concatenate(all_ids)
+        rsc = np.concatenate(all_rsc)
+        order = np.lexsort((ids, -rsc))[:rerank]
+        short = set(int(ids[i]) for i in order)
+        r_ids, r_cos = [], []
+        for sh in self.shards:
+            rid, rco = sh._exact_rescore(qv, qn, probes, short)
+            if len(rid):
+                r_ids.append(rid)
+                r_cos.append(rco)
+        rid = np.concatenate(r_ids)
+        rco = np.concatenate(r_cos)
+        rcos = np.array([_round5(c) for c in rco])
+        order = np.lexsort((rid, -rcos))[:k]
+        return [(int(rid[i]), float(rcos[i])) for i in order]

@@ -191,3 +191,56 @@ def test_local_ann_pq_identity_through_maintenance(spark, tmp_path):
     build_ivf_index(spark, emb.filter(F.col("vec_id") % 2 == 0), d)
     ann2 = LocalANN(d)
     assert ann2.pq_cb is None
+
+
+def test_sharded_ann_equals_unsharded(spark, tmp_path):
+    """Cell-partition sharding must be invisible: ShardedANN answers
+    value-identically to one LocalANN on BOTH paths (exact and the
+    two-phase PQ), across shard counts, and re-partitions on
+    maintenance commits."""
+    from searchengine_spark.ops.vectors import (
+        append_ivf,
+        attach_pq_codebook,
+        build_ivf_index,
+        compact_ivf,
+        delete_vectors,
+    )
+    from searchengine_spark.query.serve_ivf import LocalANN, ShardedANN
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    d = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb.filter(F.col("vec_id") % 2 == 0), d)
+    append_ivf(spark, emb.filter(F.col("vec_id") % 2 == 1), d)
+    attach_pq_codebook(spark, emb, d)
+
+    qvs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id").isin([0, 3, 7])).collect()
+    }
+    whole = LocalANN(d)
+    n_cells = len(whole.cent)
+    for n_shards in (2, 3, n_cells + 5):  # over-sharding clamps
+        router = ShardedANN(d, n_shards=n_shards)
+        assert len(router.shards) <= n_cells
+        owned = [c for sh in router.shards for c in sh._cells]
+        assert sorted(owned) == sorted(whole.cent)  # exact partition
+        for vid, qv in qvs.items():
+            assert router.topk(qv, k=10, exclude_vec_id=vid) \
+                == whole.topk(qv, k=10, exclude_vec_id=vid), n_shards
+            assert router.pq_topk(qv, k=10, exclude_vec_id=vid) \
+                == whole.pq_topk(qv, k=10, exclude_vec_id=vid), n_shards
+
+    # maintenance under a live router: delete + compact, then refresh
+    router = ShardedANN(d, n_shards=2)
+    dead = [v for v, _ in whole.topk(qvs[0], k=3, exclude_vec_id=0)]
+    delete_vectors(spark, d, dead)
+    compact_ivf(spark, d)
+    assert router.maybe_refresh() is True
+    assert whole.maybe_refresh() is True
+    for vid, qv in qvs.items():
+        got = router.topk(qv, k=10, exclude_vec_id=vid)
+        assert got == whole.topk(qv, k=10, exclude_vec_id=vid)
+        assert not set(dead) & {v for v, _ in got}
+    assert router.maybe_refresh() is False
