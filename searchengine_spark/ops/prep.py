@@ -205,8 +205,8 @@ def training_data_prep(
 PACK_SEQ_LEN = 512
 
 
-def pack_sequences(spark: SparkSession, sf_dir: str,
-                   seq_len: int = PACK_SEQ_LEN) -> DataFrame:
+def pack_sequences_df(docs: DataFrame,
+                      seq_len: int = PACK_SEQ_LEN) -> DataFrame:
     """GPT-style sample packing: concatenate every doc's token stream
     in doc_id order and cut fixed ``seq_len``-token training sequences
     — one row per sequence with how many docs it touches, its token
@@ -221,9 +221,10 @@ def pack_sequences(spark: SparkSession, sf_dir: str,
     invariant, never a single-partition window), then a PER-DOC
     arithmetic explode of the <= n/seq_len + 1 sequences the doc
     spans, aggregated on seq_id.  Zero-token docs pack nothing and are
-    excluded up front."""
-    d = documents(spark, sf_dir)
-    counts = d.select(
+    excluded up front.  ``docs`` is any (doc_id, text) DataFrame — the
+    deploy job packs the CURATED corpus, the driver entry the raw
+    table."""
+    counts = docs.select(
         "doc_id",
         F.size(
             F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)
@@ -259,6 +260,12 @@ def pack_sequences(spark: SparkSession, sf_dir: str,
         .select("seq_id", "n_docs", "n_tokens", "first_doc", "last_doc")
         .orderBy("seq_id")
     )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str,
+                   seq_len: int = PACK_SEQ_LEN) -> DataFrame:
+    """pack_sequences_df over the sf_dir documents table."""
+    return pack_sequences_df(documents(spark, sf_dir), seq_len)
 
 
 def pack_sequences_oracle_sql(seq_len: int = PACK_SEQ_LEN) -> str:

@@ -41,6 +41,11 @@ def main():
                     help="span-level dedup of the FINAL corpus: rewrite "
                          "text with non-canonical duplicated spans "
                          "removed (ops/dedup.strip_dup_spans)")
+    ap.add_argument("--pack", type=int, metavar="SEQ_LEN", default=None,
+                    help="also pack the curated corpus into fixed "
+                         "SEQ_LEN-token training sequences "
+                         "(ops/prep.pack_sequences_df) under "
+                         "<output>/packed")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -122,6 +127,20 @@ def main():
         )
         t["span_sec"] = round(time.time() - t0, 3)
 
+    n_sequences = None
+    if args.pack:
+        from searchengine_spark.ops.prep import pack_sequences_df
+
+        t0 = time.time()
+        packed = pack_sequences_df(
+            final.select("doc_id", "text"), seq_len=args.pack
+        )
+        packed.write.mode("overwrite").parquet(f"{args.output}/packed")
+        n_sequences = spark.read.parquet(
+            f"{args.output}/packed"
+        ).count()
+        t["pack_sec"] = round(time.time() - t0, 3)
+
     t0 = time.time()
     final.write.mode("overwrite").parquet(f"{args.output}/curated")
     # per-language mixture of the FINAL corpus (engine tokenizer spec)
@@ -143,6 +162,7 @@ def main():
         "n_after_decon": n_decon,
         "n_final": n_final,
         "span_tokens_removed": n_span_tokens,
+        "n_sequences": n_sequences,
         "wall_sec": round(wall, 3),
         "value": round(n_input / wall, 2) if wall else None,
         **t,
