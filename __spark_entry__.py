@@ -361,6 +361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": T.phrase_match,
         "phrase_match_indexed": T.phrase_match_indexed,
         "proximity_topk": T.proximity_topk,
+        "phrase_slop": T.phrase_slop,
+        "corrected_topk": T.corrected_topk,
         "text_quality": T.text_quality,
         "doc_fingerprint": T.doc_fingerprint,
         "repetition_stats": T.repetition_stats,
@@ -2245,6 +2247,96 @@ def oracle_sql() -> dict[str, str]:
             FROM scored s JOIN prox p USING (doc_id)
             WHERE s.nmatch = 2
             ORDER BY score DESC, s.doc_id LIMIT 10
+        """
+    # sloppy ordered phrase (ops/textops.phrase_slop): the oracle is the
+    # explicit ordered pair join — brute force at sf0.01, proving the
+    # searchsorted window-count kernel lossless
+    from searchengine_spark.ops.textops import (
+        PHRASE_SLOP,
+        SLOP_K,
+        SLOP_TERMS,
+    )
+
+    d["phrase_slop"] = f"""
+            WITH rawtoks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+            pos AS (
+              SELECT doc_id, i AS pos, t[i] AS term
+              FROM rawtoks, LATERAL (
+                SELECT unnest(generate_series(1, len(t))) AS i) g
+            )
+            SELECT a.doc_id, count(*)::BIGINT AS n_windows
+            FROM pos a JOIN pos b
+              ON a.doc_id = b.doc_id
+             AND b.pos > a.pos AND b.pos <= a.pos + {PHRASE_SLOP + 1}
+            WHERE a.term = '{SLOP_TERMS[0]}' AND b.term = '{SLOP_TERMS[1]}'
+            GROUP BY a.doc_id
+            ORDER BY n_windows DESC, a.doc_id LIMIT {SLOP_K}
+        """
+    # spell-corrected search (ops/textops.corrected_topk): brute-force
+    # lev<=1 correction (proving the symmetric-delete pruning lossless)
+    # feeding the standard conjunctive-BM25 chain over corrected terms
+    from searchengine_spark.ops.textops import (
+        CORR_BASE_TERMS,
+        CORR_K,
+        CORR_PROBES,
+        FUZZY_MIN_LEN as _C_MINLEN,
+    )
+
+    _corr_base = ", ".join(f"'{t}'" for t in CORR_BASE_TERMS)
+    d["corrected_topk"] = f"""
+            WITH toks AS ({_TOKS}),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dict AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                     FROM toks GROUP BY term),
+            probes AS (
+              SELECT DISTINCT substr(term, 1, 1) || substr(term, 3) AS q
+              FROM (SELECT term FROM dict
+                    WHERE length(term) >= {_C_MINLEN}
+                    ORDER BY df DESC, term LIMIT {CORR_PROBES})
+            ),
+            qraw AS (
+              SELECT DISTINCT q FROM (
+                SELECT unnest([{_corr_base}]) AS q UNION ALL
+                SELECT q FROM probes)
+            ),
+            cand AS (
+              SELECT p.q, d.term, d.df,
+                     levenshtein(p.q, d.term)::BIGINT AS dist
+              FROM qraw p CROSS JOIN dict d
+              WHERE levenshtein(p.q, d.term) <= 1
+            ),
+            corrected AS (
+              SELECT DISTINCT term FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY q ORDER BY dist, df DESC, term) AS rn
+                FROM cand)
+              WHERE rn = 1
+            ),
+            dl AS (SELECT doc_id, count(*) AS total_tokens
+                   FROM tf GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n, avg(total_tokens) AS avgdl
+                      FROM dl),
+            dft AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM tf JOIN corrected USING (term) GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.total_tokens / stats.avgdl))
+                     ) AS s,
+                     count(*) AS nmatch
+              FROM tf JOIN corrected USING (term) JOIN dft USING (term)
+                   JOIN dl USING (doc_id) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(s, 6) AS score
+            FROM scored
+            WHERE nmatch = (SELECT count(*) FROM corrected)
+            ORDER BY score DESC, doc_id LIMIT {CORR_K}
         """
     # query-surface family: oracles built by ops/search.py from the SAME
     # pinned constants the Spark ops default to (they cannot desync)

@@ -363,6 +363,10 @@ def _run_ops_tier(spark):
     timed("suffix_topk_sec", lambda: SRC.suffix_topk(spark, SF_DIR).count())
     timed("search_after_sec",
           lambda: SRC.search_after_topk(spark, SF_DIR).count())
+    timed("phrase_slop_sec",
+          lambda: T.phrase_slop(spark, SF_DIR).count())
+    timed("corrected_topk_sec",
+          lambda: T.corrected_topk(spark, SF_DIR).count())
     return out
 
 

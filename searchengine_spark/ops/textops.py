@@ -384,6 +384,63 @@ def min_pair_distance_udf():
     return _min_dist
 
 
+def ordered_window_count_udf(slop: int):
+    """Arrow-batched kernel: number of ORDERED pairs (pa, pb) with
+    0 < pb − pa <= slop + 1 over two SORTED position arrays, O((tf_a +
+    tf_b) log) per doc via a vectorized double searchsorted — the
+    counting sibling of min_pair_distance_udf, same no-pair-explode
+    argument (a tf≈10⁴ doc would otherwise make 10⁸ join rows)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _win_count(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a), dtype=np.int64)
+        for i, (xa, xb) in enumerate(zip(a, b)):
+            x = np.asarray(xa, dtype=np.int64)
+            y = np.asarray(xb, dtype=np.int64)
+            out[i] = int(
+                (
+                    np.searchsorted(y, x + slop + 1, side="right")
+                    - np.searchsorted(y, x, side="right")
+                ).sum()
+            )
+        return pd.Series(out)
+
+    return _win_count
+
+
+# sloppy-phrase pinned defaults — interpolated into the DuckDB oracle
+# by __spark_entry__ (change Spark and SQL together)
+SLOP_TERMS = ("table", "hash")
+PHRASE_SLOP = 3
+SLOP_K = 20
+
+
+def phrase_slop(spark, sf_dir, terms=SLOP_TERMS, slop=PHRASE_SLOP,
+                k=SLOP_K) -> DataFrame:
+    """Sloppy ordered phrase (Lucene-slop analogue, simplified to the
+    order-preserving rule): ``terms[0]`` followed by ``terms[1]``
+    within ``slop`` intervening tokens — i.e. ordered position pairs
+    with 0 < pb − pa <= slop + 1.  slop=0 degenerates to the exact
+    two-term phrase (adjacency), tying it to phrase_match.
+
+    Returns (doc_id, n_windows) for docs with >= 1 window, ordered
+    n_windows desc, doc_id asc, top k.  Served from the index's stored
+    positions via query/positions.slop_topk_shards (bucket-pruned
+    fetch, one row per doc per side, vectorized window count — never a
+    position×position explode); the driver oracle recomputes the same
+    count from the text with an explicit pair join (fine at sf0.01,
+    and a losslessness proof for the kernel).
+    """
+    from ..query.positions import slop_topk_shards
+
+    return slop_topk_shards(
+        spark, _flat_index(spark, sf_dir), list(terms), slop=slop, k=k
+    )
+
+
 def proximity_topk(spark, sf_dir, terms=("table", "hash"),
                    k=10) -> DataFrame:
     """Proximity-boosted conjunctive ranking served from the index's
@@ -700,6 +757,55 @@ FUZZY_MIN_LEN = 4  # only misspell terms this long (1 char carries less)
 FUZZY_TOPN = 3     # candidates returned per query term
 
 
+def _del1_variants(col: str):
+    """Symmetric-delete variant set of a string column: the string
+    itself + every single-deletion string (expr-based transform)."""
+    return F.array_union(
+        F.array(F.col(col)),
+        F.expr(
+            f"transform(sequence(1, length({col})), i -> "
+            f"concat(substring({col}, 1, i - 1), "
+            f"substring({col}, i + 1, length({col}))))"
+        ),
+    )
+
+
+def _misspelled_probes(dict_df: DataFrame, n: int) -> DataFrame:
+    """Deterministic corpus-derived misspellings (no external data):
+    the ``n`` highest-df dictionary terms of length >= FUZZY_MIN_LEN
+    (ties -> lexicographic), each with its 2nd character deleted."""
+    return (
+        dict_df.filter(F.length("term") >= FUZZY_MIN_LEN)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n)
+        .select(
+            F.concat(
+                F.substring("term", 1, 1), F.expr("substring(term, 3)")
+            ).alias("q")
+        )
+        .distinct()
+    )
+
+
+def _ed1_candidates(probes: DataFrame, dict_df: DataFrame) -> DataFrame:
+    """(q, term, df, dist) pairs at levenshtein <= 1 via the symmetric-
+    delete equi-join (superset of ed<=1, exact filter after — the
+    DuckDB oracle's brute-force cross join proves it lossless)."""
+    dvar = dict_df.select(
+        "term", "df", F.explode(_del1_variants("term")).alias("v")
+    )
+    qvar = probes.select(
+        "q", F.explode(_del1_variants("q")).alias("v")
+    )
+    return (
+        qvar.join(dvar, "v")
+        .select("q", "term", "df")
+        .distinct()
+        .withColumn("dist", F.levenshtein("q", "term").cast("long"))
+        .filter(F.col("dist") <= 1)
+    )
+
+
 def fuzzy_terms(spark, sf_dir, topn: int = FUZZY_TOPN) -> DataFrame:
     """SymSpell-style fuzzy term correction over the term dictionary —
     the did-you-mean surface of the query path.
@@ -723,53 +829,8 @@ def fuzzy_terms(spark, sf_dir, topn: int = FUZZY_TOPN) -> DataFrame:
     same filter, proving the pruning lossless.
     """
     dict_df = term_dict(spark, sf_dir)  # (term, df, cf)
-    probes = (
-        dict_df.filter(F.length("term") >= FUZZY_MIN_LEN)
-        .orderBy(F.desc("df"), F.asc("term"))
-        .limit(FUZZY_Q)
-        .select(
-            F.concat(
-                F.substring("term", 1, 1), F.expr("substring(term, 3)")
-            ).alias("q")
-        )
-        .distinct()
-    )
-
-    # variant set = the string itself + every single-deletion string
-    # (expr-based: substring with a per-element column index)
-    dvar = dict_df.select(
-        "term", "df",
-        F.explode(
-            F.array_union(
-                F.array(F.col("term")),
-                F.expr(
-                    "transform(sequence(1, length(term)), i -> "
-                    "concat(substring(term, 1, i - 1), "
-                    "substring(term, i + 1, length(term))))"
-                ),
-            )
-        ).alias("v"),
-    )
-    qvar = probes.select(
-        "q",
-        F.explode(
-            F.array_union(
-                F.array(F.col("q")),
-                F.expr(
-                    "transform(sequence(1, length(q)), i -> "
-                    "concat(substring(q, 1, i - 1), "
-                    "substring(q, i + 1, length(q))))"
-                ),
-            )
-        ).alias("v"),
-    )
-    cand = (
-        qvar.join(dvar, "v")
-        .select("q", "term", "df")
-        .distinct()
-        .withColumn("dist", F.levenshtein("q", "term").cast("long"))
-        .filter(F.col("dist") <= 1)
-    )
+    probes = _misspelled_probes(dict_df, FUZZY_Q)
+    cand = _ed1_candidates(probes, dict_df)
     w = Window.partitionBy("q").orderBy(
         F.asc("dist"), F.desc("df"), F.asc("term")
     )
@@ -777,6 +838,59 @@ def fuzzy_terms(spark, sf_dir, topn: int = FUZZY_TOPN) -> DataFrame:
         cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= topn)
         .select("q", "term", "df", "dist", "rank")
+    )
+
+
+# spell-corrected search pinned defaults — interpolated into the
+# DuckDB oracle by __spark_entry__ (change Spark and SQL together)
+CORR_BASE_TERMS = ("spark",)  # in-dictionary at every SF (bm25 default)
+CORR_PROBES = 1               # corpus-derived misspelled terms appended
+CORR_K = 10
+
+
+def corrected_topk(spark, sf_dir, k=CORR_K) -> DataFrame:
+    """Spell-corrected search — the did-you-mean surface wired INTO the
+    scoring chain: each query term is rewritten to its best dictionary
+    correction, then conjunctive BM25 runs over the corrected terms.
+
+    The query is CORR_BASE_TERMS plus CORR_PROBES corpus-derived
+    misspellings (the fuzzy_terms probe rule: top-df dictionary term of
+    length >= FUZZY_MIN_LEN with its 2nd character deleted — no
+    external data).  Correction rule per query term q: rank the
+    dictionary terms at levenshtein <= 1 by (dist asc, df desc, term
+    asc) and take rank 1 — an in-dictionary q corrects to itself (dist
+    0 always wins); a term with no candidate is dropped from the
+    query.  Corrected terms dedup, then bm25_topk semantics (nmatch ==
+    |corrected set|), (doc_id, score) score desc, doc_id asc, top k.
+
+    Scale: candidates come from the symmetric-delete equi-join (the
+    fuzzy_terms pruning, lossless vs the oracle's brute-force cross
+    join); the corrected set is <= |query| terms, collected driver-side
+    (bounded, like every query-term collect) and fed to the shared
+    _bm25_scored core.
+    """
+    dict_df = term_dict(spark, sf_dir)
+    base = spark.createDataFrame(
+        [(t,) for t in CORR_BASE_TERMS], "q string"
+    )
+    probes = _misspelled_probes(dict_df, CORR_PROBES)
+    qterms = base.union(probes).distinct()
+    w = Window.partitionBy("q").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    corrected = [
+        r["term"]
+        for r in _ed1_candidates(qterms, dict_df)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("term")
+        .distinct()
+        .collect()
+    ]
+    return (
+        _bm25_scored(spark, sf_dir, sorted(corrected))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
     )
 
 

@@ -57,6 +57,47 @@ def phrase_topk_shards(
     )
 
 
+def slop_topk_shards(
+    spark: SparkSession, sh: IndexShards, terms, slop: int = 3,
+    k: int = 20
+) -> DataFrame:
+    """Sloppy ordered phrase from stored positions: count of ordered
+    pairs (pa, pb) with 0 < pb − pa <= slop + 1 per doc (slop=0 =
+    exact adjacency).  (doc_id, n_windows), n_windows desc, doc_id asc.
+
+    Same shape as proximity_topk_shards: one bucket-pruned fetch per
+    term, the two posting rows meet in ONE row per doc, and the window
+    count is a vectorized double-searchsorted over the sorted position
+    arrays (ops/textops.ordered_window_count_udf) — O((tf_a+tf_b) log),
+    never a position×position explode.  The docs join masks tombstoned
+    docids (segment-union liveness rule).
+    """
+    terms = list(terms)
+    if len(terms) != 2 or terms[0] == terms[1]:
+        raise ValueError(
+            "slop_topk counts ordered pairs of two DISTINCT terms"
+        )
+    from ..ops.textops import ordered_window_count_udf
+
+    sides = [
+        fetch_postings(sh, [t]).select(
+            "docid", F.col("positions").alias(f"pos_{s}")
+        )
+        for s, t in zip(("a", "b"), terms)
+    ]
+    wc = ordered_window_count_udf(slop)
+    return (
+        sides[0]
+        .join(sides[1], "docid")
+        .join(sh.docs.select("docid"), "docid")  # tombstone liveness
+        .withColumn("n_windows", wc("pos_a", "pos_b"))
+        .filter(F.col("n_windows") > 0)
+        .select(F.col("docid").alias("doc_id"), "n_windows")
+        .orderBy(F.desc("n_windows"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def proximity_topk_shards(
     spark: SparkSession, sh: IndexShards, terms, k: int = 10
 ) -> DataFrame:

@@ -678,6 +678,83 @@ class LocalSearcher:
             (int(common[i]), int(mind[i]), float(score[i])) for i in top
         ]
 
+    def slop_topk(self, terms, slop: int = 3, k: int = 20,
+                  analyzer=None):
+        """Sloppy ordered phrase — serving-tier mirror of
+        ops/textops.phrase_slop / query/positions.slop_topk_shards:
+        count of ORDERED pairs (pa, pb) with 0 < pb − pa <= slop + 1
+        per doc (slop=0 = exact adjacency); [(doc_id, n_windows)]
+        ordered n_windows desc, doc_id asc.  Same O((tf_a+tf_b) log)
+        double-searchsorted as the Spark kernel
+        (ordered_window_count_udf); postings arrive tombstone-masked
+        via the positions LRU (_postings_for)."""
+        from ..text.analyze import analyze
+
+        analyzed = [
+            analyzer(str(t)) if analyzer is not None
+            else analyze(str(t), stem=self.stem)
+            for t in terms
+        ]
+        if len(analyzed) != 2 or any(len(a) != 1 for a in analyzed):
+            raise ValueError("slop_topk takes two terms, one token each")
+        ta, tb = analyzed[0][0], analyzed[1][0]
+        if ta == tb:
+            raise ValueError(
+                "slop_topk counts ordered pairs of two DISTINCT terms"
+            )
+        if ta not in self._df or tb not in self._df:
+            return []
+        a_ids, _a_tfs, a_off, a_flat = self._postings_for(ta)
+        b_ids, _b_tfs, b_off, b_flat = self._postings_for(tb)
+        common, ia, ib = np.intersect1d(
+            a_ids, b_ids, assume_unique=True, return_indices=True
+        )
+        if common.size == 0:
+            return []
+        nwin = np.empty(common.size, dtype=np.int64)
+        for j in range(common.size):
+            x = a_flat[a_off[ia[j]]:a_off[ia[j] + 1]]
+            y = b_flat[b_off[ib[j]]:b_off[ib[j] + 1]]
+            nwin[j] = int(
+                (
+                    np.searchsorted(y, x + slop + 1, side="right")
+                    - np.searchsorted(y, x, side="right")
+                ).sum()
+            )
+        keep = nwin > 0
+        common, nwin = common[keep], nwin[keep]
+        top = np.lexsort((common, -nwin))[:k]
+        return [(int(common[i]), int(nwin[i])) for i in top]
+
+    def corrected_topk(self, text: str, k: int = 10, analyzer=None):
+        """Spell-corrected search — ops/textops.corrected_topk's rule on
+        the serving tier: each query token is rewritten to suggest()'s
+        rank-1 candidate (lev <= 1, ranked dist asc / df desc / term
+        asc — an in-dictionary token corrects to itself at dist 0),
+        tokens with no candidate are dropped, the corrected set dedups,
+        and conjunctive WAND BM25 runs over it (topk()).  Corrections
+        are the STORED surface forms, so they feed topk() unanalyzed.
+        Returns topk()'s [(rank, docid, score)] rows."""
+        from collections import Counter
+
+        from ..text.analyze import analyze
+
+        ana = analyzer if analyzer is not None else (
+            lambda t: analyze(t, stem=self.stem)
+        )
+        corrected = []
+        for tok in ana(str(text)):
+            s = self.suggest(tok, topn=1)
+            if s:
+                corrected.append(s[0][0])
+        corrected = sorted(set(corrected))
+        if not corrected:
+            return []
+        return self.topk(
+            " ".join(corrected), k=k,
+            analyzer=lambda _t: Counter(corrected),
+        )
+
     def snippet_windows(self, text, k: int = 10, w: int = 12,
                         analyzer=None):
         """Best-window snippet OFFSETS for the top-k conjunctive hits,
@@ -1165,6 +1242,36 @@ class ShardedSearcher:
         a corpus-wide stat every shard needs for idf), so shard 0's
         answer is already exact — no merge."""
         return self.shards[0].suggest(term, topn=topn)
+
+    def slop_topk(self, terms, slop: int = 3, k: int = 20,
+                  analyzer=None):
+        """Global sloppy-phrase top-k: a doc's ordered-window count is
+        computed from its own positions (shard-local by construction),
+        so merging per-shard answers by (count desc, docid asc) is
+        exact — phrase_topk's argument verbatim."""
+        cands = []
+        for sh in self.shards:
+            cands.extend(
+                sh.slop_topk(terms, slop=slop, k=k, analyzer=analyzer)
+            )
+        cands.sort(key=lambda dc: (-dc[1], dc[0]))
+        return cands[:k]
+
+    def corrected_topk(self, text: str, k: int = 10, analyzer=None):
+        """Global spell-corrected search: the termdict is GLOBAL in
+        every shard, so each shard rewrites the query to the IDENTICAL
+        corrected term set, and conjunctive scores are
+        global-stat-only — merging by (score desc, docid asc) is
+        exact, topk's argument verbatim."""
+        cands = []
+        for sh in self.shards:
+            cands.extend(
+                (s, d) for _, d, s in sh.corrected_topk(
+                    text, k=k, analyzer=analyzer
+                )
+            )
+        cands.sort(key=lambda sd: (-sd[0], sd[1]))
+        return [(r + 1, d, s) for r, (s, d) in enumerate(cands[:k])]
 
     def prefix_topk(self, prefix: str, k: int = 10,
                     max_expand: int = 4):

@@ -241,6 +241,109 @@ def test_local_proximity_matches_oracle(searcher, oracle):
         searcher.proximity_topk([ta], analyzer=_ident)
 
 
+def _oracle_slop(oracle, ta, tb, slop, k=50):
+    """Pure-Python expected sloppy-phrase counts (brute-force ordered
+    pair scan — fine at test scale; the engine's double searchsorted
+    must agree): (docid, n_windows), count desc / docid asc."""
+    pa = oracle.postings.get(ta, {})
+    pb = oracle.postings.get(tb, {})
+    out = []
+    for d in set(pa) & set(pb):
+        n = sum(
+            1
+            for x in pa[d][1]
+            for y in pb[d][1]
+            if 0 < y - x <= slop + 1
+        )
+        if n:
+            out.append((d, n))
+    out.sort(key=lambda dn: (-dn[1], dn[0]))
+    return out[:k]
+
+
+def test_local_slop_matches_oracle(searcher, oracle):
+    """slop_topk must reproduce the ordered-window rule (0 < pb − pa
+    <= slop + 1) against a brute-force pair scan, and degenerate to
+    the exact two-term phrase at slop=0."""
+    pm = _pos_term_map(oracle)
+    ta = tb = None
+    for d in sorted(pm):
+        at = pm[d]
+        if 1 in at and 2 in at and at[1] != at[2]:
+            ta, tb = at[1], at[2]
+            break
+    assert ta is not None
+    for slop in (0, 3):
+        exp = _oracle_slop(oracle, ta, tb, slop)
+        assert exp, (ta, tb, slop)
+        got = searcher.slop_topk([ta, tb], slop=slop, k=50,
+                                 analyzer=_ident)
+        assert got == exp, slop
+    # slop=0 == exact adjacent pair phrase
+    assert (
+        searcher.slop_topk([ta, tb], slop=0, k=50, analyzer=_ident)
+        == _oracle_phrase(oracle, [ta, tb])
+    )
+    assert searcher.slop_topk(["zzznope", ta], analyzer=_ident) == []
+    with pytest.raises(ValueError):
+        searcher.slop_topk([ta, ta], analyzer=_ident)
+    with pytest.raises(ValueError):
+        searcher.slop_topk([ta], analyzer=_ident)
+
+
+def test_spark_slop_matches_local(spark, index_dir, searcher, oracle):
+    """query/positions.slop_topk_shards over the stemmed index must
+    equal both the brute-force oracle and the serving tier."""
+    from searchengine_spark.query.positions import slop_topk_shards
+
+    sh = load_index(spark, index_dir)
+    pm = _pos_term_map(oracle)
+    ta = tb = None
+    for d in sorted(pm):
+        at = pm[d]
+        if 1 in at and 2 in at and at[1] != at[2]:
+            ta, tb = at[1], at[2]
+            break
+    exp = _oracle_slop(oracle, ta, tb, 3)
+    got = [
+        (r["doc_id"], r["n_windows"])
+        for r in slop_topk_shards(spark, sh, [ta, tb], slop=3,
+                                  k=50).collect()
+    ]
+    assert got == exp
+    assert got == searcher.slop_topk([ta, tb], slop=3, k=50,
+                                     analyzer=_ident)
+
+
+def test_corrected_topk_follows_suggest_rule(searcher):
+    """corrected_topk must equal topk() over the query with every
+    token rewritten to its suggest() rank-1 candidate (dropped when
+    none) — i.e. a misspelled query serves the corrected query's
+    ranking exactly."""
+    from collections import Counter
+
+    vocab = sorted(searcher._df, key=lambda t: (-searcher._df[t], t))
+    base = next(t for t in vocab if len(t) >= 4)
+    probe = base[0] + base[2:]  # delete 2nd char (fuzzy probe rule)
+    other = next(t for t in vocab if t != base)
+    raw = f"{probe} {other}"
+    corrected = []
+    for tok in _ident(raw):
+        s = searcher.suggest(tok, topn=1)
+        if s:
+            corrected.append(s[0][0])
+    corrected = sorted(set(corrected))
+    assert base in corrected  # the misspelling actually corrected back
+    want = searcher.topk(
+        " ".join(corrected), k=10,
+        analyzer=lambda _t: Counter(corrected),
+    )
+    got = searcher.corrected_topk(raw, k=10, analyzer=_ident)
+    assert got == want and got
+    # an all-garbage query corrects to nothing
+    assert searcher.corrected_topk("zzzzqqqxx", analyzer=_ident) == []
+
+
 def test_spark_positions_surfaces_match_local(spark, index_dir, searcher,
                                               oracle):
     """query/positions (the shards-level Spark phrase/proximity ops)
