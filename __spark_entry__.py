@@ -355,6 +355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": X.stratified_sample,
         "corpus_mixture": X.corpus_mixture,
         "unigram_logprob": X.unigram_logprob,
+        "corpus_split": X.corpus_split,
+        "bigram_logprob": X.bigram_logprob,
         "events_windowed": _events_windowed,
         "user_sessions": _user_sessions,
         "lang_counts": T.lang_counts,
@@ -1353,6 +1355,15 @@ def oracle_sql() -> dict[str, str]:
         _rate_threshold_hex,
     )
 
+    from searchengine_spark.ops.mix import (
+        BIGRAM_LAMBDA as _BG_LAM,
+        SPLIT_FRACS,
+    )
+
+    _split_thr_test = _rate_threshold_hex(SPLIT_FRACS["test"])
+    _split_thr_val = _rate_threshold_hex(
+        SPLIT_FRACS["test"] + SPLIT_FRACS["val"]
+    )
     _sample_whens = " ".join(
         f"WHEN '{lang}' THEN '{_rate_threshold_hex(SAMPLE_RATES[lang])}'"
         for lang in sorted(SAMPLE_RATES)
@@ -1578,6 +1589,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
                    round(-sum(tf * ln(cf / tot)) / sum(tf), 6) AS nll
             FROM tfd JOIN cfd USING (term) CROSS JOIN t
+            GROUP BY doc_id
+        """,
+        # deterministic train/val/test split (ops/mix.corpus_split):
+        # CUMULATIVE md5 hash thresholds — test is a stable prefix
+        "corpus_split": f"""
+            SELECT doc_id,
+                   CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8)
+                             <= '{_split_thr_test}' THEN 'test'
+                        WHEN substr(md5(doc_id::VARCHAR), 1, 8)
+                             <= '{_split_thr_val}' THEN 'val'
+                        ELSE 'train' END AS split,
+                   substr(md5(doc_id::VARCHAR), 1, 8) AS split_key
+            FROM documents
+        """,
+        # interpolated-bigram self-perplexity (ops/mix.bigram_logprob):
+        # P(b|a) = lam·c2/c1 + (1−lam)·cu/tot; ln, mean, one round-6
+        "bigram_logprob": f"""
+            WITH rawtoks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+            ptoks AS (
+              SELECT doc_id, i AS pos, t[i] AS term
+              FROM rawtoks, LATERAL (
+                SELECT unnest(generate_series(1, len(t))) AS i) g
+            ),
+            pairs AS (
+              SELECT doc_id, prev, term FROM (
+                SELECT doc_id, term,
+                       lag(term) OVER (
+                         PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM ptoks)
+              WHERE prev IS NOT NULL
+            ),
+            c2 AS (SELECT prev, term, count(*) AS c2
+                   FROM pairs GROUP BY prev, term),
+            c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY prev),
+            cu AS (SELECT term, count(*) AS cu FROM ptoks GROUP BY term),
+            t AS (SELECT sum(cu)::DOUBLE AS tot FROM cu)
+            SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                   round(-avg(ln({_BG_LAM} * c2 / c1
+                                 + {1.0 - _BG_LAM} * cu / tot)), 6) AS nll
+            FROM pairs JOIN c2 USING (prev, term) JOIN c1 USING (prev)
+                 JOIN cu USING (term) CROSS JOIN t
             GROUP BY doc_id
         """,
         "events_windowed": f"""

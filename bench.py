@@ -367,6 +367,10 @@ def _run_ops_tier(spark):
           lambda: T.phrase_slop(spark, SF_DIR).count())
     timed("corrected_topk_sec",
           lambda: T.corrected_topk(spark, SF_DIR).count())
+    timed("corpus_split_sec",
+          lambda: X.corpus_split(spark, SF_DIR).count())
+    timed("bigram_logprob_sec",
+          lambda: X.bigram_logprob(spark, SF_DIR).count())
     return out
 
 

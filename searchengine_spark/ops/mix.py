@@ -45,7 +45,7 @@ family), composing with training_data_prep.
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..text.tokenizer import TOKEN_PATTERN
@@ -236,5 +236,102 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("tf"),
                 6,
             ).alias("nll"),
+        )
+    )
+
+
+# train/val/test split fractions — CUMULATIVE hash thresholds, so the
+# test set is a stable prefix: growing val never moves a doc between
+# test and train, and a re-run over an appended corpus keeps every
+# existing doc's split.  Interpolated into the DuckDB oracle.
+SPLIT_FRACS = {"test": 0.05, "val": 0.05}  # remainder → train
+
+
+def corpus_split(spark: SparkSession, sf_dir: str,
+                 fracs: dict | None = None) -> DataFrame:
+    """(doc_id, split, split_key) — deterministic train/val/test
+    assignment by the same md5 hash-threshold rule as
+    stratified_sample: key = first 8 md5 hex chars of the doc_id
+    string; split = 'test' iff key <= thr(test_frac), 'val' iff key <=
+    thr(test_frac + val_frac), else 'train' (lowercase-hex STRING
+    compare, engine-independent).
+
+    Columnar expression over the doc_id column only — no shuffle, no
+    text scan; at 100 TB this is a projection fused into whatever scan
+    feeds it."""
+    if fracs is None:
+        fracs = SPLIT_FRACS
+    thr_test = _rate_threshold_hex(fracs["test"])
+    thr_val = _rate_threshold_hex(fracs["test"] + fracs["val"])
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return (
+        documents(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("split_key", key)
+        .withColumn(
+            "split",
+            F.when(F.col("split_key") <= thr_test, "test")
+            .when(F.col("split_key") <= thr_val, "val")
+            .otherwise("train"),
+        )
+        .select("doc_id", "split", "split_key")
+    )
+
+
+# interpolation weight of the bigram term in the interpolated LM —
+# interpolated into the DuckDB oracle (change Spark and SQL together)
+BIGRAM_LAMBDA = 0.8
+
+
+def bigram_logprob(spark: SparkSession, sf_dir: str,
+                   lam: float = BIGRAM_LAMBDA) -> DataFrame:
+    """(doc_id, n_bigrams, nll) — per-doc mean negative log-probability
+    under the corpus's own INTERPOLATED bigram LM:
+
+        P(b | a) = lam · c2(a,b)/c1(a) + (1−lam) · cu(b)/total
+
+    where c2 is the corpus bigram count, c1(a) = Σ_b c2(a,b) (context
+    count), cu the corpus unigram count.  nll = −mean(ln P) over the
+    doc's bigram positions; docs with < 2 tokens have no bigrams and
+    are excluded.  The order-sensitive sibling of unigram_logprob —
+    a doc of common tokens in implausible ORDER now scores high
+    (shuffled boilerplate, template stuffing) where the unigram proxy
+    cannot see anything wrong.  Floats: natural log, mean, then one
+    6-decimal rounding (the cross-engine contract).
+
+    Scale: one token explode, a lag window partitioned by doc_id
+    (bounded by doc length — never a global window), two key-hash
+    count aggs, and equi-joins on (prev, term) / prev — the same
+    shuffle shapes as the dedup family; no driver state."""
+    d = documents(spark, sf_dir).select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)
+        ).alias("pos", "term"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.withColumn("prev", F.lag("term").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "term")
+    )
+    c2 = pairs.groupBy("prev", "term").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    cu = toks.groupBy("term").agg(F.count("*").alias("cu"))
+    tot = cu.agg(F.sum("cu").cast("double").alias("_tot"))
+    p = (
+        F.lit(lam) * F.col("c2") / F.col("c1")
+        + F.lit(1.0 - lam) * F.col("cu") / F.col("_tot")
+    )
+    return (
+        pairs.join(c2, ["prev", "term"])
+        .join(c1, "prev")
+        .join(cu, "term")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.avg(F.log(p)), 6).alias("nll"),
         )
     )

@@ -127,3 +127,83 @@ def test_unigram_logprob_matches_python(spark, docs_pd):
         nll = -sum(tf * math.log(cf[t] / total) for t, tf in c.items()) / n
         assert got[doc_id][0] == n
         assert abs(got[doc_id][1] - round(nll, 6)) <= 1e-6
+
+
+def test_corpus_split_matches_python_and_is_stable(spark, docs_pd):
+    from searchengine_spark.ops.mix import SPLIT_FRACS, corpus_split
+
+    got = {
+        r["doc_id"]: (r["split"], r["split_key"])
+        for r in corpus_split(spark, SF).collect()
+    }
+    thr_test = _rate_threshold_hex(SPLIT_FRACS["test"])
+    thr_val = _rate_threshold_hex(SPLIT_FRACS["test"] + SPLIT_FRACS["val"])
+    expect = {}
+    for _, r in docs_pd.iterrows():
+        key = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8]
+        split = (
+            "test" if key <= thr_test
+            else "val" if key <= thr_val
+            else "train"
+        )
+        expect[r["doc_id"]] = (split, key)
+    assert got == expect
+    assert len(got) == len(docs_pd)  # total: every doc gets a split
+    assert {s for s, _ in got.values()} == {"train", "val", "test"}
+
+    # cumulative thresholds: growing val NEVER moves a doc between
+    # test and train — the test set is a stable prefix
+    grown = corpus_split(
+        spark, SF,
+        fracs={"test": SPLIT_FRACS["test"], "val": SPLIT_FRACS["val"] * 2},
+    )
+    grown_m = {r["doc_id"]: r["split"] for r in grown.collect()}
+    for doc_id, (split, _) in got.items():
+        if split == "test":
+            assert grown_m[doc_id] == "test"
+        elif split == "val":
+            assert grown_m[doc_id] == "val"
+        else:
+            assert grown_m[doc_id] in ("val", "train")
+
+
+def test_bigram_logprob_matches_python(spark, docs_pd):
+    from searchengine_spark.ops.mix import BIGRAM_LAMBDA, bigram_logprob
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"])
+        for r in bigram_logprob(spark, SF).collect()
+    }
+    seqs = {
+        r["doc_id"]: _TOK.findall(r["text"].lower())
+        for _, r in docs_pd.iterrows()
+    }
+    c2 = Counter()
+    cu = Counter()
+    for toks in seqs.values():
+        cu.update(toks)
+        c2.update(zip(toks, toks[1:]))
+    c1 = Counter()
+    for (a, _b), n in c2.items():
+        c1[a] += n
+    total = sum(cu.values())
+    lam = BIGRAM_LAMBDA
+    expect_ids = {d for d, toks in seqs.items() if len(toks) >= 2}
+    assert set(got) == expect_ids
+    for doc_id in expect_ids:
+        toks = seqs[doc_id]
+        ps = [
+            lam * c2[(a, b)] / c1[a] + (1.0 - lam) * cu[b] / total
+            for a, b in zip(toks, toks[1:])
+        ]
+        nll = -sum(math.log(p) for p in ps) / len(ps)
+        assert got[doc_id][0] == len(ps)
+        assert abs(got[doc_id][1] - round(nll, 6)) <= 1e-6
+    # order sensitivity: the bigram LM sees implausible order that the
+    # unigram proxy cannot — a reversed doc keeps its unigram nll but
+    # (generically) changes its bigram nll.  Verified structurally:
+    # some doc's reversed bigram set differs from its forward set.
+    some = next(d for d in expect_ids if len(seqs[d]) >= 10)
+    fwd = set(zip(seqs[some], seqs[some][1:]))
+    rev = set(zip(seqs[some][::-1], seqs[some][::-1][1:]))
+    assert fwd != rev
