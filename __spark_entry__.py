@@ -396,6 +396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_topk": S.diversified_topk,
         "synonym_topk": S.synonym_topk,
         "query_topk": S.query_topk,
+        "query_or_topk": lambda spark, sf: S.query_topk(
+            spark, sf, q=S.QL_QUERY_OR
+        ),
         "related_terms": S.related_terms,
         "suffix_topk": S.suffix_topk,
         "search_after_topk": S.search_after_topk,
@@ -2402,6 +2405,7 @@ def oracle_sql() -> dict[str, str]:
     d["diversified_topk"] = SRCH.diversified_topk_oracle_sql()
     d["synonym_topk"] = SRCH.synonym_topk_oracle_sql()
     d["query_topk"] = SRCH.query_topk_oracle_sql()
+    d["query_or_topk"] = SRCH.query_topk_oracle_sql(q=SRCH.QL_QUERY_OR)
     d["related_terms"] = SRCH.related_terms_oracle_sql()
     d["suffix_topk"] = SRCH.suffix_topk_oracle_sql()
     d["search_after_topk"] = SRCH.search_after_topk_oracle_sql()

@@ -42,6 +42,7 @@ DIVERSE_TERMS = ("join", "hash")
 DIVERSE_PER_SOURCE = 2      # max hits surfaced per source collection
 SYN_GROUPS = (("join", "merge"), ("fast", "slow"))
 QL_QUERY = 'spark query "table hash" -dup lang:en sc* *er'
+QL_QUERY_OR = 'spark "table hash" -dup part|stream query|window'
 RELATED_SEED = "spark"
 RELATED_MIN_CO = 5          # ignore co-occurrence counts below this
 RELATED_TOPN = 10
@@ -288,7 +289,20 @@ def synonym_topk(spark, sf_dir, groups=SYN_GROUPS, k=10) -> DataFrame:
     Scale: the (term, gid) expansion table is query-sized and
     broadcast; eligibility is a countDistinct(gid) on the same per-doc
     aggregate the scorer already computes — no extra shuffle."""
-    rows = [(t, gi) for gi, g in enumerate(groups) for t in g]
+    return (
+        _slot_scored(spark, sf_dir, groups)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _slot_scored(spark, sf_dir, slots) -> DataFrame:
+    """All slot-query matches as (doc_id, score-rounded-6): a doc is
+    eligible iff it matches >= 1 term of EVERY slot, score sums BM25
+    over ALL matched terms.  The shared scoring core of synonym_topk
+    and OR-group query_topk (a slot of one term degenerates to a
+    conjunctive must term, so this generalizes _bm25_scored)."""
+    rows = [(t, gi) for gi, g in enumerate(slots) for t in g]
     qterms = spark.createDataFrame(rows, "term string, gid int")
     tf = term_tf(spark, sf_dir)
     dft = tf.join(F.broadcast(qterms.select("term")), "term").groupBy(
@@ -308,31 +322,38 @@ def synonym_topk(spark, sf_dir, groups=SYN_GROUPS, k=10) -> DataFrame:
             F.sum("bm25").alias("s"),
             F.countDistinct("gid").alias("ngroups"),
         )
-        .filter(F.col("ngroups") == len(groups))
+        .filter(F.col("ngroups") == len(slots))
         .select("doc_id", F.round(F.col("s"), 6).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
     )
 
 
-def synonym_topk_oracle_sql(groups=SYN_GROUPS, k=10) -> str:
+def _slot_scored_sql(slots) -> str:
+    """Slot-query 'scored' CTE tail (eligible docs, rounded score) —
+    mirror of _slot_scored, the group sibling of _conj_scored_sql."""
     vals = ", ".join(
-        f"('{t}', {gi})" for gi, g in enumerate(groups) for t in g
+        f"('{t}', {gi})" for gi, g in enumerate(slots) for t in g
     )
     return f"""
-        WITH {_SCORE_BASE},
         qterms AS (SELECT * FROM (VALUES {vals}) v(term, gid)),
         dft AS (SELECT term, count(DISTINCT doc_id) AS df
                 FROM tf JOIN qterms USING (term) GROUP BY term),
-        scored AS (
+        scored0 AS (
           SELECT tf.doc_id, sum({_BM25_SQL}) AS s,
                  count(DISTINCT qterms.gid) AS ngroups
           FROM tf JOIN qterms USING (term) JOIN dft USING (term)
                JOIN dl USING (doc_id) CROSS JOIN stats
           GROUP BY tf.doc_id
-        )
-        SELECT doc_id, round(s, 6) AS score FROM scored
-        WHERE ngroups = {len(groups)}
+        ),
+        scored AS (SELECT doc_id, round(s, 6) AS score FROM scored0
+                   WHERE ngroups = {len(slots)})
+    """
+
+
+def synonym_topk_oracle_sql(groups=SYN_GROUPS, k=10) -> str:
+    return f"""
+        WITH {_SCORE_BASE},
+        {_slot_scored_sql(groups)}
+        SELECT doc_id, score FROM scored
         ORDER BY score DESC, doc_id LIMIT {k}
     """
 
@@ -357,7 +378,14 @@ def query_topk(spark, sf_dir, q=QL_QUERY, k=10) -> DataFrame:
     parsed = parse_query(q)
     if not parsed["scoring"]:
         raise ValueError("query has no scoring terms")
-    res = _bm25_scored(spark, sf_dir, parsed["scoring"])
+    if parsed["or_groups"]:
+        # a|b OR groups: the synonym-slot scorer (eligibility = every
+        # slot matched, score sums over ALL matched terms); with only
+        # singleton slots it IS the conjunctive scorer, kept below for
+        # plan simplicity on the common case
+        res = _slot_scored(spark, sf_dir, parsed["slots"])
+    else:
+        res = _bm25_scored(spark, sf_dir, parsed["scoring"])
 
     if parsed["phrases"] or parsed["must_not"]:
         toks = doc_tokens(spark, sf_dir)
@@ -410,7 +438,10 @@ def query_topk(spark, sf_dir, q=QL_QUERY, k=10) -> DataFrame:
 def query_topk_oracle_sql(q=QL_QUERY, k=10) -> str:
     parsed = parse_query(q)
     parts = [f"WITH {_SCORE_BASE},"]
-    parts.append(_conj_scored_sql(parsed["scoring"]))
+    if parsed["or_groups"]:
+        parts.append(_slot_scored_sql(parsed["slots"]))
+    else:
+        parts.append(_conj_scored_sql(parsed["scoring"]))
     conds = []
     if parsed["phrases"] or parsed["must_not"]:
         parts.append(f""",

@@ -605,6 +605,56 @@ class LocalSearcher:
             )
             if allow.size == 0:
                 return []
+        if parsed["or_groups"]:
+            # a|b OR groups (the synonym-slot semantics): eligibility =
+            # >= 1 term of EVERY slot, score = sum of BM25 over ALL
+            # matched slot terms.  Per-slot eligibility intersects into
+            # ``allow`` (posting docids, liveness-masked by topk like
+            # the wildcard path), then one OR-mode pass scores every
+            # matched term — identical to the Spark _slot_scored plan.
+            slot_terms = []
+            for slot in parsed["slots"]:
+                analyzed = sorted(
+                    {t for s in slot for t in ana(s)}
+                )
+                sparts = [
+                    blk[3][0]
+                    for t in analyzed
+                    for blk in self._blocks_for(t)
+                ]
+                if not sparts:
+                    return []
+                docs = np.unique(np.concatenate(sparts))
+                allow = docs if allow is None else np.intersect1d(
+                    allow, docs, assume_unique=True
+                )
+                if allow.size == 0:
+                    return []
+                slot_terms.extend(analyzed)
+            # boolean NOT is applied to ``allow`` directly (the slot
+            # intersections guarantee it is set): the constant-freq
+            # analyzer below must NOT see exclude_terms — it would
+            # return the scoring terms and exclude everything
+            if parsed["must_not"]:
+                exparts = [
+                    blk[3][0]
+                    for t in sorted(
+                        {x for s in parsed["must_not"] for x in ana(s)}
+                    )
+                    if t in self._df
+                    for blk in self._blocks_for(t)
+                ]
+                if exparts:
+                    ex = np.unique(np.concatenate(exparts))
+                    allow = allow[~np.isin(allow, ex,
+                                           assume_unique=True)]
+                    if allow.size == 0:
+                        return []
+            freq = Counter(sorted(set(slot_terms)))
+            return self.topk(
+                " ".join(sorted(freq)), k=k, mode="or", allowed=allow,
+                analyzer=lambda _text: freq,
+            )
         return self.topk(
             " ".join(parsed["scoring"]), k=k, allowed=allow,
             exclude_terms=parsed["must_not"] or None,

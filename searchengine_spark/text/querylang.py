@@ -13,6 +13,16 @@ Syntax:
                         also score like must terms)
   -token             -> must_not (boolean NOT, eligibility-only)
   lang:value         -> metadata filter (the only field understood)
+  a|b|c              -> OR group (one scoring SLOT): the doc must match
+                        at least one alternative, and its score sums
+                        BM25 over ALL matched alternatives — Lucene's
+                        SynonymQuery-inside-BooleanQuery shape (the
+                        synonym_topk semantics, inline in the query).
+                        Alternatives are single tokens; a term may
+                        appear in only ONE scoring slot (two groups, or
+                        a group and a bare/phrase token, would double-
+                        count its BM25 — ambiguous, so it raises), and
+                        OR cannot combine with -/:/* operators.
   tok* / *tok        -> wildcard clause (prefix / suffix): the doc must
                         contain at least one dictionary term matching
                         the pattern.  ELIGIBILITY-ONLY and uncapped —
@@ -40,9 +50,27 @@ def parse_query(q: str) -> dict:
     phrases = [tokenize(p) for p in re.findall(r'"([^"]*)"', q)]
     phrases = [p for p in phrases if p]
     rest = re.sub(r'"[^"]*"', " ", q)
-    must, must_not, filters, wildcards = [], [], {}, []
+    must, must_not, filters, wildcards, groups = [], [], {}, [], []
     for tok in rest.split():
-        if "*" in tok:
+        if "|" in tok:
+            if "*" in tok or tok.startswith("-") or ":" in tok:
+                raise ValueError(
+                    f"OR group cannot combine with -/:/*: {tok!r}"
+                )
+            alts = []
+            for part in tok.split("|"):
+                bt = tokenize(part)
+                if len(bt) != 1:
+                    raise ValueError(
+                        f"OR alternative must be one token: {tok!r}"
+                    )
+                alts.append(bt[0])
+            g = tuple(sorted(set(alts)))
+            if len(g) == 1:
+                must.extend(g)  # degenerate group == bare token
+            else:
+                groups.append(g)
+        elif "*" in tok:
             if tok.startswith("-") or ":" in tok:
                 raise ValueError(f"wildcards unsupported in {tok!r}")
             if tok.count("*") != 1 or len(tok) < 2:
@@ -68,12 +96,22 @@ def parse_query(q: str) -> dict:
             filters["lang"] = value
         else:
             must.extend(tokenize(tok))
-    scoring = sorted(set(must) | {t for p in phrases for t in p})
+    or_groups = sorted(set(groups))
+    base_terms = set(must) | {t for p in phrases for t in p}
+    gterms = [t for g in or_groups for t in g]
+    if len(gterms) != len(set(gterms)) or set(gterms) & base_terms:
+        raise ValueError(
+            "a term may appear in only one scoring slot "
+            "(OR group vs OR group / bare / phrase)"
+        )
+    slots = sorted([(t,) for t in base_terms] + or_groups)
     return {
         "must": must,
         "must_not": sorted(set(must_not)),
         "phrases": phrases,
         "filters": filters,
         "wildcards": sorted(set(wildcards)),
-        "scoring": scoring,
+        "or_groups": or_groups,
+        "slots": slots,
+        "scoring": sorted(base_terms | set(gterms)),
     }

@@ -902,6 +902,95 @@ def test_search_query_language_matches_oracle(searcher, oracle):
     )
 
 
+def test_search_or_groups_match_oracle(searcher, oracle):
+    """a|b OR groups on the serving tier must equal an independent
+    recomputation of the slot semantics: eligible iff the doc matches
+    the must term AND >= 1 group alternative; score sums BM25 over ALL
+    matched slot terms (idf of each matched term, corpus-global)."""
+    from searchengine_spark.params import BM25_B, BM25_K1
+    from searchengine_spark.query.wand import bm25_idf
+
+    # pick must + a group whose OR genuinely widens eligibility: some
+    # eligible doc has only ga, another only gb
+    terms = sorted(oracle.postings, key=lambda t: -len(oracle.postings[t]))
+    m = ga = gb = None
+    for t1 in terms[:8]:
+        for t2 in terms[:8]:
+            for t3 in terms[:8]:
+                if len({t1, t2, t3}) != 3:
+                    continue
+                dm = set(oracle.postings[t1])
+                da, db = (set(oracle.postings[t2]),
+                          set(oracle.postings[t3]))
+                if (dm & da - db) and (dm & db - da) and (dm & da & db):
+                    m, ga, gb = t1, t2, t3
+                    break
+            if m:
+                break
+        if m:
+            break
+    assert m is not None
+
+    def expect(group, must_not=()):
+        pm_ = oracle.postings[m]
+        cand = {
+            d for d in pm_
+            if any(d in oracle.postings.get(g, {}) for g in group)
+        }
+        for t in must_not:
+            cand -= set(oracle.postings.get(t, {}))
+        out = []
+        for d in cand:
+            dl = oracle.docs[d]["total_tokens"]
+            s = 0.0
+            for t in {m, *group}:
+                p = oracle.postings.get(t, {})
+                if d not in p:
+                    continue
+                tf = p[d][0]
+                s += (
+                    bm25_idf(oracle.n_survivors, len(p)) * tf
+                    * (BM25_K1 + 1.0)
+                    / (tf + BM25_K1
+                       * (1 - BM25_B + BM25_B * dl / oracle.avgdl))
+                )
+            out.append((d, s))
+        out.sort(key=lambda ds: (-ds[1], ds[0]))
+        return [(r + 1, d, s) for r, (d, s) in enumerate(out[:10])]
+
+    got = searcher.search(f"{m} {ga}|{gb}", k=10, analyzer=_ident)
+    exp = expect((ga, gb))
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in exp]
+    for (_, _, gs), (_, _, es) in zip(got, exp):
+        assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+    assert got  # the fixture found a non-empty slot query
+
+    # the OR widened eligibility vs either conjunctive twin
+    conj = searcher.search(f"{m} {ga}", k=10_000, analyzer=_ident)
+    assert len(expect((ga, gb))) >= len(conj[:10])
+
+    # NOT composes; survivor scores unchanged
+    ex = next(
+        t for t in terms
+        if t not in (m, ga, gb)
+        and set(oracle.postings[t]) & {d for _, d, _ in got}
+    )
+    got_ex = searcher.search(f"{m} {ga}|{gb} -{ex}", k=10,
+                             analyzer=_ident)
+    exp_ex = expect((ga, gb), must_not=[ex])
+    assert [(r, d) for r, d, _ in got_ex] == [
+        (r, d) for r, d, _ in exp_ex
+    ]
+
+    # an unknown alternative contributes nothing: equal to the
+    # conjunctive query on the known one
+    got_u = searcher.search(f"{m} {ga}|zzzqxnope", k=10,
+                            analyzer=_ident)
+    assert [(d, round(s, 9)) for _, d, s in got_u] == [
+        (d, round(s, 9)) for _, d, s in conj[:10]
+    ]
+
+
 def test_search_query_language_edges(searcher):
     with pytest.raises(ValueError):
         searcher.search("parser lang:en")  # no metadata on this tier

@@ -245,6 +245,44 @@ def test_parse_query_wildcards():
             parse_query(f"spark {bad}")
 
 
+def test_parse_query_or_groups():
+    """OR groups: a|b = one scoring slot (disjunctive within, the
+    synonym-slot semantics); singleton slots for bare/phrase tokens;
+    term overlap across slots raises; OR never combines with -/:/*."""
+    import pytest
+
+    from searchengine_spark.text.querylang import parse_query
+
+    p = parse_query('spark part|stream "table hash" query|window')
+    assert p["or_groups"] == [("part", "stream"), ("query", "window")]
+    assert p["must"] == ["spark"]
+    assert p["slots"] == [
+        ("hash",), ("part", "stream"), ("query", "window"),
+        ("spark",), ("table",),
+    ]
+    # scoring covers group terms too
+    assert p["scoring"] == [
+        "hash", "part", "query", "spark", "stream", "table", "window",
+    ]
+    # alternatives dedup; a one-alternative group is a bare token
+    p2 = parse_query("a|b|a c|c")
+    assert p2["or_groups"] == [("a", "b")]
+    assert p2["must"] == ["c"]
+    # queries without groups keep the old shape
+    p3 = parse_query("spark query")
+    assert p3["or_groups"] == []
+    assert p3["slots"] == [("query",), ("spark",)]
+
+    # a term may appear in only one scoring slot
+    for bad in ("a|b a", "a|b b|c", 'a|b "b c"'):
+        with pytest.raises(ValueError):
+            parse_query(bad)
+    # OR cannot combine with other operators
+    for bad in ("-a|b", "lang:a|b", "a*|b", "a.b|c"):
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
 def test_bpe_train_matches_classic_greedy(spark):
     """The distributed BPE trainer must equal the textbook algorithm:
     scan-based greedy left-to-right merge application (with skip), not
