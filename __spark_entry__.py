@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_topk": S.suffix_topk,
         "search_after_topk": S.search_after_topk,
         "explain_score": S.explain_score,
+        "percolate": S.percolate,
         # passage/chunk family (ops/passages.py): RAG chunking,
         # passage-level BM25, positions-based best-window snippets —
         # pinned-constant ops with same-constant oracle builders
@@ -2410,6 +2411,7 @@ def oracle_sql() -> dict[str, str]:
     d["suffix_topk"] = SRCH.suffix_topk_oracle_sql()
     d["search_after_topk"] = SRCH.search_after_topk_oracle_sql()
     d["explain_score"] = SRCH.explain_score_oracle_sql()
+    d["percolate"] = SRCH.percolate_oracle_sql()
     # passage/chunk family: oracles built from the same pinned constants
     from searchengine_spark.ops import passages as PSGO
 

@@ -367,6 +367,8 @@ def _run_ops_tier(spark):
           lambda: T.phrase_slop(spark, SF_DIR).count())
     timed("corrected_topk_sec",
           lambda: T.corrected_topk(spark, SF_DIR).count())
+    timed("percolate_sec",
+          lambda: SRC.percolate(spark, SF_DIR).count())
     timed("query_or_sec",
           lambda: SRC.query_topk(spark, SF_DIR, q=SRC.QL_QUERY_OR).count())
     timed("corpus_split_sec",

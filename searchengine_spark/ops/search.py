@@ -741,3 +741,70 @@ def explain_score_oracle_sql(terms=EXPLAIN_TERMS, k=EXPLAIN_K) -> str:
         FROM hits h JOIN top t USING (doc_id)
         ORDER BY t.score DESC, h.doc_id, h.term
     """
+
+
+# --- percolation (reverse search / standing-query alerts) --------------------
+
+# pinned standing-query table, derived from the synthetic vocabulary —
+# interpolated into the DuckDB oracle (change Spark and SQL together)
+PERC_QUERIES = (
+    ("spark", "query"),
+    ("table", "hash"),
+    ("merge", "join"),
+    ("stream", "window"),
+    ("customer", "order"),
+)
+
+
+def percolate(spark, sf_dir, queries=PERC_QUERIES) -> DataFrame:
+    """Reverse search (Elasticsearch percolator / Lucene Monitor): a
+    TABLE of standing conjunctive queries is matched against every
+    document — (qid, doc_id) for each doc containing ALL of query
+    qid's terms, ordered (qid, doc_id).  The alerting dual of top-k:
+    queries are data, documents stream through.
+
+    Scale: the standing-query term table broadcasts (registered
+    queries ≪ corpus); matching is one pass over the term-tf rows —
+    join on term, count DISTINCT matched terms per (qid, doc), keep
+    counts equal to the query's arity.  One shuffle keyed (qid,
+    doc_id); no per-query scans, no driver loop — exactly how the
+    streaming front-end (streaming/percolate.py) matches each
+    micro-batch, which is what makes this an alerting primitive.
+    """
+    rows = [
+        (qi, t, len(set(q)))
+        for qi, q in enumerate(queries)
+        for t in sorted(set(q))
+    ]
+    qt = spark.createDataFrame(rows, "qid long, term string, arity int")
+    return (
+        term_tf(spark, sf_dir)
+        .join(F.broadcast(qt), "term")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.countDistinct("term").alias("nm"),
+            F.first("arity").alias("arity"),
+        )
+        .filter(F.col("nm") == F.col("arity"))
+        .select("qid", "doc_id")
+        .orderBy("qid", "doc_id")
+    )
+
+
+def percolate_oracle_sql(queries=PERC_QUERIES) -> str:
+    vals = ", ".join(
+        f"({qi}, '{t}', {len(set(q))})"
+        for qi, q in enumerate(queries)
+        for t in sorted(set(q))
+    )
+    return f"""
+        WITH toks AS ({_TOKS}),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               GROUP BY doc_id, term),
+        qt AS (SELECT * FROM (VALUES {vals}) v(qid, term, arity))
+        SELECT qid::BIGINT AS qid, doc_id
+        FROM tf JOIN qt USING (term)
+        GROUP BY qid, doc_id, arity
+        HAVING count(DISTINCT term) = arity
+        ORDER BY qid, doc_id
+    """
