@@ -366,6 +366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_slop": T.phrase_slop,
         "corrected_topk": T.corrected_topk,
         "text_quality": T.text_quality,
+        "top_terms_per_lang": T.top_terms_per_lang,
+        "df_histogram": T.df_histogram,
         "doc_fingerprint": T.doc_fingerprint,
         "repetition_stats": T.repetition_stats,
         "ann_cosine_topk": T.ann_cosine_topk,
@@ -2306,6 +2308,33 @@ def oracle_sql() -> dict[str, str]:
             FROM scored s JOIN prox p USING (doc_id)
             WHERE s.nmatch = 2
             ORDER BY score DESC, s.doc_id LIMIT 10
+        """
+    # per-language heavy hitters / df histogram (ops/textops.py)
+    from searchengine_spark.ops.textops import TOPTERMS_N
+
+    d["top_terms_per_lang"] = f"""
+            WITH toks AS ({_TOKS}),
+            counts AS (
+              SELECT d.lang, t.term, count(*)::BIGINT AS n_occurrences
+              FROM toks t JOIN documents d USING (doc_id)
+              GROUP BY d.lang, t.term
+            )
+            SELECT lang, term, n_occurrences, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY n_occurrences DESC, term)::BIGINT AS rank
+              FROM counts)
+            WHERE rank <= {TOPTERMS_N}
+            ORDER BY lang, rank
+        """
+    d["df_histogram"] = f"""
+            WITH toks AS ({_TOKS}),
+            dft AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                    FROM toks GROUP BY term)
+            SELECT floor(log2(df))::BIGINT AS bucket,
+                   count(*)::BIGINT AS n_terms,
+                   min(df) AS min_df, max(df) AS max_df
+            FROM dft GROUP BY 1 ORDER BY bucket
         """
     # sloppy ordered phrase (ops/textops.phrase_slop): the oracle is the
     # explicit ordered pair join — brute force at sf0.01, proving the

@@ -367,6 +367,10 @@ def _run_ops_tier(spark):
           lambda: T.phrase_slop(spark, SF_DIR).count())
     timed("corrected_topk_sec",
           lambda: T.corrected_topk(spark, SF_DIR).count())
+    timed("top_terms_per_lang_sec",
+          lambda: T.top_terms_per_lang(spark, SF_DIR).count())
+    timed("df_histogram_sec",
+          lambda: T.df_histogram(spark, SF_DIR).count())
     timed("percolate_sec",
           lambda: SRC.percolate(spark, SF_DIR).count())
     timed("query_or_sec",

@@ -1143,3 +1143,65 @@ def hybrid_rrf_topk(spark, sf_dir, terms=("spark", "query", "join"),
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+# per-language heavy hitters + df histogram pinned defaults —
+# interpolated into the DuckDB oracles (change Spark and SQL together)
+TOPTERMS_N = 5
+
+
+def top_terms_per_lang(spark, sf_dir, n=TOPTERMS_N) -> DataFrame:
+    """Per-language heavy hitters: the ``n`` most frequent terms of
+    each language's slice, by total occurrences (ties -> term asc) —
+    the per-group vocabulary fingerprint a mixture audit reads.
+    (lang, term, n_occurrences, rank).
+
+    Scale: one token explode + a (lang, term) count agg (shuffle on
+    the composite key), then a row_number window over rows already
+    reduced to vocab-per-lang size — the window input is dictionary-
+    scale, never corpus-scale."""
+    toks = doc_tokens(spark, sf_dir)
+    meta = documents(spark, sf_dir).select("doc_id", "lang")
+    counts = (
+        toks.join(meta, "doc_id")
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_occurrences"), F.asc("term")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= n)
+        .select("lang", "term", "n_occurrences", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+def df_histogram(spark, sf_dir) -> DataFrame:
+    """Document-frequency histogram: terms bucketed by floor(log2(df))
+    — the Zipf-curve observability surface (how heavy is the stopword
+    head, how long the rare tail) that sizes stopword pruning and the
+    WAND block-max payoff.  (bucket, n_terms, min_df, max_df) ordered
+    by bucket.
+
+    floor(log2) of an integer is exact in IEEE doubles (powers of two
+    are representable), so the bucket edges cannot drift between
+    engines.  Scale: term-dictionary-sized input, one tiny agg."""
+    df_t = (
+        doc_tokens(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    return (
+        df_t.withColumn(
+            "bucket", F.floor(F.log2(F.col("df"))).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.min("df").alias("min_df"),
+            F.max("df").alias("max_df"),
+        )
+        .orderBy("bucket")
+    )
