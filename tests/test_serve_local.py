@@ -435,6 +435,18 @@ def test_positions_surfaces_over_segments(spark, split_corpora,
     for (_, _, gs), (_, _, es) in zip(got_px, exp_px):
         assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-6)
 
+    # sloppy ordered phrase over the same segment union
+    from searchengine_spark.query.positions import slop_topk_shards
+
+    exp_sl = local.slop_topk(pair, slop=3, k=50, analyzer=_ident)
+    assert exp_sl
+    got_sl = [
+        (r["doc_id"], r["n_windows"])
+        for r in slop_topk_shards(spark, seg, pair, slop=3,
+                                  k=50).collect()
+    ]
+    assert got_sl == exp_sl
+
 
 def test_local_searcher_refresh_on_append(spark, split_corpora,
                                           tmp_path_factory):
