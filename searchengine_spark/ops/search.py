@@ -764,27 +764,40 @@ def percolate(spark, sf_dir, queries=PERC_QUERIES) -> DataFrame:
     queries are data, documents stream through.
 
     Scale: the standing-query term table broadcasts (registered
-    queries ≪ corpus); matching is one pass over the term-tf rows —
-    join on term, count DISTINCT matched terms per (qid, doc), keep
-    counts equal to the query's arity.  One shuffle keyed (qid,
-    doc_id); no per-query scans, no driver loop — exactly how the
-    streaming front-end (streaming/percolate.py) matches each
-    micro-batch, which is what makes this an alerting primitive.
+    queries ≪ corpus); each doc's tokens dedup INSIDE the row
+    (array_distinct before the explode — zero-shuffle dedup, no
+    countDistinct expansion), then a map-side broadcast join prunes
+    every non-query token BEFORE any shuffle (going through term_tf
+    would aggregate the whole corpus first), and a plain count per
+    (qid, doc) keeps counts equal to the query's arity.  One shuffle
+    keyed (qid, doc_id) over only the matched rows (plan-asserted
+    shuffle-lean in tests/test_ops.py); no per-query scans, no driver
+    loop — exactly how the streaming front-end
+    (streaming/percolate.py) matches each micro-batch, which is what
+    makes this an alerting primitive.
     """
+    from ..text.tokenizer import TOKEN_PATTERN
+
     rows = [
         (qi, t, len(set(q)))
         for qi, q in enumerate(queries)
         for t in sorted(set(q))
     ]
     qt = spark.createDataFrame(rows, "qid long, term string, arity int")
+    toks = documents(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(TOKEN_PATTERN), 0
+                )
+            )
+        ).alias("term"),
+    )
     return (
-        term_tf(spark, sf_dir)
-        .join(F.broadcast(qt), "term")
-        .groupBy("qid", "doc_id")
-        .agg(
-            F.countDistinct("term").alias("nm"),
-            F.first("arity").alias("arity"),
-        )
+        toks.join(F.broadcast(qt), "term")
+        .groupBy("qid", "arity", "doc_id")
+        .agg(F.count("*").alias("nm"))
         .filter(F.col("nm") == F.col("arity"))
         .select("qid", "doc_id")
         .orderBy("qid", "doc_id")

@@ -1585,3 +1585,44 @@ def test_repetition_stats_match_python(spark):
     assert got == want
     # the synthetic corpus must actually exercise the signal
     assert any(f2 > 0 for f2, _ in got.values())
+
+
+def test_percolate_matches_python_and_plan_is_shuffle_lean(spark):
+    """percolate (ops/search.py): alerts must equal a brute-force
+    Python containment scan, and the plan must prune via the broadcast
+    query-term join BEFORE any shuffle — the token explode feeds a
+    BroadcastHashJoin directly (going through term_tf would aggregate
+    the whole corpus first; at 100 TB that is the difference between
+    shuffling matched rows and shuffling everything)."""
+    import re
+
+    from searchengine_spark.ops.search import PERC_QUERIES, percolate
+
+    res = percolate(spark, SF)
+    got = sorted((r["qid"], r["doc_id"]) for r in res.collect())
+    texts = {
+        r["doc_id"]: set(re.findall(r"[a-z0-9]+", r["text"].lower()))
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text").collect()
+    }
+    want = sorted(
+        (qi, d)
+        for qi, q in enumerate(PERC_QUERIES)
+        for d, toks in texts.items()
+        if set(q) <= toks
+    )
+    assert got == want and got
+
+    plan = res._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # the broadcast prune runs on the raw explode: no aggregate may
+    # appear UPSTREAM of the broadcast join (only the post-join
+    # (qid, doc_id) count), so the plan carries exactly one
+    # HashAggregate pair and at most 2 real shuffles (agg + sort)
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", final))
+    assert 1 <= len(ids) <= 2, plan
