@@ -730,6 +730,25 @@ def test_sharded_serving_equals_unsharded(spark, tmp_path_factory):
         for (_, _, gs, *_), (_, _, es, *_) in zip(got_sw, exp_sw):
             assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
 
+        # sloppy ordered phrase shard-merges exactly (window counts
+        # are doc-local, phrase_topk's argument verbatim)
+        exp_sl = whole.slop_topk(prox_probe, slop=3, k=20)
+        assert exp_sl
+        assert router.slop_topk(prox_probe, slop=3, k=20) == exp_sl
+
+        # spell-corrected search shard-merges exactly (global termdict
+        # -> identical corrected set in every shard)
+        mis = toks[0][0] + toks[0][2:]  # delete 2nd char
+        corr_probe = f"{mis} {prox_probe[1]}"
+        exp_cr = whole.corrected_topk(corr_probe, k=10)
+        assert exp_cr
+        got_cr = router.corrected_topk(corr_probe, k=10)
+        assert [(r, d) for r, d, _ in got_cr] == [
+            (r, d) for r, d, _ in exp_cr
+        ], n_shards
+        for (_, _, gs), (_, _, es) in zip(got_cr, exp_cr):
+            assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+
         # the query-language surface shard-merges exactly too
         ql_probe = f'{toks[2]} "{phrase_probe}"'
         exp_s = whole.search(ql_probe, k=10)
@@ -739,6 +758,21 @@ def test_sharded_serving_equals_unsharded(spark, tmp_path_factory):
             (r, d) for r, d, _ in exp_s
         ], n_shards
         for (_, _, gs), (_, _, es) in zip(got_s, exp_s):
+            assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+
+        # ...including a|b OR groups (identical corrected slot sets in
+        # every shard; per-slot eligibility is doc-local)
+        base_t = next(
+            t for t in toks if t not in prox_probe
+        )
+        ql_or = f"{base_t} {prox_probe[0]}|{prox_probe[1]}"
+        exp_o = whole.search(ql_or, k=10)
+        assert exp_o
+        got_o = router.search(ql_or, k=10)
+        assert [(r, d) for r, d, _ in got_o] == [
+            (r, d) for r, d, _ in exp_o
+        ], n_shards
+        for (_, _, gs), (_, _, es) in zip(got_o, exp_o):
             assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
 
     # physical merge under a live router: refresh re-partitions onto

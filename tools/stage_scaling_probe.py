@@ -135,12 +135,34 @@ def run(cpus: int, n_docs: int):
         ).count().count()
         t_chunk.append(time.time() - t0)
 
+    # interpolated-bigram LM (ops/mix.bigram_logprob's hot shape):
+    # token explode -> per-doc lag window -> two count aggs + equi-joins
+    # — the curation family's widest shuffle chain
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.withColumn("prev", F.lag("term").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "term")
+    )
+    t_bigram = []
+    for _ in range(2):
+        t0 = time.time()
+        c2 = pairs.groupBy("prev", "term").agg(F.count("*").alias("c2"))
+        c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+        pairs.join(c2, ["prev", "term"]).join(c1, "prev").groupBy(
+            "doc_id"
+        ).count().count()
+        t_bigram.append(time.time() - t0)
+
     spark.stop()
     return {"analyze": round(min(t_analyze), 2),
             "simhash": round(min(t_simhash), 2),
             "decode": round(min(t_decode), 2),
             "span": round(min(t_span), 2),
             "chunk": round(min(t_chunk), 2),
+            "bigram": round(min(t_bigram), 2),
             "n_blocks": n_blocks,
             "postings": n_postings}
 
@@ -174,7 +196,7 @@ def main():
         "n_docs": n_docs,
         "stages": res,
     }
-    for s in ("analyze", "simhash", "decode", "span", "chunk"):
+    for s in ("analyze", "simhash", "decode", "span", "chunk", "bigram"):
         speedup = res[lo][s] / res[hi][s]
         out[f"{s}_speedup"] = round(speedup, 3)
         out[f"{s}_efficiency"] = round(speedup / (hi / lo), 3)
