@@ -468,29 +468,135 @@ def compact_near_dups(spark: SparkSession, index_dir: str,
     ).collect()
     n_new = len(rows)
     if n_new:
-        corr = _tombstone_corrections(
-            spark, cur.blocks, [r["docid"] for r in rows]
-        )
-        meta = _read_meta(index_dir)
-        gen = f"g{int(meta.get('next_tomb_gen', 0))}"
-        # overwrite, not append: a rerun after a crashed commit lands on
-        # the same (still-uncommitted) generation dir
-        corr.write.mode("overwrite").parquet(
-            os.path.join(index_dir, DF_CORRECTIONS_DIR, gen)
-        )
-        dropped.write.mode("overwrite").parquet(
-            os.path.join(index_dir, TOMBSTONES_DIR, gen)
-        )
-        # single atomic commit: generation listed + counters advanced
-        meta["tomb_gens"] = meta.get("tomb_gens", []) + [gen]
-        meta["next_tomb_gen"] = int(meta.get("next_tomb_gen", 0)) + 1
-        meta["n_tombstones"] = int(meta.get("n_tombstones", 0)) + n_new
-        meta["tomb_tokens"] = int(meta.get("tomb_tokens", 0)) + sum(
-            int(r["total_tokens"]) for r in rows
-        )
-        _save_meta(index_dir, meta)
+        _commit_tombstones(spark, index_dir, cur.blocks, rows)
     dropped.unpersist()
     return n_new
+
+
+def _commit_tombstones(spark: SparkSession, index_dir: str,
+                       blocks: DataFrame, rows) -> None:
+    """Write one tombstone generation for ``rows`` ((docid,
+    total_tokens) of LIVE docs) with its df_corrections, and commit
+    both atomically via segments.json — the shared tail of
+    compact_near_dups and delete_docs (same crash-idempotence: data
+    dirs are mode=overwrite on the not-yet-listed generation, the meta
+    save is the single commit point)."""
+    corr = _tombstone_corrections(
+        spark, blocks, [r["docid"] for r in rows]
+    )
+    meta = _read_meta(index_dir)
+    gen = f"g{int(meta.get('next_tomb_gen', 0))}"
+    # overwrite, not append: a rerun after a crashed commit lands on
+    # the same (still-uncommitted) generation dir
+    corr.write.mode("overwrite").parquet(
+        os.path.join(index_dir, DF_CORRECTIONS_DIR, gen)
+    )
+    spark.createDataFrame(
+        [(int(r["docid"]),) for r in rows], "docid long"
+    ).write.mode("overwrite").parquet(
+        os.path.join(index_dir, TOMBSTONES_DIR, gen)
+    )
+    # single atomic commit: generation listed + counters advanced
+    meta["tomb_gens"] = meta.get("tomb_gens", []) + [gen]
+    meta["next_tomb_gen"] = int(meta.get("next_tomb_gen", 0)) + 1
+    meta["n_tombstones"] = int(meta.get("n_tombstones", 0)) + len(rows)
+    meta["tomb_tokens"] = int(meta.get("tomb_tokens", 0)) + sum(
+        int(r["total_tokens"]) for r in rows
+    )
+    _save_meta(index_dir, meta)
+
+
+def delete_docs(spark: SparkSession, index_dir: str, docids) -> int:
+    """Explicit delete-by-id — the user-facing tombstone surface next
+    to the policy-driven compact_near_dups, completing the CRUD story
+    (append_segment = insert, delete_docs = delete, merge/expunge =
+    reclaim; the vector side's delete_vectors analogue).
+
+    Tombstones ride the SAME generation machinery as compaction:
+    removed from serving immediately (docs anti-join + the WAND
+    kernels' _dl_member liveness mask), stats and termdict df/cf
+    corrected from one pruned postings scan, postings physically
+    reclaimed by the next merge/expunge.  Unknown or already-deleted
+    ids no-op (idempotent — a replayed delete batch commits nothing).
+    NOTE the append-dedup contract is content-level: new content equal
+    to a DELETED doc's is still rejected by append_segment's
+    pre-tombstone known_sha rule; re-admitting edited content is the
+    normal update path (delete old id, append new content).
+
+    :return: number of newly tombstoned (previously live) docs.
+    """
+    ids = sorted({int(d) for d in docids})
+    if not ids:
+        return 0
+    cur = load_segments(spark, index_dir, cache_meta=False)
+    want = spark.createDataFrame([(d,) for d in ids], "docid long")
+    rows = cur.docs.join(want, "docid").select(
+        "docid", "total_tokens"
+    ).collect()
+    if rows:
+        _commit_tombstones(spark, index_dir, cur.blocks, rows)
+    return len(rows)
+
+
+def upsert_segment(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    **build_kwargs,
+) -> dict:
+    """Update-by-key — the reindex-a-changed-file flow, composed from
+    the existing legs: for every incoming (repo, path) whose LIVE doc
+    has different content, tombstone the old doc (delete_docs), then
+    append only the genuinely new content as one generation.
+
+    Semantics (all content-sha based, so replays are no-ops):
+     * changed content under a known (repo, path) -> old doc deleted,
+       new doc admitted (docids never reused; the hole reclaims at the
+       next merge/expunge);
+     * unchanged content -> old doc KEPT (its docid is stable), the
+       incoming row dropped — never the delete-then-reject vanish;
+     * brand-new (repo, path) -> plain append;
+     * new content equal to ANY stored doc's (live or tombstoned)
+       stays out — the corpus-global exact-dedup policy append_segment
+       already enforces;
+     * a batch with nothing new appends NO generation (an empty
+       partitionBy dir is schema-less and would poison reads).
+
+    The stale-docid collect is bounded by the update batch's key count
+    (the same bounded-collect class as query terms).
+
+    :return: {"deleted": n, "segment": generation name or None}.
+    """
+    cur = load_segments(spark, index_dir, cache_meta=False)
+    incoming = corpus.select(
+        "repo", "path", F.sha2(F.col("content"), 256).alias("_sha")
+    ).distinct()
+    stale = (
+        cur.docs.join(incoming, ["repo", "path"])
+        .filter(F.col("sha256") != F.col("_sha"))
+        .select("docid")
+        .distinct()
+        .collect()
+    )
+    n_del = delete_docs(spark, index_dir, [r["docid"] for r in stale])
+
+    # append only rows whose content is NOT already stored anywhere
+    # (pre-tombstone union — the append_segment dedup rule, applied
+    # early so an all-duplicate batch skips the generation entirely)
+    meta = _read_meta(index_dir)
+    known = _raw_docs(spark, index_dir, meta["segments"]).select("sha256")
+    fresh = (
+        corpus.withColumn("_sha", F.sha2(F.col("content"), 256))
+        .join(
+            known.withColumnRenamed("sha256", "_sha"), "_sha",
+            "left_anti",
+        )
+        .drop("_sha")
+    )
+    gen = None
+    if not fresh.isEmpty():
+        gen = append_segment(spark, index_dir, fresh, **build_kwargs)
+    return {"deleted": n_del, "segment": gen}
 
 
 def merge_segments(spark: SparkSession, index_dir: str) -> str:

@@ -949,3 +949,186 @@ def test_expunge_deletes_rewrites_only_heavy_segments(
     )
     # below-threshold second pass is a no-op
     assert expunge_deletes(spark, seg_dir, max_del_frac=0.2) == []
+
+
+def test_delete_docs_matches_rebuild(spark, split_corpora,
+                                     tmp_path_factory):
+    """Explicit delete-by-id (index/segments.delete_docs): serving
+    state after a cross-generation delete must EXACTLY equal a
+    monolithic rebuild of the survivor set (stats, termdict, blended
+    ranking, lossless WAND), deletes must be idempotent, and a
+    physical merge must reclaim the tombstones."""
+    from searchengine_spark.index.segments import (
+        delete_docs,
+        merge_segments,
+    )
+    from searchengine_spark.query.wand import exhaustive_topk, wand_topk
+
+    full, a, b = split_corpora
+    base = tmp_path_factory.mktemp("seg_del")
+    seg_dir = str(base / "idx")
+    init_segmented(
+        spark,
+        build_tables(spark, a, compute_quality=False, simhash_bits=32),
+        seg_dir,
+    )
+    append_segment(spark, seg_dir, b, compute_quality=False,
+                   simhash_bits=32)
+    before = load_segments(spark, seg_dir)
+    n_before = before.stats["n_survivors"]
+    # one victim from each generation + one unknown id
+    docs = before.docs.select("docid").orderBy("docid").collect()
+    victims = [int(docs[0]["docid"]), int(docs[-1]["docid"])]
+    assert delete_docs(spark, seg_dir, victims + [10_000_000]) == 2
+    # idempotent: replaying the same delete commits nothing
+    assert delete_docs(spark, seg_dir, victims) == 0
+
+    seg = load_segments(spark, seg_dir)
+    assert seg.stats["n_survivors"] == n_before - 2
+    assert seg.docs.filter(F.col("docid").isin(victims)).count() == 0
+    direct = seg.docs.agg(F.avg("total_tokens")).first()[0]
+    assert math.isclose(seg.stats["avgdl"], direct, rel_tol=1e-9)
+
+    # monolithic rebuild of the exact survivor set
+    keys = seg.docs.select("repo", "path", "commit")
+    mono_dir = str(base / "mono")
+    write_index(
+        spark,
+        build_tables(
+            spark,
+            full.join(keys, ["repo", "path", "commit"]),
+            compute_quality=False,
+            near_dup=False,
+        ),
+        mono_dir,
+    )
+    mono = load_index(spark, mono_dir)
+    st = {r["term"]: (r["df"], r["cf"]) for r in seg.termdict.collect()}
+    mt = {r["term"]: (r["df"], r["cf"]) for r in mono.termdict.collect()}
+    assert st == mt
+    assert seg.stats["avgdl"] == mono.stats["avgdl"]
+
+    qs = [(qid, q) for qid, q in QUERIES]
+    ra = _by_url(score_queries_ondisk(spark, qs, seg, k=10), seg.docs)
+    rb = _by_url(score_queries_ondisk(spark, qs, mono, k=10), mono.docs)
+    _assert_rank_identity(ra, rb)
+    # WAND stays lossless with the delete tombstones in the mask
+    for mode in ("and", "or"):
+        ga = [
+            (r["qid"], r["rank"], r["docid"], r["score"])
+            for r in wand_topk(spark, seg, qs, k=10, docs_per_range=64,
+                               mode=mode).collect()
+        ]
+        gb = [
+            (r["qid"], r["rank"], r["docid"], r["score"])
+            for r in exhaustive_topk(spark, seg, qs, k=10,
+                                     mode=mode).collect()
+        ]
+        assert [t[:3] for t in ga] == [t[:3] for t in gb] and ga, mode
+        for (*_, sa), (*_, sb) in zip(ga, gb):
+            assert math.isclose(sa, sb, rel_tol=1e-9, abs_tol=1e-12)
+
+    # merge reclaims: tombstone state resets, ranking unchanged
+    merge_segments(spark, seg_dir)
+    merged = load_segments(spark, seg_dir)
+    assert merged.stats["n_survivors"] == n_before - 2
+    rm = _by_url(
+        score_queries_ondisk(spark, qs, merged, k=10), merged.docs
+    )
+    _assert_rank_identity(rm, rb)
+
+
+def test_upsert_segment_replaces_changed_docs(spark, split_corpora,
+                                              tmp_path_factory):
+    """upsert_segment: changed (repo, path) content replaces the old
+    doc; unchanged content keeps its docid; replays no-op; ranking
+    equals a monolithic rebuild of the UPDATED corpus."""
+    from searchengine_spark.index.segments import upsert_segment
+
+    full, a, b = split_corpora
+    base = tmp_path_factory.mktemp("seg_upsert")
+    seg_dir = str(base / "idx")
+    init_segmented(
+        spark,
+        build_tables(spark, full, compute_quality=False,
+                     simhash_bits=32),
+        seg_dir,
+    )
+    before = load_segments(spark, seg_dir)
+    n_before = before.stats["n_survivors"]
+
+    rows = full.orderBy("repo", "path", "commit").limit(3).collect()
+    changed = [
+        {**r.asDict(), "commit": r["commit"] + "x",
+         "content": r["content"] + " zzupserted zztokens"}
+        for r in rows[:2]
+    ]
+    unchanged = [rows[2].asDict()]  # same key, same content
+    newdoc = [{
+        "repo": "zz-new-repo", "path": "new.py", "commit": "c1",
+        "lang": rows[0]["lang"],
+        "content": "zzbrand zznew zzcontent spark table",
+    }]
+    batch = spark.createDataFrame(changed + unchanged + newdoc)
+    old_ids = {
+        (r["repo"], r["path"]): int(r["docid"])
+        for r in before.docs.filter(
+            F.col("repo").isin([c["repo"] for c in changed + unchanged])
+        ).select("repo", "path", "docid").collect()
+    }
+
+    out = upsert_segment(spark, seg_dir, batch, compute_quality=False,
+                         simhash_bits=32)
+    assert out["deleted"] == 2 and out["segment"] is not None
+
+    seg = load_segments(spark, seg_dir)
+    # +1 new doc, +2 replacements, -2 old versions
+    assert seg.stats["n_survivors"] == n_before + 1
+    served = {
+        (r["repo"], r["path"], r["commit"]): int(r["docid"])
+        for r in seg.docs.select(
+            "repo", "path", "commit", "docid"
+        ).collect()
+    }
+    for c in changed:  # new version in, old version out
+        assert (c["repo"], c["path"], c["commit"]) in served
+        old_commit = c["commit"][:-1]
+        assert (c["repo"], c["path"], old_commit) not in served
+    u = unchanged[0]  # unchanged doc kept its original docid
+    assert served[(u["repo"], u["path"], u["commit"])] == old_ids[
+        (u["repo"], u["path"])
+    ]
+    assert ("zz-new-repo", "new.py", "c1") in served
+
+    # replay: nothing deleted, no generation appended, serving stable
+    segs_now = list(
+        __import__("json").load(
+            open(f"{seg_dir}/segments.json")
+        )["segments"]
+    )
+    out2 = upsert_segment(spark, seg_dir, batch, compute_quality=False,
+                          simhash_bits=32)
+    assert out2 == {"deleted": 0, "segment": None}
+    assert list(
+        __import__("json").load(
+            open(f"{seg_dir}/segments.json")
+        )["segments"]
+    ) == segs_now
+
+    # rank identity vs a monolithic rebuild of the updated corpus
+    keys = seg.docs.select("repo", "path", "commit")
+    updated = full.unionByName(batch).join(
+        keys, ["repo", "path", "commit"]
+    ).dropDuplicates(["repo", "path", "commit"])
+    mono_dir = str(base / "mono")
+    write_index(
+        spark,
+        build_tables(spark, updated, compute_quality=False,
+                     near_dup=False),
+        mono_dir,
+    )
+    mono = load_index(spark, mono_dir)
+    qs = [(qid, q) for qid, q in QUERIES]
+    ra = _by_url(score_queries_ondisk(spark, qs, seg, k=10), seg.docs)
+    rb = _by_url(score_queries_ondisk(spark, qs, mono, k=10), mono.docs)
+    _assert_rank_identity(ra, rb)

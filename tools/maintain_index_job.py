@@ -9,6 +9,8 @@ generations directory —
         tools/maintain_index_job.py --index /path/to/segments \
         [--compact] [--merge] [--simhash-bits 64]
 
+``--delete-ids 3,17``: explicit delete-by-id (segments.delete_docs) —
+tombstoned immediately, physically reclaimed by the next merge/expunge.
 ``--compact``: cross-segment near-dup compaction from stored
 fingerprints — tombstones only, no segment rewrite; serving state
 (stats, termdict df, block maxima) stays exact (segments.py).
@@ -49,11 +51,15 @@ def main():
     ap.add_argument("--simhash-bits", type=int, default=64,
                     choices=(32, 64),
                     help="must match the bits the segments were built with")
+    ap.add_argument("--delete-ids", default=None,
+                    help="comma-separated docids to tombstone "
+                         "(segments.delete_docs; reclaimed by the next "
+                         "merge/expunge)")
     args = ap.parse_args()
     if not (args.compact or args.merge or args.tiered
-            or args.expunge is not None):
-        ap.error("nothing to do: pass --compact, --merge, --tiered "
-                 "and/or --expunge")
+            or args.expunge is not None or args.delete_ids):
+        ap.error("nothing to do: pass --delete-ids, --compact, "
+                 "--merge, --tiered and/or --expunge")
     if args.merge and args.tiered:
         ap.error("--merge and --tiered are mutually exclusive")
 
@@ -71,6 +77,7 @@ def main():
     from searchengine_spark.index.segments import (
         _read_meta,
         compact_near_dups,
+        delete_docs,
         expunge_deletes,
         load_segments,
         maybe_merge,
@@ -80,6 +87,9 @@ def main():
     out = {"metric": "segment maintenance", "index": args.index,
            "segments_before": list(_read_meta(args.index)["segments"])}
     t0 = time.time()
+    if args.delete_ids:
+        ids = [int(x) for x in args.delete_ids.split(",") if x.strip()]
+        out["deleted"] = delete_docs(spark, args.index, ids)
     if args.compact:
         out["tombstoned"] = compact_near_dups(
             spark, args.index, bits=args.simhash_bits
