@@ -85,6 +85,7 @@ def compact_stream_to_segment(
     index_dir: str,
     processed_marker: str,
     merge_factor: int | None = None,
+    upsert: bool = False,
     **build_kwargs,
 ):
     """Fold newly-arrived corpus files into the segmented index.
@@ -102,6 +103,15 @@ def compact_stream_to_segment(
     micro-batch appends stage raw postings for low-latency serving,
     while compaction periodically folds the backlog into first-class
     compressed, WAND-servable segments.
+
+    ``upsert=True`` treats the arrivals as a CHANGES FEED instead of
+    pure inserts: waves route through segments.upsert_segment, so a
+    re-sent (repo, path) with changed content replaces its old doc
+    (tombstone + append) while unchanged re-sends keep their docids —
+    and since upsert is content-idempotent, a crash between the append
+    commit and the marker advance replays harmlessly (the marker is
+    belt-and-braces against re-reading, not the correctness anchor in
+    this mode).
 
     ``merge_factor`` switches on LSM behavior under continuous
     arrival: after each committed append, size-tiered partial merges
@@ -130,7 +140,14 @@ def compact_stream_to_segment(
     if not new:
         return None
     corpus = spark.read.schema(CORPUS_SCHEMA).parquet(*new)
-    name = append_segment(spark, index_dir, corpus, **build_kwargs)
+    if upsert:
+        from ..index.segments import upsert_segment
+
+        name = upsert_segment(
+            spark, index_dir, corpus, **build_kwargs
+        )["segment"]
+    else:
+        name = append_segment(spark, index_dir, corpus, **build_kwargs)
     tmp = processed_marker + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"version": 1, "files": sorted(seen | set(new))}, f)

@@ -1132,3 +1132,63 @@ def test_upsert_segment_replaces_changed_docs(spark, split_corpora,
     ra = _by_url(score_queries_ondisk(spark, qs, seg, k=10), seg.docs)
     rb = _by_url(score_queries_ondisk(spark, qs, mono, k=10), mono.docs)
     _assert_rank_identity(ra, rb)
+
+
+def test_stream_upsert_mode_replaces_changed_docs(spark, split_corpora,
+                                                  tmp_path_factory):
+    """compact_stream_to_segment(upsert=True) — the changes-feed mode:
+    a re-sent (repo, path) with changed content replaces its old doc;
+    an identical re-send adds NO generation; docids of untouched docs
+    are stable."""
+    from searchengine_spark.streaming.ingest import (
+        compact_stream_to_segment,
+    )
+
+    _, a, _b = split_corpora
+    base = tmp_path_factory.mktemp("stream_upsert")
+    inbox = base / "inbox"
+    inbox.mkdir()
+    seg_dir = str(base / "idx")
+    marker = str(base / "processed.json")
+    init_segmented(
+        spark, build_tables(spark, a, compute_quality=False), seg_dir
+    )
+    before = load_segments(spark, seg_dir)
+    n0 = before.stats["n_survivors"]
+    victim = before.docs.orderBy("docid").limit(1).collect()[0]
+
+    wave = spark.createDataFrame(
+        [(victim["repo"], victim["path"], victim["commit"] + "x",
+          "java", "zzchanged body spark table join query")],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    wave.coalesce(1).write.mode("overwrite").parquet(str(base / "w1"))
+    import glob
+    import shutil
+
+    (pfile,) = glob.glob(str(base / "w1" / "*.parquet"))
+    shutil.copy(pfile, str(inbox / "wave1.parquet"))
+
+    name = compact_stream_to_segment(
+        spark, str(inbox), seg_dir, marker, upsert=True,
+        compute_quality=False,
+    )
+    assert name == "seg=1"
+    seg = load_segments(spark, seg_dir)
+    assert seg.stats["n_survivors"] == n0  # one out, one in
+    assert seg.docs.filter(
+        F.col("docid") == victim["docid"]
+    ).count() == 0
+    assert seg.docs.filter(
+        F.col("commit") == victim["commit"] + "x"
+    ).count() == 1
+
+    # identical re-send under a new filename: marker advances, no
+    # generation, serving unchanged (content-idempotent upsert)
+    shutil.copy(pfile, str(inbox / "wave2.parquet"))
+    assert compact_stream_to_segment(
+        spark, str(inbox), seg_dir, marker, upsert=True,
+        compute_quality=False,
+    ) is None
+    assert load_segments(spark, seg_dir).stats["n_survivors"] == n0
