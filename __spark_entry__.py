@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": T.text_quality,
         "top_terms_per_lang": T.top_terms_per_lang,
         "df_histogram": T.df_histogram,
+        "substring_search": T.substring_search,
         "doc_fingerprint": T.doc_fingerprint,
         "repetition_stats": T.repetition_stats,
         "ann_cosine_topk": T.ann_cosine_topk,
@@ -2335,6 +2336,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_terms,
                    min(df) AS min_df, max(df) AS max_df
             FROM dft GROUP BY 1 ORDER BY bucket
+        """
+    # Zoekt-style substring search (ops/textops.substring_search): the
+    # oracle is the brute-force containment scan over the raw text —
+    # equality proves the trigram candidate pruning lossless
+    from searchengine_spark.ops.textops import SUBSTR_K, SUBSTR_Q
+
+    _sq = SUBSTR_Q.lower()
+    d["substring_search"] = f"""
+            SELECT doc_id,
+                   ((length(lower(text))
+                     - length(replace(lower(text), '{_sq}', '')))
+                    / {len(_sq)})::BIGINT AS n_occurrences
+            FROM documents
+            WHERE contains(lower(text), '{_sq}')
+            ORDER BY n_occurrences DESC, doc_id LIMIT {SUBSTR_K}
         """
     # sloppy ordered phrase (ops/textops.phrase_slop): the oracle is the
     # explicit ordered pair join — brute force at sf0.01, proving the

@@ -1205,3 +1205,73 @@ def df_histogram(spark, sf_dir) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# trigram substring search pinned defaults — interpolated into the
+# DuckDB oracle (change Spark and SQL together)
+SUBSTR_Q = "table hash"   # crosses a token boundary: tokenized search
+SUBSTR_K = 20             # cannot express this match; trigrams can
+
+
+def substring_search(spark, sf_dir, q=SUBSTR_Q, k=SUBSTR_K) -> DataFrame:
+    """Zoekt-style substring search over raw text — the code-search
+    query class the tokenized index cannot serve (matches cross token
+    boundaries, include whitespace, ignore the analyzer).
+
+    Candidate generation is the trigram-index rule: a doc can contain
+    ``q`` only if its character-trigram set covers ALL of q's
+    trigrams, so docs are pruned by an (in-row-distinct) trigram
+    explode joined against the query's broadcast trigram set and a
+    coverage count — then survivors are VERIFIED with the exact
+    (lowercased) containment test and occurrence-counted.  The oracle
+    is the brute-force full-text containment scan: equality proves the
+    trigram pruning lossless (the fuzzy_terms proof pattern).  Returns
+    (doc_id, n_occurrences), n desc / doc_id asc, top k; requires
+    len(q) >= 3 (below that there are no trigrams to prune with).
+
+    Scale: this op inlines the index build (one pass, len(text) rows
+    per doc before the broadcast prune) because the driver tables are
+    rebuilt per run; a deployment materializes the (trigram, doc_id)
+    table once — Zoekt's shard build — and only the tiny
+    intersect+verify part runs per query.  The verify join touches
+    candidates only.
+    """
+    ql = q.lower()
+    if len(ql) < 3:
+        raise ValueError("substring_search needs len(q) >= 3")
+    need = sorted({ql[i:i + 3] for i in range(len(ql) - 2)})
+    d = documents(spark, sf_dir)
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 2, 0)),"
+                    " i -> substring(lower(text), i, 3))"
+                )
+            )
+        ).alias("tg"),
+    )
+    needed = spark.createDataFrame([(t,) for t in need], "tg string")
+    cand = (
+        tri.join(F.broadcast(needed), "tg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("ncov"))
+        .filter(F.col("ncov") == len(need))
+        .select("doc_id")
+    )
+    lt = F.lower(F.col("text"))
+    return (
+        d.join(cand, "doc_id")
+        .withColumn(
+            "n_occurrences",
+            (
+                (F.length(lt) - F.length(F.replace(lt, F.lit(ql))))
+                / F.lit(len(ql))
+            ).cast("long"),
+        )
+        .filter(F.col("n_occurrences") > 0)
+        .select("doc_id", "n_occurrences")
+        .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1626,3 +1626,67 @@ def test_percolate_matches_python_and_plan_is_shuffle_lean(spark):
     final = plan.split("== Initial Plan ==")[0]  # AQE prints both
     ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", final))
     assert 1 <= len(ids) <= 2, plan
+
+
+def test_substring_search_matches_brute_force(spark):
+    """substring_search (ops/textops.py): trigram pruning + verify must
+    equal a brute-force containment scan for queries that match many
+    docs, few docs, and none — including the adversarial case where a
+    doc holds every trigram of q but not q itself (candidate survives
+    pruning, dies in verify)."""
+    import re
+
+    from searchengine_spark.ops.textops import substring_search
+
+    texts = {
+        r["doc_id"]: r["text"].lower()
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text").collect()
+    }
+
+    def brute(q, k=20):
+        out = []
+        for d, t in texts.items():
+            n = t.count(q)
+            if n:
+                out.append((d, n))
+        out.sort(key=lambda dn: (-dn[1], dn[0]))
+        return out[:k]
+
+    some = next(iter(texts.values()))
+    probes = [
+        "table hash",            # pinned driver constant
+        some[10:40],             # a real 30-char span (matches >= 1)
+        "zz never in corpus zz", # no match
+        some[10:20] + "qqq",     # prefix trigrams exist, tail doesn't
+    ]
+    for q in probes:
+        got = [
+            (r["doc_id"], r["n_occurrences"])
+            for r in substring_search(spark, SF, q=q, k=20).collect()
+        ]
+        assert got == brute(q.lower()), q
+
+    # adversarial: a doc holding every trigram of q WITHOUT q itself
+    # ('xxab cyy zzb cdww' ⊇ trigrams('ab cd') = {'ab ','b c',' cd'})
+    # must survive pruning and die in verify; its sibling with the
+    # real match must return
+    import tempfile
+
+    adversarial = "xxab cyy zzb cdww"
+    q = "ab cd"
+    assert set(re.findall(r"(?=(...))", q)) <= set(
+        re.findall(r"(?=(...))", adversarial)
+    ) and q not in adversarial
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(1, adversarial), (2, f"yy {q} zz")],
+            "doc_id long, text string",
+        ).write.parquet(f"{td}/documents.parquet")
+        got = [
+            (r["doc_id"], r["n_occurrences"])
+            for r in substring_search(spark, td, q=q).collect()
+        ]
+        assert got == [(2, 1)]
+    with pytest.raises(ValueError):
+        substring_search(spark, SF, q="ab")
