@@ -367,6 +367,8 @@ def _run_ops_tier(spark):
           lambda: T.phrase_slop(spark, SF_DIR).count())
     timed("corrected_topk_sec",
           lambda: T.corrected_topk(spark, SF_DIR).count())
+    timed("substring_search_sec",
+          lambda: T.substring_search(spark, SF_DIR).count())
     timed("top_terms_per_lang_sec",
           lambda: T.top_terms_per_lang(spark, SF_DIR).count())
     timed("df_histogram_sec",
