@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_per_lang": T.top_terms_per_lang,
         "df_histogram": T.df_histogram,
         "substring_search": T.substring_search,
+        "substring_search_persisted": T.substring_search_persisted,
         "doc_fingerprint": T.doc_fingerprint,
         "repetition_stats": T.repetition_stats,
         "ann_cosine_topk": T.ann_cosine_topk,
@@ -2352,6 +2353,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE contains(lower(text), '{_sq}')
             ORDER BY n_occurrences DESC, doc_id LIMIT {SUBSTR_K}
         """
+    # the persisted-shard path serves the identical contract
+    d["substring_search_persisted"] = d["substring_search"]
     # sloppy ordered phrase (ops/textops.phrase_slop): the oracle is the
     # explicit ordered pair join — brute force at sf0.01, proving the
     # searchsorted window-count kernel lossless

@@ -266,6 +266,7 @@ def _run_ops_tier(spark):
 
     T.flat_index_cache_reset(SF_DIR)
     V.ivf_index_cache_reset(SF_DIR)
+    T.trigram_index_cache_reset(SF_DIR)
     timed("wand_filtered_cold_sec",
           lambda: T.wand_topk_filtered(spark, SF_DIR).count())
     timed("wand_filtered_warm_sec",
@@ -369,6 +370,10 @@ def _run_ops_tier(spark):
           lambda: T.corrected_topk(spark, SF_DIR).count())
     timed("substring_search_sec",
           lambda: T.substring_search(spark, SF_DIR).count())
+    timed("substring_persisted_cold_sec",
+          lambda: T.substring_search_persisted(spark, SF_DIR).count())
+    timed("substring_persisted_warm_sec",
+          lambda: T.substring_search_persisted(spark, SF_DIR).count())
     timed("top_terms_per_lang_sec",
           lambda: T.top_terms_per_lang(spark, SF_DIR).count())
     timed("df_histogram_sec",
