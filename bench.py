@@ -374,6 +374,24 @@ def _run_ops_tier(spark):
           lambda: T.substring_search_persisted(spark, SF_DIR).count())
     timed("substring_persisted_warm_sec",
           lambda: T.substring_search_persisted(spark, SF_DIR).count())
+    # Spark-free grep latency over the shard the persisted entry built
+    from searchengine_spark.ops.textops import (
+        SUBSTR_Q,
+        _trigram_index_key_dir,
+    )
+    from searchengine_spark.query.serve_grep import LocalGrep
+
+    _, tri_dir = _trigram_index_key_dir(SF_DIR)
+    g = LocalGrep(tri_dir, f"{SF_DIR}/documents.parquet")
+    g.search(SUBSTR_Q)  # warm the arrow dataset
+    glat = []
+    for _ in range(50):
+        t1 = time.perf_counter()
+        g.search(SUBSTR_Q, k=20)
+        glat.append((time.perf_counter() - t1) * 1000)
+    glat.sort()
+    out["grep_ms_p50"] = round(statistics.median(glat), 2)
+    out["grep_ms_p95"] = round(glat[int(len(glat) * 0.95)], 2)
     timed("top_terms_per_lang_sec",
           lambda: T.top_terms_per_lang(spark, SF_DIR).count())
     timed("df_histogram_sec",

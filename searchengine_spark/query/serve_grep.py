@@ -1,0 +1,79 @@
+"""Spark-free substring serving over the persisted trigram shard.
+
+The ms-latency tier of the Zoekt story (index/trigram.py builds the
+shard, substring_topk_ondisk serves it from Spark): pyarrow reads the
+query's trigram cells with the SAME bucket pruning the Spark path
+plans (index/xxhash64.term_bucket — parity-tested vs F.xxhash64),
+intersects coverage in numpy, and verifies the few candidates against
+the documents parquet by exact containment — serve_local.py's
+build/batch/ms three-tier pattern, applied to grep.
+
+Value-identical to the Spark path by construction (same pruning rule,
+same verify, same (n desc, doc_id asc) order — pinned in
+tests/test_ops.py).
+"""
+
+import json
+import os
+
+import numpy as np
+
+from ..index.xxhash64 import term_bucket
+
+
+class LocalGrep:
+    """Millisecond substring search over one trigram shard.
+
+    ``docs_parquet`` is the same (doc_id, text, ...) parquet the shard
+    was built from — the index stores no text, so verification reads
+    the candidates' rows from the source table (pushdown on doc_id)."""
+
+    def __init__(self, index_dir: str, docs_parquet: str):
+        mpath = os.path.join(index_dir, "trigram_index.json")
+        if not os.path.exists(mpath):
+            raise ValueError(f"no committed trigram index at {index_dir}")
+        with open(mpath) as f:
+            self.n_buckets = int(json.load(f)["n_buckets"])
+        import pyarrow.dataset as pads
+
+        self._cells = pads.dataset(
+            os.path.join(index_dir, "cells"), partitioning="hive"
+        )
+        self._docs = docs_parquet
+
+    def search(self, q: str, k: int = 20):
+        """[(doc_id, n_occurrences)] — n desc, doc_id asc, top k."""
+        import pyarrow.dataset as pads
+
+        ql = q.lower()
+        if len(ql) < 3:
+            raise ValueError("substring search needs len(q) >= 3")
+        need = sorted({ql[i:i + 3] for i in range(len(ql) - 2)})
+        tbs = sorted({term_bucket(t, self.n_buckets) for t in need})
+        t = self._cells.to_table(
+            filter=pads.field("tb").isin(tbs)
+            & pads.field("tg").isin(need),
+            columns=["doc_id"],
+        )
+        ids = t.column("doc_id").to_numpy()
+        if ids.size == 0:
+            return []
+        # (tg, doc_id) rows are distinct per doc by construction, so a
+        # doc covering all |need| trigrams appears exactly |need| times
+        uniq, counts = np.unique(ids, return_counts=True)
+        cand = uniq[counts == len(need)]
+        if cand.size == 0:
+            return []
+        dt = pads.dataset(self._docs).to_table(
+            filter=pads.field("doc_id").isin(cand.tolist()),
+            columns=["doc_id", "text"],
+        )
+        out = []
+        for d, text in zip(
+            dt.column("doc_id").to_pylist(), dt.column("text").to_pylist()
+        ):
+            n = text.lower().count(ql) if text is not None else 0
+            if n:
+                out.append((int(d), n))
+        out.sort(key=lambda dn: (-dn[1], dn[0]))
+        return out[:k]

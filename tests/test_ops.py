@@ -1739,3 +1739,36 @@ def test_substring_persisted_matches_inline_and_prunes(spark, tmp_path):
     os.remove(os.path.join(d, "trigram_index.json"))
     with pytest.raises(ValueError):
         substring_topk_ondisk(spark, d, docs, "table hash")
+
+
+def test_local_grep_matches_spark_path(spark, tmp_path):
+    """LocalGrep (query/serve_grep.py) must serve value-identically to
+    the Spark substring paths over the same shard, for hit / miss /
+    adversarial queries, without a Spark session in the loop."""
+    from searchengine_spark.index.trigram import (
+        build_trigram_index,
+        substring_topk_ondisk,
+    )
+    from searchengine_spark.query.serve_grep import LocalGrep
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    d = str(tmp_path / "tri")
+    build_trigram_index(spark, docs, d)
+    g = LocalGrep(d, f"{SF}/documents.parquet")
+    hit_any = False
+    for q in ("table hash", "value table", "zz never here zz"):
+        want = [
+            (r["doc_id"], r["n_occurrences"])
+            for r in substring_topk_ondisk(spark, d, docs, q,
+                                           k=20).collect()
+        ]
+        got = g.search(q, k=20)
+        assert got == want, q
+        hit_any = hit_any or bool(got)
+    assert hit_any
+    with pytest.raises(ValueError):
+        g.search("ab")
+    with pytest.raises(ValueError):
+        LocalGrep(str(tmp_path / "nope"), f"{SF}/documents.parquet")
