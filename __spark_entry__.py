@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "df_histogram": T.df_histogram,
         "substring_search": T.substring_search,
         "substring_search_persisted": T.substring_search_persisted,
+        "regex_search": T.regex_search,
         "doc_fingerprint": T.doc_fingerprint,
         "repetition_stats": T.repetition_stats,
         "ann_cosine_topk": T.ann_cosine_topk,
@@ -2355,6 +2356,20 @@ def oracle_sql() -> dict[str, str]:
         """
     # the persisted-shard path serves the identical contract
     d["substring_search_persisted"] = d["substring_search"]
+    # regex search (ops/textops.regex_search): brute-force regex scan —
+    # equality proves the literal-run trigram pruning lossless.  The
+    # pinned pattern stays inside the Java-regex/RE2-identical subset.
+    from searchengine_spark.ops.textops import REGEX_K, REGEX_Q
+
+    d["regex_search"] = f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(
+                       lower(text), '{REGEX_Q.lower()}'))::BIGINT
+                     AS n_matches
+            FROM documents
+            WHERE regexp_matches(lower(text), '{REGEX_Q.lower()}')
+            ORDER BY n_matches DESC, doc_id LIMIT {REGEX_K}
+        """
     # sloppy ordered phrase (ops/textops.phrase_slop): the oracle is the
     # explicit ordered pair join — brute force at sf0.01, proving the
     # searchsorted window-count kernel lossless

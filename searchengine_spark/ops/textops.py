@@ -1320,3 +1320,141 @@ def substring_search_persisted(spark, sf_dir, q=SUBSTR_Q,
         os.makedirs(d, exist_ok=True)
         build_trigram_index(spark, docs, d)
     return substring_topk_ondisk(spark, d, docs, q, k=k)
+
+
+# regex search pinned defaults — interpolated into the DuckDB oracle
+# (the pattern is restricted to the dialect-identical subset: literals,
+# character classes, ., quantifiers — see regex_literal_runs)
+REGEX_Q = "tab[a-z]e +hash"
+REGEX_K = 20
+
+
+def regex_literal_runs(pattern: str) -> list:
+    """Literal substrings GUARANTEED to appear in any match of
+    ``pattern`` — the Zoekt planning step that turns a regex into
+    trigram requirements.  Pure string processing, no regex engine.
+
+    Supported atoms: literal chars, escaped literals (\\.), character
+    classes [...], '.', and quantifiers * + ? {m,n} applying to the
+    PRECEDING atom (which therefore leaves the literal run — a '?' or
+    '*' atom may be absent, and a '+'/'{' atom's repetition boundary
+    is unknown, so the run safely splits there).  Alternation and
+    groups make "guaranteed" require a product over branches — out of
+    this subset, so '|', '(' and ')' raise (callers fall back to a
+    full verify scan, still correct, just unpruned).
+    """
+    runs, cur, i = [], "", 0
+    prev_literal = False  # whether the LAST atom appended to cur
+
+    def flush():
+        nonlocal cur
+        if cur:
+            runs.append(cur)
+        cur = ""
+
+    while i < len(pattern):
+        c = pattern[i]
+        if c in "(|)":
+            raise ValueError(
+                f"regex_literal_runs: unsupported {c!r} in {pattern!r}"
+            )
+        if c == "\\":
+            if i + 1 >= len(pattern):
+                raise ValueError(f"trailing backslash in {pattern!r}")
+            nxt = pattern[i + 1]
+            if nxt.isalnum():  # \d \w \s ... : a class, not a literal
+                flush()
+                prev_literal = False
+            else:              # \. \\ \+ ... : an escaped literal
+                cur += nxt
+                prev_literal = True
+            i += 2
+            continue
+        if c == "[":
+            j = pattern.find("]", i + 1)
+            if j < 0:
+                raise ValueError(f"unclosed class in {pattern!r}")
+            flush()
+            prev_literal = False
+            i = j + 1
+            continue
+        if c == ".":
+            flush()
+            prev_literal = False
+            i += 1
+            continue
+        if c in "*+?{":
+            # quantifier on the preceding atom: that atom's presence /
+            # adjacency is uncertain, so it leaves the literal run
+            if prev_literal and cur:
+                cur = cur[:-1]
+            flush()
+            prev_literal = False
+            if c == "{":
+                j = pattern.find("}", i + 1)
+                if j < 0:
+                    raise ValueError(f"unclosed brace in {pattern!r}")
+                i = j + 1
+            else:
+                i += 1
+            continue
+        if c in "^$":
+            flush()
+            prev_literal = False
+            i += 1
+            continue
+        cur += c
+        prev_literal = True
+        i += 1
+    flush()
+    return runs
+
+
+def regex_search(spark, sf_dir, pattern=REGEX_Q, k=REGEX_K) -> DataFrame:
+    """Zoekt-style regex search: candidates are pruned by the trigrams
+    of the LONGEST guaranteed literal run of the pattern
+    (regex_literal_runs), then verified with the real regex engine and
+    counted (leftmost non-overlapping matches — regexp_count in Spark,
+    len(regexp_extract_all) in the DuckDB oracle; identical for the
+    supported dialect subset).  A pattern whose longest run is < 3
+    chars gets no pruning (full verify scan — correct, just unpruned).
+    (doc_id, n_matches), n desc / doc_id asc, top k.  The oracle is
+    the brute-force regex scan: equality proves the literal-run
+    pruning lossless."""
+    runs = [r for r in regex_literal_runs(pattern.lower()) if len(r) >= 3]
+    d = documents(spark, sf_dir)
+    if runs:
+        anchor = max(runs, key=len)
+        need = sorted({anchor[i:i + 3] for i in range(len(anchor) - 2)})
+        tri = d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, greatest(length(text) - 2,"
+                        " 0)), i -> substring(lower(text), i, 3))"
+                    )
+                )
+            ).alias("tg"),
+        )
+        needed = spark.createDataFrame([(t,) for t in need], "tg string")
+        cand = (
+            tri.join(F.broadcast(needed), "tg")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("ncov"))
+            .filter(F.col("ncov") == len(need))
+            .select("doc_id")
+        )
+        d = d.join(cand, "doc_id")
+    return (
+        d.withColumn(
+            "n_matches",
+            F.regexp_count(
+                F.lower("text"), F.lit(pattern.lower())
+            ).cast("long"),
+        )
+        .filter(F.col("n_matches") > 0)
+        .select("doc_id", "n_matches")
+        .orderBy(F.desc("n_matches"), F.asc("doc_id"))
+        .limit(k)
+    )

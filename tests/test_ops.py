@@ -1772,3 +1772,62 @@ def test_local_grep_matches_spark_path(spark, tmp_path):
         g.search("ab")
     with pytest.raises(ValueError):
         LocalGrep(str(tmp_path / "nope"), f"{SF}/documents.parquet")
+
+
+def test_regex_literal_runs_extraction():
+    """regex_literal_runs: every returned run must be GUARANTEED
+    present in any match (checked structurally on hand cases), and the
+    unsupported alternation/group syntax raises."""
+    from searchengine_spark.ops.textops import regex_literal_runs as runs
+
+    assert runs("table hash") == ["table hash"]
+    assert runs("tab[a-z]e +hash") == ["tab", "e", "hash"]
+    assert runs("foo.bar") == ["foo", "bar"]
+    assert runs("colou?r") == ["colo", "r"]       # 'u' optional
+    assert runs("ab*c") == ["a", "c"]             # 'b' optional
+    assert runs("ab+c") == ["a", "c"]             # 'b' repetition edge
+    assert runs("a{2,3}bc") == ["bc"]             # quantified 'a' out
+    assert runs(r"x\.y") == ["x.y"]               # escaped literal dot
+    assert runs(r"a\dz") == ["a", "z"]            # \d is a class
+    assert runs("^abc$") == ["abc"]
+    for bad in ("a|b", "(ab)c", "a)b", "[abc", "a\\"):
+        with pytest.raises(ValueError):
+            runs(bad)
+
+
+def test_regex_search_matches_brute_force(spark):
+    """regex_search must equal a Python re scan (leftmost
+    non-overlapping count) for pruned patterns, unprunable patterns
+    (longest literal run < 3 → full verify scan), and misses."""
+    import re
+
+    from searchengine_spark.ops.textops import regex_search
+
+    texts = {
+        r["doc_id"]: r["text"].lower()
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text").collect()
+    }
+
+    def brute(pat, k=20):
+        rx = re.compile(pat)
+        out = []
+        for d, t in texts.items():
+            n = len(rx.findall(t))
+            if n:
+                out.append((d, n))
+        out.sort(key=lambda dn: (-dn[1], dn[0]))
+        return out[:k]
+
+    probes = [
+        "tab[a-z]e +hash",   # pinned driver constant (pruned on 'hash')
+        "table hash",        # pure literal
+        "zz[0-9]+qq",        # no match
+        "a.c",               # longest run 1 char -> unpruned full scan
+    ]
+    for pat in probes:
+        got = [
+            (r["doc_id"], r["n_matches"])
+            for r in regex_search(spark, SF, pattern=pat, k=20).collect()
+        ]
+        assert got == brute(pat), pat
