@@ -43,12 +43,47 @@ class LocalGrep:
 
     def search(self, q: str, k: int = 20):
         """[(doc_id, n_occurrences)] — n desc, doc_id asc, top k."""
-        import pyarrow.dataset as pads
-
         ql = q.lower()
         if len(ql) < 3:
             raise ValueError("substring search needs len(q) >= 3")
         need = sorted({ql[i:i + 3] for i in range(len(ql) - 2)})
+        cand = self._candidates(need)
+        if cand.size == 0:
+            return []
+        return self._verify(cand, lambda t: t.count(ql), k)
+
+    def grep(self, pattern: str, k: int = 20):
+        """Regex search — ops/textops.regex_search's rule on the ms
+        tier: candidates pruned by the trigrams of the pattern's
+        longest guaranteed literal run (regex_literal_runs; < 3 chars
+        → full scan over all docs, correct but unpruned), verified
+        with Python ``re`` (leftmost non-overlapping count, identical
+        to regexp_count for the supported subset).
+        [(doc_id, n_matches)] — n desc, doc_id asc, top k."""
+        import re
+
+        from ..ops.textops import regex_literal_runs
+
+        pl = pattern.lower()
+        runs = [r for r in regex_literal_runs(pl) if len(r) >= 3]
+        cand = None
+        if runs:
+            anchor = max(runs, key=len)
+            need = sorted(
+                {anchor[i:i + 3] for i in range(len(anchor) - 2)}
+            )
+            cand = self._candidates(need)
+            if cand.size == 0:
+                return []
+        rx = re.compile(pl)
+        return self._verify(cand, lambda t: len(rx.findall(t)), k)
+
+    def _candidates(self, need):
+        """docids whose trigram rows cover ALL of ``need`` (bucket- and
+        trigram-pruned cell read; rows are per-doc distinct, so
+        coverage == row count)."""
+        import pyarrow.dataset as pads
+
         tbs = sorted({term_bucket(t, self.n_buckets) for t in need})
         t = self._cells.to_table(
             filter=pads.field("tb").isin(tbs)
@@ -57,22 +92,30 @@ class LocalGrep:
         )
         ids = t.column("doc_id").to_numpy()
         if ids.size == 0:
-            return []
+            return np.empty(0, np.int64)
         # (tg, doc_id) rows are distinct per doc by construction, so a
         # doc covering all |need| trigrams appears exactly |need| times
         uniq, counts = np.unique(ids, return_counts=True)
-        cand = uniq[counts == len(need)]
-        if cand.size == 0:
-            return []
-        dt = pads.dataset(self._docs).to_table(
-            filter=pads.field("doc_id").isin(cand.tolist()),
-            columns=["doc_id", "text"],
-        )
+        return uniq[counts == len(need)]
+
+    def _verify(self, cand, count_fn, k):
+        """Exact-match counting over the candidates' text rows (cand
+        None = unpruned full scan); (doc_id, n) n desc / doc_id asc."""
+        import pyarrow.dataset as pads
+
+        ds = pads.dataset(self._docs)
+        if cand is None:
+            dt = ds.to_table(columns=["doc_id", "text"])
+        else:
+            dt = ds.to_table(
+                filter=pads.field("doc_id").isin(cand.tolist()),
+                columns=["doc_id", "text"],
+            )
         out = []
         for d, text in zip(
             dt.column("doc_id").to_pylist(), dt.column("text").to_pylist()
         ):
-            n = text.lower().count(ql) if text is not None else 0
+            n = count_fn(text.lower()) if text is not None else 0
             if n:
                 out.append((int(d), n))
         out.sort(key=lambda dn: (-dn[1], dn[0]))

@@ -1831,3 +1831,29 @@ def test_regex_search_matches_brute_force(spark):
             for r in regex_search(spark, SF, pattern=pat, k=20).collect()
         ]
         assert got == brute(pat), pat
+
+
+def test_local_grep_regex_matches_spark_path(spark, tmp_path):
+    """LocalGrep.grep must equal the Spark regex_search op — pruned,
+    unpruned (short literal runs), and no-match patterns."""
+    from searchengine_spark.index.trigram import build_trigram_index
+    from searchengine_spark.ops.textops import regex_search
+    from searchengine_spark.query.serve_grep import LocalGrep
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    d = str(tmp_path / "tri")
+    build_trigram_index(spark, docs, d)
+    g = LocalGrep(d, f"{SF}/documents.parquet")
+    hit_any = False
+    for pat in ("tab[a-z]e +hash", "table hash", "a.c", "zz[0-9]+qq"):
+        want = [
+            (r["doc_id"], r["n_matches"])
+            for r in regex_search(spark, SF, pattern=pat,
+                                  k=20).collect()
+        ]
+        got = g.grep(pat, k=20)
+        assert got == want, pat
+        hit_any = hit_any or bool(got)
+    assert hit_any
