@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_search": T.substring_search,
         "substring_search_persisted": T.substring_search_persisted,
         "regex_search": T.regex_search,
+        "regex_search_persisted": T.regex_search_persisted,
         "doc_fingerprint": T.doc_fingerprint,
         "repetition_stats": T.repetition_stats,
         "ann_cosine_topk": T.ann_cosine_topk,
@@ -2370,6 +2371,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_matches(lower(text), '{REGEX_Q.lower()}')
             ORDER BY n_matches DESC, doc_id LIMIT {REGEX_K}
         """
+    d["regex_search_persisted"] = d["regex_search"]
     # sloppy ordered phrase (ops/textops.phrase_slop): the oracle is the
     # explicit ordered pair join — brute force at sf0.01, proving the
     # searchsorted window-count kernel lossless

@@ -78,6 +78,69 @@ def build_trigram_index(spark: SparkSession, docs: DataFrame,
     return index_dir
 
 
+def _query_trigrams(ql: str, require: bool) -> list:
+    """Distinct trigrams of a lowercased literal; < 3 chars raises
+    when ``require`` (substring search has nothing to prune with)."""
+    if len(ql) < 3:
+        if require:
+            raise ValueError("substring search needs len(q) >= 3")
+        return []
+    return sorted({ql[i:i + 3] for i in range(len(ql) - 2)})
+
+
+def _shard_candidates(spark: SparkSession, index_dir: str, need):
+    """Candidate docids covering ALL ``need`` trigrams, from bucket-
+    and trigram-pruned cell reads; None when ``need`` is empty (no
+    pruning possible — caller falls back to a full verify scan)."""
+    mpath = os.path.join(index_dir, MANIFEST)
+    if not os.path.exists(mpath):
+        raise ValueError(f"no committed trigram index at {index_dir}")
+    if not need:
+        return None
+    with open(mpath) as f:
+        n_buckets = int(json.load(f)["n_buckets"])
+    tbs = sorted({term_bucket(t, n_buckets) for t in need})
+    cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+    return (
+        cells.filter(F.col("tb").isin(tbs) & F.col("tg").isin(need))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("ncov"))
+        .filter(F.col("ncov") == len(need))
+        .select("doc_id")
+    )
+
+
+def regex_topk_ondisk(spark: SparkSession, index_dir: str,
+                      docs: DataFrame, pattern: str,
+                      k: int = 20) -> DataFrame:
+    """Regex search from the persisted shard: candidates pruned by the
+    trigrams of the pattern's longest guaranteed literal run
+    (ops/textops.regex_literal_runs), verified with regexp_count —
+    ops/textops.regex_search's contract served shard-side (a pattern
+    with no >= 3-char literal run falls back to a full verify scan,
+    correct but unpruned)."""
+    from ..ops.textops import regex_literal_runs
+
+    pl = pattern.lower()
+    runs = [r for r in regex_literal_runs(pl) if len(r) >= 3]
+    need = (
+        _query_trigrams(max(runs, key=len), require=False)
+        if runs else []
+    )
+    cand = _shard_candidates(spark, index_dir, need)
+    d = docs if cand is None else docs.join(cand, "doc_id")
+    return (
+        d.withColumn(
+            "n_matches",
+            F.regexp_count(F.lower("text"), F.lit(pl)).cast("long"),
+        )
+        .filter(F.col("n_matches") > 0)
+        .select("doc_id", "n_matches")
+        .orderBy(F.desc("n_matches"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def substring_topk_ondisk(spark: SparkSession, index_dir: str,
                           docs: DataFrame, q: str,
                           k: int = 20) -> DataFrame:
@@ -89,24 +152,11 @@ def substring_topk_ondisk(spark: SparkSession, index_dir: str,
     ((doc_id, n_occurrences), n desc / doc_id asc, top k) — value-
     identical by the same losslessness argument, pinned in
     tests/test_ops.py."""
-    mpath = os.path.join(index_dir, MANIFEST)
-    if not os.path.exists(mpath):
-        raise ValueError(f"no committed trigram index at {index_dir}")
-    with open(mpath) as f:
-        n_buckets = int(json.load(f)["n_buckets"])
-    ql = q.lower()
-    if len(ql) < 3:
-        raise ValueError("substring search needs len(q) >= 3")
-    need = sorted({ql[i:i + 3] for i in range(len(ql) - 2)})
-    tbs = sorted({term_bucket(t, n_buckets) for t in need})
-    cells = spark.read.parquet(os.path.join(index_dir, "cells"))
-    cand = (
-        cells.filter(F.col("tb").isin(tbs) & F.col("tg").isin(need))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("ncov"))
-        .filter(F.col("ncov") == len(need))
-        .select("doc_id")
+    cand = _shard_candidates(
+        spark, index_dir,
+        _query_trigrams(q.lower(), require=True),
     )
+    ql = q.lower()
     lt = F.lower(F.col("text"))
     return (
         docs.join(cand, "doc_id")

@@ -1458,3 +1458,23 @@ def regex_search(spark, sf_dir, pattern=REGEX_Q, k=REGEX_K) -> DataFrame:
         .orderBy(F.desc("n_matches"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def regex_search_persisted(spark, sf_dir, pattern=REGEX_Q,
+                           k=REGEX_K) -> DataFrame:
+    """regex_search served from the persisted trigram shard
+    (index/trigram.regex_topk_ondisk) — same contract and the same
+    brute-force regex oracle; shares the shard (and its build-once
+    cache) with substring_search_persisted."""
+    from ..index.trigram import (
+        MANIFEST,
+        build_trigram_index,
+        regex_topk_ondisk,
+    )
+
+    _, d = _trigram_index_key_dir(sf_dir)
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    if not os.path.exists(os.path.join(d, MANIFEST)):
+        os.makedirs(d, exist_ok=True)
+        build_trigram_index(spark, docs, d)
+    return regex_topk_ondisk(spark, d, docs, pattern, k=k)
