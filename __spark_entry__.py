@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": T.wand_topk,
         "wand_or_topk": T.wand_or_topk,
         "bm25_not_topk": T.bm25_not_topk,
+        "lm_dirichlet_topk": T.lm_dirichlet_topk,
         "wand_topk_filtered": T.wand_topk_filtered,
         "hybrid_rrf_topk": T.hybrid_rrf_topk,
         "bm25_snippets": T.bm25_snippets,
@@ -357,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": X.unigram_logprob,
         "corpus_split": X.corpus_split,
         "bigram_logprob": X.bigram_logprob,
+        "collocations": X.collocations,
         "events_windowed": _events_windowed,
         "user_sessions": _user_sessions,
         "lang_counts": T.lang_counts,
@@ -1367,8 +1369,11 @@ def oracle_sql() -> dict[str, str]:
 
     from searchengine_spark.ops.mix import (
         BIGRAM_LAMBDA as _BG_LAM,
+        COLLOC_MIN_COUNT,
+        COLLOC_TOPN,
         SPLIT_FRACS,
     )
+    from searchengine_spark.ops.textops import LM_K, LM_MU, LM_TERMS
 
     _split_thr_test = _rate_threshold_hex(SPLIT_FRACS["test"])
     _split_thr_val = _rate_threshold_hex(
@@ -1644,6 +1649,39 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs JOIN c2 USING (prev, term) JOIN c1 USING (prev)
                  JOIN cu USING (term) CROSS JOIN t
             GROUP BY doc_id
+        """,
+        # adjacent-bigram PMI collocations (ops/mix.collocations):
+        # marginals/Npairs over the FULL pair stream, min_count floors
+        # candidates only; counts integral → pmi = ln of an exact
+        # ratio; rank (rounded pmi desc, lhs, rhs)
+        "collocations": f"""
+            WITH rawtoks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+            ptoks AS (
+              SELECT doc_id, i AS pos, t[i] AS term
+              FROM rawtoks, LATERAL (
+                SELECT unnest(generate_series(1, len(t))) AS i) g
+            ),
+            pairs AS (
+              SELECT lhs, rhs FROM (
+                SELECT lag(term) OVER (
+                         PARTITION BY doc_id ORDER BY pos) AS lhs,
+                       term AS rhs
+                FROM ptoks)
+              WHERE lhs IS NOT NULL
+            ),
+            c2 AS (SELECT lhs, rhs, count(*) AS n
+                   FROM pairs GROUP BY lhs, rhs),
+            cl AS (SELECT lhs, sum(n)::BIGINT AS cl FROM c2 GROUP BY lhs),
+            cr AS (SELECT rhs, sum(n)::BIGINT AS cr FROM c2 GROUP BY rhs),
+            t AS (SELECT sum(n)::DOUBLE AS npairs FROM c2)
+            SELECT lhs, rhs, n::BIGINT AS n,
+                   round(ln(n * npairs / (cl * cr)), 6) AS pmi
+            FROM c2 JOIN cl USING (lhs) JOIN cr USING (rhs) CROSS JOIN t
+            WHERE n >= {COLLOC_MIN_COUNT}
+            ORDER BY pmi DESC, lhs, rhs LIMIT {COLLOC_TOPN}
         """,
         "events_windowed": f"""
             SELECT strftime(date_trunc('{_win_unit}', ts),
@@ -1995,6 +2033,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE nmatch = 2
               AND doc_id NOT IN (SELECT doc_id FROM excl)
             ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        # query-likelihood ranking, Dirichlet smoothing (ops/textops
+        # .lm_dirichlet_topk): per term ln(1 + tf/(mu·cf/T)) +
+        # ln(mu/(dl+mu)); dl = occurrence count (true LM length, NOT
+        # the distinct-term quirk); conjunctive; round-6 after the sum
+        "lm_dirichlet_topk": f"""
+            WITH toks AS ({_TOKS}),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl
+                   FROM tf GROUP BY doc_id),
+            tot AS (SELECT sum(tf)::DOUBLE AS t_total FROM tf),
+            qterms AS (SELECT unnest([{", ".join(
+                "'" + t + "'" for t in LM_TERMS)}]) AS term),
+            cf AS (SELECT term, sum(tf)::DOUBLE AS cf
+                   FROM tf JOIN qterms USING (term) GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum( ln(1.0 + tf.tf
+                             / ({repr(LM_MU)} * cf.cf / tot.t_total))
+                          + ln({repr(LM_MU)} / (dl.dl + {repr(LM_MU)}))
+                     ) AS s,
+                     count(*) AS nmatch
+              FROM tf JOIN qterms USING (term) JOIN cf USING (term)
+                   JOIN dl USING (doc_id) CROSS JOIN tot
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(s, 6) AS score FROM scored
+            WHERE nmatch = {len(LM_TERMS)}
+            ORDER BY score DESC, doc_id LIMIT {LM_K}
         """,
         "lang_counts": """
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

@@ -406,6 +406,10 @@ def _run_ops_tier(spark):
           lambda: X.corpus_split(spark, SF_DIR).count())
     timed("bigram_logprob_sec",
           lambda: X.bigram_logprob(spark, SF_DIR).count())
+    timed("lm_dirichlet_sec",
+          lambda: T.lm_dirichlet_topk(spark, SF_DIR).count())
+    timed("collocations_sec",
+          lambda: X.collocations(spark, SF_DIR).count())
     return out
 
 

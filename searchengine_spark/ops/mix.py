@@ -335,3 +335,62 @@ def bigram_logprob(spark: SparkSession, sf_dir: str,
             F.round(-F.avg(F.log(p)), 6).alias("nll"),
         )
     )
+
+
+COLLOC_MIN_COUNT = 5   # PMI's rare-pair bias: floor on the corpus bigram count
+COLLOC_TOPN = 20
+
+
+def collocations(spark: SparkSession, sf_dir: str,
+                 min_count: int = COLLOC_MIN_COUNT,
+                 topn: int = COLLOC_TOPN) -> DataFrame:
+    """(lhs, rhs, n, pmi) — the corpus's top-N adjacent-token
+    collocations by pointwise mutual information over the bigram
+    stream (the classic phrase-mining signal; ES significant-terms /
+    Gensim Phrases shape):
+
+        pmi = ln( c2(a,b) · Npairs / (cl(a) · cr(b)) )
+
+    with cl/cr the lhs/rhs MARGINAL counts over the same pair stream
+    (self-consistent: Σ_a p(a,·) = 1), Npairs the total bigram count.
+    Marginals and Npairs are computed over the FULL stream; the
+    min_count floor applies only to candidate pairs.  All counts are
+    integers, so pmi is ln of an exact ratio — deterministic across
+    engines; rank (pmi desc, lhs, rhs) over the 6dp-ROUNDED pmi
+    (the rounded-rank contract).
+
+    Scale: the bigram_logprob shuffle shapes — one token explode, a
+    per-doc lag window (bounded by doc length), then key-hash aggs on
+    (lhs, rhs) / lhs / rhs; at 100 TB cl·cr can exceed int64 — cast
+    the marginals to double before the product there (here they stay
+    integral so both engines share the exact value).
+    """
+    d = documents(spark, sf_dir).select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)
+        ).alias("pos", "term"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.withColumn("lhs", F.lag("term").over(w))
+        .filter(F.col("lhs").isNotNull())
+        .select("lhs", F.col("term").alias("rhs"))
+    )
+    c2 = pairs.groupBy("lhs", "rhs").agg(F.count("*").alias("n"))
+    cl = c2.groupBy("lhs").agg(F.sum("n").alias("cl"))
+    cr = c2.groupBy("rhs").agg(F.sum("n").alias("cr"))
+    tot = c2.agg(F.sum("n").cast("double").alias("npairs"))
+    pmi = F.log(
+        F.col("n") * F.col("npairs") / (F.col("cl") * F.col("cr"))
+    )
+    return (
+        c2.filter(F.col("n") >= min_count)
+        .join(cl, "lhs")
+        .join(cr, "rhs")
+        .crossJoin(F.broadcast(tot))
+        .select("lhs", "rhs", "n", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("lhs"), F.asc("rhs"))
+        .limit(topn)
+    )

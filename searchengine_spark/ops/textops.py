@@ -188,6 +188,65 @@ def _bm25_scored(spark, sf_dir, terms) -> DataFrame:
     )
 
 
+# pinned parameters, interpolated into the DuckDB oracle
+# (__spark_entry__.oracle_sql) — change Spark and SQL together
+LM_MU = 2000.0                        # Dirichlet pseudo-count (Lucene default)
+LM_TERMS = ("spark", "query", "join")  # same probe set as bm25_topk
+LM_K = 10
+
+
+def lm_dirichlet_topk(spark, sf_dir, terms=LM_TERMS, mu=LM_MU,
+                      k=LM_K) -> DataFrame:
+    """Conjunctive query-likelihood top-k under Dirichlet smoothing —
+    a second ranking family next to BM25 (Lucene's
+    LMDirichletSimilarity; Zhai & Lafferty 2001):
+
+        score(d) = Σ_t∈q  ln(1 + tf / (mu · cf_t / T))  +  ln(mu / (dl + mu))
+
+    with cf_t the term's collection frequency, T the total corpus
+    occurrence count, and dl the doc's OCCURRENCE count — the true LM
+    document length, deliberately NOT the engine's distinct-term
+    quirk: this scorer is [NORTH-EXT] surface, not reference parity
+    (the quirk stays on the BM25 path, makeindex.py:223-224 parity).
+    Eligibility is conjunctive like bm25_topk; rank (score desc,
+    doc_id) over the 6dp-rounded sum (cross-engine float contract:
+    each per-term value is the same IEEE expression shape in both
+    engines; only the sum order differs, absorbed by the rounding).
+
+    Scale: identical shuffle shapes to _bm25_scored — one tf scan,
+    broadcast query terms and per-term cf, per-doc hash agg; the
+    corpus total is a 1-row broadcast.  No new scan: term_tf is the
+    shared upstream.
+    """
+    tf = term_tf(spark, sf_dir)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tot = tf.agg(F.sum("tf").cast("double").alias("t_total"))
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    cf = (
+        tf.join(F.broadcast(qterms), "term")
+        .groupBy("term")
+        .agg(F.sum("tf").cast("double").alias("cf"))
+    )
+    part = F.log(
+        F.lit(1.0)
+        + F.col("tf").cast("double")
+        / (F.lit(mu) * F.col("cf") / F.col("t_total"))
+    ) + F.log(F.lit(mu) / (F.col("dl").cast("double") + F.lit(mu)))
+    return (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(cf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("p", part)
+        .groupBy("doc_id")
+        .agg(F.sum("p").alias("s"), F.count("*").alias("nmatch"))
+        .filter(F.col("nmatch") == len(terms))
+        .select("doc_id", F.round("s", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 _FLAT_INDEX_CACHE = {}
 
 

@@ -207,3 +207,46 @@ def test_bigram_logprob_matches_python(spark, docs_pd):
     fwd = set(zip(seqs[some], seqs[some][1:]))
     rev = set(zip(seqs[some][::-1], seqs[some][::-1][1:]))
     assert fwd != rev
+
+
+def test_collocations_match_python(spark, docs_pd):
+    """Adjacent-bigram PMI vs a Counter recompute: marginals and
+    Npairs over the FULL pair stream, min_count floors candidates
+    only, pmi = ln(c2·N/(cl·cr)) rounded 6, rank (pmi desc, lhs, rhs).
+    """
+    from searchengine_spark.ops.mix import (
+        COLLOC_MIN_COUNT,
+        COLLOC_TOPN,
+        collocations,
+    )
+
+    got = [
+        (r["lhs"], r["rhs"], r["n"], r["pmi"])
+        for r in collocations(spark, SF).collect()
+    ]
+    c2 = Counter()
+    for _, row in docs_pd.iterrows():
+        toks = _TOK.findall(row["text"].lower())
+        c2.update(zip(toks, toks[1:]))
+    cl = Counter()
+    cr = Counter()
+    for (a, b), n in c2.items():
+        cl[a] += n
+        cr[b] += n
+    npairs = float(sum(c2.values()))
+    cand = [
+        (a, b, n, round(math.log(n * npairs / (cl[a] * cr[b])), 6))
+        for (a, b), n in c2.items()
+        if n >= COLLOC_MIN_COUNT
+    ]
+    cand.sort(key=lambda x: (-x[3], x[0], x[1]))
+    want = cand[:COLLOC_TOPN]
+    assert [(a, b, n) for a, b, n, _ in got] == [
+        (a, b, n) for a, b, n, _ in want
+    ]
+    for g, w in zip(got, want):
+        assert abs(g[3] - w[3]) <= 1e-6, (g, w)
+    # a collocation by construction: high-PMI pairs beat a frequent
+    # pair of independently common tokens (sanity of the signal, not
+    # of exact values)
+    assert all(n >= COLLOC_MIN_COUNT for _, _, n, _ in got)

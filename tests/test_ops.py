@@ -1857,3 +1857,48 @@ def test_local_grep_regex_matches_spark_path(spark, tmp_path):
         assert got == want, pat
         hit_any = hit_any or bool(got)
     assert hit_any
+
+
+def test_lm_dirichlet_matches_python(spark):
+    """Query-likelihood Dirichlet ranking vs a pure-Python recompute
+    (second oracle next to the driver's DuckDB compare): conjunctive
+    eligibility, true occurrence-count dl (NOT the distinct-term
+    quirk), per-term ln(1 + tf/(mu·cf/T)) + ln(mu/(dl+mu)), rank
+    (rounded score desc, doc_id)."""
+    import re
+    from collections import Counter
+
+    from searchengine_spark.ops.textops import (
+        LM_MU,
+        LM_TERMS,
+        lm_dirichlet_topk,
+    )
+
+    got = [
+        (r["doc_id"], r["score"])
+        for r in lm_dirichlet_topk(spark, SF).collect()
+    ]
+
+    tok = re.compile(r"[a-z0-9]+")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text").collect()
+    tfs = {r["doc_id"]: Counter(tok.findall(r["text"].lower()))
+           for r in docs}
+    total = float(sum(sum(c.values()) for c in tfs.values()))
+    cf = {t: float(sum(c[t] for c in tfs.values())) for t in LM_TERMS}
+    scored = []
+    for d, c in tfs.items():
+        if not all(c[t] > 0 for t in LM_TERMS):
+            continue
+        dl = sum(c.values())
+        s = sum(
+            math.log(1.0 + c[t] / (LM_MU * cf[t] / total))
+            + math.log(LM_MU / (dl + LM_MU))
+            for t in LM_TERMS
+        )
+        scored.append((d, round(s, 6)))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    want = scored[:10]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-6, (gd, gs, ws)
