@@ -370,6 +370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": T.text_quality,
         "top_terms_per_lang": T.top_terms_per_lang,
         "df_histogram": T.df_histogram,
+        "significant_terms": T.significant_terms,
+        "kwic": T.kwic,
         "substring_search": T.substring_search,
         "substring_search_persisted": T.substring_search_persisted,
         "regex_search": T.regex_search,
@@ -2407,6 +2409,65 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_terms,
                    min(df) AS min_df, max(df) AS max_df
             FROM dft GROUP BY 1 ORDER BY bucket
+        """
+    # lift-scored significant terms (ops/textops.significant_terms):
+    # lift = (fg·T_corpus)/(T_lang·bg), all integer counts → the
+    # pre-round double is identical across engines
+    from searchengine_spark.ops.textops import (
+        KWIC_LIMIT,
+        KWIC_TERM,
+        KWIC_W,
+        SIG_MIN_COUNT,
+        SIG_TOPN,
+    )
+
+    d["significant_terms"] = f"""
+            WITH toks AS ({_TOKS}),
+            lt AS (SELECT t.doc_id, d.lang, t.term
+                   FROM toks t JOIN documents d USING (doc_id)),
+            fg AS (SELECT lang, term, count(*) AS n_fg
+                   FROM lt GROUP BY lang, term),
+            bg AS (SELECT term, count(*) AS n_bg FROM lt GROUP BY term),
+            tl AS (SELECT lang, count(*) AS t_lang FROM lt GROUP BY lang),
+            tc AS (SELECT count(*) AS t_corpus FROM lt),
+            scored AS (
+              SELECT lang, term, n_fg,
+                     round((n_fg * t_corpus) / (t_lang * n_bg), 6) AS lift
+              FROM fg JOIN bg USING (term) JOIN tl USING (lang)
+                   CROSS JOIN tc
+              WHERE n_fg >= {SIG_MIN_COUNT}
+            )
+            SELECT lang, term, n_fg::BIGINT AS n_fg, lift, rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY lift DESC, term)::BIGINT AS rank
+              FROM scored)
+            WHERE rank <= {SIG_TOPN}
+            ORDER BY lang, rank
+        """
+    # keyword-in-context (ops/textops.kwic): 1-based pos on both
+    # engines; DuckDB array_to_string([]) is NULL — coalesce to ''
+    # to match Spark's array_join
+    d["kwic"] = f"""
+            WITH rawtoks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+            hits AS (
+              SELECT doc_id, t, i AS pos
+              FROM rawtoks, LATERAL (
+                SELECT unnest(generate_series(1, len(t))) AS i) g
+              WHERE t[i] = '{KWIC_TERM}')
+            SELECT doc_id, pos::BIGINT AS pos,
+                   coalesce(array_to_string(
+                     t[greatest(1, pos - {KWIC_W}) : pos - 1], ' '),
+                     '') AS left_ctx,
+                   coalesce(array_to_string(
+                     t[pos + 1 : least(len(t), pos + {KWIC_W})], ' '),
+                     '') AS right_ctx
+            FROM hits
+            ORDER BY doc_id, pos LIMIT {KWIC_LIMIT}
         """
     # Zoekt-style substring search (ops/textops.substring_search): the
     # oracle is the brute-force containment scan over the raw text —

@@ -410,6 +410,9 @@ def _run_ops_tier(spark):
           lambda: T.lm_dirichlet_topk(spark, SF_DIR).count())
     timed("collocations_sec",
           lambda: X.collocations(spark, SF_DIR).count())
+    timed("significant_terms_sec",
+          lambda: T.significant_terms(spark, SF_DIR).count())
+    timed("kwic_sec", lambda: T.kwic(spark, SF_DIR).count())
     return out
 
 

@@ -1266,6 +1266,114 @@ def df_histogram(spark, sf_dir) -> DataFrame:
     )
 
 
+# significant-terms pinned defaults — interpolated into the DuckDB
+# oracle (change Spark and SQL together)
+SIG_MIN_COUNT = 10   # occurrence floor (lift's rare-term bias)
+SIG_TOPN = 10        # terms kept per language
+
+
+def significant_terms(spark, sf_dir, min_count: int = SIG_MIN_COUNT,
+                      topn: int = SIG_TOPN) -> DataFrame:
+    """(lang, term, n_fg, lift, rank) — per-language terms most
+    OVER-represented vs the corpus background (the lift-scored form of
+    Elasticsearch's significant_terms aggregation):
+
+        lift = (fg · T_corpus) / (T_lang · bg)
+
+    with fg/bg the term's occurrence counts in the language slice /
+    whole corpus and T_* the slice / corpus totals.  Unlike
+    top_terms_per_lang (raw heavy hitters — dominated by corpus-wide
+    stopwords), lift surfaces what is DISTINCTIVE of the slice.
+    min_count floors fg; rank (rounded lift desc, term asc) per lang,
+    kept to topn.  All four factors are integer counts, so the
+    pre-round ratio is the same IEEE double in both engines.
+
+    Scale: one token explode, (lang, term) and term count aggs, a
+    broadcast 1-row corpus total and a langs-sized total join; the
+    rank window runs over vocab-per-lang rows, never corpus rows.
+    """
+    toks = doc_tokens(spark, sf_dir)
+    meta = documents(spark, sf_dir).select("doc_id", "lang")
+    ltoks = toks.join(meta, "doc_id")
+    fg = ltoks.groupBy("lang", "term").agg(F.count("*").alias("n_fg"))
+    bg = ltoks.groupBy("term").agg(F.count("*").alias("n_bg"))
+    tl = ltoks.groupBy("lang").agg(F.count("*").alias("t_lang"))
+    tc = ltoks.agg(F.count("*").alias("t_corpus"))
+    lift = F.round(
+        (F.col("n_fg") * F.col("t_corpus"))
+        / (F.col("t_lang") * F.col("n_bg")),
+        6,
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("lift"), F.asc("term"))
+    return (
+        fg.filter(F.col("n_fg") >= min_count)
+        .join(bg, "term")
+        .join(F.broadcast(tl), "lang")
+        .crossJoin(F.broadcast(tc))
+        .withColumn("lift", lift)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topn)
+        .select("lang", "term", "n_fg", "lift", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+# keyword-in-context pinned defaults — interpolated into the DuckDB
+# oracle (change Spark and SQL together)
+KWIC_TERM = "hash"   # in the synthetic vocabulary at every SF
+KWIC_W = 3           # context tokens kept each side
+KWIC_LIMIT = 50
+
+
+def kwic(spark, sf_dir, term: str = KWIC_TERM, w: int = KWIC_W,
+         limit: int = KWIC_LIMIT) -> DataFrame:
+    """(doc_id, pos, left_ctx, right_ctx) — keyword-in-context
+    concordance: every occurrence of ``term`` with up to ``w`` tokens
+    of context each side, joined with single spaces; pos is the
+    1-BASED token position (both engines emit the same base).  The
+    corpus-linguistics reading surface next to window_snippets (which
+    ranks windows; kwic enumerates occurrences).  First ``limit`` rows
+    of the (doc_id, pos) total order.
+
+    Scale: occurrences are found by posexplode + an equality filter
+    (predicate on the exploded stream — corpus-scale but narrow); the
+    token ARRAY is joined back only onto hit rows, so the w-window
+    slices touch hits × array bytes, never corpus × array bytes (the
+    span-dedup recompute rule).  Boundary slices are empty arrays →
+    '' (the oracle coalesces DuckDB's NULL-on-empty to match).
+    """
+    raw = documents(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower("text"), F.lit(TOKEN_PATTERN), 0
+        ).alias("t"),
+    )
+    hits = (
+        raw.select("doc_id", F.posexplode("t").alias("pos0", "tok"))
+        .filter(F.col("tok") == term)
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"))
+    )
+    p = F.col("pos")
+    left = F.array_join(
+        F.slice("t", F.greatest(F.lit(1), p - w), F.least(F.lit(w), p - 1)),
+        " ",
+    )
+    right = F.array_join(
+        F.slice("t", p + 1, F.least(F.lit(w), F.size("t") - p)), " "
+    )
+    return (
+        hits.join(raw, "doc_id")
+        .select(
+            "doc_id",
+            p.cast("long").alias("pos"),
+            left.alias("left_ctx"),
+            right.alias("right_ctx"),
+        )
+        .orderBy("doc_id", "pos")
+        .limit(limit)
+    )
+
+
 # trigram substring search pinned defaults — interpolated into the
 # DuckDB oracle (change Spark and SQL together)
 SUBSTR_Q = "table hash"   # crosses a token boundary: tokenized search

@@ -1902,3 +1902,87 @@ def test_lm_dirichlet_matches_python(spark):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (gd, gs), (wd, ws) in zip(got, want):
         assert abs(gs - ws) <= 1e-6, (gd, gs, ws)
+
+
+def test_significant_terms_match_python(spark):
+    """Per-language lift vs a Counter recompute: lift =
+    (fg·T_corpus)/(T_lang·bg), min_count floors fg, rank (rounded
+    lift desc, term) per lang."""
+    import re
+    from collections import Counter, defaultdict
+
+    from searchengine_spark.ops.textops import (
+        SIG_MIN_COUNT,
+        SIG_TOPN,
+        significant_terms,
+    )
+
+    got = [
+        (r["lang"], r["term"], r["n_fg"], r["lift"], r["rank"])
+        for r in significant_terms(spark, SF).collect()
+    ]
+    tok = re.compile(r"[a-z0-9]+")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "text").collect()
+    fg = defaultdict(Counter)
+    bg = Counter()
+    tl = Counter()
+    for r in docs:
+        toks = tok.findall(r["text"].lower())
+        fg[r["lang"]].update(toks)
+        bg.update(toks)
+        tl[r["lang"]] += len(toks)
+    tc = sum(tl.values())
+    want = []
+    for lang in sorted(fg):
+        cand = [
+            (lang, t, n, round((n * tc) / (tl[lang] * bg[t]), 6))
+            for t, n in fg[lang].items()
+            if n >= SIG_MIN_COUNT
+        ]
+        cand.sort(key=lambda x: (-x[3], x[1]))
+        want.extend(
+            (lg, t, n, lf, i + 1)
+            for i, (lg, t, n, lf) in enumerate(cand[:SIG_TOPN])
+        )
+    assert [(a, b, c, e) for a, b, c, _, e in got] == [
+        (a, b, c, e) for a, b, c, _, e in want
+    ]
+    for g, w in zip(got, want):
+        assert abs(g[3] - w[3]) <= 1e-6, (g, w)
+
+
+def test_kwic_matches_python(spark):
+    """Concordance vs a sequential recompute: 1-based pos, w-token
+    contexts space-joined, '' at boundaries, (doc_id, pos) order."""
+    import re
+
+    from searchengine_spark.ops.textops import (
+        KWIC_LIMIT,
+        KWIC_TERM,
+        KWIC_W,
+        kwic,
+    )
+
+    got = [
+        (r["doc_id"], r["pos"], r["left_ctx"], r["right_ctx"])
+        for r in kwic(spark, SF).collect()
+    ]
+    tok = re.compile(r"[a-z0-9]+")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text").collect()
+    want = []
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        toks = tok.findall(r["text"].lower())
+        for i, t in enumerate(toks):
+            if t == KWIC_TERM:
+                want.append((
+                    r["doc_id"], i + 1,
+                    " ".join(toks[max(0, i - KWIC_W):i]),
+                    " ".join(toks[i + 1:i + 1 + KWIC_W]),
+                ))
+    assert got == want[:KWIC_LIMIT]
+    # boundary rows (pos <= w → short/empty left context) must exist
+    # in the corpus-wide occurrence set for the '' contract to be
+    # exercised somewhere; if not, the fixture changed — re-pin
+    assert any(p <= KWIC_W for _, p, _, _ in want)
