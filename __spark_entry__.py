@@ -409,6 +409,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_or_topk": lambda spark, sf: S.query_topk(
             spark, sf, q=S.QL_QUERY_OR
         ),
+        "query_boost_topk": lambda spark, sf: S.query_topk(
+            spark, sf, q=S.QL_QUERY_BOOST
+        ),
         "related_terms": S.related_terms,
         "suffix_topk": S.suffix_topk,
         "search_after_topk": S.search_after_topk,
@@ -2601,6 +2604,9 @@ def oracle_sql() -> dict[str, str]:
     d["synonym_topk"] = SRCH.synonym_topk_oracle_sql()
     d["query_topk"] = SRCH.query_topk_oracle_sql()
     d["query_or_topk"] = SRCH.query_topk_oracle_sql(q=SRCH.QL_QUERY_OR)
+    d["query_boost_topk"] = SRCH.query_topk_oracle_sql(
+        q=SRCH.QL_QUERY_BOOST
+    )
     d["related_terms"] = SRCH.related_terms_oracle_sql()
     d["suffix_topk"] = SRCH.suffix_topk_oracle_sql()
     d["search_after_topk"] = SRCH.search_after_topk_oracle_sql()

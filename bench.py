@@ -402,6 +402,9 @@ def _run_ops_tier(spark):
           lambda: SRC.percolate(spark, SF_DIR).count())
     timed("query_or_sec",
           lambda: SRC.query_topk(spark, SF_DIR, q=SRC.QL_QUERY_OR).count())
+    timed("query_boost_sec",
+          lambda: SRC.query_topk(
+              spark, SF_DIR, q=SRC.QL_QUERY_BOOST).count())
     timed("corpus_split_sec",
           lambda: X.corpus_split(spark, SF_DIR).count())
     timed("bigram_logprob_sec",

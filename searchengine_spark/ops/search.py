@@ -43,6 +43,7 @@ DIVERSE_PER_SOURCE = 2      # max hits surfaced per source collection
 SYN_GROUPS = (("join", "merge"), ("fast", "slow"))
 QL_QUERY = 'spark query "table hash" -dup lang:en sc* *er'
 QL_QUERY_OR = 'spark "table hash" -dup part|stream query|window'
+QL_QUERY_BOOST = 'spark query^2.5 "table hash" -dup'
 RELATED_SEED = "spark"
 RELATED_MIN_CO = 5          # ignore co-occurrence counts below this
 RELATED_TOPN = 10
@@ -296,14 +297,23 @@ def synonym_topk(spark, sf_dir, groups=SYN_GROUPS, k=10) -> DataFrame:
     )
 
 
-def _slot_scored(spark, sf_dir, slots) -> DataFrame:
+def _slot_scored(spark, sf_dir, slots, weights=None) -> DataFrame:
     """All slot-query matches as (doc_id, score-rounded-6): a doc is
     eligible iff it matches >= 1 term of EVERY slot, score sums BM25
     over ALL matched terms.  The shared scoring core of synonym_topk
-    and OR-group query_topk (a slot of one term degenerates to a
-    conjunctive must term, so this generalizes _bm25_scored)."""
-    rows = [(t, gi) for gi, g in enumerate(slots) for t in g]
-    qterms = spark.createDataFrame(rows, "term string, gid int")
+    and OR-group / boosted query_topk (a slot of one term degenerates
+    to a conjunctive must term, so this generalizes _bm25_scored).
+
+    ``weights`` (term -> float, default 1.0) multiplies a term's BM25
+    contribution — the Lucene ``^`` boost.  Weights never change
+    ELIGIBILITY (slot membership is weight-blind); when None the plan
+    is exactly the unweighted one."""
+    rows = [
+        (t, gi, float((weights or {}).get(t, 1.0)))
+        for gi, g in enumerate(slots)
+        for t in g
+    ]
+    qterms = spark.createDataFrame(rows, "term string, gid int, wt double")
     tf = term_tf(spark, sf_dir)
     dft = tf.join(F.broadcast(qterms.select("term")), "term").groupBy(
         "term"
@@ -315,8 +325,9 @@ def _slot_scored(spark, sf_dir, slots) -> DataFrame:
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
+    score_col = _bm25_col() * F.col("wt") if weights else _bm25_col()
     return (
-        hits.withColumn("bm25", _bm25_col())
+        hits.withColumn("bm25", score_col)
         .groupBy("doc_id")
         .agg(
             F.sum("bm25").alias("s"),
@@ -327,18 +338,31 @@ def _slot_scored(spark, sf_dir, slots) -> DataFrame:
     )
 
 
-def _slot_scored_sql(slots) -> str:
+def _slot_scored_sql(slots, weights=None) -> str:
     """Slot-query 'scored' CTE tail (eligible docs, rounded score) —
-    mirror of _slot_scored, the group sibling of _conj_scored_sql."""
-    vals = ", ".join(
-        f"('{t}', {gi})" for gi, g in enumerate(slots) for t in g
-    )
+    mirror of _slot_scored, the group sibling of _conj_scored_sql.
+    ``weights`` mirrors _slot_scored's boost multiplier: interpolated
+    with repr() and cast ::DOUBLE (a bare SQL float literal is
+    DECIMAL in DuckDB) so both engines multiply the identical IEEE
+    double."""
+    if weights:
+        vals = ", ".join(
+            f"('{t}', {gi}, {repr(float(weights.get(t, 1.0)))}::DOUBLE)"
+            for gi, g in enumerate(slots)
+            for t in g
+        )
+        cols, score = "(term, gid, wt)", f"{_BM25_SQL} * wt"
+    else:
+        vals = ", ".join(
+            f"('{t}', {gi})" for gi, g in enumerate(slots) for t in g
+        )
+        cols, score = "(term, gid)", _BM25_SQL
     return f"""
-        qterms AS (SELECT * FROM (VALUES {vals}) v(term, gid)),
+        qterms AS (SELECT * FROM (VALUES {vals}) v{cols}),
         dft AS (SELECT term, count(DISTINCT doc_id) AS df
                 FROM tf JOIN qterms USING (term) GROUP BY term),
         scored0 AS (
-          SELECT tf.doc_id, sum({_BM25_SQL}) AS s,
+          SELECT tf.doc_id, sum({score}) AS s,
                  count(DISTINCT qterms.gid) AS ngroups
           FROM tf JOIN qterms USING (term) JOIN dft USING (term)
                JOIN dl USING (doc_id) CROSS JOIN stats
@@ -378,12 +402,16 @@ def query_topk(spark, sf_dir, q=QL_QUERY, k=10) -> DataFrame:
     parsed = parse_query(q)
     if not parsed["scoring"]:
         raise ValueError("query has no scoring terms")
-    if parsed["or_groups"]:
+    if parsed["or_groups"] or parsed["boosts"]:
         # a|b OR groups: the synonym-slot scorer (eligibility = every
         # slot matched, score sums over ALL matched terms); with only
         # singleton slots it IS the conjunctive scorer, kept below for
-        # plan simplicity on the common case
-        res = _slot_scored(spark, sf_dir, parsed["slots"])
+        # plan simplicity on the common case.  term^w boosts ride the
+        # slot scorer's weight column (eligibility unchanged).
+        res = _slot_scored(
+            spark, sf_dir, parsed["slots"],
+            weights=parsed["boosts"] or None,
+        )
     else:
         res = _bm25_scored(spark, sf_dir, parsed["scoring"])
 
@@ -438,8 +466,12 @@ def query_topk(spark, sf_dir, q=QL_QUERY, k=10) -> DataFrame:
 def query_topk_oracle_sql(q=QL_QUERY, k=10) -> str:
     parsed = parse_query(q)
     parts = [f"WITH {_SCORE_BASE},"]
-    if parsed["or_groups"]:
-        parts.append(_slot_scored_sql(parsed["slots"]))
+    if parsed["or_groups"] or parsed["boosts"]:
+        parts.append(
+            _slot_scored_sql(
+                parsed["slots"], weights=parsed["boosts"] or None
+            )
+        )
     else:
         parts.append(_conj_scored_sql(parsed["scoring"]))
     conds = []

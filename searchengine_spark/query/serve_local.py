@@ -411,7 +411,8 @@ class LocalSearcher:
     # -- queries ----------------------------------------------------------
 
     def topk(self, text: str, k: int = 10, mode: str = "and",
-             analyzer=None, allowed=None, exclude_terms=None):
+             analyzer=None, allowed=None, exclude_terms=None,
+             weights=None):
         """[(rank, docid, score)] — identical semantics (and scores) to
         wand_topk over the same index: conjunctive by default, classic
         disjunctive WAND with ``mode="or"``.  ``analyzer`` overrides the
@@ -424,7 +425,14 @@ class LocalSearcher:
         ops/textops.bm25_not_topk rule): docs containing ANY excluded
         term drop from eligibility — their docids come off the excluded
         terms' own postings (the index IS the exclusion list) and
-        shrink the same mask, composing with ``allowed``."""
+        shrink the same mask, composing with ``allowed``.
+
+        ``weights`` (analyzed term -> float) is the query-language
+        ``^`` boost: it scales the term's planned idf, and because the
+        WAND kernels multiply idf into BOTH the exact scores and the
+        block-max upper bounds (idf·weights / idf·blk_max), the bound
+        scales with the score and pruning stays lossless — no kernel
+        change, no bound-safety caveat."""
         if analyzer is None:
             freq = analyze_query(text, stem=self.stem)
         else:
@@ -468,7 +476,8 @@ class LocalSearcher:
         plan = sorted(known, key=lambda t: (self._df[t], t))
         tbs = [
             {
-                "idf": bm25_idf(self.n_survivors, self._df[t]),
+                "idf": bm25_idf(self.n_survivors, self._df[t])
+                * (weights.get(t, 1.0) if weights else 1.0),
                 "blocks": self._blocks_for(t),
             }
             for t in plan
@@ -576,6 +585,31 @@ class LocalSearcher:
             raise ValueError("query has no scoring terms")
         ana = (analyzer if analyzer is not None
                else lambda text: analyze(text, stem=self.stem))
+        wts = None
+        if parsed["boosts"]:
+            # map ^w boosts through the analyzer (the kernel sees
+            # analyzed terms); a collision — two boosted surface forms
+            # or a boosted and an unboosted scoring term analyzing to
+            # one kernel term — would make the winning weight ambiguous
+            wts = {}
+            for t, w in parsed["boosts"].items():
+                for at in ana(t):
+                    if at in wts and wts[at] != w:
+                        raise ValueError(
+                            f"boosts collide after analysis: {at!r}"
+                        )
+                    wts[at] = w
+            plain_analyzed = {
+                at
+                for t in parsed["scoring"]
+                if t not in parsed["boosts"]
+                for at in ana(t)
+            }
+            if set(wts) & plain_analyzed:
+                raise ValueError(
+                    "a boosted term collides with an unboosted "
+                    "scoring term after analysis"
+                )
         allow = None
         if allowed is not None:
             allow = np.unique(np.fromiter(
@@ -653,12 +687,12 @@ class LocalSearcher:
             freq = Counter(sorted(set(slot_terms)))
             return self.topk(
                 " ".join(sorted(freq)), k=k, mode="or", allowed=allow,
-                analyzer=lambda _text: freq,
+                analyzer=lambda _text: freq, weights=wts,
             )
         return self.topk(
             " ".join(parsed["scoring"]), k=k, allowed=allow,
             exclude_terms=parsed["must_not"] or None,
-            analyzer=lambda text: Counter(ana(text)),
+            analyzer=lambda text: Counter(ana(text)), weights=wts,
         )
 
     def proximity_topk(self, terms, k: int = 10, analyzer=None):

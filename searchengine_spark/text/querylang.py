@@ -33,10 +33,23 @@ Syntax:
                         The base matches STORED surface forms and is
                         not analyzed (a wildcard has no stem).  Infix
                         and multi-star patterns raise.
+  token^2.5          -> boosted must term (Lucene's `^` boost): scored
+                        and conjunctive like a bare token, but its BM25
+                        contribution is multiplied by the boost.
+                        Eligibility is UNCHANGED (a boost never admits
+                        or drops a doc — it reweights survivors), so
+                        every non-boost clause composes as before.
+                        Boost applies to bare terms only: combining ^
+                        with -/:/*/| raises, as does boosting a term
+                        that also appears unboosted, in a phrase, or
+                        with a different boost value (which weight
+                        would win is ambiguous).  The value must be a
+                        positive finite float.
 """
 
 from __future__ import annotations
 
+import math
 import re
 
 from .tokenizer import tokenize
@@ -51,11 +64,14 @@ def parse_query(q: str) -> dict:
     phrases = [p for p in phrases if p]
     rest = re.sub(r'"[^"]*"', " ", q)
     must, must_not, filters, wildcards, groups = [], [], {}, [], []
+    boosts: dict[str, float] = {}
+    plain: list[str] = []  # bare must terms (boost-ambiguity check)
     for tok in rest.split():
         if "|" in tok:
-            if "*" in tok or tok.startswith("-") or ":" in tok:
+            if ("*" in tok or tok.startswith("-") or ":" in tok
+                    or "^" in tok):
                 raise ValueError(
-                    f"OR group cannot combine with -/:/*: {tok!r}"
+                    f"OR group cannot combine with -/:/*/^: {tok!r}"
                 )
             alts = []
             for part in tok.split("|"):
@@ -68,8 +84,34 @@ def parse_query(q: str) -> dict:
             g = tuple(sorted(set(alts)))
             if len(g) == 1:
                 must.extend(g)  # degenerate group == bare token
+                plain.extend(g)
             else:
                 groups.append(g)
+        elif "^" in tok:
+            if "*" in tok or tok.startswith("-") or ":" in tok:
+                raise ValueError(
+                    f"boost applies to bare terms only: {tok!r}"
+                )
+            base, _, num = tok.partition("^")
+            if not base or "^" in num:
+                raise ValueError(f"bad boost: {tok!r}")
+            try:
+                wt = float(num)
+            except ValueError:
+                raise ValueError(f"bad boost value: {tok!r}") from None
+            if not (wt > 0 and math.isfinite(wt)):
+                raise ValueError(
+                    f"boost must be a positive finite number: {tok!r}"
+                )
+            bt = tokenize(base)
+            if len(bt) != 1:
+                raise ValueError(
+                    f"boost base must be one token: {tok!r}"
+                )
+            if bt[0] in boosts and boosts[bt[0]] != wt:
+                raise ValueError(f"conflicting boosts for {bt[0]!r}")
+            boosts[bt[0]] = wt
+            must.append(bt[0])
         elif "*" in tok:
             if tok.startswith("-") or ":" in tok:
                 raise ValueError(f"wildcards unsupported in {tok!r}")
@@ -95,8 +137,15 @@ def parse_query(q: str) -> dict:
                 raise ValueError(f"unknown query field: {field!r}")
             filters["lang"] = value
         else:
-            must.extend(tokenize(tok))
+            bt = tokenize(tok)
+            must.extend(bt)
+            plain.extend(bt)
     or_groups = sorted(set(groups))
+    if set(boosts) & (set(plain) | {t for p in phrases for t in p}):
+        raise ValueError(
+            "a boosted term may not also appear unboosted or in a "
+            "phrase (which weight wins is ambiguous)"
+        )
     base_terms = set(must) | {t for p in phrases for t in p}
     gterms = [t for g in or_groups for t in g]
     if len(gterms) != len(set(gterms)) or set(gterms) & base_terms:
@@ -113,5 +162,6 @@ def parse_query(q: str) -> dict:
         "wildcards": sorted(set(wildcards)),
         "or_groups": or_groups,
         "slots": slots,
+        "boosts": boosts,
         "scoring": sorted(base_terms | set(gterms)),
     }

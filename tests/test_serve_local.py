@@ -1305,3 +1305,81 @@ def test_topk_after_paginates_exactly(searcher, oracle):
     assert searcher.topk_after(q, last, k=k,
                                cursor_rank=len(full), mode="or",
                                analyzer=_ident) == []
+
+
+def test_search_boost_matches_oracle(searcher, oracle):
+    """`tok^w` boosts on the serving tier: eligibility is UNCHANGED
+    (the boost reweights survivors, never admits/drops), scores equal
+    an independent recomputation with the boosted term's idf scaled by
+    w (the kernel contract: idf·w multiplies both exact scores and
+    block-max bounds, so WAND pruning stays lossless), and ^1.0 is the
+    identity (×1.0 is exact in IEEE)."""
+    from searchengine_spark.params import BM25_B, BM25_K1
+    from searchengine_spark.query.wand import bm25_idf
+
+    # two terms co-occurring in >= 3 docs (so the rank order is
+    # non-trivial and the boost has room to flip it)
+    terms = sorted(oracle.postings)
+    t1 = t2 = None
+    for a in terms:
+        for b in terms:
+            if b <= a:
+                continue
+            common = set(oracle.postings[a]) & set(oracle.postings[b])
+            if len(common) >= 3:
+                t1, t2 = a, b
+                break
+        if t1:
+            break
+    assert t1 is not None
+    posts = {t: oracle.postings[t] for t in (t1, t2)}
+    cand = set(posts[t1]) & set(posts[t2])
+
+    def expect(w1):
+        out = []
+        for dd in cand:
+            dl = oracle.docs[dd]["total_tokens"]
+            s = 0.0
+            for t, w in ((t1, w1), (t2, 1.0)):
+                tf = posts[t][dd][0]
+                s += (
+                    (bm25_idf(oracle.n_survivors, len(posts[t])) * w)
+                    * tf * (BM25_K1 + 1.0)
+                    / (tf + BM25_K1
+                       * (1 - BM25_B + BM25_B * dl / oracle.avgdl))
+                )
+            out.append((dd, s))
+        out.sort(key=lambda ds: (-ds[1], ds[0]))
+        return [(r + 1, dd, s) for r, (dd, s) in enumerate(out)]
+
+    got = searcher.search(f"{t1}^2.5 {t2}", k=10, analyzer=_ident)
+    exp = expect(2.5)[:10]
+    assert [(r, dd) for r, dd, _ in got] == [(r, dd) for r, dd, _ in exp]
+    for (_, _, gs), (_, _, es) in zip(got, exp):
+        assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+    # eligibility unchanged: same docid set as the unboosted query
+    base = searcher.search(f"{t1} {t2}", k=10 ** 6, analyzer=_ident)
+    assert {dd for _, dd, _ in got} <= {dd for _, dd, _ in base}
+    assert {dd for _, dd, _ in base} == cand
+    # ^1.0 is the identity
+    assert searcher.search(
+        f"{t1}^1.0 {t2}", k=10, analyzer=_ident
+    ) == base[:10]
+    # boost composes with NOT (eligibility-only: survivor scores keep
+    # their boosted values exactly)
+    ex = next(
+        (t for t in terms
+         if t not in (t1, t2) and set(oracle.postings[t]) & cand
+         and not cand <= set(oracle.postings[t])),
+        None,
+    )
+    if ex is not None:
+        got_ex = searcher.search(
+            f"{t1}^2.5 {t2} -{ex}", k=10 ** 6, analyzer=_ident
+        )
+        keep = cand - set(oracle.postings[ex])
+        assert {dd for _, dd, _ in got_ex} == keep
+        full = {dd: s for _, dd, s in expect(2.5)}
+        for _, dd, s in got_ex:
+            assert math.isclose(s, full[dd], rel_tol=1e-9,
+                                abs_tol=1e-12)

@@ -386,3 +386,38 @@ def test_bpe_encode_matches_classic(spark):
     # the learned tokenizer compresses: pieces < chars, > tokens
     for d, (nt, np_) in got.items():
         assert nt <= np_ <= sum(len(t) for t in docs[d])
+
+
+def test_parse_query_boosts():
+    """`tok^w` boosts: parsed into boosts{} and must; eligibility
+    machinery (slots/scoring) unchanged; every ambiguous or malformed
+    combination raises."""
+    import pytest
+
+    from searchengine_spark.text.querylang import parse_query
+
+    p = parse_query('spark query^2.5 "table hash" -dup')
+    assert p["boosts"] == {"query": 2.5}
+    assert "query" in p["must"] and ("query",) in p["slots"]
+    assert p["scoring"] == sorted({"spark", "query", "table", "hash"})
+    # repeated identical boost dedups; float syntax accepted
+    assert parse_query("a^2 a^2.0 b")["boosts"] == {"a": 2.0}
+    for bad in [
+        "a^2 a^3",      # conflicting weights
+        "a^2 a",        # boosted AND unboosted
+        'a^2 "a b"',    # boosted AND in a phrase
+        "-a^2",         # NOT
+        "a*^2",         # wildcard
+        "a|b^2",        # OR group
+        "lang:en^2",    # field filter
+        "a^",           # missing value
+        "^2",           # missing base
+        "a^2^3",        # double boost
+        "a^0",          # non-positive
+        "a^-1",
+        "a^inf",        # non-finite
+        "a^x",          # non-numeric
+        "a.b^2",        # base tokenizes to two terms
+    ]:
+        with pytest.raises(ValueError):
+            parse_query(f"spark {bad}")
