@@ -372,6 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "df_histogram": T.df_histogram,
         "significant_terms": T.significant_terms,
         "kwic": T.kwic,
+        "gopher_quality": T.gopher_quality,
+        "perplexity_buckets": X.perplexity_buckets,
         "substring_search": T.substring_search,
         "substring_search_persisted": T.substring_search_persisted,
         "regex_search": T.regex_search,
@@ -1376,6 +1378,7 @@ def oracle_sql() -> dict[str, str]:
         BIGRAM_LAMBDA as _BG_LAM,
         COLLOC_MIN_COUNT,
         COLLOC_TOPN,
+        PPL_BUCKETS as _PPL_B,
         SPLIT_FRACS,
     )
     from searchengine_spark.ops.textops import LM_K, LM_MU, LM_TERMS
@@ -1414,6 +1417,41 @@ def oracle_sql() -> dict[str, str]:
     lang_case = "CASE WHEN mx = 0 THEN 'unknown' " + " ".join(
         f"WHEN s_{lang} = mx THEN '{lang}'" for lang in sorted(LANG_MARKERS)
     ) + " END"
+
+    # interpolated-bigram LM CTEs (ops/mix.bigram_logprob semantics),
+    # shared by the bigram_logprob and perplexity_buckets oracles so
+    # the LM definition cannot drift between them
+    _bg_ctes = f"""rawtoks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+            ptoks AS (
+              SELECT doc_id, i AS pos, t[i] AS term
+              FROM rawtoks, LATERAL (
+                SELECT unnest(generate_series(1, len(t))) AS i) g
+            ),
+            pairs AS (
+              SELECT doc_id, prev, term FROM (
+                SELECT doc_id, term,
+                       lag(term) OVER (
+                         PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM ptoks)
+              WHERE prev IS NOT NULL
+            ),
+            c2 AS (SELECT prev, term, count(*) AS c2
+                   FROM pairs GROUP BY prev, term),
+            c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY prev),
+            cu AS (SELECT term, count(*) AS cu FROM ptoks GROUP BY term),
+            t AS (SELECT sum(cu)::DOUBLE AS tot FROM cu),
+            nlls AS (
+              SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                     round(-avg(ln({_BG_LAM} * c2 / c1
+                                   + {1.0 - _BG_LAM} * cu / tot)), 6)
+                       AS nll
+              FROM pairs JOIN c2 USING (prev, term) JOIN c1 USING (prev)
+                   JOIN cu USING (term) CROSS JOIN t
+              GROUP BY doc_id
+            )"""
 
     d = {
         "dedup_minhash": f"""
@@ -1626,34 +1664,20 @@ def oracle_sql() -> dict[str, str]:
         # interpolated-bigram self-perplexity (ops/mix.bigram_logprob):
         # P(b|a) = lam·c2/c1 + (1−lam)·cu/tot; ln, mean, one round-6
         "bigram_logprob": f"""
-            WITH rawtoks AS (
-              SELECT doc_id,
-                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-              FROM documents),
-            ptoks AS (
-              SELECT doc_id, i AS pos, t[i] AS term
-              FROM rawtoks, LATERAL (
-                SELECT unnest(generate_series(1, len(t))) AS i) g
-            ),
-            pairs AS (
-              SELECT doc_id, prev, term FROM (
-                SELECT doc_id, term,
-                       lag(term) OVER (
-                         PARTITION BY doc_id ORDER BY pos) AS prev
-                FROM ptoks)
-              WHERE prev IS NOT NULL
-            ),
-            c2 AS (SELECT prev, term, count(*) AS c2
-                   FROM pairs GROUP BY prev, term),
-            c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY prev),
-            cu AS (SELECT term, count(*) AS cu FROM ptoks GROUP BY term),
-            t AS (SELECT sum(cu)::DOUBLE AS tot FROM cu)
-            SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-                   round(-avg(ln({_BG_LAM} * c2 / c1
-                                 + {1.0 - _BG_LAM} * cu / tot)), 6) AS nll
-            FROM pairs JOIN c2 USING (prev, term) JOIN c1 USING (prev)
-                 JOIN cu USING (term) CROSS JOIN t
-            GROUP BY doc_id
+            WITH {_bg_ctes}
+            SELECT doc_id, n_bigrams, nll FROM nlls
+        """,
+        # CCNet head/middle/tail: per-lang ntile over (nll, doc_id) —
+        # the Spark op computes the identical cut arithmetically from
+        # a two-phase range-partition rank (never a per-lang window)
+        "perplexity_buckets": f"""
+            WITH {_bg_ctes}
+            SELECT n.doc_id, d.lang, n.nll,
+                   ntile({_PPL_B}) OVER (
+                     PARTITION BY d.lang
+                     ORDER BY n.nll, n.doc_id)::BIGINT AS bucket
+            FROM nlls n JOIN documents d ON n.doc_id = d.doc_id
+            ORDER BY n.doc_id
         """,
         # adjacent-bigram PMI collocations (ops/mix.collocations):
         # marginals/Npairs over the FULL pair stream, min_count floors
@@ -2412,6 +2436,75 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_terms,
                    min(df) AS min_df, max(df) AS max_df
             FROM dft GROUP BY 1 ORDER BY bucket
+        """
+    # Gopher-rules quality gate (ops/textops.gopher_quality): all
+    # ratios compare their ROUNDED values; zero-token docs fail the
+    # word floor (false AND null = false, coalesced FALSE)
+    from searchengine_spark.ops.textops import (
+        GOPHER_MAX_BULLET_FRAC,
+        GOPHER_MAX_ELLIPSIS_FRAC,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MEAN_LEN_HI,
+        GOPHER_MEAN_LEN_LO,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOP_TERMS,
+    )
+
+    _gstop = ", ".join(f"'{t}'" for t in GOPHER_STOP_TERMS)
+    d["gopher_quality"] = f"""
+            WITH toks AS ({_TOKS}),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            per AS (
+              SELECT doc_id, sum(tf)::BIGINT AS n_words,
+                     sum(tf * length(term))::BIGINT AS n_chars,
+                     sum(CASE WHEN term IN ({_gstop}) THEN 1
+                              ELSE 0 END)::BIGINT AS n_stop_hits
+              FROM tf GROUP BY doc_id),
+            feats AS (
+              SELECT d.doc_id,
+                     coalesce(per.n_words, 0)::BIGINT AS n_words,
+                     per.n_chars AS n_chars,
+                     coalesce(per.n_stop_hits, 0)::BIGINT
+                       AS n_stop_hits,
+                     length(text) - length(replace(text, '#', ''))
+                       AS hcnt,
+                     (length(text)
+                      - length(replace(text, '...', ''))) / 3 AS ecnt,
+                     string_split(text, chr(10)) AS ls
+              FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id),
+            m AS (
+              SELECT doc_id, n_words, n_stop_hits,
+                     CASE WHEN n_words > 0
+                          THEN round(n_chars / n_words, 6)
+                     END AS mean_word_len,
+                     CASE WHEN n_words > 0
+                          THEN round((hcnt + ecnt) / n_words, 6)
+                     END AS symbol_ratio,
+                     round(len(list_filter(ls,
+                       x -> substr(ltrim(x), 1, 1) IN ('-', '*', '•')))
+                       / len(ls), 6) AS bullet_frac,
+                     round(len(list_filter(ls,
+                       x -> ends_with(rtrim(x), '...')))
+                       / len(ls), 6) AS ellipsis_frac
+              FROM feats)
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   bullet_frac, ellipsis_frac, n_stop_hits,
+                   coalesce(n_words >= {GOPHER_MIN_WORDS}
+                            AND n_words <= {GOPHER_MAX_WORDS}
+                            AND mean_word_len >= {repr(GOPHER_MEAN_LEN_LO)}
+                            AND mean_word_len <= {repr(GOPHER_MEAN_LEN_HI)}
+                            AND symbol_ratio
+                                <= {repr(GOPHER_MAX_SYMBOL_RATIO)}
+                            AND bullet_frac
+                                <= {repr(GOPHER_MAX_BULLET_FRAC)}
+                            AND ellipsis_frac
+                                <= {repr(GOPHER_MAX_ELLIPSIS_FRAC)}
+                            AND n_stop_hits >= {GOPHER_MIN_STOP_HITS},
+                            FALSE) AS passes
+            FROM m ORDER BY doc_id
         """
     # lift-scored significant terms (ops/textops.significant_terms):
     # lift = (fg·T_corpus)/(T_lang·bg), all integer counts → the

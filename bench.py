@@ -416,6 +416,10 @@ def _run_ops_tier(spark):
     timed("significant_terms_sec",
           lambda: T.significant_terms(spark, SF_DIR).count())
     timed("kwic_sec", lambda: T.kwic(spark, SF_DIR).count())
+    timed("gopher_quality_sec",
+          lambda: T.gopher_quality(spark, SF_DIR).count())
+    timed("perplexity_buckets_sec",
+          lambda: X.perplexity_buckets(spark, SF_DIR).count())
     return out
 
 

@@ -394,3 +394,60 @@ def collocations(spark: SparkSession, sf_dir: str,
         .orderBy(F.desc("pmi"), F.asc("lhs"), F.asc("rhs"))
         .limit(topn)
     )
+
+
+PPL_BUCKETS = 3  # CCNet head / middle / tail
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str,
+                       n_buckets: int = PPL_BUCKETS) -> DataFrame:
+    """(doc_id, lang, nll, bucket) — CCNet-style per-language
+    perplexity terciles: docs ranked within their language by the
+    interpolated-bigram nll (bigram_logprob, rounded-6) and cut into
+    ``n_buckets`` ntile groups — bucket 1 = head (most fluent),
+    ``n_buckets`` = tail.  The rank order (nll asc, doc_id asc) is
+    total over rounded values, so the cut is deterministic across
+    engines and cluster sizes; the bucket formula is EXACTLY SQL
+    ntile's (the first n % k groups take one extra row), pinned
+    against DuckDB's ntile in the driver compare.  Docs with < 2
+    tokens have no bigrams and are excluded (the bigram_logprob rule).
+
+    Scale: the per-lang rank is NOT a per-lang window (one task per
+    language at 100 TB = skew): it rides the two-phase range-partition
+    prefix count (ops/prep._prefix_sum over (lang, nll, doc_id)) minus
+    broadcast per-language exclusive offsets — partition-count
+    invariant, the training_data_prep budget-scan pattern.
+    """
+    from .prep import _prefix_sum
+
+    nll = bigram_logprob(spark, sf_dir).select("doc_id", "nll")
+    lang = documents(spark, sf_dir).select("doc_id", "lang")
+    rows = nll.join(lang, "doc_id").withColumn("_one", F.lit(1))
+    ranked, _ = _prefix_sum(rows, "_one", ["lang", "nll", "doc_id"])
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in ranked.groupBy("lang").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    offs, acc = [], 0
+    for lg in sorted(per_lang):
+        offs.append((lg, acc, per_lang[lg]))
+        acc += per_lang[lg]
+    off_df = spark.createDataFrame(
+        offs, "lang string, _off long, _n long"
+    )
+    r = F.col("cum_tokens") - F.col("_off")  # per-lang rank, 1-based
+    base = F.floor(F.col("_n") / n_buckets).cast("long")
+    rem = (F.col("_n") % n_buckets).cast("long")
+    cut = (base + 1) * rem
+    bucket = (
+        F.when(r <= cut, F.ceil(r / (base + 1)))
+        .otherwise(rem + F.ceil((r - cut) / base))
+        .cast("long")
+    )
+    return (
+        ranked.join(F.broadcast(off_df), "lang")
+        .select("doc_id", "lang", "nll", bucket.alias("bucket"))
+        .orderBy("doc_id")
+    )

@@ -552,6 +552,120 @@ def text_quality(spark, sf_dir) -> DataFrame:
     )
 
 
+# Gopher-rules quality gate pinned defaults — interpolated into the
+# DuckDB oracle (change Spark and SQL together)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_LEN_LO = 3.0
+GOPHER_MEAN_LEN_HI = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_STOP_TERMS = ("the", "be", "to", "of", "and", "that", "have",
+                     "with")
+# Gopher's paper uses >= 2 of these 8; the synthetic fixture corpus
+# carries at most ONE of them per doc, so the pinned floor is 1 —
+# the rule stays live and discriminating at every SF (raise it on a
+# natural-language corpus)
+GOPHER_MIN_STOP_HITS = 1
+
+
+def gopher_quality(spark, sf_dir) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, n_stop_hits, passes) — the Gopher repetition-free
+    quality rules (Rae et al. 2021 §A1.1) as one composite gate, the
+    pre-training filter every corpus build runs before mixing:
+    word-count window, mean word length window, symbol-to-word ratio
+    ('#' chars + '...' occurrences), bullet-started / ellipsis-ended
+    line fractions, and the common-stopword containment check
+    (>= GOPHER_MIN_STOP_HITS of the 8 Gopher words).  Metrics are emitted alongside the boolean so a failing
+    doc explains itself.  All ratios compare their 6dp-ROUNDED values
+    (the cross-engine contract); a zero-token doc fails the word
+    floor (three-valued AND: false AND null = false, coalesced FALSE
+    for safety on both engines).
+
+    Scale: one term_tf agg (no distinct-expand: stop hits count over
+    the per-doc DISTINCT term rows term_tf already is) plus columnar
+    line/char expressions on the raw text — no joins beyond the
+    doc_id merge, no windows.
+    """
+    tf = term_tf(spark, sf_dir)
+    per = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_words"),
+        F.sum(F.col("tf") * F.length("term")).alias("n_chars"),
+        F.sum(
+            F.when(F.col("term").isin(*GOPHER_STOP_TERMS), 1).otherwise(0)
+        ).alias("n_stop_hits"),
+    )
+    d = documents(spark, sf_dir).select("doc_id", "text")
+    lines = F.split(F.col("text"), "\n")
+    feats = d.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.col("n_chars"),
+        F.coalesce("n_stop_hits", F.lit(0)).cast("long").alias(
+            "n_stop_hits"
+        ),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "#", ""))
+        ).alias("hcnt"),
+        (
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+            )
+            / 3
+        ).alias("ecnt"),
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.substring(F.ltrim(x), 1, 1).isin(
+                    "-", "*", "•"
+                ),
+            )
+        ).alias("n_bullet"),
+        F.size(
+            F.filter(lines, lambda x: F.rtrim(x).endswith("..."))
+        ).alias("n_ellipsis"),
+        F.size(lines).alias("n_lines"),
+    )
+    mean_len = F.when(
+        F.col("n_words") > 0,
+        F.round(F.col("n_chars") / F.col("n_words"), 6),
+    )
+    sym = F.when(
+        F.col("n_words") > 0,
+        F.round((F.col("hcnt") + F.col("ecnt")) / F.col("n_words"), 6),
+    )
+    m = feats.select(
+        "doc_id",
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        F.round(F.col("n_bullet") / F.col("n_lines"), 6).alias(
+            "bullet_frac"
+        ),
+        F.round(F.col("n_ellipsis") / F.col("n_lines"), 6).alias(
+            "ellipsis_frac"
+        ),
+        "n_stop_hits",
+    )
+    passes = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MEAN_LEN_LO)
+        & (F.col("mean_word_len") <= GOPHER_MEAN_LEN_HI)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_frac") <= GOPHER_MAX_BULLET_FRAC)
+        & (F.col("ellipsis_frac") <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS)
+    )
+    return m.withColumn(
+        "passes", F.coalesce(passes, F.lit(False))
+    ).orderBy("doc_id")
+
+
 def repetition_stats(spark, sf_dir, ns=(2, 3)) -> DataFrame:
     """Per-doc repeated-n-gram occupancy — the Gopher-family repetition
     filter signal: for each n, the fraction of n-gram OCCURRENCES whose

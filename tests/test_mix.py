@@ -250,3 +250,67 @@ def test_collocations_match_python(spark, docs_pd):
     # pair of independently common tokens (sanity of the signal, not
     # of exact values)
     assert all(n >= COLLOC_MIN_COUNT for _, _, n, _ in got)
+
+
+def test_perplexity_buckets_match_python(spark, docs_pd):
+    """CCNet terciles vs a sequential recompute: per-lang rank over
+    (rounded nll, doc_id) cut by the exact SQL-ntile size rule (the
+    first n % k buckets take one extra row)."""
+    from searchengine_spark.ops.mix import (
+        BIGRAM_LAMBDA,
+        PPL_BUCKETS,
+        perplexity_buckets,
+    )
+
+    got = [
+        (r["doc_id"], r["lang"], r["nll"], r["bucket"])
+        for r in perplexity_buckets(spark, SF).collect()
+    ]
+    seqs = {
+        r["doc_id"]: (r["lang"], _TOK.findall(r["text"].lower()))
+        for _, r in docs_pd.iterrows()
+    }
+    c2 = Counter()
+    cu = Counter()
+    for _, toks in seqs.values():
+        cu.update(toks)
+        c2.update(zip(toks, toks[1:]))
+    c1 = Counter()
+    for (a, _b), n in c2.items():
+        c1[a] += n
+    total = sum(cu.values())
+    lam = BIGRAM_LAMBDA
+    nlls = {}
+    for d, (lg, toks) in seqs.items():
+        if len(toks) < 2:
+            continue
+        ps = [
+            lam * c2[(a, b)] / c1[a] + (1.0 - lam) * cu[b] / total
+            for a, b in zip(toks, toks[1:])
+        ]
+        nlls[d] = (lg, round(-sum(math.log(p) for p in ps) / len(ps), 6))
+    by_lang = {}
+    for d, (lg, nll) in nlls.items():
+        by_lang.setdefault(lg, []).append((nll, d))
+    want = {}
+    for lg, rows in by_lang.items():
+        rows.sort()
+        n, k = len(rows), PPL_BUCKETS
+        base, rem = divmod(n, k)
+        for i, (nll, d) in enumerate(rows, start=1):
+            if i <= (base + 1) * rem:
+                b = math.ceil(i / (base + 1))
+            else:
+                b = rem + math.ceil((i - (base + 1) * rem) / base)
+            want[d] = (lg, nll, b)
+    assert {d: (lg, b) for d, lg, _, b in got} == {
+        d: (lg, b) for d, (lg, _, b) in want.items()
+    }
+    for d, lg, nll, b in got:
+        assert abs(nll - want[d][1]) <= 1e-6
+    # every lang fills every bucket on this fixture (non-vacuous cut)
+    langs = {lg for _, lg, _, _ in got}
+    for lg in langs:
+        assert {b for _, l2, _, b in got if l2 == lg} == set(
+            range(1, PPL_BUCKETS + 1)
+        )

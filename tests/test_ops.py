@@ -1986,3 +1986,73 @@ def test_kwic_matches_python(spark):
     # in the corpus-wide occurrence set for the '' contract to be
     # exercised somewhere; if not, the fixture changed — re-pin
     assert any(p <= KWIC_W for _, p, _, _ in want)
+
+
+def test_gopher_quality_matches_python(spark):
+    """Gopher-rules gate vs a sequential recompute: token metrics from
+    the regex stream, '#'/'...' symbol counts, bullet/ellipsis line
+    fractions, stopword hits, rounded-value comparisons."""
+    import re
+
+    from searchengine_spark.ops.textops import (
+        GOPHER_MAX_BULLET_FRAC,
+        GOPHER_MAX_ELLIPSIS_FRAC,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MEAN_LEN_HI,
+        GOPHER_MEAN_LEN_LO,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOP_TERMS,
+        gopher_quality,
+    )
+
+    got = {r["doc_id"]: r.asDict()
+           for r in gopher_quality(spark, SF).collect()}
+    tok = re.compile(r"[a-z0-9]+")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text").collect()
+    assert set(got) == {r["doc_id"] for r in docs}
+    n_pass = 0
+    for r in docs:
+        text, d = r["text"], r["doc_id"]
+        toks = tok.findall(text.lower())
+        n_words = len(toks)
+        lines = text.split("\n")
+        hcnt = text.count("#")
+        ecnt = (len(text) - len(text.replace("...", ""))) / 3
+        bullets = sum(
+            1 for x in lines if x.lstrip()[:1] in ("-", "*", "•")
+        )
+        ells = sum(1 for x in lines if x.rstrip().endswith("..."))
+        stop_hits = sum(
+            1 for t in set(toks) if t in GOPHER_STOP_TERMS
+        )
+        g = got[d]
+        assert g["n_words"] == n_words
+        assert g["n_stop_hits"] == stop_hits
+        mean_len = (round(sum(map(len, toks)) / n_words, 6)
+                    if n_words else None)
+        sym = (round((hcnt + ecnt) / n_words, 6) if n_words else None)
+        bf = round(bullets / len(lines), 6)
+        ef = round(ells / len(lines), 6)
+        for k_, v in [("mean_word_len", mean_len),
+                      ("symbol_ratio", sym), ("bullet_frac", bf),
+                      ("ellipsis_frac", ef)]:
+            if v is None:
+                assert g[k_] is None
+            else:
+                assert abs(g[k_] - v) <= 1e-6, (d, k_, g[k_], v)
+        want_pass = bool(
+            n_words
+            and GOPHER_MIN_WORDS <= n_words <= GOPHER_MAX_WORDS
+            and GOPHER_MEAN_LEN_LO <= mean_len <= GOPHER_MEAN_LEN_HI
+            and sym <= GOPHER_MAX_SYMBOL_RATIO
+            and bf <= GOPHER_MAX_BULLET_FRAC
+            and ef <= GOPHER_MAX_ELLIPSIS_FRAC
+            and stop_hits >= GOPHER_MIN_STOP_HITS
+        )
+        assert g["passes"] == want_pass, (d, g)
+        n_pass += want_pass
+    # the gate must discriminate on this fixture (both classes present)
+    assert 0 < n_pass < len(docs)
