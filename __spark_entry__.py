@@ -341,6 +341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             D.jaccard_pairs(_docs(spark, sf), threshold=0.5)
         ),
         "span_dedup": lambda spark, sf: D.span_dedup(_docs(spark, sf)),
+        "winnow_fingerprints": lambda spark, sf: D.winnow_fingerprints(
+            _docs(spark, sf)
+        ),
         "strip_dup_spans": lambda spark, sf: D.strip_dup_spans(
             _docs(spark, sf)
         ),
@@ -2436,6 +2439,46 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_terms,
                    min(df) AS min_df, max(df) AS max_df
             FROM dft GROUP BY 1 ORDER BY bucket
+        """
+    # MOSS winnowing (ops/dedup.winnow_fingerprints): per (doc, win)
+    # argmin over (hex-hash asc, pos desc) — min-STRUCT in Spark,
+    # row_number here (the strip_dup_spans precedent); hex order IS
+    # unsigned numeric order
+    from searchengine_spark.ops.dedup import WINNOW_K, WINNOW_W
+
+    d["winnow_fingerprints"] = f"""
+            WITH rawtoks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id, i AS pos,
+                     substr(md5(array_to_string(
+                       t[i : i + {WINNOW_K - 1}], ' ')), 1, 8) AS h,
+                     len(t) - {WINNOW_K} + 1 AS ng
+              FROM rawtoks, LATERAL (
+                SELECT unnest(generate_series(
+                  1, len(t) - {WINNOW_K} + 1)) AS i) g
+              WHERE len(t) >= {WINNOW_K}
+            ),
+            wins AS (
+              SELECT doc_id, pos, h, wv.win
+              FROM grams, LATERAL (
+                SELECT unnest(generate_series(
+                  greatest(1, pos - {WINNOW_W} + 1),
+                  least(pos, ng - {WINNOW_W} + 1))) AS win) wv
+            ),
+            sel AS (
+              SELECT doc_id, pos, h FROM (
+                SELECT doc_id, win, pos, h,
+                       row_number() OVER (
+                         PARTITION BY doc_id, win
+                         ORDER BY h, pos DESC) AS rn
+                FROM wins)
+              WHERE rn = 1
+            )
+            SELECT DISTINCT doc_id, pos::BIGINT AS pos, h AS fp
+            FROM sel ORDER BY doc_id, pos
         """
     # Gopher-rules quality gate (ops/textops.gopher_quality): all
     # ratios compare their ROUNDED values; zero-token docs fail the

@@ -328,6 +328,8 @@ def _run_ops_tier(spark):
     timed("ann_ivf_pq_rerank_sec",
           lambda: V.ann_ivf_pq_rerank_topk(spark, SF_DIR).count())
     timed("span_dedup_sec", lambda: D.span_dedup(docs).count())
+    timed("winnow_sec",
+          lambda: D.winnow_fingerprints(docs).count())
     timed("strip_dup_spans_sec",
           lambda: D.strip_dup_spans(docs).count())
     timed("fuzzy_terms_sec",

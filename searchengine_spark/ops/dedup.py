@@ -469,3 +469,83 @@ def pagerank_dupgraph(docs: DataFrame, n_iter: int = 5,
         F.col("docid").alias("doc_id"),
         F.col("pr_quality").alias("pr"),
     )
+
+
+# winnowing pinned defaults — interpolated into the DuckDB oracle
+# (change Spark and SQL together)
+WINNOW_K = 5   # tokens per k-gram
+WINNOW_W = 4   # k-grams per selection window
+
+
+def winnow_fingerprints(docs: DataFrame, id_col="doc_id",
+                        text_col="text", k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> DataFrame:
+    """(doc_id, pos, fp) — MOSS winnowing fingerprints (Schleimer,
+    Wilkerson & Aiken 2003): hash every k-token gram, slide a window
+    of w consecutive gram hashes, and in each window select the
+    MINIMUM hash, rightmost occurrence on ties.  The selected set is
+    position-robust: any shared substring of >= w+k-1 tokens
+    guarantees a shared fingerprint, so matching fp values across
+    docs localize plagiarism/boilerplate that doc-level simhash and
+    shingle-set minhash can only flag globally.
+
+    Hash = first 8 hex chars of md5 over the space-joined gram —
+    lowercase hex in both engines, and lexicographic order on the hex
+    string IS unsigned numeric order, so the window minimum needs no
+    integer parsing.  The rightmost-min tie rule is a min-STRUCT agg
+    (h asc, -pos asc) in Spark vs row_number in SQL — the same argmin
+    (the strip_dup_spans precedent).  Docs with < w+k-1 tokens yield
+    no windows and no fingerprints (the winnowing guarantee needs a
+    full window).
+
+    Scale: grams and windows are in-row arithmetic explodes (the
+    span-dedup recompute-don't-persist shape, <= w rows per gram);
+    selection is one (doc_id, win) key-hash agg + distinct — all
+    shuffle-on-key, no driver state, no corpus-wide windows.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    hs = F.when(
+        F.size("t") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - k),
+            lambda i: F.substring(
+                F.md5(F.array_join(F.slice("t", i + 1, k), " ")), 1, 8
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        "doc_id",
+        (F.size("t") - k + 1).alias("ng"),
+        F.posexplode(hs).alias("p0", "h"),
+    ).select("doc_id", "ng", (F.col("p0") + 1).alias("pos"), "h")
+    lo = F.greatest(F.lit(1), F.col("pos") - w + 1)
+    hi = F.least(F.col("pos"), F.col("ng") - w + 1)
+    # F.sequence(a, b) DESCENDS when a > b — guard to an empty array
+    # (a doc with fewer than w grams has no window)
+    wins = grams.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.explode(
+            F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+                F.array().cast("array<integer>")
+            )
+        ).alias("win"),
+    )
+    sel = wins.groupBy("doc_id", "win").agg(
+        F.min(
+            F.struct(F.col("h"), (-F.col("pos")).alias("np"))
+        ).alias("m")
+    )
+    return (
+        sel.select(
+            "doc_id",
+            (-F.col("m.np")).cast("long").alias("pos"),
+            F.col("m.h").alias("fp"),
+        )
+        .distinct()
+        .orderBy("doc_id", "pos")
+    )

@@ -2056,3 +2056,64 @@ def test_gopher_quality_matches_python(spark):
         n_pass += want_pass
     # the gate must discriminate on this fixture (both classes present)
     assert 0 < n_pass < len(docs)
+
+
+def test_winnow_fingerprints_match_python(spark):
+    """Winnowing vs the textbook scan (per-window min, rightmost on
+    ties) plus the paper's guarantee: two docs sharing a >= w+k-1
+    token run share a fingerprint inside it."""
+    import hashlib
+    import re
+
+    from searchengine_spark.ops.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    tok = re.compile(r"[a-z0-9]+")
+
+    def winnow(text):
+        toks = tok.findall(text.lower())
+        hs = [
+            hashlib.md5(
+                " ".join(toks[i:i + WINNOW_K]).encode()
+            ).hexdigest()[:8]
+            for i in range(len(toks) - WINNOW_K + 1)
+        ]
+        out = set()
+        for s in range(len(hs) - WINNOW_W + 1):
+            win = hs[s:s + WINNOW_W]
+            m = min(win)
+            j = max(i for i, hh in enumerate(win) if hh == m)
+            out.add((s + j + 1, m))
+        return out
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text").collect()
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(
+            spark.createDataFrame(
+                [(r["doc_id"], r["text"]) for r in docs],
+                "doc_id long, text string",
+            )
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], p, h) for r in docs for p, h in winnow(r["text"])
+    }
+    assert got == want and got
+
+    # guarantee: a planted shared 20-token run yields a shared fp
+    shared = " ".join(f"tok{i}" for i in range(20))
+    pair = spark.createDataFrame(
+        [(1, "alpha beta " + shared + " gamma"),
+         (2, shared + " delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(pair).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]
