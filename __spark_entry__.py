@@ -344,6 +344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": lambda spark, sf: D.winnow_fingerprints(
             _docs(spark, sf)
         ),
+        "winnow_matches": lambda spark, sf: D.winnow_matches(
+            _docs(spark, sf)
+        ),
         "strip_dup_spans": lambda spark, sf: D.strip_dup_spans(
             _docs(spark, sf)
         ),
@@ -2444,10 +2447,13 @@ def oracle_sql() -> dict[str, str]:
     # argmin over (hex-hash asc, pos desc) — min-STRUCT in Spark,
     # row_number here (the strip_dup_spans precedent); hex order IS
     # unsigned numeric order
-    from searchengine_spark.ops.dedup import WINNOW_K, WINNOW_W
+    from searchengine_spark.ops.dedup import (
+        WINNOW_K,
+        WINNOW_MIN_MATCHES,
+        WINNOW_W,
+    )
 
-    d["winnow_fingerprints"] = f"""
-            WITH rawtoks AS (
+    _winnow_ctes = f"""rawtoks AS (
               SELECT doc_id,
                      regexp_extract_all(lower(text), '[a-z0-9]+') AS t
               FROM documents),
@@ -2476,9 +2482,24 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY h, pos DESC) AS rn
                 FROM wins)
               WHERE rn = 1
-            )
+            )"""
+    d["winnow_fingerprints"] = f"""
+            WITH {_winnow_ctes}
             SELECT DISTINCT doc_id, pos::BIGINT AS pos, h AS fp
             FROM sel ORDER BY doc_id, pos
+        """
+    # MOSS candidate pairs: distinct fp VALUES per doc (set
+    # semantics), self-join on fp, a < b, min-match floor
+    d["winnow_matches"] = f"""
+            WITH {_winnow_ctes},
+            fps AS (SELECT DISTINCT doc_id, h AS fp FROM sel)
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   count(*)::BIGINT AS n_matches
+            FROM fps x JOIN fps y
+              ON x.fp = y.fp AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+            HAVING count(*) >= {WINNOW_MIN_MATCHES}
+            ORDER BY n_matches DESC, a, b
         """
     # Gopher-rules quality gate (ops/textops.gopher_quality): all
     # ratios compare their ROUNDED values; zero-token docs fail the

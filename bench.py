@@ -330,6 +330,8 @@ def _run_ops_tier(spark):
     timed("span_dedup_sec", lambda: D.span_dedup(docs).count())
     timed("winnow_sec",
           lambda: D.winnow_fingerprints(docs).count())
+    timed("winnow_matches_sec",
+          lambda: D.winnow_matches(docs).count())
     timed("strip_dup_spans_sec",
           lambda: D.strip_dup_spans(docs).count())
     timed("fuzzy_terms_sec",

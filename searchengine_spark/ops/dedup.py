@@ -549,3 +549,38 @@ def winnow_fingerprints(docs: DataFrame, id_col="doc_id",
         .distinct()
         .orderBy("doc_id", "pos")
     )
+
+
+WINNOW_MIN_MATCHES = 2  # pairs must share this many fingerprints
+
+
+def winnow_matches(docs: DataFrame, id_col="doc_id", text_col="text",
+                   k: int = WINNOW_K, w: int = WINNOW_W,
+                   min_matches: int = WINNOW_MIN_MATCHES) -> DataFrame:
+    """(a, b, n_matches) — MOSS candidate pairs: docs sharing
+    >= min_matches winnowing fingerprint VALUES (a < b).  Distinct fp
+    values per doc (a fingerprint selected at several positions counts
+    once — set semantics, the jaccard_pairs convention), joined on the
+    fp value.  This is the report MOSS actually produces: localized
+    shared-substring evidence, robust to reordering and padding that
+    defeat whole-doc hashes.
+
+    Scale: the fp self-join is shuffle-on-key like minhash banding;
+    boilerplate fingerprints shared by thousands of docs square that
+    key's join — at corpus scale cap hot fps first (the
+    max_shingle_df broadcast anti-join pattern in jaccard_pairs),
+    omitted here because the pinned test corpora carry no such key.
+    """
+    fps = winnow_fingerprints(
+        docs, id_col=id_col, text_col=text_col, k=k, w=w
+    ).select("doc_id", "fp").distinct()
+    a = fps.select(F.col("doc_id").alias("a"), "fp")
+    b = fps.select(F.col("doc_id").alias("b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_matches"))
+        .filter(F.col("n_matches") >= min_matches)
+        .orderBy(F.desc("n_matches"), F.asc("a"), F.asc("b"))
+    )

@@ -2117,3 +2117,55 @@ def test_winnow_fingerprints_match_python(spark):
     for r in fps:
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[1] & by_doc[2]
+
+
+def test_winnow_matches_match_python(spark):
+    """Candidate pairs vs a set recompute: distinct fp values per doc,
+    pair count = |intersection|, min-match floor, (n desc, a, b)."""
+    import hashlib
+    import re
+    from itertools import combinations
+
+    from searchengine_spark.ops.dedup import (
+        WINNOW_K,
+        WINNOW_MIN_MATCHES,
+        WINNOW_W,
+        winnow_matches,
+    )
+
+    tok = re.compile(r"[a-z0-9]+")
+
+    def fpset(text):
+        toks = tok.findall(text.lower())
+        hs = [
+            hashlib.md5(
+                " ".join(toks[i:i + WINNOW_K]).encode()
+            ).hexdigest()[:8]
+            for i in range(len(toks) - WINNOW_K + 1)
+        ]
+        return {
+            min(hs[s:s + WINNOW_W])
+            for s in range(len(hs) - WINNOW_W + 1)
+        }
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text").collect()
+    sets = {r["doc_id"]: fpset(r["text"]) for r in docs}
+    want = sorted(
+        (
+            (a, b, len(sets[a] & sets[b]))
+            for a, b in combinations(sorted(sets), 2)
+            if len(sets[a] & sets[b]) >= WINNOW_MIN_MATCHES
+        ),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )
+    got = [
+        (r["a"], r["b"], r["n_matches"])
+        for r in winnow_matches(
+            spark.createDataFrame(
+                [(r["doc_id"], r["text"]) for r in docs],
+                "doc_id long, text string",
+            )
+        ).collect()
+    ]
+    assert got == want
