@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_terms": T.fuzzy_terms,
         "tfidf_keywords": T.tfidf_keywords,
         "more_like_this": T.more_like_this,
+        "rocchio_topk": T.rocchio_topk,
         "search_eval_ndcg": T.search_eval_ndcg,
         "pagerank_dupgraph": lambda spark, sf: D.pagerank_dupgraph(
             _docs(spark, sf)
@@ -1273,6 +1274,86 @@ def _more_like_this_oracle_sql() -> str:
     """
 
 
+def _rocchio_oracle_sql() -> str:
+    """DuckDB mirror of ops.textops.rocchio_topk: conjunctive seed
+    pass -> top-R feedback docs (rounded score desc, doc_id) ->
+    Rocchio centroid weights round(sum(tf * ln(N/df)) / R, 6), seed
+    terms excluded, top-E by (w desc, term) -> weighted disjunctive
+    BM25 (seed wt 1.0, expansion wt beta), round-6 after the sum."""
+    from searchengine_spark.ops.textops import (
+        ROCCHIO_BETA,
+        ROCCHIO_EXPAND,
+        ROCCHIO_FB_DOCS,
+        ROCCHIO_TERMS,
+    )
+
+    seed_vals = ", ".join(f"('{t}')" for t in ROCCHIO_TERMS)
+    seed_list = ", ".join(f"'{t}'" for t in ROCCHIO_TERMS)
+    return f"""
+        WITH toks AS ({_TOKS}),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, count(*) AS total_tokens
+               FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(total_tokens) AS avgdl
+                  FROM dl),
+        dft_all AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM tf GROUP BY term),
+        seed AS (SELECT * FROM (VALUES {seed_vals}) AS v(term)),
+        base AS (
+          SELECT tf.doc_id,
+                 round(sum( ln((stats.n - dft_all.df + 0.5)
+                               / (dft_all.df + 0.5) + 1.0)
+                            * tf.tf * 2.2
+                            / (tf.tf + 1.2 * (0.25 + 0.75
+                               * dl.total_tokens / stats.avgdl))
+                 ), 6) AS score
+          FROM tf JOIN seed USING (term) JOIN dft_all USING (term)
+               JOIN dl USING (doc_id) CROSS JOIN stats
+          GROUP BY tf.doc_id
+          HAVING count(*) = {len(set(ROCCHIO_TERMS))}
+        ),
+        fb AS (SELECT doc_id FROM base
+               ORDER BY score DESC, doc_id LIMIT {ROCCHIO_FB_DOCS}),
+        fbn AS (SELECT count(*) AS r FROM fb),
+        expw AS (
+          SELECT tf.term,
+                 round(sum(tf.tf * ln(stats.n::DOUBLE / dft_all.df))
+                       / fbn.r, 6) AS w
+          FROM tf JOIN fb USING (doc_id) JOIN dft_all USING (term)
+               CROSS JOIN stats CROSS JOIN fbn
+          WHERE tf.term NOT IN ({seed_list})
+          GROUP BY tf.term, fbn.r
+        ),
+        expn AS (
+          SELECT term FROM (
+            SELECT *, row_number() OVER (ORDER BY w DESC, term) AS rk
+            FROM expw)
+          WHERE rk <= {ROCCHIO_EXPAND}
+        ),
+        qw AS (
+          SELECT term, 1.0::DOUBLE AS wt FROM seed
+          UNION ALL
+          SELECT term, {ROCCHIO_BETA!r}::DOUBLE AS wt FROM expn
+        ),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum( qw.wt
+                      * ln((stats.n - dft_all.df + 0.5)
+                           / (dft_all.df + 0.5) + 1.0)
+                      * tf.tf * 2.2
+                      / (tf.tf + 1.2 * (0.25 + 0.75
+                         * dl.total_tokens / stats.avgdl))
+                 ) AS s
+          FROM tf JOIN qw USING (term) JOIN dft_all USING (term)
+               JOIN dl USING (doc_id) CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(s, 6) AS score FROM scored
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
 def _search_eval_oracle_sql() -> str:
     """DuckDB mirror of ops.textops.search_eval_ndcg: disjunctive BM25
     per pinned query, rel = distinct query terms in the doc,
@@ -1498,6 +1579,7 @@ def oracle_sql() -> dict[str, str]:
         # source excluded, stats corpus-global)
         "tfidf_keywords": _tfidf_keywords_oracle_sql(),
         "more_like_this": _more_like_this_oracle_sql(),
+        "rocchio_topk": _rocchio_oracle_sql(),
         # retrieval-quality evaluation: NDCG@10 of the disjunctive BM25
         # ranking vs term-overlap graded relevance (lexical ann_recall)
         "search_eval_ndcg": _search_eval_oracle_sql(),

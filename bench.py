@@ -340,6 +340,8 @@ def _run_ops_tier(spark):
           lambda: T.tfidf_keywords(spark, SF_DIR).count())
     timed("more_like_this_sec",
           lambda: T.more_like_this(spark, SF_DIR).count())
+    timed("rocchio_sec",
+          lambda: T.rocchio_topk(spark, SF_DIR).count())
     timed("search_eval_ndcg_sec",
           lambda: T.search_eval_ndcg(spark, SF_DIR).count())
 

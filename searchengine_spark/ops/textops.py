@@ -925,6 +925,124 @@ def more_like_this(spark, sf_dir, doc_id: int = MLT_DOC_ID,
     )
 
 
+# Rocchio pseudo-relevance feedback — pinned parameters, interpolated
+# into the DuckDB oracle (__spark_entry__.oracle_sql) — change Spark
+# and SQL together.
+ROCCHIO_TERMS = ("spark", "join")  # seed query (conjunctive base pass)
+ROCCHIO_FB_DOCS = 5                # pseudo-relevant feedback depth R
+ROCCHIO_EXPAND = 3                 # expansion terms appended to the query
+ROCCHIO_BETA = 0.4                 # feedback term weight (alpha = 1.0)
+
+
+def rocchio_topk(spark, sf_dir, terms=ROCCHIO_TERMS, k=10,
+                 fb_docs=ROCCHIO_FB_DOCS, expand=ROCCHIO_EXPAND,
+                 beta=ROCCHIO_BETA) -> DataFrame:
+    """Rocchio pseudo-relevance feedback (the classic PRF / RM3-style
+    query expansion; reference has no analogue — [NORTH-EXT] next to
+    more_like_this, whose keyword machinery it reuses query-side):
+
+    1. base pass: conjunctive BM25 over ``terms`` (bm25_topk
+       semantics), top ``fb_docs`` by (rounded score desc, doc_id asc)
+       become the pseudo-relevant set;
+    2. expansion: Rocchio centroid weight per term over the feedback
+       set, w = round(sum(tf * ln(N/df)) / |FB|, 6) (the
+       tfidf_keywords weight averaged over the feedback docs), seed
+       terms excluded; top ``expand`` by (w desc, term asc);
+    3. final pass: weighted DISJUNCTIVE BM25 (wand_or semantics, no
+       nmatch gate) over seed terms at weight 1.0 plus expansion terms
+       at weight ``beta`` — score = round(sum(wt * bm25), 6), top k by
+       (score desc, doc_id asc).
+
+    (doc_id, score).
+
+    Scale: the feedback set is fb_docs rows and the expansion set
+    ``expand`` rows (both broadcast); the expansion argmax window is
+    global but ranges only over the feedback docs' term vocabulary
+    (bounded by fb_docs document lengths).  Everything else is the
+    bm25 chain's shuffle shape, run twice.
+    """
+    fb = (
+        _bm25_scored(spark, sf_dir, terms)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(fb_docs)
+        .select("doc_id")
+    )
+    tf = term_tf(spark, sf_dir)
+    dl = tf.groupBy("doc_id").agg(F.count("*").alias("total_tokens"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg("total_tokens").alias("avgdl")
+    )
+    fbn = fb.agg(F.count("*").alias("r"))
+
+    # Rocchio centroid over the feedback docs (seed terms excluded)
+    dft_all = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    expw = (
+        tf.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("term").isin(list(terms)))
+        .join(dft_all, "term")
+        .crossJoin(F.broadcast(stats.select("n")))
+        .crossJoin(F.broadcast(fbn))
+        .groupBy("term", "r")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf").cast("double")
+                    * F.log(F.col("n").cast("double") / F.col("df"))
+                )
+                / F.col("r"),
+                6,
+            ).alias("w")
+        )
+    )
+    wexp = Window.orderBy(F.desc("w"), F.asc("term"))
+    exp_terms = (
+        expw.withColumn("rk", F.row_number().over(wexp))
+        .filter(F.col("rk") <= expand)
+        .select("term", F.lit(float(beta)).alias("wt"))
+    )
+    seed = spark.createDataFrame(
+        [(t, 1.0) for t in terms], "term string, wt double"
+    )
+    qw = seed.unionByName(exp_terms)
+
+    dft = tf.join(F.broadcast(qw.select("term")), "term").groupBy(
+        "term"
+    ).agg(F.countDistinct("doc_id").alias("df"))
+    hits = (
+        tf.join(F.broadcast(qw), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    bm25 = (
+        idf
+        * F.col("tf").cast("double")
+        * F.lit(BM25_K1 + 1)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1 - BM25_B)
+                + F.lit(BM25_B)
+                * F.col("total_tokens").cast("double")
+                / F.col("avgdl")
+            )
+        )
+    )
+    return (
+        hits.withColumn("p", F.col("wt") * bm25)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("p"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 FUZZY_Q = 5        # misspelled probe terms derived from the corpus
 FUZZY_MIN_LEN = 4  # only misspell terms this long (1 char carries less)
 FUZZY_TOPN = 3     # candidates returned per query term

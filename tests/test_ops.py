@@ -1480,6 +1480,65 @@ def test_tfidf_keywords_and_more_like_this(spark, tmp_path):
     assert set(got[1:]) <= {3, 4, 5}
 
 
+def test_rocchio_expansion_recalls_unreachable_doc(spark, tmp_path):
+    """Planted corpus: the conjunctive seed query ("alpha","beta") can
+    never return doc 9 (it has neither term), but every feedback doc
+    is zeta-heavy, so Rocchio expansion pulls zeta in at weight beta
+    and doc 9 enters the final ranking — the defining PRF behavior.
+    The expansion choice itself is recomputed in pure Python."""
+    import math
+
+    from searchengine_spark.ops.textops import bm25_topk, rocchio_topk
+
+    rows = [
+        (1, "alpha beta zeta zeta zeta one"),
+        (2, "alpha beta zeta zeta zeta two"),
+        (3, "alpha beta zeta zeta zeta three"),
+        (4, "alpha beta noise4a noise4b"),
+        (9, "zeta zeta zeta zeta zeta"),
+        (10, "unrelated filler words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path / "rocchio")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    base = [r["doc_id"] for r in
+            bm25_topk(spark, sf, terms=("alpha", "beta")).collect()]
+    assert set(base) == {1, 2, 3, 4}          # conjunctive gate
+
+    got = rocchio_topk(spark, sf, terms=("alpha", "beta")).collect()
+    ids = [r["doc_id"] for r in got]
+    assert 9 in ids                            # expansion recalled it
+    assert 10 not in ids                       # no query term at all
+
+    # recompute the centroid expansion in Python: feedback = docs
+    # 1-4 (all conjunctive matches, fb_docs=5 covers them), weight =
+    # round(sum(tf * ln(N/df)) / R, 6), seed excluded, top-3 by
+    # (w desc, term asc)
+    n, r = 6, 4
+    tfs = {d: {} for d, _ in rows}
+    for d, text in rows:
+        for t in text.split():
+            tfs[d][t] = tfs[d].get(t, 0) + 1
+    df = {}
+    for d in tfs:
+        for t in tfs[d]:
+            df[t] = df.get(t, 0) + 1
+    cand = {}
+    for d in (1, 2, 3, 4):
+        for t, tf in tfs[d].items():
+            if t in ("alpha", "beta"):
+                continue
+            cand[t] = cand.get(t, 0.0) + tf * math.log(n / df[t])
+    w = sorted(
+        ((round(v / r, 6), t) for t, v in cand.items()),
+        key=lambda x: (-x[0], x[1]),
+    )
+    assert [t for _, t in w[:3]] == ["zeta", "noise4a", "noise4b"]
+    # zeta dominates the equal-weight noise tail
+    assert w[0][0] > w[1][0] == w[2][0]
+
+
 def test_search_eval_ndcg_matches_python(spark, tmp_path, monkeypatch):
     """Planted corpus where the BM25 ranking diverges from the ideal
     (a term-stuffed rel=1 doc outscores short rel=2 docs), so NDCG < 1
