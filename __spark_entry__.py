@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": T.tfidf_keywords,
         "more_like_this": T.more_like_this,
         "rocchio_topk": T.rocchio_topk,
+        "mmr_topk": T.mmr_topk,
         "search_eval_ndcg": T.search_eval_ndcg,
         "pagerank_dupgraph": lambda spark, sf: D.pagerank_dupgraph(
             _docs(spark, sf)
@@ -1354,6 +1355,68 @@ def _rocchio_oracle_sql() -> str:
     """
 
 
+def _mmr_oracle_sql() -> str:
+    """DuckDB mirror of ops.textops.mmr_topk: the greedy MMR selection
+    unrolled as one CTE stage per pick (the trained-k-means pattern) —
+    pool = top-N rounded-5 cosine, sims = pool-vs-pool rounded-5
+    cosine, pick i = argmax round(lam*rel - (1-lam)*max sim-to-
+    selected, 6) with vec_id tie-break.  lam AND 1-lam interpolate via
+    repr (the bigram_logprob exact-double rule)."""
+    from searchengine_spark.ops.textops import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_POOL,
+    )
+
+    lam, oml = repr(MMR_LAMBDA), repr(1.0 - MMR_LAMBDA)
+    parts = [
+        f"""q AS (SELECT embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id = 0),
+        pool AS (
+          SELECT e.vec_id,
+                 round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv, q.qv))), 5)
+                   AS rel
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+          ORDER BY rel DESC, e.vec_id LIMIT {MMR_POOL}),
+        pv AS (SELECT p.vec_id, p.rel, e.embedding::DOUBLE[] AS v
+               FROM pool p JOIN embeddings e USING (vec_id)),
+        sims AS (
+          SELECT x.vec_id AS a, y.vec_id AS b,
+                 round(list_dot_product(x.v, y.v)
+                       / (sqrt(list_dot_product(x.v, x.v))
+                          * sqrt(list_dot_product(y.v, y.v))), 5) AS sim
+          FROM pv x JOIN pv y ON x.vec_id != y.vec_id),
+        r1 AS (SELECT 1::BIGINT AS rank, vec_id,
+                      round({lam} * rel, 6) AS mmr
+               FROM pv ORDER BY mmr DESC, vec_id LIMIT 1),
+        sel1 AS (SELECT vec_id FROM r1)"""
+    ]
+    for i in range(2, MMR_K + 1):
+        parts.append(
+            f"""c{i} AS (
+          SELECT p.vec_id,
+                 round({lam} * p.rel - {oml} * max(s.sim), 6) AS mmr
+          FROM pv p JOIN sims s ON s.a = p.vec_id
+               JOIN sel{i - 1} t ON s.b = t.vec_id
+          WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+          GROUP BY p.vec_id, p.rel),
+        r{i} AS (SELECT {i}::BIGINT AS rank, vec_id, mmr FROM c{i}
+                 ORDER BY mmr DESC, vec_id LIMIT 1),
+        sel{i} AS (SELECT vec_id FROM sel{i - 1}
+                   UNION ALL SELECT vec_id FROM r{i})"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM r{i}" for i in range(1, MMR_K + 1)
+    )
+    return (
+        "WITH " + ",\n        ".join(parts)
+        + f" SELECT rank, vec_id, mmr FROM ({union}) ORDER BY rank"
+    )
+
+
 def _search_eval_oracle_sql() -> str:
     """DuckDB mirror of ops.textops.search_eval_ndcg: disjunctive BM25
     per pinned query, rel = distinct query terms in the doc,
@@ -1580,6 +1643,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_keywords": _tfidf_keywords_oracle_sql(),
         "more_like_this": _more_like_this_oracle_sql(),
         "rocchio_topk": _rocchio_oracle_sql(),
+        "mmr_topk": _mmr_oracle_sql(),
         # retrieval-quality evaluation: NDCG@10 of the disjunctive BM25
         # ranking vs term-overlap graded relevance (lexical ann_recall)
         "search_eval_ndcg": _search_eval_oracle_sql(),

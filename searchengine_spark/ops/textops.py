@@ -1369,6 +1369,104 @@ def _cosine_scored(spark, sf_dir, query_vec_id) -> DataFrame:
     )
 
 
+# MMR diversification — pinned parameters, interpolated into the
+# DuckDB oracle (__spark_entry__.oracle_sql) — change Spark and SQL
+# together (lambda AND 1-lambda via repr, the bigram_logprob rule).
+MMR_POOL = 20      # relevance candidate pool (top-N by cosine)
+MMR_K = 5          # diversified results returned
+MMR_LAMBDA = 0.7   # relevance weight; 1-lambda penalizes redundancy
+
+
+def _mmr_round6(x: float) -> float:
+    """Spark F.round(col, 6) parity: HALF_UP over the shortest decimal
+    repr (the serve_ivf cross-engine rule)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP
+        )
+    )
+
+
+def mmr_topk(spark, sf_dir, query_vec_id=0, k=MMR_K, pool=MMR_POOL,
+             lam=MMR_LAMBDA) -> DataFrame:
+    """Maximal marginal relevance diversification (Carbonell & Goldstein,
+    SIGIR'98) over the embedding column: greedily re-rank the top-
+    ``pool`` cosine candidates so each pick maximizes
+    round(lam * rel(d) - (1 - lam) * max_{s in S} sim(d, s), 6) —
+    relevance minus redundancy against the already-selected set S
+    (empty-set max = 0.0, so pick 1 is the plain cosine argmax).
+    Ties -> vec_id asc.  (rank, vec_id, mmr), rank asc.
+
+    Scale: the pool cut is TakeOrderedAndProject over the full corpus
+    (the only corpus-size-dependent stage); the pool-vs-pool sim matrix
+    is pool^2 bounded rows, and the greedy loop runs driver-side over
+    those collected values — the IVF-probe "driver-side selection
+    equals plan/SQL values" contract (rel/sim enter rounded to 5dp,
+    the combine is HALF_UP round-6, so selection is reproducible in
+    DuckDB's unrolled-CTE mirror).
+    """
+    rel = (
+        _cosine_scored(spark, sf_dir, query_vec_id)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(pool)
+    )
+    emb = embeddings(spark, sf_dir)
+    pv = rel.join(emb, "vec_id").select("vec_id", "cosine", "embedding")
+    a = pv.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("va")
+    )
+    b = pv.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("vb")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "va", "vb", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform("va", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform("vb", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", F.round(dot / (na * nb), 5).alias("sim"))
+    )
+
+    rels = {r["vec_id"]: r["cosine"] for r in rel.collect()}
+    sim = {(r["a"], r["b"]): r["sim"] for r in sims.collect()}
+    oml = 1.0 - lam
+    picked, out = [], []
+    while len(out) < min(k, len(rels)):
+        best = None
+        for c in sorted(rels):           # vec_id asc = tie order
+            if c in picked:
+                continue
+            mx = max((sim[(c, s)] for s in picked), default=0.0)
+            m = _mmr_round6(lam * rels[c] - oml * mx)
+            if best is None or m > best[0]:
+                best = (m, c)
+        out.append((len(out) + 1, best[1], best[0]))
+        picked.append(best[1])
+    return spark.createDataFrame(
+        out, "rank long, vec_id long, mmr double"
+    ).orderBy("rank")
+
+
 def hybrid_rrf_topk(spark, sf_dir, terms=("spark", "query", "join"),
                     query_vec_id=0, depth=50, k=10,
                     rrf_k=60) -> DataFrame:

@@ -1539,6 +1539,42 @@ def test_rocchio_expansion_recalls_unreachable_doc(spark, tmp_path):
     assert w[0][0] > w[1][0] == w[2][0]
 
 
+def test_mmr_diversifies_clone_pool(spark, tmp_path):
+    """Planted geometry: three near-identical 'clone' vectors sit
+    closest to the query, one orthogonal-to-the-clones vector has the
+    same relevance.  Plain cosine ranks the clones 1-2-3; MMR picks
+    one clone, then the orthogonal vector (redundancy-penalty beats
+    the clone twins), then a clone — the defining MMR behavior."""
+    from searchengine_spark.ops.textops import ann_cosine_topk, mmr_topk
+
+    r = 0.7071
+    rows = [
+        (0, [1.0, 0.0, 0.0]),            # query
+        (1, [r, r, 0.0]),                # clones (tiny z jitter keeps
+        (2, [r, r, 0.001]),              # ids distinct, sim ~= 1.0)
+        (3, [r, r, 0.002]),
+        (4, [r, -r, 0.0]),               # same rel, orthogonal to clones
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sf = str(tmp_path / "mmr")
+    emb.write.parquet(f"{sf}/embeddings.parquet")
+
+    plain = [r_["vec_id"] for r_ in
+             ann_cosine_topk(spark, sf, k=3).collect()]
+    assert plain == [1, 2, 3]            # cosine alone: all clones
+
+    got = mmr_topk(spark, sf, k=3, pool=4).collect()
+    assert [r_["rank"] for r_ in got] == [1, 2, 3]
+    ids = [r_["vec_id"] for r_ in got]
+    assert ids[0] in (1, 2, 3)           # best clone first
+    assert ids[1] == 4                   # diversification kicks in
+    assert ids[2] in (1, 2, 3)           # then back to the clones
+    # scores are monotone nonincreasing and rounded to 6dp
+    ms = [r_["mmr"] for r_ in got]
+    assert ms == sorted(ms, reverse=True)
+    assert all(abs(m - round(m, 6)) < 1e-12 for m in ms)
+
+
 def test_search_eval_ndcg_matches_python(spark, tmp_path, monkeypatch):
     """Planted corpus where the BM25 ranking diverges from the ideal
     (a term-stuffed rel=1 doc outscores short rel=2 docs), so NDCG < 1
