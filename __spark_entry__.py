@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "fuzzy_terms": T.fuzzy_terms,
+        "phrase_suggest": T.phrase_suggest,
         "tfidf_keywords": T.tfidf_keywords,
         "more_like_this": T.more_like_this,
         "rocchio_topk": T.rocchio_topk,
@@ -1532,6 +1533,12 @@ def oracle_sql() -> dict[str, str]:
         SPLIT_FRACS,
     )
     from searchengine_spark.ops.textops import LM_K, LM_MU, LM_TERMS
+    from searchengine_spark.ops.textops import (
+        FUZZY_MIN_LEN as _SG_MINLEN,
+        SUGG_EDIT_LP as _SG_LP,
+        SUGG_LAMBDA as _SG_LAM,
+        SUGG_TOPN as _SG_TOPN,
+    )
 
     _split_thr_test = _rate_threshold_hex(SPLIT_FRACS["test"])
     _split_thr_val = _rate_threshold_hex(
@@ -1863,6 +1870,53 @@ def oracle_sql() -> dict[str, str]:
             FROM c2 JOIN cl USING (lhs) JOIN cr USING (rhs) CROSS JOIN t
             WHERE n >= {COLLOC_MIN_COUNT}
             ORDER BY pmi DESC, lhs, rhs LIMIT {COLLOC_TOPN}
+        """,
+        # noisy-channel phrase suggester (ops/textops.phrase_suggest):
+        # shares the interpolated-bigram CTEs; candidates by brute-force
+        # levenshtein <= 1 (losslessness proof of the symmetric-delete
+        # join); unseen bigram -> unigram backoff alone
+        "phrase_suggest": f"""
+            WITH {_bg_ctes},
+            top1 AS (
+              SELECT prev, term FROM c2
+              WHERE length(prev) >= {_SG_MINLEN}
+                AND length(term) >= {_SG_MINLEN} AND prev != term
+              ORDER BY c2 DESC, prev, term LIMIT 1),
+            probes AS (
+              SELECT 1 AS slot,
+                     substr(prev, 1, 1) || substr(prev, 3) AS q FROM top1
+              UNION ALL
+              SELECT 2, substr(term, 1, 1) || substr(term, 3) FROM top1),
+            dict AS (SELECT DISTINCT term FROM cu),
+            cand AS (
+              SELECT p.slot, d.term,
+                     levenshtein(p.q, d.term)::BIGINT AS dist
+              FROM probes p JOIN dict d
+                ON levenshtein(p.q, d.term) <= 1),
+            pp AS (
+              SELECT a.term AS term1, a.dist AS d1,
+                     b.term AS term2, b.dist AS d2
+              FROM cand a JOIN cand b ON a.slot = 1 AND b.slot = 2),
+            scored AS (
+              SELECT pp.term1, pp.term2,
+                     round( ln(u1.cu / t.tot)
+                          + ln(CASE WHEN bc.c2 IS NOT NULL
+                               THEN {_SG_LAM} * bc.c2 / cx.c1
+                                    + {1.0 - _SG_LAM} * u2.cu / t.tot
+                               ELSE {1.0 - _SG_LAM} * u2.cu / t.tot END)
+                          + {_SG_LP} * (pp.d1 + pp.d2), 6) AS score
+              FROM pp
+              JOIN cu u1 ON u1.term = pp.term1
+              JOIN cu u2 ON u2.term = pp.term2
+              LEFT JOIN c2 bc
+                ON bc.prev = pp.term1 AND bc.term = pp.term2
+              LEFT JOIN c1 cx ON cx.prev = pp.term1
+              CROSS JOIN t)
+            SELECT rank, term1, term2, score FROM (
+              SELECT *, row_number() OVER (
+                ORDER BY score DESC, term1, term2)::BIGINT AS rank
+              FROM scored)
+            WHERE rank <= {_SG_TOPN} ORDER BY rank
         """,
         "events_windowed": f"""
             SELECT strftime(date_trunc('{_win_unit}', ts),

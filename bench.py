@@ -344,6 +344,8 @@ def _run_ops_tier(spark):
           lambda: T.rocchio_topk(spark, SF_DIR).count())
     timed("mmr_sec",
           lambda: T.mmr_topk(spark, SF_DIR).count())
+    timed("phrase_suggest_sec",
+          lambda: T.phrase_suggest(spark, SF_DIR).count())
     timed("search_eval_ndcg_sec",
           lambda: T.search_eval_ndcg(spark, SF_DIR).count())
 

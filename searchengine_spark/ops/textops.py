@@ -1132,6 +1132,147 @@ def fuzzy_terms(spark, sf_dir, topn: int = FUZZY_TOPN) -> DataFrame:
     )
 
 
+# phrase (whole-query) suggester — pinned parameters, interpolated
+# into the DuckDB oracle (change Spark and SQL together; lambda AND
+# 1-lambda via their exact double reprs, the bigram_logprob rule)
+SUGG_LAMBDA = 0.8    # bigram interpolation weight (bigram_logprob's)
+SUGG_EDIT_LP = -1.0  # ln-space channel penalty per edit
+SUGG_TOPN = 3        # suggestion pairs returned
+
+
+def phrase_suggest(spark, sf_dir, topn=SUGG_TOPN, lam=SUGG_LAMBDA,
+                   edit_lp=SUGG_EDIT_LP) -> DataFrame:
+    """Noisy-channel WHOLE-QUERY did-you-mean (the Lucene/ES phrase-
+    suggester surface): candidate corrections for each query token are
+    scored TOGETHER under the corpus's interpolated bigram LM, so
+    context picks the pair — where fuzzy_terms / corrected_topk rank
+    each term independently by (dist, df), this op can prefer a
+    lower-df candidate because it actually FOLLOWS the other term:
+
+        score(c1, c2) = round( ln(cu(c1)/total)
+                             + ln(lam * c2(c1,c2)/ctx(c1)
+                                  + (1-lam) * cu(c2)/total)
+                             + edit_lp * (dist1 + dist2), 6)
+
+    (unseen bigram -> the unigram backoff term alone; the interpolated
+    LM and its constants are bigram_logprob's).  The probe query is
+    corpus-derived like fuzzy_terms': the top corpus bigram with both
+    sides >= FUZZY_MIN_LEN chars and distinct (ties -> lexicographic),
+    each side misspelled by deleting its 2nd character.  Candidates
+    are the symmetric-delete lev<=1 dictionary neighborhoods (the
+    fuzzy_terms join, brute-force-oracled lossless).  Ranks
+    (score desc, term1 asc, term2 asc), top ``topn``.
+    (rank, term1, term2, score), rank asc.
+
+    Scale: bigram/unigram stats are the bigram_logprob shuffles; the
+    candidate sets are two lev<=1 neighborhoods (bounded), their pair
+    cross join is |c1|x|c2| bounded rows, and every stats join against
+    the pair list is pre-filtered by a broadcast of that list — no
+    corpus-scale side ever joins unpruned.
+    """
+    d = documents(spark, sf_dir).select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)
+        ).alias("pos", "term"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.withColumn("prev", F.lag("term").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("prev", "term")
+    )
+    bg = pairs.groupBy("prev", "term").agg(F.count("*").alias("bc"))
+    ctx = bg.groupBy("prev").agg(F.sum("bc").alias("ctx"))
+    cu = toks.groupBy("term").agg(F.count("*").alias("cu"))
+    tot = cu.agg(F.sum("cu").cast("double").alias("tot"))
+
+    top1 = (
+        bg.filter(
+            (F.length("prev") >= FUZZY_MIN_LEN)
+            & (F.length("term") >= FUZZY_MIN_LEN)
+            & (F.col("prev") != F.col("term"))
+        )
+        .orderBy(F.desc("bc"), F.asc("prev"), F.asc("term"))
+        .limit(1)
+    )
+
+    def _mis(c):
+        return F.concat(
+            F.substring(c, 1, 1), F.expr(f"substring({c}, 3)")
+        )
+
+    probes = top1.select(
+        F.posexplode(F.array(_mis("prev"), _mis("term"))).alias(
+            "slot0", "q"
+        )
+    ).select((F.col("slot0") + 1).alias("slot"), "q")
+
+    dict_df = term_dict(spark, sf_dir)
+    cand = _ed1_candidates(probes.select("q").distinct(), dict_df).join(
+        F.broadcast(probes), "q"
+    )
+    cs1 = cand.filter(F.col("slot") == 1).select(
+        F.col("term").alias("term1"), F.col("dist").alias("d1")
+    )
+    cs2 = cand.filter(F.col("slot") == 2).select(
+        F.col("term").alias("term2"), F.col("dist").alias("d2")
+    )
+    pp = cs1.crossJoin(F.broadcast(cs2))
+
+    # pre-filter the corpus-scale stats down to the candidate pairs
+    # (the qterms broadcast pattern), then left-join the tiny results
+    bgq = bg.join(
+        F.broadcast(pp.select(
+            F.col("term1").alias("prev"), F.col("term2").alias("term")
+        ).distinct()),
+        ["prev", "term"],
+    ).select(
+        F.col("prev").alias("term1"), F.col("term").alias("term2"), "bc"
+    )
+    ctxq = ctx.join(
+        F.broadcast(pp.select(F.col("term1").alias("prev")).distinct()),
+        "prev",
+    ).select(F.col("prev").alias("term1"), "ctx")
+    cu1 = cu.join(
+        F.broadcast(pp.select(F.col("term1").alias("term")).distinct()),
+        "term",
+    ).select(F.col("term").alias("term1"), F.col("cu").alias("cu1"))
+    cu2 = cu.join(
+        F.broadcast(pp.select(F.col("term2").alias("term")).distinct()),
+        "term",
+    ).select(F.col("term").alias("term2"), F.col("cu").alias("cu2"))
+
+    scored = (
+        pp.join(F.broadcast(bgq), ["term1", "term2"], "left")
+        .join(F.broadcast(ctxq), "term1", "left")
+        .join(F.broadcast(cu1), "term1")
+        .join(F.broadcast(cu2), "term2")
+        .crossJoin(F.broadcast(tot))
+    )
+    p2 = F.when(
+        F.col("bc").isNotNull(),
+        F.lit(lam) * F.col("bc") / F.col("ctx")
+        + F.lit(1.0 - lam) * F.col("cu2") / F.col("tot"),
+    ).otherwise(F.lit(1.0 - lam) * F.col("cu2") / F.col("tot"))
+    lp = (
+        F.log(F.col("cu1") / F.col("tot"))
+        + F.log(p2)
+        + F.lit(edit_lp) * (F.col("d1") + F.col("d2")).cast("double")
+    )
+    wr = Window.orderBy(F.desc("score"), F.asc("term1"), F.asc("term2"))
+    return (
+        scored.select(
+            "term1", "term2", F.round(lp, 6).alias("score")
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= topn)
+        .select("rank", "term1", "term2", "score")
+        .orderBy("rank")
+    )
+
+
 # spell-corrected search pinned defaults — interpolated into the
 # DuckDB oracle by __spark_entry__ (change Spark and SQL together)
 CORR_BASE_TERMS = ("spark",)  # in-dictionary at every SF (bm25 default)

@@ -1480,6 +1480,46 @@ def test_tfidf_keywords_and_more_like_this(spark, tmp_path):
     assert set(got[1:]) <= {3, 4, 5}
 
 
+def test_phrase_suggest_context_beats_unigram(spark, tmp_path):
+    """Planted corpus where per-term correction and whole-query
+    correction disagree: 'hush' has 5x the df/cu of 'hash' (the
+    (dist, df) rule of fuzzy_terms/corrected_topk would pick it), but
+    'table hash' is a frequent bigram while 'table hush' never occurs
+    — the bigram LM must rank (table, hash) first.  Scores are
+    recomputed brute-force with the exact interpolation floats."""
+    import math
+
+    from searchengine_spark.ops.textops import phrase_suggest
+
+    rows = [(i, "table hash") for i in range(1, 11)]
+    rows += [(i, "hush aa") for i in range(11, 61)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path / "sugg")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    # planted contrast is real: hush dominates hash on df and cu
+    # (the unigram rule would correct 'hsh' -> 'hush')
+    got = phrase_suggest(spark, sf).collect()
+    assert [(r["term1"], r["term2"]) for r in got[:2]] == [
+        ("table", "hash"), ("table", "hush")
+    ]
+    # probe = top eligible bigram (table, hash) misspelled to
+    # ('tble', 'hsh'); candidates: tble->{table}, hsh->{hash, hush}
+    lam, oml, tot = 0.8, 1.0 - 0.8, 120.0
+    s1 = round(
+        math.log(10 / tot)                       # P(table)
+        + math.log(lam * 10 / 10 + oml * 10 / tot)  # P(hash|table)
+        - 1.0 * (1 + 1),                         # two edits
+        6,
+    )
+    s2 = round(
+        math.log(10 / tot) + math.log(oml * 50 / tot) - 2.0, 6
+    )
+    assert abs(got[0]["score"] - s1) < 1e-9
+    assert abs(got[1]["score"] - s2) < 1e-9
+    assert got[0]["score"] > got[1]["score"]
+
+
 def test_rocchio_expansion_recalls_unreachable_doc(spark, tmp_path):
     """Planted corpus: the conjunctive seed query ("alpha","beta") can
     never return doc 9 (it has neither term), but every feedback doc
