@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": T.more_like_this,
         "rocchio_topk": T.rocchio_topk,
         "mmr_topk": T.mmr_topk,
+        "result_clusters": T.result_clusters,
         "search_eval_ndcg": T.search_eval_ndcg,
         "pagerank_dupgraph": lambda spark, sf: D.pagerank_dupgraph(
             _docs(spark, sf)
@@ -1356,6 +1357,96 @@ def _rocchio_oracle_sql() -> str:
     """
 
 
+def _result_clusters_oracle_sql() -> str:
+    """DuckDB mirror of ops.textops.result_clusters: disjunctive BM25
+    top-depth -> per-doc top-n tf-idf keywords (rounded-rank) ->
+    edges at >= min_shared shared keywords -> EXACT connected
+    components via the recursive-reachability CTE (the dup_clusters
+    pattern) -> singletons of themselves."""
+    from searchengine_spark.ops.textops import (
+        MLT_KEYWORDS,
+        RC_DEPTH,
+        RC_MIN_SHARED,
+        RC_TERMS,
+    )
+
+    tlist = ", ".join(f"'{t}'" for t in RC_TERMS)
+    return f"""
+        WITH RECURSIVE toks AS ({_TOKS}),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, count(*) AS total_tokens
+               FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(total_tokens) AS avgdl
+                  FROM dl),
+        qterms AS (SELECT unnest([{tlist}]) AS term),
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM tf JOIN qterms USING (term) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id,
+                 round(sum( ln((stats.n - dft.df + 0.5)
+                               / (dft.df + 0.5) + 1.0)
+                            * tf.tf * 2.2
+                            / (tf.tf + 1.2 * (0.25 + 0.75
+                               * dl.total_tokens / stats.avgdl))
+                 ), 6) AS score
+          FROM tf JOIN qterms USING (term) JOIN dft USING (term)
+               JOIN dl USING (doc_id) CROSS JOIN stats
+          GROUP BY tf.doc_id
+        ),
+        res AS (SELECT doc_id, score FROM scored
+                ORDER BY score DESC, doc_id LIMIT {RC_DEPTH}),
+        nn AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+        dfa AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM tf GROUP BY term),
+        kscored AS (
+          SELECT tf.doc_id, tf.term,
+                 round(tf.tf * ln(nn.n::DOUBLE / dfa.df), 6) AS tfidf
+          FROM tf JOIN dfa USING (term) CROSS JOIN nn
+               JOIN res USING (doc_id)
+        ),
+        kws AS (
+          SELECT doc_id, term FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY doc_id
+              ORDER BY tfidf DESC, term) AS rk
+            FROM kscored)
+          WHERE rk <= {MLT_KEYWORDS}
+        ),
+        e0 AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM kws x JOIN kws y
+            ON x.term = y.term AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id
+          HAVING count(*) >= {RC_MIN_SHARED}
+        ),
+        edges AS (SELECT a AS src, b AS dst FROM e0
+                  UNION SELECT b, a FROM e0),
+        reach AS (
+          SELECT src AS node, src AS lab FROM edges
+          UNION
+          SELECT e.dst AS node, r.lab AS lab
+          FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        lab AS (SELECT node AS doc_id, min(lab) AS cluster_id
+                FROM reach GROUP BY node),
+        clus AS (SELECT doc_id, cluster_id,
+                        count(*) OVER (
+                          PARTITION BY cluster_id)::BIGINT
+                          AS cluster_size
+                 FROM lab),
+        allc AS (
+          SELECT * FROM clus
+          UNION ALL
+          SELECT r.doc_id, r.doc_id AS cluster_id, 1::BIGINT
+          FROM res r ANTI JOIN clus c ON r.doc_id = c.doc_id
+        )
+        SELECT a.cluster_id, a.doc_id, r.score, a.cluster_size
+        FROM allc a JOIN res r USING (doc_id)
+        ORDER BY a.cluster_id, a.doc_id
+    """
+
+
 def _mmr_oracle_sql() -> str:
     """DuckDB mirror of ops.textops.mmr_topk: the greedy MMR selection
     unrolled as one CTE stage per pick (the trained-k-means pattern) —
@@ -1651,6 +1742,7 @@ def oracle_sql() -> dict[str, str]:
         "more_like_this": _more_like_this_oracle_sql(),
         "rocchio_topk": _rocchio_oracle_sql(),
         "mmr_topk": _mmr_oracle_sql(),
+        "result_clusters": _result_clusters_oracle_sql(),
         # retrieval-quality evaluation: NDCG@10 of the disjunctive BM25
         # ranking vs term-overlap graded relevance (lexical ann_recall)
         "search_eval_ndcg": _search_eval_oracle_sql(),

@@ -346,6 +346,8 @@ def _run_ops_tier(spark):
           lambda: T.mmr_topk(spark, SF_DIR).count())
     timed("phrase_suggest_sec",
           lambda: T.phrase_suggest(spark, SF_DIR).count())
+    timed("result_clusters_sec",
+          lambda: T.result_clusters(spark, SF_DIR).count())
     timed("search_eval_ndcg_sec",
           lambda: T.search_eval_ndcg(spark, SF_DIR).count())
 

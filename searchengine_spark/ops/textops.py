@@ -1132,6 +1132,104 @@ def fuzzy_terms(spark, sf_dir, topn: int = FUZZY_TOPN) -> DataFrame:
     )
 
 
+# search-result clustering — pinned parameters, interpolated into the
+# DuckDB oracle (change Spark and SQL together)
+RC_TERMS = ("spark", "query", "join")  # the bm25_topk probe set
+RC_DEPTH = 30                          # results clustered (disjunctive)
+RC_MIN_SHARED = 2                      # shared top keywords per edge
+
+
+def result_clusters(spark, sf_dir, terms=RC_TERMS, depth=RC_DEPTH,
+                    min_shared=RC_MIN_SHARED,
+                    topn=MLT_KEYWORDS) -> DataFrame:
+    """Search-result clustering (the Carrot2/Lingo surface): the
+    disjunctive BM25 top-``depth`` for ``terms`` is grouped into topic
+    clusters — two results connect iff they share >= ``min_shared`` of
+    their per-doc top-``topn`` tf-idf keywords (tfidf_keywords'
+    rounded-rank rule, corpus-global df), and clusters are the EXACT
+    connected components of that graph (dup_clusters' min-label
+    propagation with pointer jumping); results sharing no edge stay
+    singleton clusters of themselves.
+    (cluster_id, doc_id, score, cluster_size), cluster_id = smallest
+    member doc_id, ordered (cluster_id, doc_id).
+
+    Scale: the result set is ``depth`` rows (broadcast into the
+    keyword join); edges are <= depth^2 bounded; components converge
+    in O(log diameter) shuffle rounds over those bounded edges.  Only
+    the scoring pass and the keyword df stats touch the corpus.
+    """
+    tf = term_tf(spark, sf_dir)
+    dl = tf.groupBy("doc_id").agg(F.count("*").alias("total_tokens"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg("total_tokens").alias("avgdl")
+    )
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    dft = tf.join(F.broadcast(qterms), "term").groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    hits = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    bm25 = (
+        idf
+        * F.col("tf").cast("double")
+        * F.lit(BM25_K1 + 1)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1 - BM25_B)
+                + F.lit(BM25_B)
+                * F.col("total_tokens").cast("double")
+                / F.col("avgdl")
+            )
+        )
+    )
+    res = (
+        hits.withColumn("bm25", bm25)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("bm25"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(depth)
+    )
+
+    kws = tfidf_keywords(spark, sf_dir, topn).join(
+        F.broadcast(res.select("doc_id")), "doc_id"
+    ).select("doc_id", "term")
+    a = kws.select(F.col("doc_id").alias("a"), "term")
+    b = kws.select(F.col("doc_id").alias("b"), "term")
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .select("a", "b")
+    )
+    from .dedup import dup_clusters
+
+    clus = dup_clusters(pairs)
+    singles = res.select("doc_id").join(
+        clus.select("doc_id"), "doc_id", "left_anti"
+    ).select(
+        "doc_id",
+        F.col("doc_id").alias("cluster_id"),
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    return (
+        clus.unionByName(singles)
+        .join(res, "doc_id")
+        .select("cluster_id", "doc_id", "score", "cluster_size")
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
 # phrase (whole-query) suggester — pinned parameters, interpolated
 # into the DuckDB oracle (change Spark and SQL together; lambda AND
 # 1-lambda via their exact double reprs, the bigram_logprob rule)

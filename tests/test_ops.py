@@ -1480,6 +1480,32 @@ def test_tfidf_keywords_and_more_like_this(spark, tmp_path):
     assert set(got[1:]) <= {3, 4, 5}
 
 
+def test_result_clusters_topic_groups(spark, tmp_path):
+    """Planted result set with two keyword-sharing topic groups and one
+    loner: clustering must yield exactly {1,2}, {3,4}, {5} with
+    min-member cluster ids and correct sizes.  The shared query term
+    'probe' (df = all docs, tfidf 0) must NOT create edges — each doc
+    carries 5 distinctive keywords that crowd it out of the top-5."""
+    from searchengine_spark.ops.textops import result_clusters
+
+    rows = [
+        (1, "probe quantum entanglement qubit photon alpha1"),
+        (2, "probe quantum entanglement qubit photon alpha2"),
+        (3, "probe garden compost mulch trowel beta1"),
+        (4, "probe garden compost mulch trowel beta2"),
+        (5, "probe solo1 solo2 solo3 solo4 solo5"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path / "rc")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    got = result_clusters(spark, sf, terms=("probe",), depth=10).collect()
+    assert [(r["cluster_id"], r["doc_id"], r["cluster_size"])
+            for r in got] == [
+        (1, 1, 2), (1, 2, 2), (3, 3, 2), (3, 4, 2), (5, 5, 1)
+    ]
+
+
 def test_phrase_suggest_context_beats_unigram(spark, tmp_path):
     """Planted corpus where per-term correction and whole-query
     correction disagree: 'hush' has 5x the df/cu of 'hash' (the
