@@ -358,6 +358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_topk": T.mmr_topk,
         "result_clusters": T.result_clusters,
         "search_eval_ndcg": T.search_eval_ndcg,
+        "search_eval_map_mrr": T.search_eval_map_mrr,
+        "term_vectors": T.term_vectors,
         "pagerank_dupgraph": lambda spark, sf: D.pagerank_dupgraph(
             _docs(spark, sf)
         ),
@@ -1566,6 +1568,105 @@ def _search_eval_oracle_sql() -> str:
     """
 
 
+def _search_eval_map_mrr_oracle_sql(k: int = 10) -> str:
+    """DuckDB mirror of ops.textops.search_eval_map_mrr: binary
+    relevance = conjunctive match (rel == nterms), rank over the
+    rounded score, AP@k with the min(R, k) denominator, MRR@k."""
+    from searchengine_spark.ops.textops import EVAL_QUERIES
+
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in EVAL_QUERIES for t in terms
+    )
+    ntvals = ", ".join(
+        f"({qid}, {len(terms)})" for qid, terms in EVAL_QUERIES
+    )
+    return f"""
+        WITH toks AS ({_TOKS}),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, count(*) AS total_tokens
+               FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(total_tokens) AS avgdl
+                  FROM dl),
+        qterms AS (SELECT * FROM (VALUES {qvals}) AS v(qid, term)),
+        nterms AS (SELECT * FROM (VALUES {ntvals}) AS v(qid, nterms)),
+        dft AS (SELECT term, count(DISTINCT tf.doc_id) AS df
+                FROM tf JOIN (SELECT DISTINCT term FROM qterms)
+                  USING (term)
+                GROUP BY term),
+        cand AS (
+          SELECT q.qid, tf.doc_id,
+                 round(sum( ln((stats.n - dft.df + 0.5)
+                               / (dft.df + 0.5) + 1.0)
+                            * tf.tf * 2.2
+                            / (tf.tf + 1.2 * (0.25 + 0.75
+                               * dl.total_tokens / stats.avgdl))
+                 ), 6) AS score,
+                 count(*) AS rel
+          FROM tf JOIN qterms q USING (term) JOIN dft USING (term)
+               JOIN dl USING (doc_id) CROSS JOIN stats
+          GROUP BY q.qid, tf.doc_id
+        ),
+        flag AS (
+          SELECT c.*, (c.rel = n.nterms)::BIGINT AS is_rel
+          FROM cand c JOIN nterms n USING (qid)
+        ),
+        rt AS (SELECT qid, sum(is_rel) AS r_total
+               FROM flag GROUP BY qid),
+        ranked AS (
+          SELECT *,
+                 row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, doc_id
+                 ) AS rank,
+                 sum(is_rel) OVER (
+                   PARTITION BY qid ORDER BY score DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS cum_rel
+          FROM flag
+        ),
+        perq AS (
+          SELECT qid,
+                 sum(CASE WHEN is_rel = 1
+                          THEN cum_rel::DOUBLE / rank
+                          ELSE 0.0::DOUBLE END) AS ap_num,
+                 max(CASE WHEN is_rel = 1
+                          THEN 1.0::DOUBLE / rank
+                          ELSE 0.0::DOUBLE END) AS mrr_raw
+          FROM ranked WHERE rank <= {k} GROUP BY qid
+        )
+        SELECT p.qid::BIGINT AS qid,
+               round(p.ap_num
+                     / greatest(least(r.r_total, {k})::DOUBLE, 1.0),
+                     6) AS ap,
+               round(p.mrr_raw, 6) AS mrr
+        FROM perq p JOIN rt r USING (qid)
+    """
+
+
+def _term_vectors_oracle_sql() -> str:
+    """DuckDB mirror of ops.textops.term_vectors: 1-based positions
+    from generate_series over the token array (the kwic pattern),
+    position list comma-joined in position order."""
+    from searchengine_spark.ops.textops import TV_DOC_IDS
+
+    ids = ", ".join(str(int(d)) for d in TV_DOC_IDS)
+    return f"""
+        WITH rawtoks AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents WHERE doc_id IN ({ids})),
+        pos AS (
+          SELECT doc_id, t[i] AS term, i AS pos
+          FROM rawtoks, LATERAL (
+            SELECT unnest(generate_series(1, len(t))) AS i) g)
+        SELECT doc_id, term, count(*)::BIGINT AS tf,
+               min(pos)::BIGINT AS first_pos,
+               string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+        FROM pos GROUP BY doc_id, term
+    """
+
+
 def _fuzzy_terms_oracle_sql() -> str:
     """DuckDB mirror of ops.textops.fuzzy_terms — brute-force: every
     (probe, dict term) pair at levenshtein <= 1, ranked (dist, df desc,
@@ -1746,6 +1847,13 @@ def oracle_sql() -> dict[str, str]:
         # retrieval-quality evaluation: NDCG@10 of the disjunctive BM25
         # ranking vs term-overlap graded relevance (lexical ann_recall)
         "search_eval_ndcg": _search_eval_oracle_sql(),
+        # binary-relevance twin: MAP@10 / MRR@10 vs conjunctive-match
+        # qrels (ops/textops.search_eval_map_mrr)
+        "search_eval_map_mrr": _search_eval_map_mrr_oracle_sql(),
+        # ES _termvectors-shape surface: per pinned doc, each term's
+        # tf / first position / full 1-based position list
+        # (ops/textops.term_vectors; TV_DOC_IDS interpolated)
+        "term_vectors": _term_vectors_oracle_sql(),
         # the composed training-data pipeline: exact dedup → minhash
         # near-dup (local-min) → one-pass token features → quality gate
         # → token-budget prefix cut.  Same shingle/signature/lang/quality

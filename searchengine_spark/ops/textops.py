@@ -733,26 +733,21 @@ EVAL_QUERIES = [
     (1, ("spark", "query", "join")),
     (2, ("table", "hash")),
     (3, ("data", "stream", "batch")),
+    # "dup" is the one rare term in the synthetic vocabulary (~5% df at
+    # every SF): mixing it with common terms makes the binary qrels
+    # discriminative — MAP@10 lands in (0.2, 0.7) and MRR < 1 at some
+    # SFs instead of the degenerate all-1.0 that all-common-term
+    # queries produce (every term present at sf0.001/0.01/0.1; checked)
+    (4, ("dup", "key", "fast")),
 ]
 
 
-def search_eval_ndcg(spark, sf_dir, k: int = 10) -> DataFrame:
-    """Retrieval-quality evaluation: NDCG@k of the disjunctive BM25
-    ranking per pinned query, graded relevance = number of distinct
-    query terms the doc contains (the deterministic qrels any synthetic
-    corpus supports — the lexical twin of ann_recall).
-
-    gain = 2^rel - 1, discount = log2(rank + 1); ranking rank over the
-    6dp-ROUNDED score with doc_id tie-break (rounded-rank contract);
-    ideal ranking over (rel desc, doc_id asc).  (qid, ndcg) rounded 6.
-
-    Scale: the query set broadcasts; rel and score are one shuffle agg
-    each over the qterm-joined postings; both windows partition by qid
-    over ... the qid-matched candidate set (bounded by matching docs).
-    At 100 TB the candidate windows are the same two-phase salted
-    top-k the engine's scorer uses — here the driver-entry form keeps
-    the plain window for oracle parity.
-    """
+def _eval_candidates(spark, sf_dir) -> DataFrame:
+    """Shared qrels/candidate core of the retrieval-eval family:
+    (qid, doc_id, score, rel) — disjunctive BM25 per pinned EVAL_QUERIES
+    query (score rounded 6, the rounded-rank contract) and rel = number
+    of distinct query terms the doc contains (the deterministic graded
+    qrels any synthetic corpus supports)."""
     qrows = [(qid, t) for qid, terms in EVAL_QUERIES for t in terms]
     qterms = spark.createDataFrame(qrows, "qid long, term string")
     tf = term_tf(spark, sf_dir)
@@ -788,10 +783,30 @@ def search_eval_ndcg(spark, sf_dir, k: int = 10) -> DataFrame:
             )
         )
     )
-    cand = hits.withColumn("bm25", bm25).groupBy("qid", "doc_id").agg(
+    return hits.withColumn("bm25", bm25).groupBy("qid", "doc_id").agg(
         F.round(F.sum("bm25"), 6).alias("score"),
         F.count("*").alias("rel"),  # distinct terms matched (tf rows)
     )
+
+
+def search_eval_ndcg(spark, sf_dir, k: int = 10) -> DataFrame:
+    """Retrieval-quality evaluation: NDCG@k of the disjunctive BM25
+    ranking per pinned query, graded relevance = number of distinct
+    query terms the doc contains (the deterministic qrels any synthetic
+    corpus supports — the lexical twin of ann_recall).
+
+    gain = 2^rel - 1, discount = log2(rank + 1); ranking rank over the
+    6dp-ROUNDED score with doc_id tie-break (rounded-rank contract);
+    ideal ranking over (rel desc, doc_id asc).  (qid, ndcg) rounded 6.
+
+    Scale: the query set broadcasts; rel and score are one shuffle agg
+    each over the qterm-joined postings; both windows partition by qid
+    over ... the qid-matched candidate set (bounded by matching docs).
+    At 100 TB the candidate windows are the same two-phase salted
+    top-k the engine's scorer uses — here the driver-entry form keeps
+    the plain window for oracle parity.
+    """
+    cand = _eval_candidates(spark, sf_dir)
     gain = F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0
     wr = Window.partitionBy("qid").orderBy(
         F.desc("score"), F.asc("doc_id")
@@ -823,6 +838,96 @@ def search_eval_ndcg(spark, sf_dir, k: int = 10) -> DataFrame:
             "qid",
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         )
+    )
+
+
+def search_eval_map_mrr(spark, sf_dir, k: int = 10) -> DataFrame:
+    """Retrieval-quality evaluation, binary-relevance twin of
+    search_eval_ndcg: MAP@k and MRR@k of the disjunctive BM25 ranking
+    per pinned EVAL_QUERIES query.
+
+    Relevant = the doc contains ALL the query's terms (rel == nterms —
+    the conjunctive-match qrels).  Ranking rank = row_number over the
+    6dp-ROUNDED score with doc_id tie-break (rounded-rank contract).
+    ap = sum over relevant ranks r <= k of (cum_rel(r) / r), divided by
+    min(R, k) with R = TOTAL relevant docs for the query (the standard
+    AP@k denominator); mrr = 1/rank of the first relevant doc within
+    top k, 0.0 if none.  (qid, ap, mrr) rounded 6.
+
+    Scale: same shape as search_eval_ndcg — broadcast query set, one
+    shuffle agg for candidates, per-qid windows over the qid-matched
+    candidate set only.
+    """
+    nt_rows = [(qid, len(terms)) for qid, terms in EVAL_QUERIES]
+    ntdf = spark.createDataFrame(nt_rows, "qid long, nterms long")
+    cand = (
+        _eval_candidates(spark, sf_dir)
+        .join(F.broadcast(ntdf), "qid")
+        .withColumn(
+            "is_rel",
+            (F.col("rel") == F.col("nterms")).cast("long"),
+        )
+    )
+    r_total = cand.groupBy("qid").agg(F.sum("is_rel").alias("r_total"))
+    wr = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    wcum = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        cand.withColumn("rank", F.row_number().over(wr))
+        .withColumn("cum_rel", F.sum("is_rel").over(wcum))
+        .filter(F.col("rank") <= k)
+    )
+    per_q = ranked.groupBy("qid").agg(
+        F.sum(
+            F.when(
+                F.col("is_rel") == 1,
+                F.col("cum_rel").cast("double") / F.col("rank"),
+            ).otherwise(F.lit(0.0))
+        ).alias("ap_num"),
+        F.max(
+            F.when(
+                F.col("is_rel") == 1, F.lit(1.0) / F.col("rank")
+            ).otherwise(F.lit(0.0))
+        ).alias("mrr_raw"),
+    )
+    denom = F.greatest(
+        F.least(F.col("r_total"), F.lit(k)).cast("double"), F.lit(1.0)
+    )
+    return per_q.join(r_total, "qid").select(
+        "qid",
+        F.round(F.col("ap_num") / denom, 6).alias("ap"),
+        F.round(F.col("mrr_raw"), 6).alias("mrr"),
+    )
+
+
+TV_DOC_IDS = (1, 2, 3)   # pinned driver-entry term-vectors docs
+
+
+def term_vectors(spark, sf_dir, doc_ids=TV_DOC_IDS) -> DataFrame:
+    """Per-document term-vectors surface (the Elasticsearch _termvectors
+    API shape): for each pinned doc, every term with its tf, first
+    position, and the full 1-based position list (comma-joined string —
+    cross-engine comparable without array-type hashing).
+
+    The position agg is array_sort(collect_list) — order-insensitive,
+    so the result is partition-count invariant.  Scale: the doc_id
+    filter prunes at the scan (pushed IN filter); the groupBy touches
+    only the selected docs' tokens.
+    """
+    toks = doc_tokens(spark, sf_dir).filter(
+        F.col("doc_id").isin(*[int(d) for d in doc_ids])
+    )
+    return toks.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"),
+        F.min("pos").alias("first_pos"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("pos")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("positions"),
     )
 
 

@@ -1713,6 +1713,110 @@ def test_search_eval_ndcg_matches_python(spark, tmp_path, monkeypatch):
     assert got[1] < 1.0           # the planted divergence is real
 
 
+def test_search_eval_map_mrr_matches_python(spark, tmp_path, monkeypatch):
+    """Same planted corpus as the NDCG test (a term-stuffed rel=1 doc
+    holds rank 2, splitting the relevant pair), so AP@k < 1 for the
+    planted query — recomputed brute-force in Python with the op's
+    exact conventions (binary rel = conjunctive match, rounded-rank,
+    min(R, k) AP denominator)."""
+    import math
+
+    import searchengine_spark.ops.textops as TT
+    from searchengine_spark.text.tokenizer import tokenize
+
+    monkeypatch.setattr(
+        TT, "EVAL_QUERIES", [(1, ("apple", "banana")), (2, ("cherry",))]
+    )
+    rows = [
+        (1, " ".join(["apple"] * 30)),               # rel 1, huge tf
+        (2, "apple banana " + " ".join(f"f{i}" for i in range(40))),
+        (3, "apple banana fig"),                      # rel 2, short
+        (4, "banana only here"),
+        (5, "cherry pie cherry cobbler"),
+        (6, "no relevant terms at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path / "mapmrr")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    toks = {d: tokenize(t) for d, t in rows}
+    tf = {d: {} for d in toks}
+    for d, ts in toks.items():
+        for t in ts:
+            tf[d][t] = tf[d].get(t, 0) + 1
+    dl = {d: len(v) for d, v in tf.items()}          # distinct terms
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    df = {}
+    for d, v in tf.items():
+        for t in v:
+            df[t] = df.get(t, 0) + 1
+
+    def bm25(d, terms):
+        s = 0.0
+        for t in terms:
+            if t in tf[d]:
+                idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                x = tf[d][t]
+                s += idf * x * 2.2 / (
+                    x + 1.2 * (0.25 + 0.75 * dl[d] / avgdl)
+                )
+        return round(s, 6)
+
+    def ap_mrr(terms, k=10):
+        cand = [
+            (d, bm25(d, terms), len([t for t in terms if t in tf[d]]))
+            for d in tf if any(t in tf[d] for t in terms)
+        ]
+        ranked = sorted(cand, key=lambda x: (-x[1], x[0]))[:k]
+        r_total = sum(1 for _, _, r in cand if r == len(terms))
+        cum, ap_num, mrr = 0, 0.0, 0.0
+        for i, (_, _, r) in enumerate(ranked):
+            if r == len(terms):
+                cum += 1
+                ap_num += cum / (i + 1)
+                if mrr == 0.0:
+                    mrr = 1.0 / (i + 1)
+        return (
+            round(ap_num / max(min(r_total, k), 1), 6), round(mrr, 6)
+        )
+
+    got = {
+        r["qid"]: (r["ap"], r["mrr"])
+        for r in TT.search_eval_map_mrr(spark, sf).collect()
+    }
+    assert got == {
+        1: ap_mrr(("apple", "banana")), 2: ap_mrr(("cherry",))
+    }
+    assert got[1][0] < 1.0     # the stuffed doc splits the relevant pair
+    assert got[2] == (1.0, 1.0)
+
+
+def test_term_vectors_match_python(spark, tmp_path):
+    """Term-vectors surface vs a direct recomputation: 1-based
+    positions in order, tf, first_pos; non-selected docs excluded."""
+    import searchengine_spark.ops.textops as TT
+
+    rows = [(1, "Apple banana apple FIG"), (2, "solo doc"),
+            (3, "x1 y2 x1")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path / "tv")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    got = {
+        (r["doc_id"], r["term"]):
+            (r["tf"], r["first_pos"], r["positions"])
+        for r in TT.term_vectors(spark, sf, doc_ids=(1, 3)).collect()
+    }
+    assert got == {
+        (1, "apple"): (2, 1, "1,3"),
+        (1, "banana"): (1, 2, "2"),
+        (1, "fig"): (1, 4, "4"),
+        (3, "x1"): (2, 1, "1,3"),
+        (3, "y2"): (1, 2, "2"),
+    }
+
+
 def test_repetition_stats_match_python(spark):
     """Dup-n-gram occupancy equals a direct Python recomputation,
     including the no-n-gram -> 0.0 convention."""
