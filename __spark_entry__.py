@@ -289,6 +289,15 @@ def _user_sessions(spark, sf):
     return user_sessions(spark, sf)
 
 
+def _event_bursts(spark, sf):
+    """Per-type hourly z-score burst detection (streaming/windows.py);
+    exact-integer moment sums make the doubles bit-identical across
+    engines before the 6dp round."""
+    from searchengine_spark.streaming.windows import event_bursts
+
+    return event_bursts(spark, sf)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from searchengine_spark.ops import textops as T
     from searchengine_spark.ops import vectors as V
@@ -373,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": X.collocations,
         "events_windowed": _events_windowed,
         "user_sessions": _user_sessions,
+        "event_bursts": _event_bursts,
         "lang_counts": T.lang_counts,
         "phrase_match": T.phrase_match,
         "phrase_match_indexed": T.phrase_match_indexed,
@@ -1745,7 +1755,11 @@ def oracle_sql() -> dict[str, str]:
     # event-time constants interpolated from streaming/windows.py so the
     # oracle can't silently desynchronize from the Spark definitions;
     # date_trunc only expresses 1-unit tumbling windows, hence the guard
-    from searchengine_spark.streaming.windows import SESSION_GAP, WINDOW
+    from searchengine_spark.streaming.windows import (
+        BURST_TOPN as _BURST_TOPN,
+        SESSION_GAP,
+        WINDOW,
+    )
 
     _win_n, _win_unit = WINDOW.split()
     assert _win_n == "1", "events_windowed oracle needs a 1-unit window"
@@ -2126,6 +2140,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # per-type hourly burst z-scores (streaming/windows.event_bursts):
+        # BIGINT moment sums (HUGEINT cast back) -> identical double
+        # arithmetic on both engines; rounded-rank over z; BURST_TOPN
+        # interpolated — change Spark and SQL together
+        "event_bursts": f"""
+            WITH hourly AS (
+              SELECT strftime(date_trunc('{_win_unit}', ts),
+                              '%Y-%m-%d %H:%M:%S') AS window_start,
+                     event_type, count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2),
+            mom AS (
+              SELECT event_type, sum(n)::BIGINT AS s1,
+                     sum(n * n)::BIGINT AS s2, count(*)::BIGINT AS c
+              FROM hourly GROUP BY event_type),
+            j AS (
+              SELECT h.event_type, h.window_start, h.n,
+                     m.s1::DOUBLE / m.c::DOUBLE AS mean,
+                     (m.s2::DOUBLE - (m.s1::DOUBLE * m.s1::DOUBLE)
+                        / m.c::DOUBLE)
+                       / (m.c::DOUBLE - 1.0) AS var
+              FROM hourly h JOIN mom m USING (event_type)
+              WHERE m.c >= 2),
+            scored AS (
+              SELECT event_type, window_start, n,
+                     round((n::DOUBLE - mean) / sqrt(var), 6) AS z
+              FROM j WHERE var > 0)
+            SELECT rank, event_type, window_start, n, z FROM (
+              SELECT *, row_number() OVER (
+                ORDER BY z DESC, event_type, window_start
+              )::BIGINT AS rank
+              FROM scored)
+            WHERE rank <= {_BURST_TOPN} ORDER BY rank
         """,
         "user_sessions": f"""
             WITH ordered AS (

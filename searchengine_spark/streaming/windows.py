@@ -64,6 +64,83 @@ def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _windowed_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+BURST_TOPN = 20   # interpolated into the DuckDB oracle — change both
+
+
+def event_bursts(spark: SparkSession, sf_dir: str,
+                 topn: int = BURST_TOPN) -> DataFrame:
+    """Rate-anomaly (burst) detection over the event stream: per
+    event_type, the z-score of each 1-hour bucket's event count
+    against the type's OBSERVED (nonempty) hourly buckets — the top-n
+    bursts.  Sparse convention: empty hours carry no row (at stream
+    scale the hour grid is never materialized), so the baseline is the
+    nonempty-bucket distribution; pinned in the oracle too.
+
+    Cross-engine float determinism: the moments are EXACT integer sums
+    (s1 = Σn, s2 = Σn², c = #buckets — BIGINT on both engines, DuckDB
+    HUGEINT cast back); mean / sample-variance / z are then the same
+    scalar double expression over identical integers, so both engines
+    produce bit-identical doubles before the 6dp round.  c < 2 or
+    var <= 0 drops the type (no z).  Ranks follow the rounded-rank
+    contract (z rounded 6 BEFORE row_number; ties event_type asc,
+    window_start asc).
+
+    Scale: one shuffle on (type, hour) for the counts; the per-type
+    moments are |types| rows (broadcast back); the final top-n window
+    runs over |type-hours| burst rows — at 100 TB swap it for the
+    two-phase salted top-k; the plain window is kept for oracle parity
+    at driver scale.
+    """
+    from pyspark.sql.window import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = (
+        events.groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    mom = hourly.groupBy("event_type").agg(
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        F.count("*").alias("c"),
+    )
+    cd = F.col("c").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    j = (
+        hourly.join(F.broadcast(mom), "event_type")
+        .filter(F.col("c") >= 2)
+        .withColumn("mean", s1d / cd)
+        .withColumn("var", (s2d - (s1d * s1d) / cd) / (cd - F.lit(1.0)))
+        .filter(F.col("var") > 0)
+    )
+    scored = j.select(
+        "event_type",
+        "window_start",
+        "n",
+        F.round(
+            (F.col("n").cast("double") - F.col("mean"))
+            / F.sqrt(F.col("var")),
+            6,
+        ).alias("z"),
+    )
+    wr = Window.orderBy(
+        F.desc("z"), F.asc("event_type"), F.asc("window_start")
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(wr).cast("long")
+        )
+        .filter(F.col("rank") <= topn)
+        .select("rank", "event_type", "window_start", "n", "z")
+    )
+
+
 SESSION_GAP = "10 minutes"
 
 

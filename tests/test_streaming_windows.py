@@ -229,3 +229,54 @@ def test_sessions_match_python_reference(spark, tmp_path):
     assert (got["session_start"].values
             == epdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f").values).all()
     assert (got["sum_value"].values == epdf["sum_value"].values).all()
+
+
+def test_event_bursts_match_python(spark, tmp_path):
+    """Planted burst: type 'a' has four 2-event hours and one 12-event
+    hour; the z formula (exact-integer moments, sample variance) is
+    recomputed in Python.  A constant-rate type (var 0) and a
+    single-bucket type (c < 2) must be excluded entirely."""
+    import math
+
+    rows = []
+
+    def plant(etype, hour, k):
+        for i in range(k):
+            rows.append(
+                (pd.Timestamp(2024, 1, 1, hour, 0, 30)
+                 + pd.Timedelta(seconds=i), etype)
+            )
+
+    for h, k in enumerate((2, 2, 2, 2, 12)):
+        plant("a", h, k)
+    for h in range(3):
+        plant("flat", h, 3)          # var 0 -> excluded
+    plant("solo", 0, 4)              # one bucket -> excluded
+
+    pdf = pd.DataFrame(rows, columns=["ts", "event_type"])
+    _write_chunks(str(tmp_path / "events.parquet"), [pdf])
+
+    from searchengine_spark.streaming.windows import event_bursts
+
+    got = (event_bursts(spark, str(tmp_path)).toPandas()
+           .sort_values("rank").reset_index(drop=True))
+
+    counts = [2, 2, 2, 2, 12]
+    s1, s2, c = sum(counts), sum(k * k for k in counts), len(counts)
+    mean = s1 / c
+    var = (s2 - s1 * s1 / c) / (c - 1)
+
+    def z(k):
+        return round((k - mean) / math.sqrt(var), 6)
+
+    assert set(got["event_type"]) == {"a"}
+    assert len(got) == 5
+    top = got.iloc[0]
+    assert (top["rank"], top["window_start"], top["n"], top["z"]) == (
+        1, "2024-01-01 04:00:00", 12, z(12)
+    )
+    assert list(got["z"]) == [z(12)] + [z(2)] * 4
+    # ties among the four 2-count hours break by window_start asc
+    assert list(got["window_start"][1:]) == [
+        f"2024-01-01 0{h}:00:00" for h in range(4)
+    ]
