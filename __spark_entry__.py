@@ -455,6 +455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": __import__(
             "searchengine_spark.ops.bpe", fromlist=["bpe_encode"]
         ).bpe_encode,
+        "bpe_fertility": __import__(
+            "searchengine_spark.ops.bpe", fromlist=["bpe_fertility"]
+        ).bpe_fertility,
     }
 
 
@@ -3228,9 +3231,11 @@ def oracle_sql() -> dict[str, str]:
     d["pack_sequences"] = pack_sequences_oracle_sql()
     from searchengine_spark.ops.bpe import (
         bpe_encode_oracle_sql,
+        bpe_fertility_oracle_sql,
         bpe_train_oracle_sql,
     )
 
     d["bpe_train"] = bpe_train_oracle_sql()
     d["bpe_encode"] = bpe_encode_oracle_sql()
+    d["bpe_fertility"] = bpe_fertility_oracle_sql()
     return d

@@ -34,10 +34,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .textops import doc_tokens
+from .textops import doc_tokens, documents
 
-__all__ = ["bpe_train", "bpe_encode", "bpe_train_oracle_sql",
-           "bpe_encode_oracle_sql", "BPE_STEPS"]
+__all__ = ["bpe_train", "bpe_encode", "bpe_fertility",
+           "bpe_train_oracle_sql", "bpe_encode_oracle_sql",
+           "bpe_fertility_oracle_sql", "BPE_STEPS"]
 
 # pinned step count, interpolated into the oracle — change both
 # together; 10 reaches the first CHAINED merges on the test corpus
@@ -143,6 +144,57 @@ def bpe_encode(spark, sf_dir, steps: int = BPE_STEPS) -> DataFrame:
     return out
 
 
+def bpe_fertility(spark, sf_dir, steps: int = BPE_STEPS) -> DataFrame:
+    """Tokenizer-quality report: per-language fertility of the learned
+    vocabulary — (lang, n_words, n_pieces, n_chars, pieces_per_word,
+    chars_per_piece).  pieces_per_word is the classic fertility metric
+    (lower = the tokenizer compresses that language better);
+    chars_per_piece is its inverse view.  The per-lang comparison is
+    what tokenizer-bias audits of multilingual corpora report.
+
+    Cross-engine determinism: the three counters are exact BIGINT sums;
+    both ratios divide the same integers in the same order, so the
+    doubles are bit-identical before the 6dp round.
+
+    Scale: the same vocab-join shape as bpe_encode plus one doc_id join
+    for lang and a |langs|-row aggregation.
+    """
+    _merges, cur = _train(spark, sf_dir, steps)
+    pieces = cur.select(
+        "term", F.size("syms").cast("long").alias("pieces")
+    )
+    langs = documents(spark, sf_dir).select("doc_id", "lang")
+    agg = (
+        doc_tokens(spark, sf_dir)
+        .join(pieces, "term")
+        .join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("pieces").cast("long").alias("n_pieces"),
+            F.sum(F.length("term")).cast("long").alias("n_chars"),
+        )
+    )
+    out = agg.select(
+        "lang",
+        "n_words",
+        "n_pieces",
+        "n_chars",
+        F.round(
+            F.col("n_pieces").cast("double")
+            / F.col("n_words").cast("double"),
+            6,
+        ).alias("pieces_per_word"),
+        F.round(
+            F.col("n_chars").cast("double")
+            / F.col("n_pieces").cast("double"),
+            6,
+        ).alias("chars_per_piece"),
+    )
+    cur.unpersist()  # eligibility only: the plan recomputes if evicted
+    return out
+
+
 def _cte_prefix(steps: int) -> str:
     """Unrolled-CTE body shared by both oracles: s{k} holds
     (term, freq, sym) with sym the space-joined symbol string; m{k} is
@@ -211,4 +263,33 @@ def bpe_encode_oracle_sql(steps: int = BPE_STEPS) -> str:
                sum(pieces)::BIGINT AS n_pieces
         FROM dtoks JOIN pieces USING (term)
         GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def bpe_fertility_oracle_sql(steps: int = BPE_STEPS) -> str:
+    """Mirror of bpe_fertility: the bpe_encode refold + a lang join;
+    ratios divide the exact BIGINT sums in the same order as Spark."""
+    return f"""{_cte_prefix(steps)},
+        pieces AS (SELECT term, len(split(sym, ' '))::BIGINT AS pieces
+                   FROM s{steps}),
+        dtoks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS term
+          FROM documents
+        ),
+        agg AS (
+          SELECT d.lang, count(*)::BIGINT AS n_words,
+                 sum(p.pieces)::BIGINT AS n_pieces,
+                 sum(length(dt.term))::BIGINT AS n_chars
+          FROM dtoks dt JOIN pieces p USING (term)
+               JOIN documents d USING (doc_id)
+          GROUP BY d.lang
+        )
+        SELECT lang, n_words, n_pieces, n_chars,
+               round(n_pieces::DOUBLE / n_words::DOUBLE, 6)
+                 AS pieces_per_word,
+               round(n_chars::DOUBLE / n_pieces::DOUBLE, 6)
+                 AS chars_per_piece
+        FROM agg
     """

@@ -388,6 +388,59 @@ def test_bpe_encode_matches_classic(spark):
         assert nt <= np_ <= sum(len(t) for t in docs[d])
 
 
+def test_bpe_fertility_matches_classic(spark):
+    """Per-lang fertility equals the textbook recomputation: encode
+    every token with the scan-based greedy merges, sum words / pieces
+    / chars per language, divide the exact integers."""
+    import re
+
+    from searchengine_spark.ops.bpe import bpe_fertility, bpe_train
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    merges = [
+        (r["lhs"], r["rhs"]) for r in bpe_train(spark, sf).collect()
+    ]
+
+    def encode(word):
+        syms = list(word)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l
+                        and syms[i + 1] == r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    cache = {}
+    agg = {}
+    for r in rows:
+        toks = re.findall(r"[a-z0-9]+", r["text"].lower())
+        if not toks:
+            continue
+        w, p, c = agg.get(r["lang"], (0, 0, 0))
+        agg[r["lang"]] = (
+            w + len(toks),
+            p + sum(cache.setdefault(t, encode(t)) for t in toks),
+            c + sum(len(t) for t in toks),
+        )
+    want = {
+        lang: (w, p, c, round(p / w, 6), round(c / p, 6))
+        for lang, (w, p, c) in agg.items()
+    }
+    got = {
+        r["lang"]: (r["n_words"], r["n_pieces"], r["n_chars"],
+                    r["pieces_per_word"], r["chars_per_piece"])
+        for r in bpe_fertility(spark, sf).collect()
+    }
+    assert got == want
+
+
 def test_parse_query_boosts():
     """`tok^w` boosts: parsed into boosts{} and must; eligibility
     machinery (slots/scoring) unchanged; every ambiguous or malformed
