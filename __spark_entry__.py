@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": X.decontaminate,
         "stratified_sample": X.stratified_sample,
         "corpus_mixture": X.corpus_mixture,
+        "temperature_mixture": X.temperature_mixture,
         "unigram_logprob": X.unigram_logprob,
         "corpus_split": X.corpus_split,
         "bigram_logprob": X.bigram_logprob,
@@ -1734,6 +1735,7 @@ def oracle_sql() -> dict[str, str]:
         BIGRAM_LAMBDA as _BG_LAM,
         COLLOC_MIN_COUNT,
         COLLOC_TOPN,
+        MIX_TEMP_ALPHA as _mix_alpha,
         PPL_BUCKETS as _PPL_B,
         SPLIT_FRACS,
     )
@@ -2010,6 +2012,35 @@ def oracle_sql() -> dict[str, str]:
                      round((1.0 / nl) / (n_tokens / tot), 6)
                    END AS epochs
             FROM g CROSS JOIN t
+        """,
+        # XLM-R alpha-sampling (ops/mix.temperature_mixture): weight ∝
+        # share^alpha; Σp is the lang-ordered sequential fold on both
+        # engines (list_reduce == F.aggregate with exact 0.0 init);
+        # MIX_TEMP_ALPHA interpolated via repr — change both together
+        "temperature_mixture": f"""
+            WITH per AS (
+              SELECT lang,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+                       AS n
+              FROM documents
+            ),
+            g AS (SELECT lang, sum(n)::BIGINT AS n_tokens
+                  FROM per GROUP BY lang),
+            t AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM g),
+            sh AS (SELECT lang, n_tokens, n_tokens / tot AS share,
+                          pow(n_tokens / tot, {_mix_alpha!r}) AS p
+                   FROM g CROSS JOIN t),
+            sump AS (SELECT list_reduce(list(p ORDER BY lang),
+                                        (acc, x) -> acc + x) AS s
+                     FROM sh),
+            b AS (SELECT lang, n_tokens, share, p / s AS weight,
+                         (p / s) / share AS boost
+                  FROM sh CROSS JOIN sump),
+            mx AS (SELECT max(boost) AS m FROM b)
+            SELECT lang, n_tokens, round(share, 6) AS share,
+                   round(weight, 6) AS weight,
+                   round(boost / m, 6) AS rate
+            FROM b CROSS JOIN mx
         """,
         # corpus-unigram self-perplexity proxy (ops/mix.unigram_logprob):
         # natural log, mean, one 6-decimal rounding (cross-engine float

@@ -199,6 +199,67 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_TEMP_ALPHA = 0.3   # XLM-R's multilingual sampling temperature
+# interpolated into the DuckDB oracle via repr — change both together
+
+
+def temperature_mixture(spark: SparkSession, sf_dir: str,
+                        alpha: float = MIX_TEMP_ALPHA) -> DataFrame:
+    """(lang, n_tokens, share, weight, rate) — temperature-scaled
+    multilingual sampling (the XLM-R / mBERT alpha-sampling rule):
+    target weight_l ∝ share_l^alpha (alpha < 1 flattens the
+    distribution toward low-resource languages), and rate_l is the
+    per-language up/down-sampling factor weight/share normalized so the
+    most-boosted language is exactly 1.0 — feed rate straight into
+    stratified-sampling thresholds.
+
+    Cross-engine float determinism: shares divide exact BIGINT sums;
+    the weight normalizer Σ p_l is a SEQUENTIAL fold over the
+    lang-sorted p list on both engines (F.aggregate vs list_reduce —
+    the repo's dot-product fold pattern; the 0.0 init is exact since
+    0.0 + x == x for p > 0), the rate normalizer is a max
+    (order-free); round-6 at the output only.
+
+    Scale: one shuffle agg to |langs| rows; everything after is
+    broadcast joins over that tiny table — no driver loop.
+    """
+    d = documents(spark, sf_dir)
+    g = (
+        d.select("lang", token_count_col().alias("_n"))
+        .groupBy("lang")
+        .agg(F.sum("_n").cast("long").alias("n_tokens"))
+    )
+    tot = g.agg(F.sum("n_tokens").cast("double").alias("_tot"))
+    sh = (
+        g.join(F.broadcast(tot))
+        .withColumn("share", F.col("n_tokens") / F.col("_tot"))
+        .withColumn("p", F.pow(F.col("share"), F.lit(alpha)))
+    )
+    sump = sh.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "p"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("_sump")
+    )
+    b = (
+        sh.join(F.broadcast(sump))
+        .withColumn("weight", F.col("p") / F.col("_sump"))
+        .withColumn("boost", F.col("weight") / F.col("share"))
+    )
+    mx = b.agg(F.max("boost").alias("_mx"))
+    return (
+        b.join(F.broadcast(mx))
+        .select(
+            "lang",
+            "n_tokens",
+            F.round("share", 6).alias("share"),
+            F.round("weight", 6).alias("weight"),
+            F.round(F.col("boost") / F.col("_mx"), 6).alias("rate"),
+        )
+    )
+
+
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_tokens, nll) — per-doc mean negative log-probability
     under the corpus unigram LM: nll = -Σ_t tf_t·ln(cf_t/total) / len.

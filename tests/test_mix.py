@@ -109,6 +109,50 @@ def test_corpus_mixture_matches_python(spark, docs_pd):
         assert abs(r["token_share"] * r["epochs"] - 1.0 / nl) < 1e-4
 
 
+def test_temperature_mixture_matches_python(spark, docs_pd):
+    """alpha-sampling recomputed in Python with the exact fold order
+    (lang-sorted sequential sum), plus the semantic properties: weights
+    form a flatter distribution than shares, rates normalize to max 1,
+    and the highest-share language is the most downsampled."""
+    from searchengine_spark.ops.mix import (
+        MIX_TEMP_ALPHA,
+        temperature_mixture,
+    )
+
+    rows = {
+        r["lang"]: r for r in temperature_mixture(spark, SF).collect()
+    }
+    toks = Counter()
+    for _, r in docs_pd.iterrows():
+        toks[r["lang"]] += len(_TOK.findall(r["text"].lower()))
+    total = float(sum(toks.values()))
+    share = {lang: n / total for lang, n in toks.items()}
+    p = {lang: math.pow(s, MIX_TEMP_ALPHA) for lang, s in share.items()}
+    sump = 0.0
+    for lang in sorted(p):           # the pinned sequential fold order
+        sump += p[lang]
+    weight = {lang: v / sump for lang, v in p.items()}
+    boost = {lang: weight[lang] / share[lang] for lang in share}
+    mx = max(boost.values())
+
+    assert set(rows) == set(toks)
+    for lang, r in rows.items():
+        assert r["n_tokens"] == toks[lang]
+        assert r["share"] == round(share[lang], 6)
+        assert r["weight"] == round(weight[lang], 6)
+        assert r["rate"] == round(boost[lang] / mx, 6)
+    assert max(r["rate"] for r in rows.values()) == 1.0
+    # temperature flattening: weights are strictly between share and
+    # uniform for every non-uniform language
+    nl = len(rows)
+    for lang, r in rows.items():
+        if abs(share[lang] - 1.0 / nl) > 1e-9:
+            lo, hi = sorted((share[lang], 1.0 / nl))
+            assert lo < weight[lang] < hi
+    top = max(share, key=share.get)
+    assert rows[top]["rate"] == min(r["rate"] for r in rows.values())
+
+
 def test_unigram_logprob_matches_python(spark, docs_pd):
     got = {
         r["doc_id"]: (r["n_tokens"], r["nll"])
