@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_clusters": T.result_clusters,
         "search_eval_ndcg": T.search_eval_ndcg,
         "search_eval_map_mrr": T.search_eval_map_mrr,
+        "hard_negatives": T.hard_negatives,
         "term_vectors": T.term_vectors,
         "pagerank_dupgraph": lambda spark, sf: D.pagerank_dupgraph(
             _docs(spark, sf)
@@ -1658,6 +1659,69 @@ def _search_eval_map_mrr_oracle_sql(k: int = 10) -> str:
     """
 
 
+def _hard_negatives_oracle_sql() -> str:
+    """DuckDB mirror of ops.textops.hard_negatives: rounded-rank pool
+    of the eval candidates, negatives = rel < nterms, re-ranked among
+    themselves; HN_POOL / HN_K interpolated."""
+    from searchengine_spark.ops.textops import (
+        EVAL_QUERIES,
+        HN_K,
+        HN_POOL,
+    )
+
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in EVAL_QUERIES for t in terms
+    )
+    ntvals = ", ".join(
+        f"({qid}, {len(terms)})" for qid, terms in EVAL_QUERIES
+    )
+    return f"""
+        WITH toks AS ({_TOKS}),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, count(*) AS total_tokens
+               FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(total_tokens) AS avgdl
+                  FROM dl),
+        qterms AS (SELECT * FROM (VALUES {qvals}) AS v(qid, term)),
+        nterms AS (SELECT * FROM (VALUES {ntvals}) AS v(qid, nterms)),
+        dft AS (SELECT term, count(DISTINCT tf.doc_id) AS df
+                FROM tf JOIN (SELECT DISTINCT term FROM qterms)
+                  USING (term)
+                GROUP BY term),
+        cand AS (
+          SELECT q.qid, tf.doc_id,
+                 round(sum( ln((stats.n - dft.df + 0.5)
+                               / (dft.df + 0.5) + 1.0)
+                            * tf.tf * 2.2
+                            / (tf.tf + 1.2 * (0.25 + 0.75
+                               * dl.total_tokens / stats.avgdl))
+                 ), 6) AS score,
+                 count(*) AS rel
+          FROM tf JOIN qterms q USING (term) JOIN dft USING (term)
+               JOIN dl USING (doc_id) CROSS JOIN stats
+          GROUP BY q.qid, tf.doc_id
+        ),
+        ranked AS (
+          SELECT c.*, n.nterms,
+                 row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, doc_id
+                 )::BIGINT AS rank
+          FROM cand c JOIN nterms n USING (qid)
+        ),
+        negs AS (
+          SELECT qid, doc_id, rank, score,
+                 row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, doc_id
+                 )::BIGINT AS neg_rank
+          FROM ranked WHERE rank <= {HN_POOL} AND rel != nterms
+        )
+        SELECT qid::BIGINT AS qid, neg_rank, doc_id, rank, score
+        FROM negs WHERE neg_rank <= {HN_K}
+    """
+
+
 def _term_vectors_oracle_sql() -> str:
     """DuckDB mirror of ops.textops.term_vectors: 1-based positions
     from generate_series over the token array (the kwic pattern),
@@ -1869,6 +1933,8 @@ def oracle_sql() -> dict[str, str]:
         # binary-relevance twin: MAP@10 / MRR@10 vs conjunctive-match
         # qrels (ops/textops.search_eval_map_mrr)
         "search_eval_map_mrr": _search_eval_map_mrr_oracle_sql(),
+        # DPR-style hard-negative mining from the eval retrieval pool
+        "hard_negatives": _hard_negatives_oracle_sql(),
         # ES _termvectors-shape surface: per pinned doc, each term's
         # tf / first position / full 1-based position list
         # (ops/textops.term_vectors; TV_DOC_IDS interpolated)

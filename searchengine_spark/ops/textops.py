@@ -901,6 +901,47 @@ def search_eval_map_mrr(spark, sf_dir, k: int = 10) -> DataFrame:
     )
 
 
+HN_POOL = 20   # retrieval pool depth mined for negatives
+HN_K = 5       # hard negatives kept per query
+# both interpolated into the DuckDB oracle — change Spark + SQL together
+
+
+def hard_negatives(spark, sf_dir, pool: int = HN_POOL,
+                   k: int = HN_K) -> DataFrame:
+    """Hard-negative mining for retriever training (the DPR/contrastive
+    data-prep step): per pinned EVAL_QUERIES query, the top-scoring
+    docs WITHIN the top-``pool`` BM25 retrieval that are NOT
+    conjunctively relevant (rel < nterms) — exactly the
+    high-ranked-but-wrong examples contrastive training wants.
+
+    Ranks follow the rounded-rank contract (row_number over the
+    6dp-rounded score, doc_id tie-break) for both the overall pool rank
+    and the negative rank.  Scale: same shape as the eval family —
+    broadcast query set, one shuffle agg, per-qid windows over the
+    qid-matched candidates only.
+    """
+    nt_rows = [(qid, len(terms)) for qid, terms in EVAL_QUERIES]
+    ntdf = spark.createDataFrame(nt_rows, "qid long, nterms long")
+    cand = _eval_candidates(spark, sf_dir).join(
+        F.broadcast(ntdf), "qid"
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ranked = (
+        cand.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= pool)
+    )
+    negs = ranked.filter(F.col("rel") != F.col("nterms"))
+    return (
+        negs.withColumn(
+            "neg_rank", F.row_number().over(wr).cast("long")
+        )
+        .filter(F.col("neg_rank") <= k)
+        .select("qid", "neg_rank", "doc_id", "rank", "score")
+    )
+
+
 TV_DOC_IDS = (1, 2, 3)   # pinned driver-entry term-vectors docs
 
 

@@ -1792,6 +1792,40 @@ def test_search_eval_map_mrr_matches_python(spark, tmp_path, monkeypatch):
     assert got[2] == (1.0, 1.0)
 
 
+def test_hard_negatives_planted(spark, tmp_path, monkeypatch):
+    """On the planted eval corpus the negatives for (apple, banana)
+    are exactly the high-ranked partial matches — the stuffed rel=1
+    doc (overall rank 2) first, then the banana-only doc — with pool
+    ranks preserved and relevant docs excluded."""
+    import searchengine_spark.ops.textops as TT
+
+    monkeypatch.setattr(
+        TT, "EVAL_QUERIES", [(1, ("apple", "banana")), (2, ("cherry",))]
+    )
+    rows = [
+        (1, " ".join(["apple"] * 30)),               # rel 1, huge tf
+        (2, "apple banana " + " ".join(f"f{i}" for i in range(40))),
+        (3, "apple banana fig"),                      # rel 2, short
+        (4, "banana only here"),
+        (5, "cherry pie cherry cobbler"),
+        (6, "no relevant terms at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path / "hn")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    got = [
+        (r["qid"], r["neg_rank"], r["doc_id"], r["rank"])
+        for r in TT.hard_negatives(spark, sf)
+        .orderBy("qid", "neg_rank").collect()
+    ]
+    # qid 1 ranking: doc3 (rel2, short) > doc1 (stuffed, rel1) > doc4
+    # (banana-only, short, rel1) > doc2 (rel2 but 42 distinct terms);
+    # negatives = doc1 then doc4 with pool ranks 2 and 3.  qid 2's
+    # only match is relevant -> no negatives.
+    assert got == [(1, 1, 1, 2), (1, 2, 4, 3)]
+
+
 def test_term_vectors_match_python(spark, tmp_path):
     """Term-vectors surface vs a direct recomputation: 1-based
     positions in order, tf, first_pos; non-selected docs excluded."""
