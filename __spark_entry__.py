@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": T.corpus_stats,
         "dedup_exact": T.dedup_exact,
         "bm25_topk": T.bm25_topk,
+        "stemmed_topk": T.stemmed_topk,
         "wand_topk": T.wand_topk,
         "wand_or_topk": T.wand_or_topk,
         "bm25_not_topk": T.bm25_not_topk,
@@ -1656,6 +1657,74 @@ def _search_eval_map_mrr_oracle_sql(k: int = 10) -> str:
                      6) AS ap,
                round(p.mrr_raw, 6) AS mrr
         FROM perq p JOIN rt r USING (qid)
+    """
+
+
+def _stemmed_topk_oracle_sql():
+    """DuckDB mirror of ops.textops.stemmed_topk, or None when the
+    test corpora are absent (the entry then stays rows-only).
+
+    DuckDB has no Porter stemmer offline, so the stem map enters the
+    SQL as a VALUES table computed by the in-repo pure-Python stemmer
+    (adjudicated against the published Porter vectors) over the UNION
+    of the test corpora's vocabularies — covering whichever SF the
+    driver compares at.  The SQL proves the distributed pipeline
+    around the stemmer; the stemmer itself has its own vector gate."""
+    import os
+
+    import duckdb
+
+    from searchengine_spark.ops.textops import STEM_K, STEM_QUERY
+    from searchengine_spark.text.porter import porter_stem
+
+    vocab = set()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        con = duckdb.connect()
+        rows = con.sql(
+            "SELECT DISTINCT unnest(regexp_extract_all(lower(text),"
+            f" '[a-z0-9]+')) AS t FROM '{p}'"
+        ).fetchall()
+        con.close()
+        vocab.update(r[0] for r in rows)
+    if not vocab:
+        return None
+    mapvals = ", ".join(
+        f"('{t}', '{porter_stem(t)}')" for t in sorted(vocab)
+    )
+    qstems = sorted({porter_stem(t) for t in STEM_QUERY})
+    qlist = ", ".join(f"'{s}'" for s in qstems)
+    return f"""
+        WITH toks AS ({_TOKS}),
+        smap AS (SELECT * FROM (VALUES {mapvals}) AS v(term, stem)),
+        stoks AS (SELECT doc_id, stem AS term
+                  FROM toks JOIN smap USING (term)),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM stoks
+               GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, count(*) AS total_tokens FROM tf
+               GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(total_tokens) AS avgdl
+                  FROM dl),
+        qterms AS (SELECT unnest([{qlist}]) AS term),
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM tf JOIN qterms USING (term) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                      * tf.tf * 2.2
+                      / (tf.tf + 1.2 * (0.25 + 0.75
+                         * dl.total_tokens / stats.avgdl))
+                 ) AS s,
+                 count(*) AS nmatch
+          FROM tf JOIN qterms USING (term) JOIN dft USING (term)
+               JOIN dl USING (doc_id) CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(s, 6) AS score FROM scored
+        WHERE nmatch = {len(qstems)}
+        ORDER BY score DESC, doc_id LIMIT {STEM_K}
     """
 
 
@@ -3335,4 +3404,10 @@ def oracle_sql() -> dict[str, str]:
     d["bpe_train"] = bpe_train_oracle_sql()
     d["bpe_encode"] = bpe_encode_oracle_sql()
     d["bpe_fertility"] = bpe_fertility_oracle_sql()
+    # stemmed conjunctive BM25: the stem map is interpolated (DuckDB
+    # has no Porter) — None when the test corpora are absent, in which
+    # case the entry stays rows-only
+    _stem_sql = _stemmed_topk_oracle_sql()
+    if _stem_sql is not None:
+        d["stemmed_topk"] = _stem_sql
     return d

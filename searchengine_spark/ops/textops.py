@@ -146,7 +146,13 @@ def bm25_topk(spark, sf_dir, terms=("spark", "query", "join"), k=10) -> DataFram
 def _bm25_scored(spark, sf_dir, terms) -> DataFrame:
     """All conjunctive-BM25 matches as (doc_id, score-rounded-6) — the
     shared scoring core of bm25_topk and hybrid_rrf_topk."""
-    tf = term_tf(spark, sf_dir)
+    return _bm25_scored_tf(spark, term_tf(spark, sf_dir), terms)
+
+
+def _bm25_scored_tf(spark, tf, terms) -> DataFrame:
+    """The _bm25_scored core with the token source factored out: scores
+    an arbitrary (doc_id, term, tf) stream (stemmed_topk feeds the
+    stem-mapped stream through the identical scorer)."""
     dl = tf.groupBy("doc_id").agg(F.count("*").alias("total_tokens"))
     stats = dl.agg(
         F.count("*").alias("n"), F.avg("total_tokens").alias("avgdl")
@@ -185,6 +191,56 @@ def _bm25_scored(spark, sf_dir, terms) -> DataFrame:
         .agg(F.sum("bm25").alias("s"), F.count("*").alias("nmatch"))
         .filter(F.col("nmatch") == len(terms))
         .select("doc_id", F.round(F.col("s"), 6).alias("score"))
+    )
+
+
+STEM_QUERY = ("tables", "hashing")   # inflected forms absent from the
+# corpus surface vocabulary — they match only THROUGH the stemmer
+STEM_K = 10
+# both interpolated into the DuckDB oracle — change Spark + SQL together
+
+
+def stemmed_topk(spark, sf_dir, terms=STEM_QUERY, k=STEM_K) -> DataFrame:
+    """Conjunctive BM25 over PORTER-STEMMED tokens — the first
+    driver-level SQL oracle of the stemmed scoring path (the flagship
+    engine twins are rows-only because DuckDB has no Porter offline).
+
+    Spark computes stems VOCABULARY-sized: distinct terms → Arrow-
+    batched porter_stem → broadcast stem map joined back onto the token
+    stream (the analyze path's semantics in op shape; at 100 TB the
+    stem map is |vocab| ~10⁷ rows, never a per-occurrence Python call).
+    Query terms are stemmed with the same stemmer, so inflected
+    queries ('tables hashing') match base-form documents.
+
+    Oracle: the stem map enters the SQL as a VALUES table computed by
+    the SAME pure-Python stemmer (adjudicated against the published
+    Porter vectors in tests/test_text.py) over the test corpora's
+    vocabulary — the SQL proves the distributed pipeline AROUND the
+    stemmer (tokenize → map join → tf at stem granularity →
+    distinct-stem dl quirk → conjunctive BM25), not the stemmer
+    itself, which has its own vector gate.
+    """
+    import pandas as pd
+
+    from ..text.porter import porter_stem
+
+    @F.pandas_udf("string")
+    def _stem(s: pd.Series) -> pd.Series:
+        return s.map(porter_stem)
+
+    toks = doc_tokens(spark, sf_dir).select("doc_id", "term")
+    smap = toks.select("term").distinct().select(
+        "term", _stem("term").alias("stem")
+    )
+    stoks = toks.join(F.broadcast(smap), "term").select(
+        "doc_id", F.col("stem").alias("term")
+    )
+    tf = stoks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    qstems = sorted({porter_stem(t) for t in terms})
+    return (
+        _bm25_scored_tf(spark, tf, qstems)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
     )
 
 

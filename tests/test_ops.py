@@ -1792,6 +1792,59 @@ def test_search_eval_map_mrr_matches_python(spark, tmp_path, monkeypatch):
     assert got[2] == (1.0, 1.0)
 
 
+def test_stemmed_topk_conflates_forms(spark, tmp_path):
+    """Inflected forms conflate to one stem: tf sums across surface
+    forms and dl is the DISTINCT-STEM count (the engine's doc-length
+    quirk at stem granularity) — recomputed brute-force in Python with
+    the same stemmer."""
+    import math
+    from collections import Counter
+
+    import searchengine_spark.ops.textops as TT
+    from searchengine_spark.text.porter import porter_stem
+
+    rows = [
+        (1, "running runner runs"),     # run x2 + runner
+        (2, "run walk"),
+        (3, "walked walking walks"),    # walk x3, dl 1
+        (4, "unrelated words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path / "stem")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    tf = {}
+    for d, text in rows:
+        c = Counter(porter_stem(t) for t in text.split())
+        tf[d] = dict(c)
+    dl = {d: len(v) for d, v in tf.items()}
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    q = porter_stem("runs")
+    df_q = sum(1 for v in tf.values() if q in v)
+    idf = math.log((n - df_q + 0.5) / (df_q + 0.5) + 1.0)
+
+    def score(d):
+        x = tf[d][q]
+        return round(
+            idf * x * 2.2 / (x + 1.2 * (0.25 + 0.75 * dl[d] / avgdl)),
+            6,
+        )
+
+    got = [
+        (r["doc_id"], r["score"])
+        for r in TT.stemmed_topk(spark, sf, terms=("runs",)).collect()
+    ]
+    want = sorted(
+        ((d, score(d)) for d in tf if q in tf[d]),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert got == want
+    assert {d for d, _ in got} == {1, 2}
+    # doc 1's tf(run) counted BOTH surface forms
+    assert tf[1][q] == 2
+
+
 def test_hard_negatives_planted(spark, tmp_path, monkeypatch):
     """On the planted eval corpus the negatives for (apple, banana)
     are exactly the high-ranked partial matches — the stuffed rel=1
