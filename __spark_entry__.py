@@ -7,14 +7,19 @@ dedup → postings → PageRank/HITS → batch BM25 top-k) on the sf0.001
 ``queries()`` / ``oracle_sql()`` expose SQL-checkable operators from
 SURVEY.md §2 over the driver's parquet tables; each pair is
 semantically identical Spark-vs-DuckDB (same tokenizer regex, same
-literals, same rounding, same column names).  Engine paths that depend
-on Porter stemming are verified against the in-repo Python oracle by
-pytest instead (DuckDB's stemmer is unavailable offline); the stemmed
-``engine_topk`` twins are rows-only here, while ``engine_topk_flat`` /
-``engine_topk_ondisk_flat`` run the SAME pipeline unstemmed so the
-entire engine — docid assignment, dedup, analyze, stats, query prune /
-abort / stopword readmission, BM25+cosine blend, top-k — is
-value-checked against one full-chain DuckDB oracle.
+literals, same rounding, same column names).  ``engine_topk_flat`` /
+``engine_topk_ondisk_flat`` run the engine unstemmed so the entire
+chain — docid assignment, dedup, analyze, stats, query prune / abort /
+stopword readmission, BM25+cosine blend, top-k — is value-checked
+against one full-chain DuckDB oracle; ``engine_topk_stem`` /
+``engine_topk_ondisk_stem`` run the SAME chain with the real Porter
+analyze path on, oracled by the same SQL with corpus and query tokens
+routed through an interpolated (term, stem) VALUES map (DuckDB has no
+Porter offline; the map comes from the in-repo stemmer, which keeps
+its published-vector pytest gate).  Only the flagship ``engine_topk``
+twins (stem + simhash near-dup + graph quality + hash-order ids
+together) remain rows-only, covered by the 20-query rank-identity
+pytest gate.
 """
 
 from __future__ import annotations
@@ -190,6 +195,53 @@ def _run_engine_flat_bm25f(
         spark, queries, _TABLES_CACHE[key], k=k, stem=False,
         importance=True,
     )
+    return res.select(
+        "qid", "rank", "docid", F.round("score", 6).alias("score")
+    )
+
+
+def _engine_tables_stem(spark, sf_dir):
+    """Stemmed SQL-expressible variant: the flat configuration with the
+    REAL Porter analyze chain switched on — the oracle mirrors the stem
+    via an interpolated (term, stem) VALUES map (_testdata_stem_pairs),
+    so the flagship stemmed analyze path gets a full-chain SQL check."""
+    key = (sf_dir, "stem")
+    if key not in _TABLES_CACHE:
+        from searchengine_spark.index import build_tables
+
+        corpus = _documents_as_corpus(spark, sf_dir)
+        _TABLES_CACHE[key] = build_tables(
+            spark, corpus, compute_quality=False, stem=True,
+            near_dup=False,
+        )
+    return _TABLES_CACHE[key]
+
+
+def _run_engine_stem(spark: SparkSession, sf_dir: str, queries,
+                     k=10) -> DataFrame:
+    from searchengine_spark.query.scoring import score_queries
+
+    tables = _engine_tables_stem(spark, sf_dir)
+    res = score_queries(spark, queries, tables, k=k, stem=True)
+    return res.select(
+        "qid", "rank", "docid", F.round("score", 6).alias("score")
+    )
+
+
+def _run_engine_ondisk_stem(
+    spark: SparkSession, sf_dir: str, queries, k=10
+) -> DataFrame:
+    """The stemmed variant served from the compressed on-disk index —
+    same oracle, proving write_index/fetch_postings over the STEMMED
+    term dictionary (different bucket keys than the flat twin)."""
+    from searchengine_spark.index.shards import load_index, write_index
+    from searchengine_spark.query.scoring import score_queries_ondisk
+
+    tables = _engine_tables_stem(spark, sf_dir)
+    d = _index_cache_dir(sf_dir, "enginestem")
+    write_index(spark, tables, d)
+    shards = load_index(spark, d)
+    res = score_queries_ondisk(spark, queries, shards, k=k, stem=True)
     return res.select(
         "qid", "rank", "docid", F.round("score", 6).alias("score")
     )
@@ -422,6 +474,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf, ENGINE_FLAT_QUERIES, k=10
         ),
         "engine_topk_flat_bm25f": lambda spark, sf: _run_engine_flat_bm25f(
+            spark, sf, ENGINE_FLAT_QUERIES, k=10
+        ),
+        "engine_topk_stem": lambda spark, sf: _run_engine_stem(
+            spark, sf, ENGINE_FLAT_QUERIES, k=10
+        ),
+        "engine_topk_ondisk_stem": lambda spark, sf: _run_engine_ondisk_stem(
             spark, sf, ENGINE_FLAT_QUERIES, k=10
         ),
         # query-surface family (ops/search.py): prefix expansion,
@@ -850,7 +908,8 @@ def _pq_trained_oracle_sql() -> str:
     """
 
 
-def _engine_flat_oracle_sql(importance: bool = False) -> str:
+def _engine_flat_oracle_sql(importance: bool = False,
+                            stem: bool = False):
     """ANSI-SQL mirror of the ENTIRE flat engine: corpus mapping → lexical
     docid rank → empty filter → sha256 dedup → unstemmed analyze → stats →
     query prune (abort + stopword-heap readmission, lib/queryproc.py:195-233)
@@ -866,7 +925,18 @@ def _engine_flat_oracle_sql(importance: bool = False) -> str:
     — multiply each hit's BM25 through params.IMPORTANCE, feeding both
     the accumulation and the doc-vector cosine like the reference's
     doc_tfidfs (lib/queryproc.py:74).
+
+    ``stem=True`` mirrors the STEMMED engine (the flagship analyze
+    chain): corpus AND query tokens pass through a (term, stem) VALUES
+    map computed by the in-repo porter_stem over the test corpora's
+    vocabulary plus the pinned query tokens (the stemmed_topk oracle
+    technique — DuckDB has no Porter; the SQL proves the pipeline
+    around the stemmer).  Stopword/prune checks run on the STEMMED
+    term exactly like prune_query_terms does (frequencies come from
+    analyze(stem=True)).  Returns None when the test corpora are
+    absent (entry stays rows-only).
     """
+    assert not (importance and stem), "variants are exercised separately"
     from searchengine_spark.params import (
         AUTH_FACTOR,
         BM25_B,
@@ -947,6 +1017,49 @@ def _engine_flat_oracle_sql(importance: bool = False) -> str:
         if importance
         else ""
     )
+    smap_cte = ""
+    toks_cte = """toks AS (
+          SELECT docid,
+                 unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
+          FROM alive
+        ),"""
+    qtok_cte = """qtok AS (
+          SELECT qid,
+                 unnest(regexp_extract_all(lower(qtext), '[a-z0-9]+')) AS term
+          FROM qraw
+        ),"""
+    if stem:
+        import re as _re
+
+        qtoks = set()
+        for _qid, text in ENGINE_FLAT_QUERIES:
+            qtoks.update(_re.findall(r"[a-z0-9]+", text.lower()))
+        pairs = _testdata_stem_pairs(qtoks)
+        if pairs is None:
+            return None
+        mapvals = ", ".join(f"('{t}', '{s}')" for t, s in pairs)
+        smap_cte = (
+            f"smap AS (SELECT * FROM (VALUES {mapvals})"
+            " AS v(term, stem)),\n        "
+        )
+        toks_cte = """rawtoks AS (
+          SELECT docid,
+                 unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
+          FROM alive
+        ),
+        toks AS (
+          SELECT r.docid, s.stem AS term
+          FROM rawtoks r JOIN smap s USING (term)
+        ),"""
+        qtok_cte = """qtok0 AS (
+          SELECT qid,
+                 unnest(regexp_extract_all(lower(qtext), '[a-z0-9]+')) AS term
+          FROM qraw
+        ),
+        qtok AS (
+          SELECT q.qid, s.stem AS term
+          FROM qtok0 q JOIN smap s USING (term)
+        ),"""
     return f"""
         WITH corpus AS (
           SELECT source AS repo,
@@ -970,11 +1083,7 @@ def _engine_flat_oracle_sql(importance: bool = False) -> str:
               PARTITION BY sha256(content) ORDER BY docid) AS rk
             FROM nonempty) WHERE rk = 1
         ),{imp_ctes}
-        toks AS (
-          SELECT docid,
-                 unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
-          FROM alive
-        ),
+        {smap_cte}{toks_cte}
         tf AS (SELECT docid, term, count(*) AS tf FROM toks GROUP BY docid, term),
         dl AS (SELECT docid, count(*) AS total_tokens FROM tf GROUP BY docid),
         docs AS (
@@ -984,11 +1093,7 @@ def _engine_flat_oracle_sql(importance: bool = False) -> str:
         stats AS (SELECT count(*) AS n, avg(total_tokens) AS avgdl FROM docs),
         termdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         qraw AS (SELECT * FROM (VALUES {qvals}) v(qid, qtext)),
-        qtok AS (
-          SELECT qid,
-                 unnest(regexp_extract_all(lower(qtext), '[a-z0-9]+')) AS term
-          FROM qraw
-        ),
+        {qtok_cte}
         qfreq AS (SELECT qid, term, count(*) AS qtf FROM qtok GROUP BY qid, term),
         qdf AS (
           SELECT q.qid, q.term, q.qtf, coalesce(t.df, 0) AS df,
@@ -1660,40 +1765,58 @@ def _search_eval_map_mrr_oracle_sql(k: int = 10) -> str:
     """
 
 
-def _stemmed_topk_oracle_sql():
-    """DuckDB mirror of ops.textops.stemmed_topk, or None when the
-    test corpora are absent (the entry then stays rows-only).
+_TESTDATA_VOCAB_CACHE = None
 
-    DuckDB has no Porter stemmer offline, so the stem map enters the
-    SQL as a VALUES table computed by the in-repo pure-Python stemmer
-    (adjudicated against the published Porter vectors) over the UNION
-    of the test corpora's vocabularies — covering whichever SF the
-    driver compares at.  The SQL proves the distributed pipeline
-    around the stemmer; the stemmer itself has its own vector gate."""
+
+def _testdata_stem_pairs(extra_tokens=()):
+    """Sorted (term, stem) pairs over the UNION of the test corpora's
+    vocabularies plus ``extra_tokens``, computed by the in-repo
+    pure-Python stemmer (adjudicated against the published Porter
+    vectors) — covers whichever SF the driver compares at.  None when
+    no test corpus is present (stemmed oracles then stay rows-only).
+    DuckDB has no Porter offline; interpolating this map lets the SQL
+    prove the distributed pipeline AROUND the stemmer, which keeps its
+    own vector gate."""
+    global _TESTDATA_VOCAB_CACHE
+
     import os
 
     import duckdb
 
+    from searchengine_spark.text.porter import porter_stem
+
+    if _TESTDATA_VOCAB_CACHE is None:
+        vocab, found = set(), False
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            p = f"/root/testdata/{sf}/documents.parquet"
+            if not os.path.exists(p):
+                continue
+            found = True
+            con = duckdb.connect()
+            rows = con.sql(
+                "SELECT DISTINCT unnest(regexp_extract_all(lower(text),"
+                f" '[a-z0-9]+')) AS t FROM '{p}'"
+            ).fetchall()
+            con.close()
+            vocab.update(r[0] for r in rows)
+        _TESTDATA_VOCAB_CACHE = vocab if found else False
+    if _TESTDATA_VOCAB_CACHE is False:
+        return None
+    allv = _TESTDATA_VOCAB_CACHE | set(extra_tokens)
+    return sorted((t, porter_stem(t)) for t in allv)
+
+
+def _stemmed_topk_oracle_sql():
+    """DuckDB mirror of ops.textops.stemmed_topk, or None when the
+    test corpora are absent (the entry then stays rows-only).  The
+    stem map enters as a VALUES table (_testdata_stem_pairs)."""
     from searchengine_spark.ops.textops import STEM_K, STEM_QUERY
     from searchengine_spark.text.porter import porter_stem
 
-    vocab = set()
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        p = f"/root/testdata/{sf}/documents.parquet"
-        if not os.path.exists(p):
-            continue
-        con = duckdb.connect()
-        rows = con.sql(
-            "SELECT DISTINCT unnest(regexp_extract_all(lower(text),"
-            f" '[a-z0-9]+')) AS t FROM '{p}'"
-        ).fetchall()
-        con.close()
-        vocab.update(r[0] for r in rows)
-    if not vocab:
+    pairs = _testdata_stem_pairs(STEM_QUERY)
+    if pairs is None:
         return None
-    mapvals = ", ".join(
-        f"('{t}', '{porter_stem(t)}')" for t in sorted(vocab)
-    )
+    mapvals = ", ".join(f"('{t}', '{s}')" for t, s in pairs)
     qstems = sorted({porter_stem(t) for t in STEM_QUERY})
     qlist = ", ".join(f"'{s}'" for s in qstems)
     return f"""
@@ -2982,6 +3105,13 @@ def oracle_sql() -> dict[str, str]:
     # multipliers live (proves the carried field machinery, not just
     # the constant-0 parity path)
     d["engine_topk_flat_bm25f"] = _engine_flat_oracle_sql(importance=True)
+    # STEMMED full-chain twins: the same oracle with corpus + query
+    # tokens routed through the interpolated Porter stem map (None →
+    # rows-only when the test corpora are absent)
+    _stem_chain = _engine_flat_oracle_sql(stem=True)
+    if _stem_chain is not None:
+        d["engine_topk_stem"] = _stem_chain
+        d["engine_topk_ondisk_stem"] = _stem_chain
     d["embedding_neardup_lsh"] = _neardup_lsh_oracle_sql()
     # index-served phrase search must equal the text-derived operator —
     # one oracle proves both (and the stored positions payload with it)
