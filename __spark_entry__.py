@@ -16,10 +16,16 @@ against one full-chain DuckDB oracle; ``engine_topk_stem`` /
 analyze path on, oracled by the same SQL with corpus and query tokens
 routed through an interpolated (term, stem) VALUES map (DuckDB has no
 Porter offline; the map comes from the in-repo stemmer, which keeps
-its published-vector pytest gate).  Only the flagship ``engine_topk``
-twins (stem + simhash near-dup + graph quality + hash-order ids
-together) remain rows-only, covered by the 20-query rank-identity
-pytest gate.
+its published-vector pytest gate).  The flagship ``engine_topk`` twins
+themselves are oracled by the FULL variant of the same SQL
+(stem map + interpolated unsigned-xxh64 hash-order ids + 64-bit
+simhash near-dup computed as integer arithmetic from interpolated
+per-term CRC-64 sign weights + the empty-edge-graph quality
+constants) — every interpolated map comes from a pure function whose
+own parity/vector gate lives in pytest, so the SQL proves the entire
+distributed pipeline around them.  When the test corpora are absent
+(or a full-mode precondition fails) those entries degrade to
+rows-only, still covered by the 20-query rank-identity pytest gate.
 """
 
 from __future__ import annotations
@@ -82,7 +88,12 @@ def _run_engine(spark: SparkSession, sf_dir: str, queries, k=10) -> DataFrame:
     tables = _engine_tables(spark, sf_dir)
     res = score_queries(spark, queries, tables, k=k)
     urls = tables.docs.select("docid", "url")
-    return res.join(urls, "docid").select("qid", "rank", "docid", "url", "score")
+    # round-6 like every oracled entry (sum-order ulp noise); the full
+    # flagship chain is SQL-oracled via _engine_flat_oracle_sql(full=True)
+    return res.join(urls, "docid").select(
+        "qid", "rank", "docid", "url",
+        F.round("score", 6).alias("score"),
+    )
 
 
 def _index_cache_dir(sf_dir: str, tag: str) -> str:
@@ -119,7 +130,7 @@ def _run_engine_ondisk(spark: SparkSession, sf_dir: str, queries, k=10) -> DataF
     write_index(spark, tables, d)  # stage-skipping: cheap when complete
     shards = load_index(spark, d)
     return score_queries_ondisk(spark, queries, shards, k=k).select(
-        "qid", "rank", "docid", "score"
+        "qid", "rank", "docid", F.round("score", 6).alias("score")
     )
 
 
@@ -909,7 +920,9 @@ def _pq_trained_oracle_sql() -> str:
 
 
 def _engine_flat_oracle_sql(importance: bool = False,
-                            stem: bool = False):
+                            stem: bool = False,
+                            full: bool = False,
+                            with_url: bool = False):
     """ANSI-SQL mirror of the ENTIRE flat engine: corpus mapping → lexical
     docid rank → empty filter → sha256 dedup → unstemmed analyze → stats →
     query prune (abort + stopword-heap readmission, lib/queryproc.py:195-233)
@@ -935,8 +948,22 @@ def _engine_flat_oracle_sql(importance: bool = False,
     term exactly like prune_query_terms does (frequencies come from
     analyze(stem=True)).  Returns None when the test corpora are
     absent (entry stays rows-only).
+
+    ``full=True`` mirrors the FLAGSHIP engine itself (implies stem):
+    hash-order docids (interpolated unsigned xxh64 of the corpus key —
+    the in-repo implementation is parity-tested against F.xxhash64),
+    64-bit simhash near-dup with the banded local-min rule computed as
+    integer arithmetic from interpolated per-term CRC-64 sign weights,
+    FLAGSHIP_QUERIES, and the empty-edge-graph quality constants
+    (pr = 1 - damping for every doc, hub = auth = 0 — verified
+    preconditions, _testdata_full_maps).  ``with_url`` appends the url
+    column (engine_topk's shape).  Returns None when any full-mode
+    precondition fails.
     """
-    assert not (importance and stem), "variants are exercised separately"
+    assert not (importance and (stem or full)), \
+        "variants are exercised separately"
+    if full:
+        stem = True
     from searchengine_spark.params import (
         AUTH_FACTOR,
         BM25_B,
@@ -956,8 +983,9 @@ def _engine_flat_oracle_sql(importance: bool = False,
     sw = ", ".join(
         "'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS)
     )
+    queryset = FLAGSHIP_QUERIES if full else ENGINE_FLAT_QUERIES
     qvals = ", ".join(
-        f"({qid}, '{text}')" for qid, text in ENGINE_FLAT_QUERIES
+        f"({qid}, '{text}')" for qid, text in queryset
     )
     k1, b = repr(BM25_K1), repr(BM25_B)
     k1p1, one_minus_b = repr(BM25_K1 + 1), repr(1 - BM25_B)
@@ -1032,7 +1060,7 @@ def _engine_flat_oracle_sql(importance: bool = False,
         import re as _re
 
         qtoks = set()
-        for _qid, text in ENGINE_FLAT_QUERIES:
+        for _qid, text in queryset:
             qtoks.update(_re.findall(r"[a-z0-9]+", text.lower()))
         pairs = _testdata_stem_pairs(qtoks)
         if pairs is None:
@@ -1060,35 +1088,135 @@ def _engine_flat_oracle_sql(importance: bool = False,
           SELECT q.qid, s.stem AS term
           FROM qtok0 q JOIN smap s USING (term)
         ),"""
-    return f"""
-        WITH corpus AS (
-          SELECT source AS repo,
+
+    corpus_cols = """source AS repo,
                  'doc/' || doc_id::VARCHAR AS path,
                  substr(sha256(source || '|' || doc_id::VARCHAR), 1, 40) AS cmt,
-                 text AS content
-          FROM documents
-        ),
-        ids AS (
+                 text AS content"""
+    ids_cte = """ids AS (
           SELECT row_number() OVER (ORDER BY repo, path, cmt) AS docid,
                  path, content
           FROM corpus
+        ),"""
+    alive_cols = "docid, path, content"
+    dedup_ctes = ""
+    docs_src = "alive"
+    norms_last = "sqrt(count(*)::DOUBLE) AS one_norm"
+    qual_sql = f"""{repr(PR_FACTOR)} * (CASE WHEN n.one_norm > 0
+                        THEN 1.0 / n.one_norm ELSE 0.0 END)
+                   + {repr(HUB_FACTOR)} * (CASE WHEN n.one_norm > 0
+                        THEN 1.0 / n.one_norm ELSE 0.0 END)
+                   + {repr(AUTH_FACTOR)} * (CASE WHEN n.one_norm > 0
+                        THEN 1.0 / n.one_norm ELSE 0.0 END)"""
+    url_col = ""
+    url_join = ""
+    if full:
+        from searchengine_spark.params import (
+            PR_DAMPING,
+            SIMHASH_HAMMING,
+        )
+
+        maps = _testdata_full_maps()
+        if maps is None:
+            return None
+        hrows, crc_rows = maps
+        hvals = ", ".join(f"({d}, '{r}', {u})" for d, r, u in hrows)
+        chvals = ", ".join(
+            f"('{t}', {bp}, {pm})" for t, bp, pm in crc_rows
+        )
+        prc = repr(1.0 - PR_DAMPING)
+        corpus_cols = "doc_id,\n                 " + corpus_cols
+        ids_cte = f"""hmap AS (SELECT * FROM (VALUES {hvals})
+                      AS v(doc_id, repo, u)),
+        ids AS (
+          SELECT row_number() OVER (
+                   ORDER BY h.u, c.repo, c.path, c.cmt) AS docid,
+                 c.repo, c.path, c.cmt, c.content
+          FROM corpus c JOIN hmap h USING (doc_id, repo)
+        ),"""
+        alive_cols = "docid, repo, path, cmt, content"
+        dedup_ctes = f"""
+        chbits AS (SELECT * FROM (VALUES {chvals}) AS v(term, bp, pm)),
+        duptoks AS (
+          SELECT docid,
+                 unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
+          FROM alive
         ),
+        dupbits AS (
+          SELECT docid, bp, (sum(tf * pm) > 0) AS bit
+          FROM (SELECT docid, term, count(*) AS tf FROM duptoks
+                GROUP BY docid, term)
+               JOIN chbits USING (term)
+          GROUP BY docid, bp
+        ),
+        dupbands AS (
+          SELECT docid, bp // 16 AS band_id,
+                 sum(CASE WHEN bit THEN 1 << (15 - (bp % 16))
+                          ELSE 0 END) AS band_val
+          FROM dupbits GROUP BY docid, bp // 16
+        ),
+        duppairs AS (
+          SELECT DISTINCT a.docid AS da, b.docid AS db
+          FROM dupbands a JOIN dupbands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.docid < b.docid
+        ),
+        dupham AS (
+          SELECT p.da, p.db,
+                 sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS d
+          FROM duppairs p
+               JOIN dupbits x ON x.docid = p.da
+               JOIN dupbits y ON y.docid = p.db AND y.bp = x.bp
+          GROUP BY p.da, p.db
+        ),
+        alive2 AS (
+          SELECT * FROM alive
+          WHERE docid NOT IN (SELECT db FROM dupham
+                              WHERE d <= {SIMHASH_HAMMING})
+        ),"""
+        docs_src = "alive2"
+        toks_cte = """rawtoks AS (
+          SELECT docid,
+                 unnest(regexp_extract_all(lower(content), '[a-z0-9]+')) AS term
+          FROM alive2
+        ),
+        toks AS (
+          SELECT r.docid, s.stem AS term
+          FROM rawtoks r JOIN smap s USING (term)
+        ),"""
+        norms_last = f"sqrt(sum({prc} * {prc})) AS pr_norm"
+        # hub = auth = 0.0 on the empty edge graph: their _safe terms
+        # are exactly 0.0 (0-norm guard), so only the PR term remains
+        qual_sql = f"""{repr(PR_FACTOR)} * (CASE WHEN n.pr_norm > 0
+                        THEN {prc} / n.pr_norm ELSE 0.0 END)"""
+        if with_url:
+            url_col = "u.url, "
+            url_join = (
+                " JOIN (SELECT docid, repo || '/' || path || '@' || cmt"
+                " AS url FROM alive2) u USING (docid)"
+            )
+    return f"""
+        WITH corpus AS (
+          SELECT {corpus_cols}
+          FROM documents
+        ),
+        {ids_cte}
         nonempty AS (
           SELECT * FROM ids
           WHERE length(regexp_replace(content, '\\s', '', 'g')) > 0
         ),
         alive AS (
-          SELECT docid, path, content FROM (
+          SELECT {alive_cols} FROM (
             SELECT *, row_number() OVER (
               PARTITION BY sha256(content) ORDER BY docid) AS rk
             FROM nonempty) WHERE rk = 1
-        ),{imp_ctes}
+        ),{dedup_ctes}{imp_ctes}
         {smap_cte}{toks_cte}
         tf AS (SELECT docid, term, count(*) AS tf FROM toks GROUP BY docid, term),
         dl AS (SELECT docid, count(*) AS total_tokens FROM tf GROUP BY docid),
         docs AS (
           SELECT a.docid, coalesce(dl.total_tokens, 0) AS total_tokens
-          FROM alive a LEFT JOIN dl USING (docid)
+          FROM {docs_src} a LEFT JOIN dl USING (docid)
         ),
         stats AS (SELECT count(*) AS n, avg(total_tokens) AS avgdl FROM docs),
         termdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -1171,7 +1299,7 @@ def _engine_flat_oracle_sql(importance: bool = False,
           SELECT qid,
                  sqrt(sum(bm25_sum * bm25_sum)) AS sum_norm,
                  sqrt(sum(cosine * cosine)) AS cos_norm,
-                 sqrt(count(*)::DOUBLE) AS one_norm
+                 {norms_last}
           FROM cand GROUP BY qid
         ),
         scored AS (
@@ -1183,20 +1311,15 @@ def _engine_flat_oracle_sql(importance: bool = False,
                         THEN c.cosine / n.cos_norm ELSE 0.0 END)
                    ELSE 0.0 END)
                  + {repr(QUALITY_FACTOR)} * (
-                     {repr(PR_FACTOR)} * (CASE WHEN n.one_norm > 0
-                        THEN 1.0 / n.one_norm ELSE 0.0 END)
-                   + {repr(HUB_FACTOR)} * (CASE WHEN n.one_norm > 0
-                        THEN 1.0 / n.one_norm ELSE 0.0 END)
-                   + {repr(AUTH_FACTOR)} * (CASE WHEN n.one_norm > 0
-                        THEN 1.0 / n.one_norm ELSE 0.0 END)) AS score
+                     {qual_sql}) AS score
           FROM cand c JOIN norms n USING (qid)
         )
-        SELECT qid, rank::INTEGER AS rank, docid, round(score, 6) AS score
+        SELECT qid, rank::INTEGER AS rank, docid, {url_col}round(score, 6) AS score
         FROM (
           SELECT qid, docid, score,
                  row_number() OVER (PARTITION BY qid
                                     ORDER BY score DESC, docid) AS rank
-          FROM scored)
+          FROM scored){url_join}
         WHERE rank <= 10
     """
 
@@ -1766,6 +1889,7 @@ def _search_eval_map_mrr_oracle_sql(k: int = 10) -> str:
 
 
 _TESTDATA_VOCAB_CACHE = None
+_FULL_MAPS_CACHE = None   # (hrows, crc_rows) | False (precondition failed)
 
 
 def _testdata_stem_pairs(extra_tokens=()):
@@ -1804,6 +1928,80 @@ def _testdata_stem_pairs(extra_tokens=()):
         return None
     allv = _TESTDATA_VOCAB_CACHE | set(extra_tokens)
     return sorted((t, porter_stem(t)) for t in allv)
+
+
+def _testdata_full_maps():
+    """Interpolated inputs for the FULL flagship oracle, or None when
+    any precondition fails (the flagship twins then stay rows-only):
+
+     * (doc_id, repo, unsigned-xxh64) rows over sf0.001 + sf0.01 — the
+       hash-order docid key, computed by the in-repo xxh64 (parity-
+       tested against F.xxhash64 with Spark's multi-column seed chain);
+     * (term, bit-pos, ±1) rows — each vocabulary term's CRC-64 bit
+       pattern as sign weights (text/simhash.py semantics), so the SQL
+       computes the 64-bit simhash as integer arithmetic;
+     * preconditions: no import-pattern lines in any corpus (edges must
+       be empty so quality is the (1-d)/0/0 constant), and every doc
+       has >= 1 token (a token-less doc would silently skip the
+       fingerprint join).
+
+    The doc-hash map covers sf0.001 and sf0.01 (the driver's
+    correctness gate runs at sf0.01); an sf0.1 compare would inner-join
+    drop rows and fail loudly rather than pass wrongly."""
+    global _FULL_MAPS_CACHE
+    if _FULL_MAPS_CACHE is not None:
+        return _FULL_MAPS_CACHE or None
+    import hashlib
+    import os
+    import re
+
+    import duckdb
+
+    from searchengine_spark.index.xxhash64 import xxh64
+    from searchengine_spark.text.simhash import crc64
+
+    imp_re = re.compile(r"^import\s+\S+:\S+\s*$", re.M)
+    hash_rows = {}
+    vocab = set()
+    found = False
+    for sf in ("sf0.001", "sf0.01"):
+        p = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        found = True
+        con = duckdb.connect()
+        docs = con.sql(
+            f"SELECT doc_id, source, lower(text) AS t FROM '{p}'"
+        ).fetchall()
+        con.close()
+        for doc_id, source, t in docs:
+            toks = re.findall(r"[a-z0-9]+", t)
+            if not toks or imp_re.search(t):
+                _FULL_MAPS_CACHE = False
+                return None
+            vocab.update(toks)
+            path = f"doc/{doc_id}"
+            cmt = hashlib.sha256(
+                f"{source}|{doc_id}".encode()
+            ).hexdigest()[:40]
+            h = 42
+            for v in (source, path, cmt):
+                h = xxh64(v.encode("utf-8"), seed=h)
+            hash_rows[(int(doc_id), source)] = h
+    if not found:
+        _FULL_MAPS_CACHE = False
+        return None
+    crc_rows = []
+    for term in sorted(vocab):
+        ch = crc64(term.encode("utf-8"))
+        for bp in range(64):
+            pm = 1 if (ch >> (63 - bp)) & 1 else -1
+            crc_rows.append((term, bp, pm))
+    hrows = sorted(
+        (doc_id, repo, u) for (doc_id, repo), u in hash_rows.items()
+    )
+    _FULL_MAPS_CACHE = (hrows, crc_rows)
+    return hrows, crc_rows
 
 
 def _stemmed_topk_oracle_sql():
@@ -3112,6 +3310,14 @@ def oracle_sql() -> dict[str, str]:
     if _stem_chain is not None:
         d["engine_topk_stem"] = _stem_chain
         d["engine_topk_ondisk_stem"] = _stem_chain
+    # the FLAGSHIP itself: stem + hash-order ids + simhash-64 near-dup
+    # + empty-edge-graph quality, all mirrored in SQL (hash/CRC maps
+    # interpolated from parity-gated pure-Python implementations);
+    # None → rows-only when any full-mode precondition fails
+    _full_chain = _engine_flat_oracle_sql(full=True, with_url=True)
+    if _full_chain is not None:
+        d["engine_topk"] = _full_chain
+        d["engine_topk_ondisk"] = _engine_flat_oracle_sql(full=True)
     d["embedding_neardup_lsh"] = _neardup_lsh_oracle_sql()
     # index-served phrase search must equal the text-derived operator —
     # one oracle proves both (and the stored positions payload with it)
