@@ -278,6 +278,20 @@ def _run_engine_segments_flat(
     correctness harness at driver scale; production appends arrive
     pre-batched by time, no global sort exists in the serving path.)
     """
+    from searchengine_spark.index.segments import load_segments
+    from searchengine_spark.query.scoring import score_queries_ondisk
+
+    d = _segmented_flat_dir(spark, sf_dir)
+    shards = load_segments(spark, d)
+    res = score_queries_ondisk(spark, queries, shards, k=k, stem=False)
+    return res.select(
+        "qid", "rank", "docid", F.round("score", 6).alias("score")
+    )
+
+
+def _segmented_flat_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse from cache) the 2-generation flat segmented
+    index used by segments_topk_flat / index_stats_flat."""
     import os
     import shutil
 
@@ -287,9 +301,7 @@ def _run_engine_segments_flat(
     from searchengine_spark.index.segments import (
         append_segment,
         init_segmented,
-        load_segments,
     )
-    from searchengine_spark.query.scoring import score_queries_ondisk
 
     d = _index_cache_dir(sf_dir, "engineflatseg")
     meta_ok = False
@@ -321,10 +333,30 @@ def _run_engine_segments_flat(
             **kwargs,
         )
         ranked.unpersist()
-    shards = load_segments(spark, d)
-    res = score_queries_ondisk(spark, queries, shards, k=k, stem=False)
-    return res.select(
-        "qid", "rank", "docid", F.round("score", 6).alias("score")
+    return d
+
+
+def _index_stats_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """index_stats over the 2-generation flat segmented index, reduced
+    to the TOTAL serving row (+ the generation count).  The oracle
+    recomputes every column from the raw documents table with the flat
+    chain fragments — n_stored/n_live = sha-dedup survivors, token_sum
+    = Σ distinct-term doc lengths, n_terms = distinct terms — proving
+    the stored mergeinfo/termdict metadata agrees with the data."""
+    from searchengine_spark.index.segments import index_stats
+
+    d = _segmented_flat_dir(spark, sf_dir)
+    st = index_stats(spark, d)
+    nseg = st.filter(F.col("segment") != "TOTAL").count()
+    return st.filter(F.col("segment") == "TOTAL").select(
+        F.lit(nseg).cast("long").alias("n_segments"),
+        "n_total",
+        "n_stored",
+        "n_tombstoned",
+        "n_live",
+        "token_sum",
+        "avgdl",
+        "n_terms",
     )
 
 
@@ -484,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segments_topk_flat": lambda spark, sf: _run_engine_segments_flat(
             spark, sf, ENGINE_FLAT_QUERIES, k=10
         ),
+        "index_stats_flat": _index_stats_flat,
         "engine_topk_flat_bm25f": lambda spark, sf: _run_engine_flat_bm25f(
             spark, sf, ENGINE_FLAT_QUERIES, k=10
         ),
@@ -3299,6 +3332,55 @@ def oracle_sql() -> dict[str, str]:
     # a segmented index must answer EXACTLY like the monolithic one —
     # same oracle proves the append/union/dedup machinery end-to-end
     d["segments_topk_flat"] = d["engine_topk_flat"]
+    # index observability (segments._stats analogue): the TOTAL serving
+    # row recomputed from the raw documents table — stored mergeinfo /
+    # termdict metadata must agree with the data (2 generations, no
+    # tombstones in the flat build; n_segments is config, interpolated)
+    d["index_stats_flat"] = """
+        WITH corpus AS (
+          SELECT source AS repo,
+                 'doc/' || doc_id::VARCHAR AS path,
+                 substr(sha256(source || '|' || doc_id::VARCHAR), 1, 40)
+                   AS cmt,
+                 text AS content
+          FROM documents
+        ),
+        ids AS (
+          SELECT row_number() OVER (ORDER BY repo, path, cmt) AS docid,
+                 content
+          FROM corpus
+        ),
+        nonempty AS (
+          SELECT * FROM ids
+          WHERE length(regexp_replace(content, '\\s', '', 'g')) > 0
+        ),
+        alive AS (
+          SELECT docid, content FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY sha256(content) ORDER BY docid) AS rk
+            FROM nonempty) WHERE rk = 1
+        ),
+        toks AS (
+          SELECT docid,
+                 unnest(regexp_extract_all(lower(content), '[a-z0-9]+'))
+                   AS term
+          FROM alive
+        ),
+        tf AS (SELECT docid, term, count(*) AS tf FROM toks
+               GROUP BY docid, term),
+        dl AS (SELECT docid, count(*) AS total_tokens FROM tf
+               GROUP BY docid)
+        SELECT 2::BIGINT AS n_segments,
+               (SELECT count(*) FROM corpus)::BIGINT AS n_total,
+               (SELECT count(*) FROM alive)::BIGINT AS n_stored,
+               0::BIGINT AS n_tombstoned,
+               (SELECT count(*) FROM alive)::BIGINT AS n_live,
+               (SELECT coalesce(sum(total_tokens), 0) FROM dl)::BIGINT
+                 AS token_sum,
+               round((SELECT coalesce(sum(total_tokens), 0) FROM dl)::DOUBLE
+                     / (SELECT count(*) FROM alive)::DOUBLE, 6) AS avgdl,
+               (SELECT count(DISTINCT term) FROM tf)::BIGINT AS n_terms
+    """
     # BM25F variant: same chain with the importance extraction + per-tag
     # multipliers live (proves the carried field machinery, not just
     # the constant-0 parity path)

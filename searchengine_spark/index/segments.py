@@ -599,6 +599,106 @@ def upsert_segment(
     return {"deleted": n_del, "segment": gen}
 
 
+def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Observability surface (the Lucene segments / ES _stats
+    analogue): one row per generation plus one 'TOTAL' serving row —
+    (segment, n_total, n_stored, n_tombstoned, n_live, token_sum,
+    avgdl, n_terms).
+
+    Per-generation rows report BUILD-time stats (mergeinfo: ids
+    consumed, stored survivors, stored integer token_sum, build avgdl)
+    plus the generation's live tombstone count — tombstones attributed
+    to generations by their contiguous docid intervals (list order ==
+    docid order, the merge_run invariant) — and the generation's
+    termdict size.  The TOTAL row reports the SERVING state exactly as
+    load_segments composes it (integer token_sum minus tomb_tokens,
+    n_live = stored - tombstones, avgdl = token_sum/n_live) and
+    n_terms = distinct terms across the STORED termdicts (the stored
+    vocabulary; the SERVING termdict can be smaller when a term's
+    entire df was tombstoned away — df_corrections drop it).  avgdl is
+    HALF_UP round-6 (the repo's F.round parity contract).
+
+    Scale: metadata reads + one broadcast range-bucket job over the
+    tombstone docids + vocab-sized termdict counts — never touches
+    postings blocks or content.
+    """
+    from ..ops.textops import _mmr_round6 as _round6
+
+    meta = _read_meta(index_dir)
+    segs = meta["segments"]
+    if not segs:
+        raise ValueError(f"{index_dir} has no segments")
+    st = _seg_stats(index_dir, segs)
+    bounds, acc = [], 0
+    for m in st:
+        bounds.append((acc + 1, acc + int(m["n_total"])))
+        acc += int(m["n_total"])
+    tomb_counts = [0] * len(segs)
+    n_tomb = int(meta.get("n_tombstones", 0))
+    tomb_gens = meta.get("tomb_gens", [])
+    if n_tomb and tomb_gens:
+        tombs = spark.read.parquet(*[
+            os.path.join(index_dir, TOMBSTONES_DIR, g)
+            for g in tomb_gens
+        ])
+        rng = spark.createDataFrame(
+            [(i, lo, hi) for i, (lo, hi) in enumerate(bounds)],
+            "seg int, lo long, hi long",
+        )
+        got = (
+            tombs.join(
+                F.broadcast(rng),
+                (F.col("docid") >= F.col("lo"))
+                & (F.col("docid") <= F.col("hi")),
+            )
+            .groupBy("seg")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        for r in got:
+            tomb_counts[r["seg"]] = int(r["n"])
+    tds = [
+        spark.read.parquet(os.path.join(index_dir, s, "termdict"))
+        for s in segs
+    ]
+    rows = []
+    for s, m, td, tc in zip(segs, st, tds, tomb_counts):
+        stored = int(m["n_survivors"])
+        rows.append((
+            s, int(m["n_total"]), stored, tc, stored - tc,
+            int(m["token_sum"]), _round6(float(m["avgdl"])),
+            int(td.count()),
+        ))
+    from functools import reduce
+
+    union_terms = (
+        reduce(
+            lambda a, b: a.unionByName(b),
+            (td.select("term") for td in tds),
+        )
+        .distinct()
+        .count()
+    )
+    n_total = sum(int(m["n_total"]) for m in st)
+    n_stored = sum(int(m["n_survivors"]) for m in st)
+    token_sum = (
+        sum(int(m["token_sum"]) for m in st)
+        - int(meta.get("tomb_tokens", 0))
+    )
+    n_live = n_stored - n_tomb
+    avgdl = token_sum / n_live if n_live else 0.0
+    rows.append((
+        "TOTAL", n_total, n_stored, n_tomb, n_live,
+        token_sum, _round6(avgdl), int(union_terms),
+    ))
+    return spark.createDataFrame(
+        rows,
+        "segment string, n_total long, n_stored long,"
+        " n_tombstoned long, n_live long, token_sum long,"
+        " avgdl double, n_terms long",
+    )
+
+
 def merge_segments(spark: SparkSession, index_dir: str) -> str:
     """Physically rewrite all generations (minus tombstones) into ONE
     fresh segment — the analogue of the reference's k-way merge

@@ -1192,3 +1192,58 @@ def test_stream_upsert_mode_replaces_changed_docs(spark, split_corpora,
         compute_quality=False,
     ) is None
     assert load_segments(spark, seg_dir).stats["n_survivors"] == n0
+
+
+def test_index_stats_surface(spark, compacted):
+    """index_stats (the segments/_stats observability surface): the
+    TOTAL row must equal the serving state load_segments composes
+    (n_live, integer token_sum, avgdl, union termdict size), and the
+    per-generation tombstone attribution (contiguous docid intervals)
+    must sum to the meta total."""
+    import json
+    import os
+
+    from searchengine_spark.index.segments import index_stats
+    from searchengine_spark.ops.textops import _mmr_round6
+
+    seg_dir, seg, _mono, _twin = compacted
+    st = index_stats(spark, seg_dir).collect()
+    per = [r for r in st if r["segment"] != "TOTAL"]
+    tot = [r for r in st if r["segment"] == "TOTAL"][0]
+
+    with open(os.path.join(seg_dir, "segments.json")) as f:
+        meta = json.load(f)
+    assert len(per) == len(meta["segments"]) == 2
+    assert sum(r["n_tombstoned"] for r in per) == meta["n_tombstones"]
+    for r in per:
+        assert r["n_live"] == r["n_stored"] - r["n_tombstoned"]
+
+    # TOTAL == the serving state (load_segments stats + live doc count)
+    assert tot["n_live"] == seg.docs.count()
+    assert tot["n_live"] == seg.stats["n_survivors"]
+    assert tot["token_sum"] == seg.stats["token_sum"]
+    assert tot["avgdl"] == _mmr_round6(seg.stats["avgdl"])
+    assert tot["n_tombstoned"] == meta["n_tombstones"] >= 1
+    # n_terms = STORED vocabulary (union of generation termdicts); the
+    # serving termdict can be strictly smaller when a term's whole df
+    # was tombstoned away (df_corrections drop it) — assert both facts
+    from functools import reduce
+    tds = [
+        spark.read.parquet(os.path.join(seg_dir, s, "termdict"))
+        for s in meta["segments"]
+    ]
+    stored_terms = (
+        reduce(lambda a, b: a.unionByName(b),
+               (td.select("term") for td in tds))
+        .distinct().count()
+    )
+    serving_terms = seg.termdict.select("term").distinct().count()
+    assert tot["n_terms"] == stored_terms
+    assert serving_terms <= stored_terms
+    # per-generation stored stats come from mergeinfo verbatim
+    for r, s in zip(per, meta["segments"]):
+        with open(os.path.join(seg_dir, s, "mergeinfo.json")) as f:
+            mi = json.load(f)
+        assert r["n_total"] == mi["n_total"]
+        assert r["n_stored"] == mi["n_survivors"]
+        assert r["token_sum"] == mi["token_sum"]
