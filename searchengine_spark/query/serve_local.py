@@ -167,6 +167,14 @@ class LocalSearcher:
         token_sum = sum(st["token_sum"] for st in seg_stats) - tomb_tokens
         self.n_survivors = n_surv
         self.avgdl = token_sum / n_surv if n_surv else 1.0
+        self._stats_meta = {
+            "n_segments": len(seg_dirs),
+            "n_segments_served": len(serve_dirs),
+            "n_total": sum(int(st["n_total"]) for st in seg_stats),
+            "n_stored": sum(int(st["n_survivors"]) for st in seg_stats),
+            "n_tombstoned": n_tomb,
+            "token_sum": token_sum,
+        }
         # bucket count from the index's OWN mergeinfo, not the live
         # params module — serving an index built under a different
         # bucket config would otherwise silently miss every term
@@ -246,6 +254,7 @@ class LocalSearcher:
                 t.column("term").to_pylist(), t.column("df").to_pylist()
             ):
                 self._df[term] = self._df.get(term, 0) + int(df)
+        self._stats_meta["n_terms_stored"] = len(self._df)
         if n_tomb and tomb_gens:
             for g in tomb_gens:
                 cdir = os.path.join(index_dir, "df_corrections", g)
@@ -262,6 +271,27 @@ class LocalSearcher:
                     else:
                         self._df.pop(term, None)
         self._loaded_stamp = self._commit_stamp()
+
+    def stats(self) -> dict:
+        """Serving-tier mirror of index/segments.index_stats' TOTAL
+        row, from the already-loaded metadata (no I/O): n_segments /
+        n_segments_served / n_total / n_stored / n_tombstoned /
+        n_live / token_sum / avgdl (HALF_UP round-6, the F.round
+        parity contract) / n_terms_stored (stored vocabulary — equals
+        index_stats TOTAL n_terms) / n_terms (SERVING vocabulary,
+        df corrections applied — can be smaller when a term's whole
+        df was tombstoned away)."""
+        from decimal import ROUND_HALF_UP, Decimal
+
+        m = dict(self._stats_meta)
+        m["n_live"] = self.n_survivors
+        m["avgdl"] = float(
+            Decimal(repr(self.avgdl)).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+        m["n_terms"] = len(self._df)
+        return m
 
     # -- postings ---------------------------------------------------------
 

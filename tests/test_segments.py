@@ -1240,6 +1240,21 @@ def test_index_stats_surface(spark, compacted):
     serving_terms = seg.termdict.select("term").distinct().count()
     assert tot["n_terms"] == stored_terms
     assert serving_terms <= stored_terms
+
+    # the Spark-free serving tier reports the same TOTAL state
+    from searchengine_spark.query.serve_local import LocalSearcher
+
+    ls = LocalSearcher(seg_dir, stem=True)
+    got = ls.stats()
+    assert got["n_segments"] == len(per)
+    assert got["n_total"] == tot["n_total"]
+    assert got["n_stored"] == tot["n_stored"]
+    assert got["n_tombstoned"] == tot["n_tombstoned"]
+    assert got["n_live"] == tot["n_live"]
+    assert got["token_sum"] == tot["token_sum"]
+    assert got["avgdl"] == tot["avgdl"]
+    assert got["n_terms_stored"] == tot["n_terms"]
+    assert got["n_terms"] == serving_terms
     # per-generation stored stats come from mergeinfo verbatim
     for r, s in zip(per, meta["segments"]):
         with open(os.path.join(seg_dir, s, "mergeinfo.json")) as f:
