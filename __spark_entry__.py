@@ -481,6 +481,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _events_windowed,
         "user_sessions": _user_sessions,
         "event_bursts": _event_bursts,
+        "value_histogram": __import__(
+            "searchengine_spark.ops.events", fromlist=["value_histogram"]
+        ).value_histogram,
+        "value_percentiles": __import__(
+            "searchengine_spark.ops.events",
+            fromlist=["value_percentiles"],
+        ).value_percentiles,
         "lang_counts": T.lang_counts,
         "phrase_match": T.phrase_match,
         "phrase_match_indexed": T.phrase_match_indexed,
@@ -2252,6 +2259,14 @@ def oracle_sql() -> dict[str, str]:
         SESSION_GAP,
         WINDOW,
     )
+    from searchengine_spark.ops.events import (
+        HIST_BINS as _HIST_BINS,
+        PCTS as _PCTS,
+    )
+
+    _PCT_VALS = ", ".join(
+        f"({label}, {p!r})" for label, p in _PCTS
+    )
 
     _win_n, _win_unit = WINDOW.split()
     assert _win_n == "1", "events_windowed oracle needs a 1-unit window"
@@ -2696,6 +2711,40 @@ def oracle_sql() -> dict[str, str]:
               )::BIGINT AS rank
               FROM scored)
             WHERE rank <= {_BURST_TOPN} ORDER BY rank
+        """,
+        # value-column analytics (ops/events.py): HIST_BINS / PCTS
+        # interpolated — change Spark and SQL together.  Histogram
+        # edges from the global min/max (identical double arithmetic);
+        # percentiles are exact nearest-rank with the ceil taken over
+        # the DOUBLE product on BOTH engines (a DECIMAL product would
+        # diverge when p*n is integral in decimal but not in binary)
+        "value_histogram": f"""
+            WITH rng AS (SELECT min(value) AS lo, max(value) AS hi
+                         FROM events)
+            SELECT event_type,
+                   least(floor((value - lo)
+                               / ((hi - lo) / {float(_HIST_BINS)!r}::DOUBLE)),
+                         {_HIST_BINS - 1})::BIGINT AS bin,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events CROSS JOIN rng
+            GROUP BY 1, 2
+        """,
+        "value_percentiles": f"""
+            WITH ranked AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value, event_id) AS rn
+              FROM events),
+            counts AS (SELECT event_type, count(*) AS n FROM events
+                       GROUP BY 1),
+            targets AS (
+              SELECT event_type, pct::BIGINT AS pct,
+                     ceil(p::DOUBLE * n)::BIGINT AS rn
+              FROM counts CROSS JOIN (VALUES {_PCT_VALS}) v(pct, p)
+            )
+            SELECT r.event_type, t.pct, r.value
+            FROM ranked r JOIN targets t USING (event_type, rn)
         """,
         "user_sessions": f"""
             WITH ordered AS (
