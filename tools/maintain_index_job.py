@@ -22,6 +22,10 @@ in order — the typical maintenance window.
 repeatedly merge the first adjacent same-tier run of N segments
 (segments.maybe_merge), the 100-TB steady-state policy where a full
 rewrite per window is not an option.
+``--backup DST`` / ``--restore-from SRC [--overwrite]`` /
+``--verify-backup DIR``: crash-safe snapshot machinery
+(index/backup.py — manifest-last, concurrent-commit safe, Spark-free;
+backup runs AFTER maintenance, restore BEFORE).
 
 Prints ONE JSON line with what changed.
 """
@@ -55,11 +59,70 @@ def main():
                     help="comma-separated docids to tombstone "
                          "(segments.delete_docs; reclaimed by the next "
                          "merge/expunge)")
+    ap.add_argument("--backup", default=None, metavar="DST",
+                    help="snapshot the index into DST after any "
+                         "maintenance (index/backup.py — Spark-free, "
+                         "manifest-last, concurrent-commit safe)")
+    ap.add_argument("--restore-from", default=None, metavar="SRC",
+                    help="restore a verified backup into --index "
+                         "BEFORE any maintenance")
+    ap.add_argument("--overwrite", action="store_true",
+                    help="allow --restore-from onto an existing dir")
+    ap.add_argument("--verify-backup", default=None, metavar="DIR",
+                    help="verify a backup dir against its manifest "
+                         "and exit")
+    ap.add_argument("--no-checksum", action="store_true",
+                    help="size-only backup manifest (the 100-TB mode; "
+                         "let the object store carry byte integrity)")
     args = ap.parse_args()
     if not (args.compact or args.merge or args.tiered
-            or args.expunge is not None or args.delete_ids):
+            or args.expunge is not None or args.delete_ids
+            or args.backup or args.restore_from or args.verify_backup):
         ap.error("nothing to do: pass --delete-ids, --compact, "
-                 "--merge, --tiered and/or --expunge")
+                 "--merge, --tiered, --expunge, --backup, "
+                 "--restore-from and/or --verify-backup")
+
+    try:
+        from searchengine_spark.index.backup import (
+            backup_index,
+            restore_index,
+            verify_backup,
+        )
+    except ModuleNotFoundError:
+        # Spark-free invocation without --py-files/PYTHONPATH: resolve
+        # the package from the repo checkout this script lives in
+        import os
+
+        sys.path.insert(
+            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        from searchengine_spark.index.backup import (
+            backup_index,
+            restore_index,
+            verify_backup,
+        )
+
+    if args.verify_backup:
+        print(json.dumps({"metric": "backup verify",
+                          **verify_backup(args.verify_backup)}))
+        return
+    if args.restore_from:
+        restored = restore_index(
+            args.restore_from, args.index, overwrite=args.overwrite
+        )
+    spark_work = (args.compact or args.merge or args.tiered
+                  or args.expunge is not None or args.delete_ids)
+    if not spark_work:
+        out = {"metric": "segment maintenance", "index": args.index}
+        if args.restore_from:
+            out["restored"] = restored
+        if args.backup:
+            out["backup"] = backup_index(
+                args.index, args.backup,
+                checksum=not args.no_checksum,
+            )
+        print(json.dumps(out))
+        return
     if args.merge and args.tiered:
         ap.error("--merge and --tiered are mutually exclusive")
 
@@ -86,6 +149,8 @@ def main():
 
     out = {"metric": "segment maintenance", "index": args.index,
            "segments_before": list(_read_meta(args.index)["segments"])}
+    if args.restore_from:
+        out["restored"] = restored
     t0 = time.time()
     if args.delete_ids:
         ids = [int(x) for x in args.delete_ids.split(",") if x.strip()]
@@ -108,6 +173,10 @@ def main():
             tiered.append(m)
         out["tiered_merges"] = tiered
     out["segments_after"] = list(_read_meta(args.index)["segments"])
+    if args.backup:
+        out["backup"] = backup_index(
+            args.index, args.backup, checksum=not args.no_checksum
+        )
     st = load_segments(spark, args.index, cache_meta=False).stats
     out.update({
         "n_total": st["n_total"],
