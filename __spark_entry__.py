@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk_filtered": T.wand_topk_filtered,
         "hybrid_rrf_topk": T.hybrid_rrf_topk,
         "bm25_snippets": T.bm25_snippets,
+        "ann_sq8_topk": V.ann_sq8_topk,
         "ann_ivf_persisted_topk": V.ann_ivf_persisted_topk,
         "ann_ivf_append_topk": V.ann_ivf_append_topk,
         "ann_ivf_maint_topk": V.ann_ivf_maint_topk,
@@ -2263,6 +2264,11 @@ def oracle_sql() -> dict[str, str]:
         HIST_BINS as _HIST_BINS,
         PCTS as _PCTS,
     )
+    from searchengine_spark.ops.vectors import (
+        SQ_BINS as _SQ_BINS,
+        SQ_QUERY_VEC as _SQ_QV,
+        SQ_RERANK as _SQ_RERANK,
+    )
 
     _PCT_VALS = ", ".join(
         f"({label}, {p!r})" for label, p in _PCTS
@@ -3184,6 +3190,57 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN a2 USING (doc_id)
                  LEFT JOIN a3 USING (doc_id)
             ORDER BY doc_id
+        """,
+        # scalar-quantization ANN (ops/vectors.ann_sq8_topk): SQ_*
+        # interpolated — per-dim global ranges, uint8 codes, asymmetric
+        # reconstruction cosine (round-6) shortlist, exact round-5
+        # cosine rerank.  The approx/rerank arithmetic mirrors the
+        # Spark expressions term for term (0.5::DOUBLE etc.)
+        "ann_sq8_topk": f"""
+            WITH dims AS (
+              SELECT vec_id, i AS d, embedding[i]::DOUBLE AS v
+              FROM embeddings, LATERAL (
+                SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+            rng AS (SELECT d, min(v) AS lo, max(v) AS hi
+                    FROM dims GROUP BY d),
+            q AS (SELECT d, v AS qv FROM dims
+                  WHERE vec_id = {_SQ_QV}),
+            qn AS (SELECT sqrt(sum(qv * qv)) AS n FROM q),
+            codes AS (
+              SELECT vec_id, d, lo, hi,
+                     (CASE WHEN hi = lo THEN 0
+                           ELSE least(floor((v - lo)
+                                  / ((hi - lo) / {float(_SQ_BINS)!r}::DOUBLE)),
+                                {_SQ_BINS - 1})
+                      END)::BIGINT AS code
+              FROM dims JOIN rng USING (d)
+              WHERE vec_id != {_SQ_QV}),
+            recon AS (
+              SELECT vec_id, d,
+                     CASE WHEN hi = lo THEN lo
+                          ELSE lo + (code + 0.5::DOUBLE)
+                               * ((hi - lo) / {float(_SQ_BINS)!r}::DOUBLE)
+                     END AS r
+              FROM codes),
+            ap AS (SELECT c.vec_id, sum(r * qv) AS num,
+                          sum(r * r) AS nn
+                   FROM recon c JOIN q USING (d) GROUP BY c.vec_id),
+            short AS (
+              SELECT vec_id,
+                     round(num / (sqrt(nn) * (SELECT n FROM qn)), 6)
+                       AS approx
+              FROM ap ORDER BY approx DESC, vec_id LIMIT {_SQ_RERANK}),
+            qv2 AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+                    WHERE vec_id = {_SQ_QV})
+            SELECT s.vec_id, s.approx,
+                   round(list_dot_product(e.embedding::DOUBLE[], q2.qvec)
+                         / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q2.qvec, q2.qvec))),
+                         5) AS cosine
+            FROM short s JOIN embeddings e USING (vec_id)
+                 CROSS JOIN qv2 q2
+            ORDER BY cosine DESC, s.vec_id LIMIT 10
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

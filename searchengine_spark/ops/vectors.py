@@ -1411,3 +1411,128 @@ def ivf_pq_topk_ondisk(spark: SparkSession, index_dir: str, query_vec,
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# --- scalar quantization (SQ8) -----------------------------------------------
+# pinned parameters, interpolated into the DuckDB oracle — change both
+SQ_BINS = 256        # uint8 code space per dimension
+SQ_RERANK = 32       # exact-rerank shortlist size
+SQ_QUERY_VEC = 0     # pinned driver-entry query vector
+
+
+def ann_sq8_topk(spark: SparkSession, sf_dir: str,
+                 query_vec_id: int = SQ_QUERY_VEC, k: int = 10) -> DataFrame:
+    """Scalar-quantization ANN (the faiss SQ8 scheme — the uniform
+    per-dimension sibling of product quantization): per-dimension
+    GLOBAL [min, max] ranges train the quantizer, every db vector
+    stores one uint8 code per dimension (4x smaller than float32),
+    search ranks by the ASYMMETRIC cosine between the reconstruction
+    r = lo + (code + 0.5)·width and the exact query vector, then
+    exact-reranks the top SQ_RERANK by true cosine.
+
+    Cross-engine float contracts: ranges are order-free min/max over
+    identical doubles; code = least(floor((v-lo)/width), 255) and the
+    reconstruction are the same scalar expressions on both engines
+    (zero-width dims pin code 0 / recon lo); the approx cosine's
+    accumulations are per-dimension sums rounded 6 before ranking (the
+    BM25 sum-order class), the exact rerank follows the ann round-5
+    cosine contract with vec_id tie-breaks everywhere.
+
+    Scale: the range table is |dims| rows (broadcast); codes are one
+    narrow projection of the corpus; the approx pass is a (vec, dim)
+    shuffle agg; only SQ_RERANK rows reach the exact rerank.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("d0", "v0"),
+    ).select(
+        "vec_id",
+        (F.col("d0") + 1).cast("long").alias("d"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    rng = dims.groupBy("d").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    qd = dims.filter(F.col("vec_id") == query_vec_id).select(
+        "d", F.col("v").alias("qv")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(SQ_BINS))
+    db = dims.filter(F.col("vec_id") != query_vec_id).join(
+        F.broadcast(rng), "d"
+    )
+    codes = db.withColumn(
+        "code",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.floor((F.col("v") - F.col("lo")) / width),
+                F.lit(SQ_BINS - 1),
+            )
+        ).cast("long"),
+    ).withColumn(
+        "r",
+        F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+            F.col("lo") + (F.col("code") + F.lit(0.5)) * width
+        ),
+    )
+    ap = (
+        codes.join(F.broadcast(qd), "d")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("r") * F.col("qv")).alias("num"),
+            F.sum(F.col("r") * F.col("r")).alias("nn"),
+        )
+    )
+    qn = qd.agg(
+        F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("_qn")
+    )
+    short = (
+        ap.crossJoin(F.broadcast(qn))
+        .select(
+            "vec_id",
+            F.round(
+                F.col("num") / (F.sqrt(F.col("nn")) * F.col("_qn")), 6
+            ).alias("approx"),
+        )
+        .orderBy(F.desc("approx"), F.asc("vec_id"))
+        .limit(SQ_RERANK)
+    )
+    qv = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "qvec",
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(
+                "embedding", lambda a: a.cast("double") * a.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nq = F.sqrt(
+        F.aggregate(
+            F.transform(
+                "qvec", lambda a: a.cast("double") * a.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        short.join(emb, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", "approx",
+            F.round(dot / (na * nq), 5).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -670,6 +670,38 @@ def test_ivf_is_subset_of_brute_force_ranking(spark):
     assert len(set(ivf) & set(brute)) >= 3  # recall >= 0.3 on this data
 
 
+def test_ann_sq8_recall_and_edge_cases(spark, tmp_path):
+    """SQ8 top-k against the exact brute-force ranking: with 256 bins
+    per dimension the quantization error is ~1e-3 in cosine, so
+    recall@10 must stay high; every reported approx score sits close
+    to its exact cosine.  A constant (zero-width) dimension must pin
+    code 0 / recon lo instead of dividing by zero."""
+    from searchengine_spark.ops.textops import ann_cosine_topk
+    from searchengine_spark.ops.vectors import ann_sq8_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = [r["vec_id"] for r in ann_cosine_topk(spark, sf).collect()]
+    got = ann_sq8_topk(spark, sf).collect()
+    sq_ids = [r["vec_id"] for r in got]
+    assert len(set(sq_ids) & set(exact)) >= 8
+    for r in got:
+        assert abs(r["approx"] - r["cosine"]) < 0.01
+
+    # zero-width dimension: every vector shares dim-1 value 7.0
+    import pandas as pd
+
+    rows = [(i, [7.0] + [float((i * 7 + j) % 5 - 2) for j in range(3)])
+            for i in range(6)]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    spark.createDataFrame(pdf).selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as float)) AS embedding"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = ann_sq8_topk(spark, str(tmp_path), k=5).collect()
+    assert len(out) == 5          # no division-by-zero NULLs dropped rows
+    assert all(r["cosine"] is not None and r["approx"] is not None
+               for r in out)
+
+
 def test_ann_recall_consistent_with_single_query_ops(spark):
     """ann_recall's per-query overlap must equal intersecting the
     existing single-query entries (ann_ivf_topk vs ann_cosine_topk)."""
