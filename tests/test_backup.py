@@ -102,3 +102,31 @@ def test_backup_refuses_uncommitted_dir(tmp_path):
     with pytest.raises(ValueError):
         backup_index(d, str(tmp_path / "snap4"))
     shutil.rmtree(d)
+
+
+def test_backup_restore_ivf_index(spark, tmp_path):
+    """Layout-agnostic claim, exercised on the vector store: a
+    maintained IVF dir (ivf_segments.json commit point) round-trips
+    through backup/restore and serves identically via LocalANN."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.ops.vectors import append_ivf, build_ivf_index
+    from searchengine_spark.query.serve_ivf import LocalANN
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    d = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb.filter(F.col("vec_id") % 2 == 0), d)
+    append_ivf(spark, emb.filter(F.col("vec_id") % 2 == 1), d)
+
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    want = LocalANN(d).topk(qv, k=10, exclude_vec_id=0)
+    assert want
+
+    bdir = str(tmp_path / "snap")
+    backup_index(d, bdir)
+    assert verify_backup(bdir)["ok"]
+    dest = str(tmp_path / "restored")
+    restore_index(bdir, dest)
+    assert LocalANN(dest).topk(qv, k=10, exclude_vec_id=0) == want

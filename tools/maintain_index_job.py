@@ -74,13 +74,17 @@ def main():
     ap.add_argument("--no-checksum", action="store_true",
                     help="size-only backup manifest (the 100-TB mode; "
                          "let the object store carry byte integrity)")
+    ap.add_argument("--stats", action="store_true",
+                    help="print index_stats (per-generation + TOTAL "
+                         "serving row) after any maintenance")
     args = ap.parse_args()
     if not (args.compact or args.merge or args.tiered
             or args.expunge is not None or args.delete_ids
-            or args.backup or args.restore_from or args.verify_backup):
+            or args.backup or args.restore_from or args.verify_backup
+            or args.stats):
         ap.error("nothing to do: pass --delete-ids, --compact, "
                  "--merge, --tiered, --expunge, --backup, "
-                 "--restore-from and/or --verify-backup")
+                 "--restore-from, --verify-backup and/or --stats")
 
     try:
         from searchengine_spark.index.backup import (
@@ -111,7 +115,8 @@ def main():
             args.restore_from, args.index, overwrite=args.overwrite
         )
     spark_work = (args.compact or args.merge or args.tiered
-                  or args.expunge is not None or args.delete_ids)
+                  or args.expunge is not None or args.delete_ids
+                  or args.stats)
     if not spark_work:
         out = {"metric": "segment maintenance", "index": args.index}
         if args.restore_from:
@@ -142,6 +147,7 @@ def main():
         compact_near_dups,
         delete_docs,
         expunge_deletes,
+        index_stats,
         load_segments,
         maybe_merge,
         merge_segments,
@@ -173,6 +179,10 @@ def main():
             tiered.append(m)
         out["tiered_merges"] = tiered
     out["segments_after"] = list(_read_meta(args.index)["segments"])
+    if args.stats:
+        out["stats"] = [
+            r.asDict() for r in index_stats(spark, args.index).collect()
+        ]
     if args.backup:
         out["backup"] = backup_index(
             args.index, args.backup, checksum=not args.no_checksum
