@@ -540,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whose oracles are built from the same constants
         "prefix_topk": S.prefix_topk,
         "facet_counts": S.facet_counts,
+        "relaxed_topk": S.relaxed_topk,
+        "msm_topk": S.msm_topk,
         "diversified_topk": S.diversified_topk,
         "synonym_topk": S.synonym_topk,
         "query_topk": S.query_topk,
@@ -3897,6 +3899,11 @@ def oracle_sql() -> dict[str, str]:
 
     d["prefix_topk"] = SRCH.prefix_topk_oracle_sql()
     d["facet_counts"] = SRCH.facet_counts_oracle_sql()
+    # AND-with-OR-fallback tiering and minimum_should_match: both rank
+    # from the conjunctive scorer WITHOUT its nmatch filter (scored0) —
+    # scores identical across tiers, eligibility-only semantics
+    d["relaxed_topk"] = SRCH.relaxed_topk_oracle_sql()
+    d["msm_topk"] = SRCH.msm_topk_oracle_sql()
     d["diversified_topk"] = SRCH.diversified_topk_oracle_sql()
     d["synonym_topk"] = SRCH.synonym_topk_oracle_sql()
     d["query_topk"] = SRCH.query_topk_oracle_sql()

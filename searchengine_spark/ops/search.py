@@ -112,6 +112,113 @@ def _bm25_col():
     )
 
 
+# pinned constants, interpolated into the oracles by the builders below
+RELAX_TERMS = ("dup", "key", "fast")   # conjunctive matches < RELAX_K,
+# so the OR fallback tier actually fires at every SF
+RELAX_K = 25   # > conjunctive R at every SF, so fallback always fires
+MSM_TERMS = ("dup", "key", "fast")
+MSM_MIN = 2                            # minimum_should_match
+
+
+def _scored_with_nmatch(spark, sf_dir, terms) -> DataFrame:
+    """(doc_id, score-rounded-6, nmatch) over every doc matching >= 1
+    query term — the conjunctive scorer WITHOUT its nmatch filter (the
+    oracle fragment scored0), shared by relaxed_topk and msm_topk."""
+    tf = term_tf(spark, sf_dir)
+    dl, stats = _dl_stats(tf)
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    dft = tf.join(F.broadcast(qterms), "term").groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    hits = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    return (
+        hits.withColumn("bm25", _bm25_col())
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("bm25"), 6).alias("score"),
+            F.count("*").alias("nmatch"),
+        )
+    )
+
+
+def relaxed_topk(spark, sf_dir, terms=RELAX_TERMS,
+                 k=RELAX_K) -> DataFrame:
+    """Query relaxation (the 'zero/few results' fallback every search
+    UI ships): rank FULL conjunctive matches first, then fill the
+    remaining slots with partial (OR) matches — one pass, rank over
+    (is_full desc, score desc, doc_id asc) with the rounded-rank
+    contract.  Scores are the plain disjunctive BM25 sums, so a doc's
+    score is identical whether it surfaces in the AND tier or the
+    fallback tier (eligibility-tiering only).
+
+    Scale: identical plan shape to the conjunctive scorer — the tier
+    flag is one comparison, the top-k the usual salted-window
+    candidate (plain window kept for oracle parity at driver scale).
+    """
+    from pyspark.sql import Window
+
+    scored = _scored_with_nmatch(spark, sf_dir, terms).withColumn(
+        "is_full", (F.col("nmatch") == len(terms)).cast("long")
+    )
+    w = Window.orderBy(
+        F.desc("is_full"), F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "is_full", "score")
+    )
+
+
+def relaxed_topk_oracle_sql(terms=RELAX_TERMS, k=RELAX_K) -> str:
+    return f"""
+        WITH {_SCORE_BASE},
+        {_conj_scored_sql(terms)}
+        SELECT rank, doc_id, is_full, score FROM (
+          SELECT doc_id,
+                 (nmatch = {len(terms)})::BIGINT AS is_full,
+                 round(s, 6) AS score,
+                 row_number() OVER (
+                   ORDER BY (nmatch = {len(terms)})::BIGINT DESC,
+                            round(s, 6) DESC, doc_id
+                 )::BIGINT AS rank
+          FROM scored0)
+        WHERE rank <= {k} ORDER BY rank
+    """
+
+
+def msm_topk(spark, sf_dir, terms=MSM_TERMS, msm=MSM_MIN,
+             k=10) -> DataFrame:
+    """minimum_should_match: disjunctive BM25 restricted to docs
+    matching >= ``msm`` of the query's distinct terms — the middle
+    ground between AND (msm = len(terms)) and OR (msm = 1).
+    Eligibility-only: surviving scores equal the plain disjunctive
+    sums; rounded-rank (score desc, doc_id asc)."""
+    scored = _scored_with_nmatch(spark, sf_dir, terms).filter(
+        F.col("nmatch") >= msm
+    )
+    return (
+        scored.select("doc_id", "nmatch", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def msm_topk_oracle_sql(terms=MSM_TERMS, msm=MSM_MIN, k=10) -> str:
+    return f"""
+        WITH {_SCORE_BASE},
+        {_conj_scored_sql(terms)}
+        SELECT doc_id, nmatch, round(s, 6) AS score
+        FROM scored0 WHERE nmatch >= {msm}
+        ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
 # --- prefix / wildcard search ----------------------------------------------
 
 def prefix_topk(spark, sf_dir, prefix=PREFIX_Q,
