@@ -525,6 +525,31 @@ class LocalSearcher:
         milliseconds.  Returns [(rank, docid, score)]."""
         return _blend_rank(*self._blended_candidates(text), k=k)
 
+    def relaxed_topk(self, text: str, k: int = 10, analyzer=None,
+                     allowed=None):
+        """Query relaxation — ops/search.relaxed_topk's tier rule on
+        the serving tier: full conjunctive matches rank first
+        (mode="and" pass), partial matches fill the remaining slots
+        (mode="or" pass minus the full docids).  Scores are the plain
+        disjunctive sums in both passes, so a doc's score is identical
+        whichever tier surfaces it; within each tier the order is the
+        kernels' (score desc, docid asc).  Returns
+        [(rank, docid, score)] renumbered across tiers."""
+        full = self.topk(text, k=k, mode="and", analyzer=analyzer,
+                         allowed=allowed)
+        out = [(i + 1, d, s) for i, (_r, d, s) in enumerate(full)]
+        if len(out) < k:
+            seen = {d for _r, d, _s in out}
+            fb = self.topk(text, k=k + len(seen), mode="or",
+                           analyzer=analyzer, allowed=allowed)
+            for _r, d, s in fb:
+                if d in seen:
+                    continue
+                out.append((len(out) + 1, d, s))
+                if len(out) == k:
+                    break
+        return out
+
     def phrase_topk(self, phrase, k: int = 20, analyzer=None):
         """Exact-phrase search from the index's stored positions —
         same semantics as ops/textops.phrase_match_indexed: a doc
