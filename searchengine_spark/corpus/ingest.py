@@ -25,6 +25,47 @@ def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_as_corpus(df: DataFrame, id_col: str, text_col: str,
+                    source_col: str | None = None,
+                    lang_col: str | None = None) -> DataFrame:
+    """Map ANY (id, text[, source, lang]) DataFrame onto the corpus
+    shape — the generic source adapter behind documents_as_corpus.
+    commit = content-addressed sha prefix over (source, id), the same
+    deterministic derivation, so downstream dedup/docid assignment
+    behaves identically whatever the source format."""
+    source = (F.col(source_col) if source_col
+              else F.lit("src")).cast("string")
+    lang = (F.col(lang_col) if lang_col else F.lit("")).cast("string")
+    idc = F.col(id_col).cast("string")
+    return df.select(
+        source.alias("repo"),
+        F.concat(F.lit("doc/"), idc).alias("path"),
+        F.substring(
+            F.sha2(F.concat_ws("|", source, idc), 256), 1, 40
+        ).alias("commit"),
+        lang.alias("lang"),
+        F.col(text_col).cast("string").alias("content"),
+    )
+
+
+def jsonl_as_corpus(spark: SparkSession, path: str,
+                    id_col: str = "id", text_col: str = "text",
+                    **kw) -> DataFrame:
+    """JSON-lines source → corpus shape (spark.read.json infers the
+    schema; one JSON object per line, the common crawl-dump format)."""
+    return table_as_corpus(spark.read.json(path), id_col, text_col,
+                           **kw)
+
+
+def csv_as_corpus(spark: SparkSession, path: str,
+                  id_col: str = "id", text_col: str = "text",
+                  **kw) -> DataFrame:
+    """Headered-CSV source → corpus shape (multiline-quoted text
+    supported — escaped quotes per RFC 4180)."""
+    df = spark.read.csv(path, header=True, multiLine=True, escape='"')
+    return table_as_corpus(df, id_col, text_col, **kw)
+
+
 def multiply_corpus(corpus: DataFrame, m: int) -> DataFrame:
     """Deterministically amplify a corpus ×m for throughput benchmarks.
 
