@@ -475,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": X.stratified_sample,
         "corpus_mixture": X.corpus_mixture,
         "temperature_mixture": X.temperature_mixture,
+        "temperature_sample": X.temperature_sample,
         "unigram_logprob": X.unigram_logprob,
         "corpus_split": X.corpus_split,
         "bigram_logprob": X.bigram_logprob,
@@ -2272,6 +2273,33 @@ def oracle_sql() -> dict[str, str]:
         SQ_RERANK as _SQ_RERANK,
     )
 
+    # temperature-mixture CTE core ending in tm(lang, n_tokens, share,
+    # weight, rate) — shared by temperature_mixture and its composed
+    # sampling application so the two oracles cannot desynchronize
+    _TM_CORE = f"""per AS (
+              SELECT lang,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+                       AS n
+              FROM documents
+            ),
+            g AS (SELECT lang, sum(n)::BIGINT AS n_tokens
+                  FROM per GROUP BY lang),
+            t AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM g),
+            sh AS (SELECT lang, n_tokens, n_tokens / tot AS share,
+                          pow(n_tokens / tot, {_mix_alpha!r}) AS p
+                   FROM g CROSS JOIN t),
+            sump AS (SELECT list_reduce(list(p ORDER BY lang),
+                                        (acc, x) -> acc + x) AS s
+                     FROM sh),
+            b AS (SELECT lang, n_tokens, share, p / s AS weight,
+                         (p / s) / share AS boost
+                  FROM sh CROSS JOIN sump),
+            mx AS (SELECT max(boost) AS m FROM b),
+            tm AS (SELECT lang, n_tokens, round(share, 6) AS share,
+                          round(weight, 6) AS weight,
+                          round(boost / m, 6) AS rate
+                   FROM b CROSS JOIN mx)"""
+
     _PCT_VALS = ", ".join(
         f"({label}, {p!r})" for label, p in _PCTS
     )
@@ -2530,29 +2558,25 @@ def oracle_sql() -> dict[str, str]:
         # engines (list_reduce == F.aggregate with exact 0.0 init);
         # MIX_TEMP_ALPHA interpolated via repr — change both together
         "temperature_mixture": f"""
-            WITH per AS (
-              SELECT lang,
-                     len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
-                       AS n
-              FROM documents
-            ),
-            g AS (SELECT lang, sum(n)::BIGINT AS n_tokens
-                  FROM per GROUP BY lang),
-            t AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM g),
-            sh AS (SELECT lang, n_tokens, n_tokens / tot AS share,
-                          pow(n_tokens / tot, {_mix_alpha!r}) AS p
-                   FROM g CROSS JOIN t),
-            sump AS (SELECT list_reduce(list(p ORDER BY lang),
-                                        (acc, x) -> acc + x) AS s
-                     FROM sh),
-            b AS (SELECT lang, n_tokens, share, p / s AS weight,
-                         (p / s) / share AS boost
-                  FROM sh CROSS JOIN sump),
-            mx AS (SELECT max(boost) AS m FROM b)
-            SELECT lang, n_tokens, round(share, 6) AS share,
-                   round(weight, 6) AS weight,
-                   round(boost / m, 6) AS rate
-            FROM b CROSS JOIN mx
+            WITH {_TM_CORE}
+            SELECT lang, n_tokens, share, weight, rate FROM tm
+        """,
+        # the COMPOSED application (ops/mix.temperature_sample): the
+        # data-derived rate (bit-identical cross-engine) converts to a
+        # 32-bit hex threshold INSIDE both engines — strict < compare
+        # on the md5 prefix; rate >= 1.0 keeps everything
+        "temperature_sample": f"""
+            WITH {_TM_CORE},
+            keyd AS (
+              SELECT d.doc_id, d.lang,
+                     substr(md5(d.doc_id::VARCHAR), 1, 8) AS sample_key,
+                     tm.rate
+              FROM documents d JOIN tm USING (lang)
+            )
+            SELECT doc_id, lang, sample_key FROM keyd
+            WHERE rate >= 1.0
+               OR sample_key < lpad(lower(hex(
+                    (floor(rate * 4294967296.0))::UBIGINT)), 8, '0')
         """,
         # corpus-unigram self-perplexity proxy (ops/mix.unigram_logprob):
         # natural log, mean, one 6-decimal rounding (cross-engine float

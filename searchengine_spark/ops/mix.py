@@ -260,6 +260,51 @@ def temperature_mixture(spark: SparkSession, sf_dir: str,
     )
 
 
+def temperature_sample(spark: SparkSession, sf_dir: str,
+                       alpha: float = MIX_TEMP_ALPHA) -> DataFrame:
+    """(doc_id, lang, sample_key) — the mixture pipeline COMPOSED:
+    temperature_mixture's per-language rates applied as deterministic
+    md5-threshold sampling in one job.  keep iff rate >= 1.0 (the
+    most-boosted language keeps everything by construction) OR
+    substr(md5(doc_id), 1, 8) < lpad(lower(hex(floor(rate · 2^32))),
+    8, '0') — strict ``<`` against the 32-bit threshold.
+
+    Unlike stratified_sample (whose pinned thresholds interpolate into
+    the oracle), the threshold here is computed from the DATA-DERIVED
+    rate double inside both engines — possible because
+    temperature_mixture's rate is bit-identical cross-engine (exact
+    integer shares, ordered fold, round-6), and the hex conversion is
+    the same integer→hex path on both.  Composable and reproducible
+    like every hash-threshold sample in this module.
+    """
+    rates = temperature_mixture(spark, sf_dir, alpha).select(
+        "lang", "rate"
+    )
+    d = documents(spark, sf_dir).select("doc_id", "lang")
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    thr = F.lpad(
+        F.lower(
+            F.hex(
+                F.floor(
+                    F.col("rate") * F.lit(4294967296.0)
+                ).cast("long")
+            )
+        ),
+        8,
+        "0",
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .withColumn("sample_key", key)
+        .withColumn("_thr", thr)
+        .filter(
+            (F.col("rate") >= 1.0)
+            | (F.col("sample_key") < F.col("_thr"))
+        )
+        .select("doc_id", "lang", "sample_key")
+    )
+
+
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_tokens, nll) — per-doc mean negative log-probability
     under the corpus unigram LM: nll = -Σ_t tf_t·ln(cf_t/total) / len.

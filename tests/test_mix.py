@@ -153,6 +153,56 @@ def test_temperature_mixture_matches_python(spark, docs_pd):
     assert rows[top]["rate"] == min(r["rate"] for r in rows.values())
 
 
+def test_temperature_sample_matches_python(spark, docs_pd):
+    """The composed application: rates recomputed as in the mixture
+    test, threshold = lpad(hex(floor(rate·2^32))), keep iff rate >= 1
+    or md5-prefix < threshold — recomputed doc-by-doc in Python; the
+    most-boosted language keeps every doc."""
+    from searchengine_spark.ops.mix import (
+        MIX_TEMP_ALPHA,
+        temperature_sample,
+    )
+
+    toks = Counter()
+    for _, r in docs_pd.iterrows():
+        toks[r["lang"]] += len(_TOK.findall(r["text"].lower()))
+    total = float(sum(toks.values()))
+    share = {lang: n / total for lang, n in toks.items()}
+    p = {lang: math.pow(s, MIX_TEMP_ALPHA) for lang, s in share.items()}
+    sump = 0.0
+    for lang in sorted(p):
+        sump += p[lang]
+    boost = {lang: (p[lang] / sump) / share[lang] for lang in share}
+    mx = max(boost.values())
+    rate = {lang: round(b / mx, 6) for lang, b in boost.items()}
+
+    def keeps(doc_id, lang):
+        if rate[lang] >= 1.0:
+            return True
+        thr = format(int(rate[lang] * 4294967296.0), "x").rjust(8, "0")
+        key = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+        return key < thr
+
+    want = {
+        int(r["doc_id"])
+        for _, r in docs_pd.iterrows()
+        if keeps(r["doc_id"], r["lang"])
+    }
+    got = {
+        int(r["doc_id"])
+        for r in temperature_sample(spark, SF).collect()
+    }
+    assert got == want
+    top = max(rate, key=rate.get)
+    n_top = sum(1 for _, r in docs_pd.iterrows() if r["lang"] == top)
+    kept_top = sum(
+        1 for _, r in docs_pd.iterrows()
+        if r["lang"] == top and int(r["doc_id"]) in got
+    )
+    assert kept_top == n_top      # rate 1.0 keeps everything
+    assert len(got) < len(docs_pd)  # some language was downsampled
+
+
 def test_unigram_logprob_matches_python(spark, docs_pd):
     got = {
         r["doc_id"]: (r["n_tokens"], r["nll"])
