@@ -203,6 +203,53 @@ MIX_TEMP_ALPHA = 0.3   # XLM-R's multilingual sampling temperature
 # interpolated into the DuckDB oracle via repr — change both together
 
 
+def _round6(x: float) -> float:
+    """F.round(col, 6) parity: HALF_UP over the shortest decimal repr
+    (the _mmr_round6 contract)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+
+
+def _temperature_rates(spark: SparkSession, sf_dir: str,
+                       alpha: float) -> list:
+    """lang-sorted (lang, n_tokens, share, weight, rate_raw) rows from
+    ONE shuffle agg + |langs|-row driver-side math — the k-means
+    bounded-collect pattern (re-deriving the corpus-wide token agg once
+    per downstream branch, as a pure-DataFrame chain would, is the
+    expensive part at scale; the mixture math itself is |langs| rows).
+
+    Cross-engine determinism is unchanged: shares divide exact integer
+    sums, Σp is the lang-SORTED sequential fold, pow/division are the
+    same libm/IEEE primitives the DuckDB oracle evaluates — proven by
+    the oracle staying green across the DataFrame→driver-side move.
+    """
+    d = documents(spark, sf_dir)
+    rows = (
+        d.select("lang", token_count_col().alias("_n"))
+        .groupBy("lang")
+        .agg(F.sum("_n").cast("long").alias("n"))
+        .collect()
+    )
+    counts = {r["lang"]: int(r["n"]) for r in rows}
+    total = float(sum(counts.values()))
+    share = {lang: n / total for lang, n in counts.items()}
+    p = {lang: math.pow(s, alpha) for lang, s in share.items()}
+    sump = 0.0
+    for lang in sorted(p):          # the pinned sequential fold order
+        sump += p[lang]
+    weight = {lang: v / sump for lang, v in p.items()}
+    boost = {lang: weight[lang] / share[lang] for lang in share}
+    mx = max(boost.values())
+    return [
+        (lang, counts[lang], share[lang], weight[lang],
+         boost[lang] / mx)
+        for lang in sorted(counts)
+    ]
+
+
 def temperature_mixture(spark: SparkSession, sf_dir: str,
                         alpha: float = MIX_TEMP_ALPHA) -> DataFrame:
     """(lang, n_tokens, share, weight, rate) — temperature-scaled
@@ -211,52 +258,19 @@ def temperature_mixture(spark: SparkSession, sf_dir: str,
     distribution toward low-resource languages), and rate_l is the
     per-language up/down-sampling factor weight/share normalized so the
     most-boosted language is exactly 1.0 — feed rate straight into
-    stratified-sampling thresholds.
+    sampling thresholds (temperature_sample does).
 
-    Cross-engine float determinism: shares divide exact BIGINT sums;
-    the weight normalizer Σ p_l is a SEQUENTIAL fold over the
-    lang-sorted p list on both engines (F.aggregate vs list_reduce —
-    the repo's dot-product fold pattern; the 0.0 init is exact since
-    0.0 + x == x for p > 0), the rate normalizer is a max
-    (order-free); round-6 at the output only.
-
-    Scale: one shuffle agg to |langs| rows; everything after is
-    broadcast joins over that tiny table — no driver loop.
+    Float contracts in _temperature_rates; round-6 (HALF_UP, F.round
+    parity) at the output only.
     """
-    d = documents(spark, sf_dir)
-    g = (
-        d.select("lang", token_count_col().alias("_n"))
-        .groupBy("lang")
-        .agg(F.sum("_n").cast("long").alias("n_tokens"))
-    )
-    tot = g.agg(F.sum("n_tokens").cast("double").alias("_tot"))
-    sh = (
-        g.join(F.broadcast(tot))
-        .withColumn("share", F.col("n_tokens") / F.col("_tot"))
-        .withColumn("p", F.pow(F.col("share"), F.lit(alpha)))
-    )
-    sump = sh.agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("lang", "p"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["p"],
-        ).alias("_sump")
-    )
-    b = (
-        sh.join(F.broadcast(sump))
-        .withColumn("weight", F.col("p") / F.col("_sump"))
-        .withColumn("boost", F.col("weight") / F.col("share"))
-    )
-    mx = b.agg(F.max("boost").alias("_mx"))
-    return (
-        b.join(F.broadcast(mx))
-        .select(
-            "lang",
-            "n_tokens",
-            F.round("share", 6).alias("share"),
-            F.round("weight", 6).alias("weight"),
-            F.round(F.col("boost") / F.col("_mx"), 6).alias("rate"),
-        )
+    rates = _temperature_rates(spark, sf_dir, alpha)
+    return spark.createDataFrame(
+        [
+            (lang, n, _round6(s), _round6(w), _round6(r))
+            for lang, n, s, w, r in rates
+        ],
+        "lang string, n_tokens long, share double, weight double,"
+        " rate double",
     )
 
 
@@ -276,27 +290,25 @@ def temperature_sample(spark: SparkSession, sf_dir: str,
     integer shares, ordered fold, round-6), and the hex conversion is
     the same integer→hex path on both.  Composable and reproducible
     like every hash-threshold sample in this module.
+
+    Scale: one shuffle agg (the token counts inside
+    _temperature_rates), then a single scan with a broadcast
+    |langs|-row threshold join — the corpus is read twice total, never
+    once per mixture stage.
     """
-    rates = temperature_mixture(spark, sf_dir, alpha).select(
-        "lang", "rate"
+    rows = []
+    for lang, _n, _s, _w, r in _temperature_rates(spark, sf_dir, alpha):
+        rate = _round6(r)
+        thr = format(int(math.floor(rate * 4294967296.0)), "x")
+        rows.append((lang, rate, thr.rjust(8, "0")))
+    rates = spark.createDataFrame(
+        rows, "lang string, rate double, _thr string"
     )
     d = documents(spark, sf_dir).select("doc_id", "lang")
     key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
-    thr = F.lpad(
-        F.lower(
-            F.hex(
-                F.floor(
-                    F.col("rate") * F.lit(4294967296.0)
-                ).cast("long")
-            )
-        ),
-        8,
-        "0",
-    )
     return (
         d.join(F.broadcast(rates), "lang")
         .withColumn("sample_key", key)
-        .withColumn("_thr", thr)
         .filter(
             (F.col("rate") >= 1.0)
             | (F.col("sample_key") < F.col("_thr"))
