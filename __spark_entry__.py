@@ -402,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from searchengine_spark.ops import mix as X
     from searchengine_spark.ops import search as S
     from searchengine_spark.ops import passages as PSG
+    from searchengine_spark.ops import scrub as SC
 
     def _docs(spark, sf):
         return spark.read.parquet(f"{sf}/documents.parquet")
@@ -478,6 +479,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": X.temperature_sample,
         "unigram_logprob": X.unigram_logprob,
         "corpus_split": X.corpus_split,
+        "source_caps": X.source_caps,
+        "training_shuffle": X.training_shuffle,
+        "pii_counts": SC.pii_counts,
+        "pii_scrub": SC.pii_scrub,
+        "pii_summary": SC.pii_summary,
         "bigram_logprob": X.bigram_logprob,
         "collocations": X.collocations,
         "events_windowed": _events_windowed,
@@ -2235,7 +2241,15 @@ def oracle_sql() -> dict[str, str]:
         COLLOC_TOPN,
         MIX_TEMP_ALPHA as _mix_alpha,
         PPL_BUCKETS as _PPL_B,
+        SHUFFLE_SEED as _SHUF_SEED,
+        SOURCE_CAP as _SRC_CAP,
         SPLIT_FRACS,
+    )
+    from searchengine_spark.ops.scrub import (
+        PII_EMAIL_RE as _PII_E,
+        PII_INJECT_SQL as _PII_INJ,
+        PII_IP_RE as _PII_I,
+        PII_NUM_RE as _PII_N,
     )
     from searchengine_spark.ops.textops import LM_K, LM_MU, LM_TERMS
     from searchengine_spark.ops.textops import (
@@ -2603,6 +2617,72 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'train' END AS split,
                    substr(md5(doc_id::VARCHAR), 1, 8) AS split_key
             FROM documents
+        """,
+        # per-source contribution caps (ops/mix.source_caps): hash-rank
+        # row_number here == the Spark op's two-phase prefix count minus
+        # broadcast per-source offsets — same argmin order, skew-safe plan
+        "source_caps": f"""
+            SELECT doc_id, source, src_rank FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id
+                     )::BIGINT AS src_rank
+              FROM documents)
+            WHERE src_rank <= {_SRC_CAP}
+            ORDER BY source, src_rank
+        """,
+        # deterministic epoch shuffle (ops/mix.training_shuffle): global
+        # row_number over the seed-keyed md5 == the two-phase prefix count
+        "training_shuffle": f"""
+            SELECT doc_id,
+                   md5('{_SHUF_SEED}:' || doc_id::VARCHAR) AS shuffle_key,
+                   row_number() OVER (
+                     ORDER BY md5('{_SHUF_SEED}:' || doc_id::VARCHAR), doc_id
+                   )::BIGINT AS pos
+            FROM documents
+        """,
+        # PII family (ops/scrub.py): patterns stay in the Java/RE2-identical
+        # subset; injection CASE is the module's PII_INJECT_SQL — the Spark
+        # expression and this SQL share one definition and cannot desync
+        "pii_counts": f"""
+            WITH t AS (SELECT doc_id, {_PII_INJ} AS tt FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(tt, '{_PII_E}'))::BIGINT AS n_email,
+                   len(regexp_extract_all(tt, '{_PII_I}'))::BIGINT AS n_ip,
+                   len(regexp_extract_all(tt, '{_PII_N}'))::BIGINT AS n_num
+            FROM t
+        """,
+        "pii_scrub": f"""
+            WITH t AS (SELECT doc_id, {_PII_INJ} AS tt FROM documents)
+            SELECT doc_id,
+                   (len(regexp_extract_all(tt, '{_PII_E}'))
+                    + len(regexp_extract_all(tt, '{_PII_I}'))
+                    + len(regexp_extract_all(tt, '{_PII_N}')))::BIGINT
+                     AS n_redactions,
+                   regexp_replace(regexp_replace(regexp_replace(
+                     tt, '{_PII_E}', '<EMAIL>', 'g'),
+                         '{_PII_I}', '<IP>', 'g'),
+                         '{_PII_N}', '<NUM>', 'g') AS clean_text
+            FROM t
+        """,
+        "pii_summary": f"""
+            WITH t AS (SELECT doc_id, source, {_PII_INJ} AS tt
+                       FROM documents),
+            per AS (
+              SELECT source,
+                     len(regexp_extract_all(tt, '{_PII_E}'))::BIGINT AS e,
+                     len(regexp_extract_all(tt, '{_PII_I}'))::BIGINT AS i,
+                     len(regexp_extract_all(tt, '{_PII_N}'))::BIGINT AS n
+              FROM t)
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN e + i + n > 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS docs_with_pii,
+                   sum(e)::BIGINT AS n_email,
+                   sum(i)::BIGINT AS n_ip,
+                   sum(n)::BIGINT AS n_num
+            FROM per GROUP BY source
+            ORDER BY source
         """,
         # interpolated-bigram self-perplexity (ops/mix.bigram_logprob):
         # P(b|a) = lam·c2/c1 + (1−lam)·cu/tot; ln, mean, one round-6

@@ -569,3 +569,82 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str,
         .select("doc_id", "lang", "nll", bucket.alias("bucket"))
         .orderBy("doc_id")
     )
+
+
+# pinned parameters, interpolated into the DuckDB oracles
+# (__spark_entry__.oracle_sql) — change Spark and SQL together
+SOURCE_CAP = 12           # max docs kept per source feed
+SHUFFLE_SEED = "ep0"      # training-order epoch seed
+
+
+def source_caps(spark: SparkSession, sf_dir: str,
+                cap: int = SOURCE_CAP) -> DataFrame:
+    """(doc_id, source, src_rank) — per-source contribution caps: keep
+    at most ``cap`` docs from each source feed, selected by hash rank
+    (substr(md5(doc_id),1,8) asc, doc_id asc) so the kept subset is an
+    unbiased deterministic sample, reproducible across engines and
+    cluster sizes (the stratified_sample argument, but count-capped
+    instead of rate-thresholded — the C4/Dolma "cap any one domain"
+    curation rule).
+
+    Scale: the per-source rank is NOT a per-source window (one task
+    per hot source at 100 TB): it rides the two-phase range-partition
+    prefix count (_prefix_sum over (source, key, doc_id)) minus
+    broadcast per-source exclusive offsets — the perplexity_buckets
+    pattern.  The offsets collect is one row per source.
+    """
+    from .prep import _prefix_sum
+
+    d = documents(spark, sf_dir).select("doc_id", "source")
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    rows = d.withColumn("_key", key).withColumn("_one", F.lit(1))
+    ranked, _ = _prefix_sum(rows, "_one", ["source", "_key", "doc_id"])
+    per_src = {
+        r["source"]: r["n"]
+        for r in ranked.groupBy("source").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    offs, acc = [], 0
+    for s in sorted(per_src):
+        offs.append((s, acc))
+        acc += per_src[s]
+    off_df = spark.createDataFrame(offs, "source string, _off long")
+    r = (F.col("cum_tokens") - F.col("_off")).cast("long")
+    return (
+        ranked.join(F.broadcast(off_df), "source")
+        .withColumn("src_rank", r)
+        .filter(F.col("src_rank") <= cap)
+        .select("doc_id", "source", "src_rank")
+        .orderBy("source", "src_rank")
+    )
+
+
+def training_shuffle(spark: SparkSession, sf_dir: str,
+                     seed: str = SHUFFLE_SEED) -> DataFrame:
+    """(doc_id, shuffle_key, pos) — the deterministic global training
+    order: every doc gets a seed-keyed hash (md5(seed || ':' ||
+    doc_id)) and ``pos`` is its 1-based rank in (shuffle_key asc,
+    doc_id asc).  A new seed is a fresh epoch permutation; the same
+    seed replays the identical order on any cluster size — the
+    rand()-free shuffle a resumable training job needs.
+
+    Scale: the global rank is the two-phase range-partition prefix
+    count (_prefix_sum — never a single-partition window); the output
+    stays range-partitioned on the order, so a downstream
+    write ordered by pos is shuffle-free.
+    """
+    from .prep import _prefix_sum
+
+    d = documents(spark, sf_dir).select("doc_id")
+    skey = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col("doc_id").cast("string"))
+    )
+    rows = (
+        d.withColumn("shuffle_key", skey).withColumn("_one", F.lit(1))
+    )
+    ranked, _ = _prefix_sum(rows, "_one", ["shuffle_key", "doc_id"])
+    return ranked.select(
+        "doc_id", "shuffle_key",
+        F.col("cum_tokens").cast("long").alias("pos"),
+    )

@@ -346,6 +346,105 @@ def test_collocations_match_python(spark, docs_pd):
     assert all(n >= COLLOC_MIN_COUNT for _, _, n, _ in got)
 
 
+def test_source_caps_match_python_and_are_monotone(spark):
+    """Per-source contribution caps vs a Python recompute of the hash
+    rank, plus the curation properties: every source is capped, the
+    kept set is a prefix of the per-source hash order (so halving the
+    cap yields a subset with identical ranks)."""
+    from searchengine_spark.ops.mix import SOURCE_CAP, source_caps
+
+    src_pd = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "source")
+        .toPandas()
+    )
+    got = {
+        r["doc_id"]: (r["source"], r["src_rank"])
+        for r in source_caps(spark, SF).collect()
+    }
+    by_src = {}
+    for _, r in src_pd.iterrows():
+        key = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8]
+        by_src.setdefault(r["source"], []).append((key, r["doc_id"]))
+    expect = {}
+    for src, rows in by_src.items():
+        rows.sort()
+        for rank, (_, d) in enumerate(rows, start=1):
+            if rank <= SOURCE_CAP:
+                expect[d] = (src, rank)
+    assert got == expect
+    # non-vacuous: some source actually hit its cap on this fixture
+    full = [s for s, rows in by_src.items() if len(rows) > SOURCE_CAP]
+    assert full, "fixture must have a source exceeding the cap"
+    counts = Counter(s for s, _ in got.values())
+    assert all(n <= SOURCE_CAP for n in counts.values())
+    for s in full:
+        assert counts[s] == SOURCE_CAP
+
+    # monotone: halving the cap keeps a prefix with unchanged ranks
+    half = {
+        r["doc_id"]: (r["source"], r["src_rank"])
+        for r in source_caps(spark, SF, cap=SOURCE_CAP // 2).collect()
+    }
+    assert set(half) <= set(got)
+    for d, v in half.items():
+        assert got[d] == v
+
+
+def test_training_shuffle_is_a_seeded_permutation(spark):
+    """Epoch shuffle vs a Python recompute of the seeded-hash order,
+    plus the training-loader properties: pos is exactly 1..N, the
+    order is partition-count invariant, and a different seed yields a
+    genuinely different permutation."""
+    from searchengine_spark.ops.mix import training_shuffle
+
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    got = {
+        r["doc_id"]: (r["shuffle_key"], r["pos"])
+        for r in training_shuffle(spark, SF).collect()
+    }
+    keyed = sorted(
+        (hashlib.md5(f"ep0:{d}".encode()).hexdigest(), d) for d in ids
+    )
+    expect = {
+        d: (k, pos) for pos, (k, d) in enumerate(keyed, start=1)
+    }
+    assert got == expect
+    assert sorted(p for _, p in got.values()) == list(
+        range(1, len(ids) + 1)
+    )
+
+    # partition-count invariance: the rank must not depend on layout
+    docs8 = (
+        spark.read.parquet(f"{SF}/documents.parquet").repartition(8)
+    )
+    docs8.createOrReplaceTempView("_ts_docs8")
+    from searchengine_spark.ops import mix as _mix
+
+    orig = _mix.documents
+    try:
+        _mix.documents = lambda sp, sf: sp.table("_ts_docs8")
+        again = {
+            r["doc_id"]: (r["shuffle_key"], r["pos"])
+            for r in training_shuffle(spark, SF).collect()
+        }
+    finally:
+        _mix.documents = orig
+    assert again == got
+
+    # a fresh epoch seed permutes: at least one doc moves position
+    ep1 = {
+        r["doc_id"]: r["pos"]
+        for r in training_shuffle(spark, SF, seed="ep1").collect()
+    }
+    assert any(ep1[d] != got[d][1] for d in ep1)
+
+
 def test_perplexity_buckets_match_python(spark, docs_pd):
     """CCNet terciles vs a sequential recompute: per-lang rank over
     (rounded nll, doc_id) cut by the exact SQL-ntile size rule (the
