@@ -500,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": T.phrase_match,
         "phrase_match_indexed": T.phrase_match_indexed,
         "proximity_topk": T.proximity_topk,
+        "span_near_topk": T.span_near_topk,
         "phrase_slop": T.phrase_slop,
         "corrected_topk": T.corrected_topk,
         "text_quality": T.text_quality,
@@ -3661,6 +3662,81 @@ def oracle_sql() -> dict[str, str]:
             FROM scored s JOIN prox p USING (doc_id)
             WHERE s.nmatch = 2
             ORDER BY score DESC, s.doc_id LIMIT 10
+        """
+    # span-near ranking (ops/textops.span_near_topk, positions
+    # consumer #3): conjunctive BM25 (explicit left-fold in term-list
+    # order — the sequential-fold float contract; a bare sum() has no
+    # pinned order at 3+ terms) + len(terms)/min_win tightness boost.
+    # min_win via the brute-force anchor join: an optimal cover starts
+    # at a query-term occurrence; for each anchor the tightest cover
+    # ends at max over terms of (smallest pos >= anchor) — quadratic
+    # at sf0.01 and the losslessness proof for the searchsorted kernel
+    from searchengine_spark.ops.textops import (
+        SPAN_NEAR_K as _SPN_K,
+        SPAN_NEAR_TERMS as _SPN_T,
+    )
+
+    _spn_list = ", ".join(f"'{t}'" for t in _SPN_T)
+    _spn_w = " + ".join(
+        f"w{i}.w" for i in range(len(_SPN_T))
+    )  # left-assoc fold in term order
+    _spn_joins = "\n".join(
+        f"            JOIN per w{i} ON w{i}.doc_id = dl.doc_id"
+        f" AND w{i}.term = '{t}'"
+        for i, t in enumerate(_SPN_T)
+    )
+    d["span_near_topk"] = f"""
+            WITH rawtoks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+            ptoks AS (
+              SELECT doc_id, i AS pos, t[i] AS term
+              FROM rawtoks, LATERAL (
+                SELECT unnest(generate_series(1, len(t))) AS i) g
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM ptoks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*) AS total_tokens
+                   FROM tf GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n, avg(total_tokens) AS avgdl
+                      FROM dl),
+            qterms AS (SELECT unnest([{_spn_list}]) AS term),
+            dft AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM tf JOIN qterms USING (term) GROUP BY term),
+            per AS (
+              SELECT tf.doc_id, tf.term,
+                     ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.total_tokens
+                                                     / stats.avgdl)) AS w
+              FROM tf JOIN qterms USING (term) JOIN dft USING (term)
+                   JOIN dl USING (doc_id) CROSS JOIN stats
+            ),
+            qpos AS (SELECT doc_id, pos, term
+                     FROM ptoks JOIN qterms USING (term)),
+            anchors AS (SELECT DISTINCT doc_id, pos FROM qpos),
+            nxt AS (
+              SELECT a.doc_id, a.pos AS p, q.term, min(q.pos) AS np
+              FROM anchors a JOIN qpos q
+                ON q.doc_id = a.doc_id AND q.pos >= a.pos
+              GROUP BY a.doc_id, a.pos, q.term
+            ),
+            cover AS (
+              SELECT doc_id, p, max(np) AS e
+              FROM nxt GROUP BY doc_id, p
+              HAVING count(DISTINCT term) = {len(_SPN_T)}
+            ),
+            win AS (SELECT doc_id, min(e - p + 1)::BIGINT AS min_win
+                    FROM cover GROUP BY doc_id)
+            SELECT dl.doc_id, win.min_win,
+                   round(({_spn_w})
+                         + {float(len(_SPN_T))!r}::DOUBLE / win.min_win,
+                         6) AS score
+            FROM dl
+{_spn_joins}
+            JOIN win ON win.doc_id = dl.doc_id
+            ORDER BY score DESC, dl.doc_id LIMIT {_SPN_K}
         """
     # per-language heavy hitters / df histogram (ops/textops.py)
     from searchengine_spark.ops.textops import TOPTERMS_N

@@ -499,6 +499,47 @@ def min_pair_distance_udf():
     return _min_dist
 
 
+def min_cover_window_udf():
+    """Arrow-batched kernel: minimal covering window over k SORTED
+    position arrays — the smallest max−min+1 over any set of positions
+    containing one occurrence of EVERY term (Lucene SpanNearQuery /
+    interval MINIMIZE semantics).
+
+    Vectorized per doc in O(E·k) with E = Σ tf: the classic reduction
+    that an optimal window starts at some query-term occurrence — for
+    every anchor event p, the tightest cover starting at p ends at
+    max over terms of (smallest pos >= p), one searchsorted per term
+    over the event vector; no position×position pair ever
+    materializes (the min_pair_distance_udf argument, k-ary)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _cover(*cols: pd.Series) -> pd.Series:
+        n = len(cols[0])
+        out = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            arrs = [
+                np.asarray(c.iloc[i], dtype=np.int64) for c in cols
+            ]
+            events = np.unique(np.concatenate(arrs))
+            ok = np.ones(events.shape, dtype=bool)
+            end = np.zeros(events.shape, dtype=np.int64)
+            for a in arrs:
+                idx = np.searchsorted(a, events, side="left")
+                valid = idx < a.size
+                ok &= valid
+                nxt = a[np.minimum(idx, a.size - 1)]
+                end = np.maximum(end, np.where(valid, nxt, 0))
+            # a cover always exists when every array is non-empty
+            # (anchor at the global min position is valid for all k)
+            out[i] = int((end[ok] - events[ok] + 1).min())
+        return pd.Series(out)
+
+    return _cover
+
+
 def ordered_window_count_udf(slop: int):
     """Arrow-batched kernel: number of ORDERED pairs (pa, pb) with
     0 < pb − pa <= slop + 1 over two SORTED position arrays, O((tf_a +
@@ -553,6 +594,34 @@ def phrase_slop(spark, sf_dir, terms=SLOP_TERMS, slop=PHRASE_SLOP,
 
     return slop_topk_shards(
         spark, _flat_index(spark, sf_dir), list(terms), slop=slop, k=k
+    )
+
+
+# span-near pinned defaults — interpolated into the DuckDB oracle by
+# __spark_entry__ (change Spark and SQL together); the triple
+# co-occurs at every test SF (257/263/2687 conjunctive docs)
+SPAN_NEAR_TERMS = ("table", "hash", "join")
+SPAN_NEAR_K = 10
+
+
+def span_near_topk(spark, sf_dir, terms=SPAN_NEAR_TERMS,
+                   k=SPAN_NEAR_K) -> DataFrame:
+    """Unordered k-term span-near ranking (Lucene SpanNearQuery,
+    inOrder=false) served from the index's stored positions: BM25 over
+    docs containing ALL terms plus a len(terms)/min_win tightness
+    boost, min_win = minimal covering window.  Completes the positions
+    family phrase (exact adjacency) → slop (ordered window) →
+    proximity (pair distance) → span-near (k-ary cover).
+
+    Driver-entry wrapper over query/positions.span_near_topk_shards;
+    the driver oracle recomputes the identical semantics from the text
+    with the explicit anchor join (brute force at sf0.01 — the
+    losslessness proof for the searchsorted cover kernel).
+    """
+    from ..query.positions import span_near_topk_shards
+
+    return span_near_topk_shards(
+        spark, _flat_index(spark, sf_dir), list(terms), k=k
     )
 
 

@@ -98,6 +98,96 @@ def slop_topk_shards(
     )
 
 
+def span_near_topk_shards(
+    spark: SparkSession, sh: IndexShards, terms, k: int = 10
+) -> DataFrame:
+    """Unordered span-near ranking from stored positions (the k-ary
+    sibling of proximity_topk_shards — Lucene SpanNearQuery with
+    inOrder=false): BM25 over docs containing ALL terms, boosted by
+    len(terms)/min_win where min_win is the minimal covering window
+    (smallest token span holding one occurrence of every term; the
+    boost is 1.0 exactly when the terms are perfectly clustered and
+    decays with spread).  (doc_id, min_win, score), score desc,
+    doc_id asc, round-6.
+
+    Same scale shape as proximity: one bucket-pruned fetch per term,
+    the k posting rows meet in ONE row per doc (k-way equi-join on
+    docid — conjunctive eligibility for free), and the window is the
+    vectorized anchor-searchsorted kernel
+    (ops/textops.min_cover_window_udf) — never a position explode.
+    The docs join supplies BM25 length and masks tombstones in one
+    step; df/idf come from the handle's tombstone-corrected termdict.
+    """
+    from ..ops.textops import min_cover_window_udf
+    from ..params import BM25_B, BM25_K1
+    from .wand import bm25_idf
+
+    terms = list(terms)
+    if len(terms) < 2 or len(set(terms)) != len(terms):
+        raise ValueError(
+            "span_near_topk ranks >= 2 DISTINCT terms"
+        )
+    n = sh.stats["n_survivors"]
+    avgdl = sh.stats["avgdl"] or 1.0
+    dfmap = {
+        r["term"]: r["df"]
+        for r in sh.termdict.filter(F.col("term").isin(terms)).collect()
+    }
+    if any(t not in dfmap for t in terms):
+        return spark.createDataFrame(
+            [], "doc_id long, min_win long, score double"
+        )
+    sides = [
+        fetch_postings(sh, [t]).select(
+            "docid",
+            F.col("tf").alias(f"tf_{i}"),
+            F.col("positions").alias(f"pos_{i}"),
+        )
+        for i, t in enumerate(terms)
+    ]
+    both = sides[0]
+    for s in sides[1:]:
+        both = both.join(s, "docid")
+    both = both.join(sh.docs.select("docid", "total_tokens"), "docid")
+
+    def w8(tf_col):
+        return (
+            F.col(tf_col).cast("double") * F.lit(BM25_K1 + 1.0)
+            / (
+                F.col(tf_col).cast("double")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B)
+                    * F.col("total_tokens").cast("double") / F.lit(avgdl)
+                )
+            )
+        )
+
+    s = None
+    for i, t in enumerate(terms):
+        part = F.lit(bm25_idf(n, dfmap[t])) * w8(f"tf_{i}")
+        s = part if s is None else s + part
+    cover = min_cover_window_udf()
+    return (
+        both.withColumn(
+            "min_win", cover(*[F.col(f"pos_{i}") for i in range(len(terms))])
+        )
+        .select(
+            F.col("docid").alias("doc_id"),
+            "min_win",
+            F.round(
+                s
+                + F.lit(float(len(terms)))
+                / F.col("min_win").cast("double"),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def proximity_topk_shards(
     spark: SparkSession, sh: IndexShards, terms, k: int = 10
 ) -> DataFrame:

@@ -817,6 +817,77 @@ class LocalSearcher:
             (int(common[i]), int(mind[i]), float(score[i])) for i in top
         ]
 
+    def span_near_topk(self, terms, k: int = 10, analyzer=None):
+        """Unordered k-ary span-near ranking — serving-tier mirror of
+        ops/textops.span_near_topk / query/positions.
+        span_near_topk_shards: BM25 over docs containing ALL terms plus
+        a len(terms)/min_win boost, min_win = minimal covering window.
+        [(doc_id, min_win, score)] score desc, doc_id asc.  The window
+        is the same anchor-searchsorted scan as the Spark kernel
+        (min_cover_window_udf), and the BM25 sum folds in term-list
+        order (the sequential-fold float contract); postings arrive
+        tombstone-masked via the positions LRU (_postings_for)."""
+        from ..params import BM25_B, BM25_K1
+        from ..text.analyze import analyze
+
+        analyzed = [
+            analyzer(str(t)) if analyzer is not None
+            else analyze(str(t), stem=self.stem)
+            for t in terms
+        ]
+        if len(analyzed) < 2 or any(len(a) != 1 for a in analyzed):
+            raise ValueError(
+                "span_near_topk takes >= 2 terms, one token each"
+            )
+        toks = [a[0] for a in analyzed]
+        if len(set(toks)) != len(toks):
+            raise ValueError("span_near_topk ranks DISTINCT terms")
+        if any(t not in self._df for t in toks):
+            return []
+        posts = [self._postings_for(t) for t in toks]
+        common = posts[0][0]
+        for ids, _tfs, _off, _flat in posts[1:]:
+            common = np.intersect1d(common, ids, assume_unique=True)
+        if common.size == 0:
+            return []
+        idxs = [
+            np.searchsorted(ids, common)
+            for ids, _tfs, _off, _flat in posts
+        ]
+        minwin = np.empty(common.size, dtype=np.int64)
+        for j in range(common.size):
+            arrs = [
+                flat[off[ix[j]]:off[ix[j] + 1]]
+                for (_ids, _tfs, off, flat), ix in zip(posts, idxs)
+            ]
+            events = np.unique(np.concatenate(arrs))
+            ok = np.ones(events.shape, dtype=bool)
+            end = np.zeros(events.shape, dtype=np.int64)
+            for a in arrs:
+                at = np.searchsorted(a, events, side="left")
+                valid = at < a.size
+                ok &= valid
+                nxt = a[np.minimum(at, a.size - 1)]
+                end = np.maximum(end, np.where(valid, nxt, 0))
+            minwin[j] = int((end[ok] - events[ok] + 1).min())
+        dl_ids, dl_lens = self._dl
+        dl = dl_lens[np.searchsorted(dl_ids, common)]  # common ⊂ docs
+        k1, b = BM25_K1, BM25_B
+        denom = k1 * (1.0 - b + b * dl / self.avgdl)
+        score = None
+        for t, (_ids, tfs, _off, _flat), ix in zip(toks, posts, idxs):
+            tff = tfs[ix].astype(np.float64)
+            part = bm25_idf(self.n_survivors, self._df[t]) * (
+                tff * (k1 + 1.0) / (tff + denom)
+            )
+            score = part if score is None else score + part
+        score = score + float(len(toks)) / minwin
+        top = np.lexsort((common, -score))[:k]
+        return [
+            (int(common[i]), int(minwin[i]), float(score[i]))
+            for i in top
+        ]
+
     def slop_topk(self, terms, slop: int = 3, k: int = 20,
                   analyzer=None):
         """Sloppy ordered phrase — serving-tier mirror of
@@ -1373,6 +1444,17 @@ class ShardedSearcher:
         cands = []
         for sh in self.shards:
             cands.extend(sh.proximity_topk(terms, k=k, analyzer=analyzer))
+        cands.sort(key=lambda t: (-t[2], t[0]))
+        return cands[:k]
+
+    def span_near_topk(self, terms, k: int = 10, analyzer=None):
+        """Global span-near top-k: min_win comes from the doc's own
+        positions (shard-local by construction) and scores are
+        global-stat-only — merging by (score desc, docid asc) is
+        exact, proximity_topk's argument verbatim."""
+        cands = []
+        for sh in self.shards:
+            cands.extend(sh.span_near_topk(terms, k=k, analyzer=analyzer))
         cands.sort(key=lambda t: (-t[2], t[0]))
         return cands[:k]
 

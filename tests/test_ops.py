@@ -612,6 +612,108 @@ def test_proximity_plan_has_no_position_explode(spark):
         proximity_topk(spark, SF, terms=("same", "same"))
 
 
+def test_min_cover_window_kernel_matches_brute_force(spark):
+    """Anchor-searchsorted minimal cover == brute-force min over the
+    full cartesian product of one position per term (small arrays),
+    plus a tf≈10³ 4-term case checked against an independent pure-
+    Python anchor recompute (the product there would be 10¹² tuples —
+    the blowup the kernel exists to avoid)."""
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from searchengine_spark.ops.textops import min_cover_window_udf
+
+    fn = min_cover_window_udf().func
+    rng = random.Random(7)
+    small = []
+    for sizes in [(1, 1), (3, 5), (4, 4, 4), (2, 7, 3), (5, 2, 6, 3)]:
+        small.append(
+            tuple(sorted(rng.sample(range(1, 300), m)) for m in sizes)
+        )
+    for arrs in small:
+        got = int(fn(*[pd.Series([list(a)]) for a in arrs]).iloc[0])
+        brute = min(
+            max(c) - min(c) + 1 for c in itertools.product(*arrs)
+        )
+        assert got == brute, arrs
+
+    big = tuple(
+        sorted(rng.sample(range(1, 100_000), 1000)) for _ in range(4)
+    )
+    got = int(fn(*[pd.Series([list(a)]) for a in big]).iloc[0])
+    best = None
+    union = sorted(set().union(*big))
+    for p in union:
+        nxts = []
+        ok = True
+        for a in big:
+            nxt = next((x for x in a if x >= p), None)
+            if nxt is None:
+                ok = False
+                break
+            nxts.append(nxt)
+        if ok:
+            w = max(nxts) - p + 1
+            best = w if best is None else min(best, w)
+    assert got == best
+
+
+def test_span_near_matches_python_and_has_no_explode(spark):
+    """span_near_topk's min_win recomputed from the raw text in pure
+    Python for every returned doc; the plan joins posting rows (never
+    explodes positions); degenerate term lists raise."""
+    import re as _re
+
+    from searchengine_spark.ops.textops import (
+        SPAN_NEAR_TERMS,
+        span_near_topk,
+    )
+
+    df = span_near_topk(spark, SF, k=25)
+    plan = df._jdf.queryExecution().toString().lower()
+    assert "explode(positions" not in plan and "posexplode" not in plan
+    rows = df.collect()
+    assert len(rows) == 25
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    tok = _re.compile(r"[a-z0-9]+")
+    prev = None
+    for r in rows:
+        toks = tok.findall(docs[r["doc_id"]].lower())
+        pos = {t: [] for t in SPAN_NEAR_TERMS}
+        for i, t in enumerate(toks, start=1):
+            if t in pos:
+                pos[t].append(i)
+        assert all(pos[t] for t in SPAN_NEAR_TERMS)  # conjunctive
+        best = None
+        anchors = sorted(p for ps in pos.values() for p in ps)
+        for p in anchors:
+            nxts = [
+                next((x for x in ps if x >= p), None)
+                for ps in pos.values()
+            ]
+            if all(x is not None for x in nxts):
+                w = max(nxts) - p + 1
+                best = w if best is None else min(best, w)
+        assert r["min_win"] == best
+        assert r["min_win"] >= len(SPAN_NEAR_TERMS)
+        if prev is not None:  # rank order (score desc, doc_id asc)
+            assert (-prev["score"], prev["doc_id"]) < (
+                -r["score"], r["doc_id"]
+            )
+        prev = r
+    with pytest.raises(ValueError):
+        span_near_topk(spark, SF, terms=("solo",))
+    with pytest.raises(ValueError):
+        span_near_topk(spark, SF, terms=("dup", "dup", "key"))
+
+
 # -- vectors ---------------------------------------------------------------
 
 def test_neardup_lsh_subset_and_recall(spark):

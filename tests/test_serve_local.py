@@ -191,6 +191,43 @@ def _oracle_proximity(oracle, ta, tb, k=10):
     return out[:k]
 
 
+def _oracle_span_near(oracle, terms, k=10):
+    """Brute-force expected span-near ranking (cartesian min cover —
+    fine at test scale; the anchor-searchsorted kernels must agree):
+    BM25 folded in term-list order + len(terms)/min_win boost,
+    (docid, min_win, score) score desc / docid asc."""
+    import itertools
+
+    from searchengine_spark.params import BM25_B, BM25_K1
+    from searchengine_spark.query.wand import bm25_idf
+
+    posts = [oracle.postings.get(t, {}) for t in terms]
+    cand = set(posts[0])
+    for p in posts[1:]:
+        cand &= set(p)
+    out = []
+    for d in cand:
+        arrs = [p[d][1] for p in posts]
+        win = min(
+            max(c) - min(c) + 1 for c in itertools.product(*arrs)
+        )
+        dl = oracle.docs[d]["total_tokens"]
+
+        def w(tf):
+            return tf * (BM25_K1 + 1.0) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / oracle.avgdl)
+            )
+
+        score = None
+        for t, p in zip(terms, posts):
+            part = bm25_idf(oracle.n_survivors, len(p)) * w(p[d][0])
+            score = part if score is None else score + part
+        score = score + float(len(terms)) / win
+        out.append((d, win, score))
+    out.sort(key=lambda t: (-t[2], t[0]))
+    return out[:k]
+
+
 def _ident(s):
     return s.split()
 
@@ -239,6 +276,40 @@ def test_local_proximity_matches_oracle(searcher, oracle):
         searcher.proximity_topk([ta, ta], analyzer=_ident)
     with pytest.raises(ValueError):
         searcher.proximity_topk([ta], analyzer=_ident)
+
+
+def test_local_span_near_matches_oracle(searcher, oracle):
+    """span_near_topk must reproduce the Spark op's ranking: k-ary
+    conjunctive BM25 + len(terms)/min_win, min_win the minimal
+    covering window from stored positions — expected via the
+    brute-force cartesian cover."""
+    pm = _pos_term_map(oracle)
+    trip = None
+    for d in sorted(pm):
+        at = pm[d]
+        if (
+            1 in at and 2 in at and 3 in at
+            and len({at[1], at[2], at[3]}) == 3
+        ):
+            trip = [at[1], at[2], at[3]]
+            break
+    assert trip is not None
+    exp = _oracle_span_near(oracle, trip, k=10)
+    assert exp
+    got = searcher.span_near_topk(trip, k=10, analyzer=_ident)
+    assert [(d, w) for d, w, _ in got] == [(d, w) for d, w, _ in exp]
+    for (_, _, gs), (_, _, es) in zip(got, exp):
+        assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+    # the pair case degenerates to proximity eligibility: same docs
+    pair = _oracle_span_near(oracle, trip[:2], k=10)
+    gotp = searcher.span_near_topk(trip[:2], k=10, analyzer=_ident)
+    assert [(d, w) for d, w, _ in gotp] == [(d, w) for d, w, _ in pair]
+    assert searcher.span_near_topk(["zzznope", trip[0]],
+                                   analyzer=_ident) == []
+    with pytest.raises(ValueError):
+        searcher.span_near_topk([trip[0], trip[0]], analyzer=_ident)
+    with pytest.raises(ValueError):
+        searcher.span_near_topk([trip[0]], analyzer=_ident)
 
 
 def _oracle_slop(oracle, ta, tb, slop, k=50):
@@ -381,6 +452,33 @@ def test_spark_positions_surfaces_match_local(spark, index_dir, searcher,
     assert [(x, m) for x, m, _ in gotp] == [(x, m) for x, m, _ in expp]
     for (_, _, gs), (_, _, es) in zip(gotp, expp):  # spark rounds to 6
         assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-6)
+
+    from searchengine_spark.query.positions import span_near_topk_shards
+
+    trip = None
+    for dd in sorted(pm):
+        at = pm[dd]
+        if (
+            1 in at and 2 in at and 3 in at
+            and len({at[1], at[2], at[3]}) == 3
+        ):
+            trip = [at[1], at[2], at[3]]
+            break
+    assert trip is not None
+    exps = _oracle_span_near(oracle, trip, k=10)
+    assert exps
+    gots = [
+        (r["doc_id"], r["min_win"], r["score"])
+        for r in span_near_topk_shards(spark, sh, trip, k=10).collect()
+    ]
+    assert [(x, w) for x, w, _ in gots] == [(x, w) for x, w, _ in exps]
+    for (_, _, gs), (_, _, es) in zip(gots, exps):  # spark rounds to 6
+        assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-6)
+    assert gots == [
+        (d, w, pytest.approx(s, rel=1e-9, abs=1e-6))
+        for d, w, s in searcher.span_near_topk(trip, k=10,
+                                               analyzer=_ident)
+    ]
 
 
 def test_positions_surfaces_over_segments(spark, split_corpora,
@@ -694,6 +792,14 @@ def test_sharded_serving_equals_unsharded(spark, tmp_path_factory):
             (d, m) for d, m, _ in exp_px
         ], n_shards
         for (_, _, gs), (_, _, es) in zip(got_px, exp_px):
+            assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+        exp_sn = whole.span_near_topk(prox_probe, k=10)
+        assert exp_sn
+        got_sn = router.span_near_topk(prox_probe, k=10)
+        assert [(d, w) for d, w, _ in got_sn] == [
+            (d, w) for d, w, _ in exp_sn
+        ], n_shards
+        for (_, _, gs), (_, _, es) in zip(got_sn, exp_sn):
             assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
 
         # prefix search shard-merges exactly (termdict — and so the
