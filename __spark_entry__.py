@@ -393,6 +393,42 @@ def _event_bursts(spark, sf):
     return event_bursts(spark, sf)
 
 
+def _warc_roundtrip(spark, sf):
+    """WARC source-adapter roundtrip (corpus/warc.py): the documents
+    table is serialized into deterministic .warc chunks once (cached
+    by the sf fingerprint, completeness marker last), then parsed back
+    through the DISTRIBUTED adapter (binaryFile → mapInPandas,
+    shuffle-free).  The oracle recomputes (url, byte length, md5) from
+    the documents table directly — equality proves the adapter
+    preserves every record byte-exactly through serialize + parse."""
+    import os
+
+    from searchengine_spark.corpus.warc import read_warc, write_warc_dir
+
+    d = _index_cache_dir(sf, "warc")
+    marker = os.path.join(d, "_complete")
+    if not os.path.exists(marker):
+        rows = [
+            (f"http://{r['source']}/doc/{r['doc_id']}",
+             r["text"].encode("utf-8"))
+            for r in spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id", "source", "text")
+            .collect()
+        ]
+        write_warc_dir(rows, d, n_files=4)
+        with open(marker, "w"):
+            pass
+    recs = read_warc(spark, os.path.join(d, "*.warc"))
+    return recs.select(
+        F.regexp_extract("url", r"/doc/([0-9]+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "url",
+        "n_bytes",
+        F.md5("payload").alias("content_md5"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from searchengine_spark.ops import textops as T
     from searchengine_spark.ops import vectors as V
@@ -430,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length": T.doc_length,
         "term_dict": T.term_dict,
         "corpus_stats": T.corpus_stats,
+        "warc_roundtrip": _warc_roundtrip,
         "dedup_exact": T.dedup_exact,
         "bm25_topk": T.bm25_topk,
         "stemmed_topk": T.stemmed_topk,
@@ -3150,6 +3187,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY sha256(text)
+        """,
+        # WARC adapter roundtrip (corpus/warc.py): byte length + md5
+        # recomputed straight from documents — DuckDB strlen/md5 hash
+        # the UTF-8 bytes, exactly the payload the fixture serialized
+        "warc_roundtrip": """
+            SELECT doc_id,
+                   'http://' || source || '/doc/' || doc_id::VARCHAR
+                     AS url,
+                   strlen(text)::BIGINT AS n_bytes,
+                   md5(text) AS content_md5
+            FROM documents ORDER BY doc_id
         """,
         "bm25_topk": f"""
             WITH toks AS ({_TOKS}),
