@@ -303,7 +303,8 @@ def _segmented_flat_dir(spark: SparkSession, sf_dir: str) -> str:
         init_segmented,
     )
 
-    d = _index_cache_dir(sf_dir, "engineflatseg")
+    # "2": store_content added round 3 — old caches lack the sidecar
+    d = _index_cache_dir(sf_dir, "engineflatseg2")
     meta_ok = False
     meta_path = os.path.join(d, "segments.json")
     if os.path.exists(meta_path):
@@ -327,9 +328,11 @@ def _segmented_flat_dir(spark: SparkSession, sf_dir: str) -> str:
                 **kwargs,
             ),
             d,
+            store_content=True,
         )
         append_segment(
             spark, d, ranked.filter(F.col("_rk") > half).drop("_rk"),
+            store_content=True,
             **kwargs,
         )
         ranked.unpersist()
@@ -357,6 +360,35 @@ def _index_stats_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token_sum",
         "avgdl",
         "n_terms",
+    )
+
+
+def _stored_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-fields sidecar (index/stored.py) in the driver contract:
+    read the 2-generation flat segmented index's ``stored/`` sidecars
+    back through Spark, mask liveness by the serving docs view (the
+    same rule every query surface uses), and sha256 the content.  The
+    oracle recomputes the live set (lexical ids → empty filter → sha
+    dedup) from the raw documents table — equality proves the sidecar
+    holds exactly the survivors' bytes, byte-for-byte, across the
+    cross-segment dedup."""
+    import os
+    from functools import reduce
+
+    from searchengine_spark.index.segments import _read_meta, load_segments
+    from searchengine_spark.index.stored import STORED_DIR
+
+    d = _segmented_flat_dir(spark, sf_dir)
+    stored = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(os.path.join(d, s, STORED_DIR))
+            for s in _read_meta(d)["segments"]
+        ],
+    )
+    docs = load_segments(spark, d).docs
+    return stored.join(docs.select("docid"), "docid", "left_semi").select(
+        "docid", F.sha2("content", 256).alias("content_sha")
     )
 
 
@@ -570,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf, ENGINE_FLAT_QUERIES, k=10
         ),
         "index_stats_flat": _index_stats_flat,
+        "stored_fields": _stored_fields,
         "engine_topk_flat_bm25f": lambda spark, sf: _run_engine_flat_bm25f(
             spark, sf, ENGINE_FLAT_QUERIES, k=10
         ),
@@ -3641,6 +3674,35 @@ def oracle_sql() -> dict[str, str]:
                round((SELECT coalesce(sum(total_tokens), 0) FROM dl)::DOUBLE
                      / (SELECT count(*) FROM alive)::DOUBLE, 6) AS avgdl,
                (SELECT count(DISTINCT term) FROM tf)::BIGINT AS n_terms
+    """
+    # stored-fields sidecar: the segmented index's stored/ parquet must
+    # hold exactly the live survivors' content, byte-for-byte (sha256
+    # on both engines); the live set is the flat chain's front half
+    d["stored_fields"] = """
+        WITH corpus AS (
+          SELECT source AS repo,
+                 'doc/' || doc_id::VARCHAR AS path,
+                 substr(sha256(source || '|' || doc_id::VARCHAR), 1, 40)
+                   AS cmt,
+                 text AS content
+          FROM documents
+        ),
+        ids AS (
+          SELECT row_number() OVER (ORDER BY repo, path, cmt) AS docid,
+                 content
+          FROM corpus
+        ),
+        nonempty AS (
+          SELECT * FROM ids
+          WHERE length(regexp_replace(content, '\\s', '', 'g')) > 0
+        ),
+        alive AS (
+          SELECT docid, content FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY sha256(content) ORDER BY docid) AS rk
+            FROM nonempty) WHERE rk = 1
+        )
+        SELECT docid, sha256(content) AS content_sha FROM alive
     """
     # BM25F variant: same chain with the importance extraction + per-tag
     # multipliers live (proves the carried field machinery, not just

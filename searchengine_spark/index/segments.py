@@ -79,6 +79,7 @@ from __future__ import annotations
 
 import json
 import os
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -159,14 +160,16 @@ def _raw_docs(spark: SparkSession, index_dir: str,
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
-def init_segmented(spark: SparkSession, tables, index_dir: str) -> str:
+def init_segmented(spark: SparkSession, tables, index_dir: str,
+                   store_content: bool = False) -> str:
     """Write the first generation from built IndexTables."""
     os.makedirs(index_dir, exist_ok=True)
     meta = _read_meta(index_dir)
     if meta["segments"]:
         raise ValueError(f"{index_dir} already has segments")
     name = _reserve_name(index_dir, meta)
-    write_index(spark, tables, os.path.join(index_dir, name))
+    write_index(spark, tables, os.path.join(index_dir, name),
+                store_content=store_content)
     _commit_segment(index_dir, name)
     return name
 
@@ -175,6 +178,7 @@ def append_segment(
     spark: SparkSession,
     index_dir: str,
     corpus: DataFrame,
+    store_content: bool = False,
     **build_kwargs,
 ) -> str:
     """Build a new generation from ``corpus`` and commit it.
@@ -206,7 +210,8 @@ def append_segment(
         **build_kwargs,
     )
     name = _reserve_name(index_dir, meta)
-    write_index(spark, tables, os.path.join(index_dir, name))
+    write_index(spark, tables, os.path.join(index_dir, name),
+                store_content=store_content)
     _commit_segment(index_dir, name)
     return name
 
@@ -699,6 +704,37 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
+def _merge_stored_sidecar(spark: SparkSession, index_dir: str,
+                          input_segs: list[str], out_dir: str,
+                          survivors: DataFrame) -> bool:
+    """Rebuild a merged generation's stored-fields sidecar from the
+    inputs' sidecars (docids preserved; tombstoned rows drop out via
+    the survivor semi-join).  The merged generation gets a sidecar iff
+    EVERY input has one — store_content must be used consistently to
+    be useful (the mixed-run rule from index/stored.py), and a partial
+    sidecar would silently serve None for half the corpus.  Runs
+    BEFORE the segments.json commit swap, so crash safety rides the
+    same atomic-commit argument as the posting data."""
+    from .stored import STORED_DIR, has_stored_fields, write_stored_fields
+
+    dirs = [os.path.join(index_dir, s) for s in input_segs]
+    if not all(has_stored_fields(d) for d in dirs):
+        return False
+    # one read per sidecar + union: a single multi-path read trips
+    # partition discovery over the differing seg-dir roots
+    stored = reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.read.parquet(os.path.join(d, STORED_DIR)) for d in dirs],
+    )
+    write_stored_fields(
+        spark,
+        stored.join(survivors.select("docid"), "docid", "left_semi")
+        .select("docid", "content"),
+        out_dir,
+    )
+    return True
+
+
 def merge_segments(spark: SparkSession, index_dir: str) -> str:
     """Physically rewrite all generations (minus tombstones) into ONE
     fresh segment — the analogue of the reference's k-way merge
@@ -758,6 +794,8 @@ def merge_segments(spark: SparkSession, index_dir: str) -> str:
     # merge leaves an orphan dir a later append can never collide with
     name = _reserve_name(index_dir, meta)
     write_index(spark, tables, os.path.join(index_dir, name))
+    _merge_stored_sidecar(spark, index_dir, segs,
+                          os.path.join(index_dir, name), cur.docs)
 
     meta = _read_meta(index_dir)
     meta["segments"] = [name]
@@ -897,6 +935,8 @@ def merge_run(spark: SparkSession, index_dir: str, start: int,
     )
     name = _reserve_name(index_dir, meta)
     write_index(spark, tables, os.path.join(index_dir, name))
+    _merge_stored_sidecar(spark, index_dir, run,
+                          os.path.join(index_dir, name), docs)
 
     # ---- remaining tombstone state, written BEFORE the commit swap
     meta = _read_meta(index_dir)

@@ -320,6 +320,7 @@ def write_index(
     tables,
     index_dir: str,
     fail_after_group: int | None = None,
+    store_content: bool = False,
 ) -> dict:
     """Materialize IndexTables into the sharded on-disk index.
 
@@ -328,6 +329,11 @@ def write_index(
     incomplete (their output dir is overwritten whole, so a half-written
     group is safe).  ``fail_after_group`` injects a crash for the resume
     test (SURVEY.md §5 item 4).
+
+    ``store_content=True`` additionally writes the ``stored/``
+    stored-fields sidecar (index/stored.py) from ``tables.survivors``
+    — its own resumable stage, completed before the mergeinfo commit
+    marker so a complete manifest implies a complete sidecar.
     """
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(os.path.join(index_dir, "_manifest.json"))
@@ -476,6 +482,19 @@ def write_index(
             "overwrite"
         ).parquet(termdict_path)
         man.mark("termdict", terms=int(tobs.get["terms"] or 0))
+
+    # -- stage: stored-fields sidecar (opt-in) --------------------------------
+    if store_content and not man.done("stored"):
+        if tables.survivors is None:
+            raise ValueError(
+                "store_content=True needs tables.survivors (docid, content)"
+            )
+        from .stored import write_stored_fields
+
+        write_stored_fields(
+            spark, tables.survivors.select("docid", "content"), index_dir
+        )
+        man.mark("stored")
 
     # -- stage: mergeinfo ---------------------------------------------------
     if not man.done("mergeinfo"):

@@ -185,6 +185,7 @@ class LocalSearcher:
         # ---- per-segment block datasets + avgdl-drift max_weight factor
         # (served subset only; the factor still uses the GLOBAL avgdl)
         stats_by_dir = dict(zip(seg_dirs, seg_stats))
+        self._serve_dirs = list(serve_dirs)
         self._segments = []
         for d in serve_dirs:
             build_avgdl = stats_by_dir[d]["avgdl"] or 1.0
@@ -292,6 +293,25 @@ class LocalSearcher:
         )
         m["n_terms"] = len(self._df)
         return m
+
+    def get_doc(self, docid: int) -> str | None:
+        """Stored-fields point read: the document content for
+        ``docid``, or None when the id is unknown, tombstoned, outside
+        the served segment subset, or the index was built without
+        ``store_content=True`` (index/stored.py sidecar).  Liveness
+        rides the same mask as every query surface (the _dl membership
+        rule), so tombstoned bytes still physically present before a
+        merge are never served."""
+        from ..index.stored import STORED_DIR, read_stored_doc
+
+        ids = self._dl[0]
+        i = int(np.searchsorted(ids, docid))
+        if i >= ids.size or int(ids[i]) != int(docid):
+            return None
+        return read_stored_doc(
+            [os.path.join(d, STORED_DIR) for d in self._serve_dirs],
+            docid,
+        )
 
     # -- postings ---------------------------------------------------------
 
@@ -1383,6 +1403,17 @@ class ShardedSearcher:
             return False
         self.refresh()
         return True
+
+    def get_doc(self, docid: int) -> str | None:
+        """Stored-fields point read across shards: every live doc is
+        in exactly one shard's docid range, and a shard returns None
+        for ids outside its range (the _dl liveness mask), so the
+        first non-None answer is THE answer."""
+        for sh in self.shards:
+            content = sh.get_doc(docid)
+            if content is not None:
+                return content
+        return None
 
     def topk(self, text: str, k: int = 10, mode: str = "and",
              analyzer=None, allowed=None, exclude_terms=None):

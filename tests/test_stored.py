@@ -1,0 +1,169 @@
+"""Stored-fields sidecar (index/stored.py): point reads by docid off
+the index dir, liveness-masked exactly like every query surface, and
+rebuilt through physical merges.
+
+Contracts pinned here (see the module docstring):
+ * roundtrip — every LIVE docid's get_doc content hashes to the
+   docs.sha256 the build recorded (complete-corpus check, not a
+   sample);
+ * tombstones mask serving while the bytes stay physically present
+   until a merge (delete_docs -> get_doc None, raw sidecar read still
+   returns content);
+ * merge_segments / merge_run rebuild the merged generation's sidecar
+   from the inputs' survivors (deleted rows physically gone after);
+ * the mixed rule is loud: a run with any sidecar-less input merges to
+   NO sidecar (store_content must be used consistently).
+"""
+
+import hashlib
+import os
+
+import pytest
+
+from searchengine_spark.corpus import synth_corpus
+from searchengine_spark.index import build_tables
+from searchengine_spark.index.segments import (
+    append_segment,
+    delete_docs,
+    init_segmented,
+    load_segments,
+    merge_run,
+    merge_segments,
+)
+from searchengine_spark.index.stored import (
+    STORED_DIR,
+    has_stored_fields,
+    read_stored_doc,
+)
+from searchengine_spark.query.serve_local import LocalSearcher, ShardedSearcher
+
+
+def _sha(content: str) -> str:
+    return hashlib.sha256(content.encode("utf-8")).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def halves(spark):
+    """120-doc synth corpus split at the lexical key median (the
+    test_segments convention: segment-by-segment docid assignment then
+    reproduces the monolithic order)."""
+    rows = sorted(
+        synth_corpus(120), key=lambda r: (r["repo"], r["path"], r["commit"])
+    )
+    half = len(rows) // 2
+    return (
+        spark.createDataFrame(rows[:half]),
+        spark.createDataFrame(rows[half:]),
+    )
+
+
+@pytest.fixture(scope="module")
+def stored_dir(spark, halves, tmp_path_factory):
+    a, b = halves
+    d = str(tmp_path_factory.mktemp("stored") / "idx")
+    init_segmented(
+        spark,
+        build_tables(spark, a, compute_quality=False, near_dup=False),
+        d,
+        store_content=True,
+    )
+    append_segment(
+        spark, d, b, compute_quality=False, near_dup=False,
+        store_content=True,
+    )
+    return d
+
+
+def test_stored_roundtrip_all_live_docids(spark, stored_dir):
+    cur = load_segments(spark, stored_dir, cache_meta=False)
+    want = {
+        int(r["docid"]): r["sha256"]
+        for r in cur.docs.select("docid", "sha256").collect()
+    }
+    assert want
+    ls = LocalSearcher(stored_dir, stem=True)
+    for docid, sha in want.items():
+        content = ls.get_doc(docid)
+        assert content is not None, f"docid {docid} missing from sidecar"
+        assert _sha(content) == sha
+    # unknown ids: below, above, and the docid-0 hole
+    assert ls.get_doc(0) is None
+    assert ls.get_doc(max(want) + 10_000) is None
+
+    # sharded point read routes to exactly one shard's range
+    sh = ShardedSearcher(stored_dir, n_shards=2, stem=True)
+    probe = sorted(want)[:3] + sorted(want)[-3:]
+    for docid in probe:
+        assert sh.get_doc(docid) is not None
+        assert _sha(sh.get_doc(docid)) == want[docid]
+    assert sh.get_doc(max(want) + 10_000) is None
+
+
+def test_stored_tombstone_masks_but_keeps_bytes(spark, halves,
+                                                tmp_path_factory):
+    a, b = halves
+    d = str(tmp_path_factory.mktemp("stored_del") / "idx")
+    init_segmented(
+        spark,
+        build_tables(spark, a, compute_quality=False, near_dup=False),
+        d,
+        store_content=True,
+    )
+    append_segment(
+        spark, d, b, compute_quality=False, near_dup=False,
+        store_content=True,
+    )
+    cur = load_segments(spark, d, cache_meta=False)
+    ids = sorted(int(r["docid"]) for r in cur.docs.select("docid").collect())
+    victims = [ids[0], ids[len(ids) // 2], ids[-1]]
+    assert delete_docs(spark, d, victims) == len(victims)
+
+    ls = LocalSearcher(d, stem=True)
+    meta_segs = ls._serve_dirs
+    raw_dirs = [os.path.join(s, STORED_DIR) for s in meta_segs]
+    for v in victims:
+        # serving masks the tombstone ...
+        assert ls.get_doc(v) is None
+        # ... but the bytes are physically present until a merge
+        assert read_stored_doc(raw_dirs, v) is not None
+    survivor = next(i for i in ids if i not in victims)
+    assert ls.get_doc(survivor) is not None
+
+    # physical merge drops the deleted rows from the rebuilt sidecar
+    merged = merge_segments(spark, d)
+    assert has_stored_fields(os.path.join(d, merged))
+    merged_raw = [os.path.join(d, merged, STORED_DIR)]
+    for v in victims:
+        assert read_stored_doc(merged_raw, v) is None
+    ls2 = LocalSearcher(d, stem=True)
+    assert ls2.get_doc(survivor) is not None
+    cur2 = load_segments(spark, d, cache_meta=False)
+    for r in cur2.docs.select("docid", "sha256").collect():
+        assert _sha(ls2.get_doc(int(r["docid"]))) == r["sha256"]
+
+
+def test_mixed_run_merges_to_no_sidecar(spark, halves, tmp_path_factory):
+    a, b = halves
+    d = str(tmp_path_factory.mktemp("stored_mixed") / "idx")
+    init_segmented(
+        spark,
+        build_tables(spark, a, compute_quality=False, near_dup=False),
+        d,
+        store_content=True,
+    )
+    # second generation deliberately built WITHOUT the sidecar
+    append_segment(spark, d, b, compute_quality=False, near_dup=False)
+    ls = LocalSearcher(d, stem=True)
+    cur = load_segments(spark, d, cache_meta=False)
+    ids = sorted(int(r["docid"]) for r in cur.docs.select("docid").collect())
+    # gen-1 ids resolve, gen-2 ids honestly return None pre-merge
+    assert ls.get_doc(ids[0]) is not None
+    assert ls.get_doc(ids[-1]) is None
+
+    # merge_run over the mixed pair: the merged generation gets NO
+    # sidecar (the loud consistency rule) — and the index still serves
+    merged = merge_run(spark, d, 0, 2)
+    assert not has_stored_fields(os.path.join(d, merged))
+    ls2 = LocalSearcher(d, stem=True)
+    assert ls2.get_doc(ids[0]) is None
+    assert ls2.topk("parser notes", k=5)
