@@ -1034,6 +1034,62 @@ class LocalSearcher:
             out.append((rank, docid, score, p, nt, nm))
         return out
 
+    def highlight(self, text, k: int = 10, w: int = 12, analyzer=None,
+                  pre: str = "**", post: str = "**"):
+        """Rendered best-window snippets — the Lucene highlighter
+        surface: snippet_windows picks the window from the index's
+        stored positions, the stored-fields sidecar (index/stored.py)
+        supplies the bytes, and every window token whose ANALYZED form
+        is a query term is wrapped ``pre``…``post`` in the original
+        casing.  Returns [(rank, docid, score, snippet)].
+
+        Char spans come from the tokenizer's own regex over the
+        LOWERCASED text (position k = k-th ``[a-z0-9]+`` match, the
+        pinned 1-based convention); the slice is taken from the
+        original text when lowercasing preserved length (always, for
+        ASCII corpora) so casing survives, else from the lowered text
+        (some Unicode lowers to a different length and the spans only
+        index the lowered string).  Raises when the index was built
+        without ``store_content=True`` — a highlighter that silently
+        returns nothing would read as "no matches"."""
+        from ..text.analyze import analyze
+        from ..text.tokenizer import _TOKEN_RE
+
+        qterms = set(analyzer(text) if analyzer is not None
+                     else analyze(text, stem=self.stem))
+        wins = self.snippet_windows(text, k=k, w=w, analyzer=analyzer)
+        out = []
+        memo = {}
+        for rank, docid, score, p, _nt, _nm in wins:
+            content = self.get_doc(docid)
+            if content is None:
+                raise ValueError(
+                    f"doc {docid} has no stored fields — highlight "
+                    "requires an index built with store_content=True"
+                )
+            low = content.lower()
+            src = content if len(low) == len(content) else low
+            spans = [m.span() for m in _TOKEN_RE.finditer(low)]
+            lo, hi = p - 1, min(p - 1 + w, len(spans))
+            pieces = []
+            cur = spans[lo][0]
+            for a, b in spans[lo:hi]:
+                pieces.append(src[cur:a])
+                tok = low[a:b]
+                if analyzer is None:
+                    # tok is one [a-z0-9]+ run → analyze yields one term
+                    matched = (
+                        analyze(tok, stem=self.stem, _memo=memo)[0]
+                        in qterms
+                    )
+                else:
+                    matched = bool(set(analyzer(tok)) & qterms)
+                word = src[a:b]
+                pieces.append(pre + word + post if matched else word)
+                cur = b
+            out.append((rank, docid, score, "".join(pieces)))
+        return out
+
     def topk_after(self, text: str, cursor, k: int = 10,
                    cursor_rank: int | None = None, mode: str = "and",
                    analyzer=None):
@@ -1569,6 +1625,22 @@ class ShardedSearcher:
             cands.extend(
                 row[1:] for row in sh.snippet_windows(
                     text, k=k, w=w, analyzer=analyzer
+                )
+            )
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        return [(r + 1, *row) for r, row in enumerate(cands[:k])]
+
+    def highlight(self, text, k: int = 10, w: int = 12, analyzer=None,
+                  pre: str = "**", post: str = "**"):
+        """Rendered snippets across shards: each hit's window AND bytes
+        are shard-local (one doc lives in exactly one shard), so the
+        merge is the snippet_windows merge with the shard's own
+        rendering carried along."""
+        cands = []
+        for sh in self.shards:
+            cands.extend(
+                row[1:] for row in sh.highlight(
+                    text, k=k, w=w, analyzer=analyzer, pre=pre, post=post
                 )
             )
         cands.sort(key=lambda t: (-t[1], t[0]))

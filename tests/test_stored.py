@@ -142,6 +142,63 @@ def test_stored_tombstone_masks_but_keeps_bytes(spark, halves,
         assert _sha(ls2.get_doc(int(r["docid"]))) == r["sha256"]
 
 
+def test_highlight_matches_independent_render(spark, halves, stored_dir):
+    """highlight = snippet_windows' (already-oracled) window rendered
+    from the sidecar bytes: equal to an independent renderer over the
+    raw corpus content, with exactly the query-term tokens marked."""
+    import re
+
+    from searchengine_spark.text.analyze import analyze
+
+    TOK = re.compile(r"[a-z0-9]+")
+    a, b = halves
+    sha2content = {
+        _sha(r["content"]): r["content"]
+        for r in a.unionByName(b).select("content").collect()
+    }
+    cur = load_segments(spark, stored_dir, cache_meta=False)
+    did2content = {
+        int(r["docid"]): sha2content[r["sha256"]]
+        for r in cur.docs.select("docid", "sha256").collect()
+    }
+
+    query, w = "parser notes", 12
+    qterms = set(analyze(query, stem=True))
+    ls = LocalSearcher(stored_dir, stem=True)
+    wins = ls.snippet_windows(query, k=8, w=w)
+    hits = ls.highlight(query, k=8, w=w)
+    assert len(hits) == len(wins) > 0
+    for (rank, docid, score, p, _nt, _nm), (hr, hd, hs, snip) in zip(
+        wins, hits
+    ):
+        assert (rank, docid, score) == (hr, hd, hs)
+        content = did2content[docid]
+        low = content.lower()
+        spans = [m.span() for m in TOK.finditer(low)]
+        lo, hi = p - 1, min(p - 1 + w, len(spans))
+        want, cur_pos = [], spans[lo][0]
+        marked_any = False
+        for s, e in spans[lo:hi]:
+            want.append(content[cur_pos:s])
+            word = content[s:e]
+            if analyze(low[s:e], stem=True)[0] in qterms:
+                want.append(f"**{word}**")
+                marked_any = True
+            else:
+                want.append(word)
+            cur_pos = e
+        assert snip == "".join(want)
+        assert marked_any  # windows anchor at a query-term match
+        # stripped of markers, the snippet is verbatim document text
+        # (skip docs whose own text contains the marker string)
+        if "**" not in content:
+            assert snip.replace("**", "") in content
+
+    # sharded rendering merges to the same rows
+    sh = ShardedSearcher(stored_dir, n_shards=2, stem=True)
+    assert sh.highlight(query, k=8, w=w) == hits
+
+
 def test_mixed_run_merges_to_no_sidecar(spark, halves, tmp_path_factory):
     a, b = halves
     d = str(tmp_path_factory.mktemp("stored_mixed") / "idx")
