@@ -640,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": PSG.chunk_docs,
         "passage_topk": PSG.passage_topk,
         "window_snippets": PSG.window_snippets,
+        "highlight_topk": PSG.highlight_topk,
         "dup_chunks": PSG.dup_chunks,
         "pack_sequences": P.pack_sequences,
         "bpe_train": __import__(
@@ -4212,6 +4213,7 @@ def oracle_sql() -> dict[str, str]:
     d["chunk_docs"] = PSGO.chunk_docs_oracle_sql()
     d["passage_topk"] = PSGO.passage_topk_oracle_sql()
     d["window_snippets"] = PSGO.window_snippets_oracle_sql()
+    d["highlight_topk"] = PSGO.highlight_topk_oracle_sql()
     d["dup_chunks"] = PSGO.dup_chunks_oracle_sql()
     from searchengine_spark.ops.prep import pack_sequences_oracle_sql
 

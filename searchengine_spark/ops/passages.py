@@ -30,13 +30,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..text.tokenizer import TOKEN_PATTERN
 from .search import _BM25_SQL, _SCORE_BASE, _bm25_col, _conj_scored_sql
-from .textops import _bm25_scored, doc_tokens
+from .textops import _bm25_scored, doc_tokens, documents
 
 __all__ = [
-    "chunk_docs", "passage_topk", "window_snippets", "dup_chunks",
+    "chunk_docs", "passage_topk", "window_snippets", "highlight_topk",
+    "dup_chunks",
     "chunk_docs_oracle_sql", "passage_topk_oracle_sql",
-    "window_snippets_oracle_sql", "dup_chunks_oracle_sql",
+    "window_snippets_oracle_sql", "highlight_topk_oracle_sql",
+    "dup_chunks_oracle_sql",
 ]
 
 # --- pinned driver-entry constants (interpolated into the oracles) --------
@@ -221,19 +224,18 @@ def passage_topk_oracle_sql(terms=PASSAGE_TERMS, w=CHUNK_W,
     """
 
 
-def window_snippets(spark, sf_dir, terms=SNIPPET_TERMS, w=SNIPPET_W,
-                    k=SNIPPET_K) -> DataFrame:
-    """Positions-based best-window snippets for the top-k conjunctive
-    hits: among windows of ``w`` tokens anchored at each query-term
-    match position, pick the one covering the most DISTINCT query terms
-    (ties: more total matches, then earliest start), and return it as
-    text.  This is the token-window highlighter complementing
-    bm25_snippets' char-window rule.
+def _best_windows(spark, sf_dir, terms, w, k) -> DataFrame:
+    """(doc_id, score, win_start, n_terms, n_matches) — the snippet
+    window rule shared by window_snippets (token-joined render) and
+    highlight_topk (char-sliced render): among windows of ``w`` tokens
+    anchored at each query-term match position of a top-k conjunctive
+    hit, pick the one covering the most DISTINCT query terms (ties:
+    more total matches, then earliest start).
 
     Scale: candidate starts are the query-term match positions (per-doc
     count = sum of query-term tf, independent of doc length), so the
-    window self-join is tiny and doc-partitioned; full token rows are
-    re-joined only for the k winners."""
+    window self-join is tiny and doc-partitioned; full token/text rows
+    are re-joined only for the k winners."""
     scored = _bm25_scored(spark, sf_dir, terms)
     # TakeOrderedAndProject (distributed top-k), not a global window;
     # (score desc, doc_id) is total so the k-set matches the oracle's
@@ -278,22 +280,33 @@ def window_snippets(spark, sf_dir, terms=SNIPPET_TERMS, w=SNIPPET_W,
         .filter(F.col("wr") == 1)
         .drop("wr")
     )
-    snips = (
+    return best.join(top, "doc_id").select(
+        "doc_id", "score", "win_start", "n_terms", "n_matches"
+    )
+
+
+def window_snippets(spark, sf_dir, terms=SNIPPET_TERMS, w=SNIPPET_W,
+                    k=SNIPPET_K) -> DataFrame:
+    """Positions-based best-window snippets for the top-k conjunctive
+    hits (the ``_best_windows`` rule), returned as space-joined token
+    text.  This is the token-window highlighter complementing
+    bm25_snippets' char-window rule; highlight_topk renders the same
+    window from the ORIGINAL text instead."""
+    best = _best_windows(spark, sf_dir, terms, w, k)
+    toks = doc_tokens(spark, sf_dir)
+    return (
         toks.join(F.broadcast(best), "doc_id")
         .filter(
             (F.col("pos") >= F.col("win_start"))
             & (F.col("pos") < F.col("win_start") + w)
         )
-        .groupBy("doc_id", "win_start", "n_terms", "n_matches")
+        .groupBy("doc_id", "score", "win_start", "n_terms", "n_matches")
         .agg(
             F.expr(
                 "array_join(transform(array_sort("
                 "collect_list(struct(pos, term))), s -> s.term), ' ')"
             ).alias("snippet")
         )
-    )
-    return (
-        snips.join(top, "doc_id")
         .select(
             "doc_id", "score", "win_start", "n_terms", "n_matches",
             "snippet",
@@ -302,12 +315,66 @@ def window_snippets(spark, sf_dir, terms=SNIPPET_TERMS, w=SNIPPET_W,
     )
 
 
-def window_snippets_oracle_sql(terms=SNIPPET_TERMS, w=SNIPPET_W,
-                               k=SNIPPET_K) -> str:
+def highlight_topk(spark, sf_dir, terms=SNIPPET_TERMS, w=SNIPPET_W,
+                   k=SNIPPET_K) -> DataFrame:
+    """Rendered-text snippets: the ``_best_windows`` window sliced out
+    of the ORIGINAL document text (separators and casing preserved) —
+    the batch twin of the serving-tier highlight() (query/serve_local.py),
+    which renders the same window rule from the stored-fields sidecar.
+
+    Char spans come from pure slice arithmetic over the tokenizer's
+    complementary split — ``seps = split(lower(text), '[a-z0-9]+')``
+    interleaves with ``toks = regexp_extract_all(...)`` as
+    sep0 tok1 sep1 ... tokN sepN, so the 1-based char start of token k
+    is len(sep0..sep(k-1)) + len(tok1..tok(k-1)) + 1 and the char end of
+    token e is len(sep0..sep(e-1)) + len(tok1..tok(e)).  Both engines
+    compute the identical expression (Spark slice/concat_ws vs DuckDB
+    list_slice/array_to_string), entirely JVM-side here — no UDF.
+    Original casing is sliced only when lowercasing preserved length
+    (the serving-tier highlight rule); otherwise the lowered text is
+    sliced so spans are always exact."""
+    best = _best_windows(spark, sf_dir, terms, w, k)
+    arr = (
+        documents(spark, sf_dir)
+        .select("doc_id", "text")
+        .join(F.broadcast(best), "doc_id")
+        .withColumn("lt", F.lower("text"))
+        .withColumn(
+            "toks",
+            F.expr(f"regexp_extract_all(lt, '{TOKEN_PATTERN}', 0)"),
+        )
+        .withColumn("seps", F.expr(f"split(lt, '{TOKEN_PATTERN}', -1)"))
+    )
+    s = "cast(win_start as int)"
+    e = f"cast(least(win_start + {w - 1}, size(toks)) as int)"
+    c_start = (
+        f"length(concat_ws('', slice(seps, 1, {s})))"
+        f" + length(concat_ws('', slice(toks, 1, {s} - 1))) + 1"
+    )
+    c_end = (
+        f"length(concat_ws('', slice(seps, 1, {e})))"
+        f" + length(concat_ws('', slice(toks, 1, {e})))"
+    )
+    return (
+        arr.select(
+            "doc_id", "score", "win_start", "n_terms", "n_matches",
+            F.expr(
+                "substring("
+                "CASE WHEN length(lt) = length(text) THEN text ELSE lt END, "
+                f"{c_start}, ({c_end}) - ({c_start}) + 1)"
+            ).alias("snippet"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _best_windows_sql(terms, w, k) -> str:
+    """The CTE chain for ``_best_windows`` (through a ``bestw`` CTE of
+    (doc_id, score, win_start, n_terms, n_matches)); callers prepend
+    ``WITH {_SCORE_BASE}, {_conj_scored_sql(terms)},`` and append their
+    render stage."""
     tlist = ", ".join(f"'{t}'" for t in terms)
     return f"""
-        WITH {_SCORE_BASE},
-        {_conj_scored_sql(terms)},
         top AS (
           SELECT doc_id, score FROM (
             SELECT doc_id, score,
@@ -334,20 +401,74 @@ def window_snippets_oracle_sql(terms=SNIPPET_TERMS, w=SNIPPET_W,
                AND m.pos >= a.pos AND m.pos < a.pos + {w}
           GROUP BY a.doc_id, a.pos
         ),
-        best AS (
-          SELECT doc_id, win_start, n_terms, n_matches FROM (
-            SELECT *, row_number() OVER (PARTITION BY doc_id
-                     ORDER BY n_terms DESC, n_matches DESC, win_start)
-                   AS wr
-            FROM wins) WHERE wr = 1
-        )
-        SELECT b.doc_id, t.score, b.win_start, b.n_terms, b.n_matches,
+        bestw AS (
+          SELECT b.doc_id, t.score, b.win_start, b.n_terms, b.n_matches
+          FROM (
+            SELECT doc_id, win_start, n_terms, n_matches FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY n_terms DESC, n_matches DESC, win_start)
+                     AS wr
+              FROM wins) WHERE wr = 1) b
+          JOIN top t USING (doc_id)
+        )"""
+
+
+def window_snippets_oracle_sql(terms=SNIPPET_TERMS, w=SNIPPET_W,
+                               k=SNIPPET_K) -> str:
+    return f"""
+        WITH {_SCORE_BASE},
+        {_conj_scored_sql(terms)},
+        {_best_windows_sql(terms, w, k)}
+        SELECT b.doc_id, b.score, b.win_start, b.n_terms, b.n_matches,
                string_agg(p.term, ' ' ORDER BY p.pos, p.term) AS snippet
-        FROM best b JOIN top t USING (doc_id)
+        FROM bestw b
              JOIN pos p ON p.doc_id = b.doc_id
                AND p.pos >= b.win_start AND p.pos < b.win_start + {w}
-        GROUP BY b.doc_id, t.score, b.win_start, b.n_terms, b.n_matches
-        ORDER BY t.score DESC, b.doc_id
+        GROUP BY b.doc_id, b.score, b.win_start, b.n_terms, b.n_matches
+        ORDER BY b.score DESC, b.doc_id
+    """
+
+
+def highlight_topk_oracle_sql(terms=SNIPPET_TERMS, w=SNIPPET_W,
+                              k=SNIPPET_K) -> str:
+    # char-span slice arithmetic mirrored from highlight_topk: the
+    # tokenizer split's seps/toks interleaving gives exact 1-based char
+    # offsets with no per-match position function needed on either
+    # engine.  array_to_string of an empty slice is NULL in DuckDB —
+    # keep the coalesces.
+    c_start = (
+        "coalesce(length(array_to_string(list_slice(seps, 1, s), '')), 0)"
+        " + coalesce(length(array_to_string("
+        "list_slice(toks, 1, s - 1), '')), 0) + 1"
+    )
+    c_end = (
+        "coalesce(length(array_to_string(list_slice(seps, 1, e), '')), 0)"
+        " + coalesce(length(array_to_string(list_slice(toks, 1, e), '')), 0)"
+    )
+    return f"""
+        WITH {_SCORE_BASE},
+        {_conj_scored_sql(terms)},
+        {_best_windows_sql(terms, w, k)},
+        arr0 AS (
+          SELECT b.doc_id, b.score, b.win_start, b.n_terms, b.n_matches,
+                 d.text, lower(d.text) AS lt,
+                 regexp_extract_all(lower(d.text), '[a-z0-9]+') AS toks,
+                 regexp_split_to_array(lower(d.text), '[a-z0-9]+') AS seps
+          FROM bestw b JOIN documents d USING (doc_id)
+        ),
+        arr AS (
+          SELECT *, win_start AS s,
+                 least(win_start + {w - 1}, len(toks)) AS e
+          FROM arr0
+        )
+        SELECT doc_id, score, win_start, n_terms, n_matches,
+               substr(
+                 CASE WHEN length(lt) = length(text)
+                      THEN text ELSE lt END,
+                 ({c_start})::BIGINT,
+                 (({c_end}) - ({c_start}) + 1)::BIGINT
+               ) AS snippet
+        FROM arr ORDER BY score DESC, doc_id
     """
 
 

@@ -14,6 +14,7 @@ from searchengine_spark.ops.passages import (
     SNIPPET_W,
     chunk_docs,
     chunk_tokens,
+    highlight_topk,
     passage_topk,
     window_snippets,
 )
@@ -176,6 +177,40 @@ def test_window_snippets_match_python(spark):
             r["snippet"],
         )
         for r in window_snippets(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_highlight_topk_match_python(spark):
+    """Rendered-text snippets equal a regex-match-offset recomputation:
+    the engines' seps/toks slice arithmetic must land on exactly the
+    char spans re.finditer reports for the window's first and last
+    tokens (separators and original casing preserved in the slice)."""
+    texts = _texts(spark)
+    terms, w, k = SNIPPET_TERMS, SNIPPET_W, 10
+    scores = _py_doc_scores(texts, terms)
+    top = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:k]
+    pat = re.compile(r"[a-z0-9]+")
+    want = {}
+    for d, sc in top:
+        lt = texts[d].lower()
+        ms = list(pat.finditer(lt))
+        toks = [m.group(0) for m in ms]
+        matches = [(i + 1, t) for i, t in enumerate(toks) if t in terms]
+        cand = []
+        for p, _ in matches:
+            inwin = [(q, t) for q, t in matches if p <= q < p + w]
+            cand.append((-len({t for _, t in inwin}), -len(inwin), p))
+        nt, nm, p = min(cand)
+        e = min(p + w - 1, len(toks))
+        src = texts[d] if len(lt) == len(texts[d]) else lt
+        want[d] = (sc, p, -nt, -nm, src[ms[p - 1].start(): ms[e - 1].end()])
+    got = {
+        r["doc_id"]: (
+            r["score"], r["win_start"], r["n_terms"], r["n_matches"],
+            r["snippet"],
+        )
+        for r in highlight_topk(spark, SF).collect()
     }
     assert got == want
 
