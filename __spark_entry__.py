@@ -555,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_summary": SC.pii_summary,
         "bigram_logprob": X.bigram_logprob,
         "collocations": X.collocations,
+        "kmv_distinct": X.kmv_distinct,
         "events_windowed": _events_windowed,
         "user_sessions": _user_sessions,
         "event_bursts": _event_bursts,
@@ -2311,11 +2312,13 @@ def oracle_sql() -> dict[str, str]:
         BIGRAM_LAMBDA as _BG_LAM,
         COLLOC_MIN_COUNT,
         COLLOC_TOPN,
+        KMV_K,
         MIX_TEMP_ALPHA as _mix_alpha,
         PPL_BUCKETS as _PPL_B,
         SHUFFLE_SEED as _SHUF_SEED,
         SOURCE_CAP as _SRC_CAP,
         SPLIT_FRACS,
+        kmv_u32_sql,
     )
     from searchengine_spark.ops.scrub import (
         PII_EMAIL_RE as _PII_E,
@@ -2806,6 +2809,49 @@ def oracle_sql() -> dict[str, str]:
             FROM c2 JOIN cl USING (lhs) JOIN cr USING (rhs) CROSS JOIN t
             WHERE n >= {COLLOC_MIN_COUNT}
             ORDER BY pmi DESC, lhs, rhs LIMIT {COLLOC_TOPN}
+        """,
+        # KMV distinct-count sketch (ops/mix.kmv_distinct): k-th
+        # smallest DISTINCT md5-prefix hash of the per-lang bigram set;
+        # the u32 digit arithmetic is the module's shared kmv_u32_sql
+        # (change once); (k-1)*2^32 interpolated as its exact double
+        "kmv_distinct": f"""
+            WITH rawtoks AS (
+              SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+            ptoks AS (
+              SELECT doc_id, lang, i AS pos, t[i] AS term
+              FROM rawtoks, LATERAL (
+                SELECT unnest(generate_series(1, len(t))) AS i) g
+            ),
+            pairs AS (
+              SELECT DISTINCT lang, lhs, rhs FROM (
+                SELECT lang,
+                       lag(term) OVER (
+                         PARTITION BY doc_id ORDER BY pos) AS lhs,
+                       term AS rhs
+                FROM ptoks)
+              WHERE lhs IS NOT NULL
+            ),
+            hs AS (
+              SELECT DISTINCT lang,
+                     {kmv_u32_sql("concat(lang, ':', lhs, ':', rhs)")}
+                       AS u32
+              FROM pairs
+            ),
+            ranked AS (
+              SELECT lang, u32, row_number() OVER (
+                       PARTITION BY lang ORDER BY u32) AS rn
+              FROM hs),
+            exact AS (
+              SELECT lang, count(*)::BIGINT AS n_exact
+              FROM pairs GROUP BY lang)
+            SELECT r.lang, e.n_exact, r.u32::BIGINT AS kth,
+                   round({float((KMV_K - 1) * 4294967296.0)!r} / r.u32, 6)
+                     AS n_est
+            FROM ranked r JOIN exact e USING (lang)
+            WHERE r.rn = {KMV_K}
+            ORDER BY r.lang
         """,
         # noisy-channel phrase suggester (ops/textops.phrase_suggest):
         # shares the interpolated-bigram CTEs; candidates by brute-force

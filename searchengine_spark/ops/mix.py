@@ -648,3 +648,91 @@ def training_shuffle(spark: SparkSession, sf_dir: str,
         "doc_id", "shuffle_key",
         F.col("cum_tokens").cast("long").alias("pos"),
     )
+
+
+# KMV (k-minimum-values) distinct-count sketch — pinned params
+KMV_K = 64                # sketch size (k-th smallest hash is the estimator)
+KMV_SALT_BUCKETS = 32     # map-side partial-sketch fan-out
+
+
+def kmv_u32_sql(col: str) -> str:
+    """Exact 32-bit unsigned integer from the first 8 hex chars of
+    md5(``col``), written as explicit digit arithmetic valid in BOTH
+    Spark SQL and DuckDB (instr/substr/cast only — no engine hex-parse
+    builtin trusted): shared by kmv_distinct and its oracle, the
+    PII_INJECT_SQL pattern — change once."""
+    parts = [
+        "(cast(instr('0123456789abcdef', "
+        f"substr(md5({col}), {i + 1}, 1)) as bigint) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def kmv_distinct(spark: SparkSession, sf_dir: str,
+                 k: int = KMV_K) -> DataFrame:
+    """(lang, n_exact, kth, n_est) — per-language distinct-BIGRAM
+    cardinality estimated by a deterministic KMV (k-minimum-values)
+    sketch next to the exact count: hash every distinct
+    (lang, lhs, rhs) bigram to a uniform 32-bit value (md5 prefix —
+    the deterministic stand-in for the sketch's random hash), keep the
+    k smallest DISTINCT hash values, and estimate
+
+        n_est = (k-1) * 2^32 / kth
+
+    with ``kth`` the k-th smallest hash (Bar-Yossef et al.'s KMV /
+    Beyer et al.'s unbiased variant).  ``n_exact`` is the evaluation
+    column this test-scale op carries so the driver oracle pins both
+    the sketch arithmetic and its error; a 100 TB run drops it — that
+    is the point of the sketch.
+
+    Scale: the sketch is MERGEABLE — the plan keeps <= k values per
+    (lang, salt) map-side partial (collect_set over a salted split of
+    the hash space), then merges <= KMV_SALT_BUCKETS * k values per
+    language: no full distinct set ever aggregates to one task, the
+    exact shape a 1000-executor union of per-partition sketches needs.
+    The bigram stream is the bigram_logprob lag window (bounded by doc
+    length).  Floats: (k-1)*2^32 is an exact double, one division,
+    round-6 — identical IEEE ops on both engines."""
+    d = documents(spark, sf_dir).select("doc_id", "lang", "text")
+    toks = d.select(
+        "doc_id", "lang",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)
+        ).alias("pos", "term"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.withColumn("lhs", F.lag("term").over(w))
+        .filter(F.col("lhs").isNotNull())
+        .select("lang", "lhs", F.col("term").alias("rhs"))
+        .distinct()
+    )
+    u32 = F.expr(kmv_u32_sql("concat(lang, ':', lhs, ':', rhs)"))
+    hs = pairs.select("lang", u32.alias("u32")).distinct()
+    partial = (
+        hs.groupBy(
+            "lang",
+            F.pmod(F.xxhash64("u32"), F.lit(KMV_SALT_BUCKETS)).alias("salt"),
+        )
+        .agg(F.slice(F.array_sort(F.collect_set("u32")), 1, k).alias("ks"))
+    )
+    merged = partial.groupBy("lang").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("ks")))),
+            1, k,
+        ).alias("ks")
+    )
+    exact = pairs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    scale = float((k - 1) * 4294967296.0)
+    return (
+        merged.select("lang", F.element_at("ks", k).alias("kth"))
+        .join(exact, "lang")
+        .select(
+            "lang", "n_exact", "kth",
+            F.round(F.lit(scale) / F.col("kth"), 6).alias("n_est"),
+        )
+        .orderBy("lang")
+    )

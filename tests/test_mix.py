@@ -507,3 +507,37 @@ def test_perplexity_buckets_match_python(spark, docs_pd):
         assert {b for _, l2, _, b in got if l2 == lg} == set(
             range(1, PPL_BUCKETS + 1)
         )
+
+
+def test_kmv_distinct_matches_python(spark, docs_pd):
+    """KMV sketch equals a hashlib recomputation: k-th smallest DISTINCT
+    32-bit md5-prefix hash of the per-lang bigram set, estimate
+    (k-1)*2^32/kth round-6; n_exact is the true distinct-bigram count.
+    Also pins that the estimate lands within 3 standard errors
+    (~k^-0.5) of truth — the sketch must actually estimate."""
+    from searchengine_spark.ops.mix import KMV_K, kmv_distinct
+
+    pairs = set()
+    for r in docs_pd.itertuples():
+        toks = _TOK.findall(r.text.lower())
+        for a, b in zip(toks, toks[1:]):
+            pairs.add((r.lang, a, b))
+    langs = sorted({p[0] for p in pairs})
+    want = {}
+    for lang in langs:
+        mine = [(a, b) for (lg, a, b) in pairs if lg == lang]
+        hs = sorted({
+            int(hashlib.md5(f"{lang}:{a}:{b}".encode()).hexdigest()[:8], 16)
+            for a, b in mine
+        })
+        kth = hs[KMV_K - 1]
+        want[lang] = (
+            len(mine), kth, round((KMV_K - 1) * 4294967296.0 / kth, 6),
+        )
+    got = {
+        r["lang"]: (r["n_exact"], r["kth"], r["n_est"])
+        for r in kmv_distinct(spark, SF).collect()
+    }
+    assert got == want
+    for lang, (n_exact, _, n_est) in want.items():
+        assert abs(n_est - n_exact) / n_exact < 3.0 / math.sqrt(KMV_K)
