@@ -556,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": X.bigram_logprob,
         "collocations": X.collocations,
         "kmv_distinct": X.kmv_distinct,
+        "weighted_sample": X.weighted_sample,
         "events_windowed": _events_windowed,
         "user_sessions": _user_sessions,
         "event_bursts": _event_bursts,
@@ -2318,6 +2319,7 @@ def oracle_sql() -> dict[str, str]:
         SHUFFLE_SEED as _SHUF_SEED,
         SOURCE_CAP as _SRC_CAP,
         SPLIT_FRACS,
+        WS_N,
         kmv_u32_sql,
     )
     from searchengine_spark.ops.scrub import (
@@ -2852,6 +2854,26 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked r JOIN exact e USING (lang)
             WHERE r.rn = {KMV_K}
             ORDER BY r.lang
+        """,
+        # Efraimidis–Spirakis weighted sample (ops/mix.weighted_sample):
+        # rank desc over round-6 ln(u)/w with u = (md5-u32 + 1)/2^32
+        # (exact division; ln is the only transcendental), doc_id
+        # tie-break; the Spark rank is the two-phase _prefix_sum scan
+        "weighted_sample": f"""
+            WITH u AS (
+              SELECT doc_id, n_chars AS w,
+                     round(
+                       ln(({kmv_u32_sql("concat('ws:', doc_id)")} + 1)
+                          / 4294967296.0)
+                       / n_chars, 6) AS skey
+              FROM documents),
+            r AS (
+              SELECT doc_id, w, skey,
+                     row_number() OVER (ORDER BY skey DESC, doc_id)
+                       ::BIGINT AS pos
+              FROM u)
+            SELECT doc_id, w, skey, pos FROM r
+            WHERE pos <= {WS_N} ORDER BY pos
         """,
         # noisy-channel phrase suggester (ops/textops.phrase_suggest):
         # shares the interpolated-bigram CTEs; candidates by brute-force

@@ -736,3 +736,56 @@ def kmv_distinct(spark: SparkSession, sf_dir: str,
         )
         .orderBy("lang")
     )
+
+
+WS_N = 50                 # weighted-sample size (exact, without replacement)
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str,
+                    n: int = WS_N) -> DataFrame:
+    """(doc_id, w, skey, pos) — an EXACT-size weighted sample without
+    replacement, probability proportional to doc length (w = n_chars):
+    Efraimidis–Spirakis A-ES keys, derandomized the repo way.  Each doc
+    draws u in (0, 1] from its md5 prefix (u = (u32+1)/2^32 — division
+    by 2^32 is exact, so ln is the only transcendental, the
+    bigram_logprob precedent) and ranks by
+
+        skey = ln(u) / w        (monotone in the A-ES key u^(1/w))
+
+    descending; the top ``n`` ARE the weighted sample.  Unlike
+    stratified_sample / temperature_sample (hash-threshold keep rates,
+    EXPECTED sizes), this draws an exact-n without-replacement sample
+    under importance weights — the token-budget subsample shape.  Same
+    seed-free determinism: any engine hashing the same doc_id keeps the
+    same docs.
+
+    Scale: the rank is the _prefix_sum two-phase range-partition scan
+    over the rounded key (never a single-partition window); rank over
+    round-6 skey with doc_id tie-break (the rounded-rank contract)."""
+    u32 = kmv_u32_sql("concat('ws:', doc_id)")
+    d = (
+        documents(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("w"),
+            F.round(
+                F.expr(
+                    f"ln(({u32} + 1) / 4294967296.0)"
+                ) / F.col("n_chars").cast("double"),
+                6,
+            ).alias("skey"),
+        )
+        .withColumn("_nkey", -F.col("skey"))
+        .withColumn("_one", F.lit(1))
+    )
+    from .prep import _prefix_sum
+
+    ranked, _ = _prefix_sum(d, "_one", ["_nkey", "doc_id"])
+    return (
+        ranked.filter(F.col("cum_tokens") <= n)
+        .select(
+            "doc_id", "w", "skey",
+            F.col("cum_tokens").cast("long").alias("pos"),
+        )
+        .orderBy("pos")
+    )

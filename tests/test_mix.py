@@ -541,3 +541,32 @@ def test_kmv_distinct_matches_python(spark, docs_pd):
     assert got == want
     for lang, (n_exact, _, n_est) in want.items():
         assert abs(n_est - n_exact) / n_exact < 3.0 / math.sqrt(KMV_K)
+
+
+def test_weighted_sample_matches_python(spark, docs_pd):
+    """Derandomized A-ES sample equals a hashlib/math recomputation
+    (rank desc over round-6 ln(u)/w, doc_id tie-break), and the sample
+    is actually weight-biased: mean sampled doc length exceeds the
+    corpus mean (prop-to-size must oversample long docs)."""
+    from searchengine_spark.ops.mix import WS_N, weighted_sample
+
+    rows = []
+    for r in docs_pd.itertuples():
+        w = len(r.text)  # n_chars column equals len(text) in testdata
+        u32 = int(
+            hashlib.md5(f"ws:{r.doc_id}".encode()).hexdigest()[:8], 16
+        )
+        skey = round(math.log((u32 + 1) / 4294967296.0) / w, 6)
+        rows.append((r.doc_id, w, skey))
+    rows.sort(key=lambda t: (-t[2], t[0]))
+    want = [
+        (d, w, sk, i + 1) for i, (d, w, sk) in enumerate(rows[:WS_N])
+    ]
+    got = [
+        (r["doc_id"], r["w"], r["skey"], r["pos"])
+        for r in weighted_sample(spark, SF).collect()
+    ]
+    assert got == want
+    mean_all = sum(w for _, w, _ in rows) / len(rows)
+    mean_smp = sum(w for _, w, _, _ in want) / len(want)
+    assert mean_smp > mean_all
