@@ -563,6 +563,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": __import__(
             "searchengine_spark.ops.events", fromlist=["value_histogram"]
         ).value_histogram,
+        "funnel_conversion": __import__(
+            "searchengine_spark.ops.events",
+            fromlist=["funnel_conversion"],
+        ).funnel_conversion,
+        "retention_cohorts": __import__(
+            "searchengine_spark.ops.events",
+            fromlist=["retention_cohorts"],
+        ).retention_cohorts,
         "value_percentiles": __import__(
             "searchengine_spark.ops.events",
             fromlist=["value_percentiles"],
@@ -2355,8 +2363,10 @@ def oracle_sql() -> dict[str, str]:
         WINDOW,
     )
     from searchengine_spark.ops.events import (
+        FUNNEL_STEPS as _FUNNEL,
         HIST_BINS as _HIST_BINS,
         PCTS as _PCTS,
+        RET_MAX_DAYS as _RET_MAX,
     )
     from searchengine_spark.ops.vectors import (
         SQ_BINS as _SQ_BINS,
@@ -2393,6 +2403,29 @@ def oracle_sql() -> dict[str, str]:
 
     _PCT_VALS = ", ".join(
         f"({label}, {p!r})" for label, p in _PCTS
+    )
+
+    # ordered-funnel CTE chain from the pinned FUNNEL_STEPS: step i's
+    # first-match min(ts) is taken over events strictly after the
+    # user's step-(i-1) match
+    _fun_ctes = []
+    for _i, _s in enumerate(_FUNNEL):
+        if _i == 0:
+            _fun_ctes.append(
+                f"s1 AS (SELECT user_id, min(ts) AS t FROM events "
+                f"WHERE event_type = '{_s}' GROUP BY user_id)"
+            )
+        else:
+            _fun_ctes.append(
+                f"s{_i + 1} AS (SELECT e.user_id, min(e.ts) AS t "
+                f"FROM events e JOIN s{_i} p ON e.user_id = p.user_id "
+                f"AND e.ts > p.t WHERE e.event_type = '{_s}' "
+                f"GROUP BY e.user_id)"
+            )
+    _fun_union = " UNION ALL ".join(
+        f"SELECT {_i + 1} AS step, '{_s}' AS event_type, "
+        f"(SELECT count(*) FROM s{_i + 1}) AS n_users"
+        for _i, _s in enumerate(_FUNNEL)
     )
 
     _win_n, _win_unit = WINDOW.split()
@@ -2997,6 +3030,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT r.event_type, t.pct, r.value
             FROM ranked r JOIN targets t USING (event_type, rn)
+        """,
+        # ordered funnel (ops/events.funnel_conversion): FUNNEL_STEPS
+        # interpolated; first-match sequential semantics via chained
+        # min-ts CTEs; conv = exact BIGINT counts divided as doubles
+        "funnel_conversion": f"""
+            WITH {", ".join(_fun_ctes)},
+            n AS ({_fun_union})
+            SELECT step::BIGINT AS step, event_type,
+                   n_users::BIGINT AS n_users,
+                   round(n_users::DOUBLE
+                         / (SELECT count(*) FROM s1), 6) AS conv
+            FROM n ORDER BY step
+        """,
+        # retention triangle (ops/events.retention_cohorts): RET_MAX_DAYS
+        # interpolated; cohort = first-activity day (tz-free NTZ
+        # bucketing), retention divides by the k=0 cohort size
+        "retention_cohorts": f"""
+            WITH act AS (
+              SELECT DISTINCT user_id,
+                     date_trunc('day', ts)::DATE AS day
+              FROM events),
+            fst AS (SELECT user_id, min(day) AS cohort
+                    FROM act GROUP BY user_id),
+            ks AS (
+              SELECT f.cohort,
+                     date_diff('day', f.cohort, a.day)::BIGINT AS k
+              FROM act a JOIN fst f USING (user_id)
+              WHERE date_diff('day', f.cohort, a.day) <= {_RET_MAX}),
+            counts AS (SELECT cohort, k, count(*)::BIGINT AS n_active
+                       FROM ks GROUP BY cohort, k),
+            base AS (SELECT cohort, n_active AS nc
+                     FROM counts WHERE k = 0)
+            SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort, c.k,
+                   c.n_active,
+                   round(c.n_active::DOUBLE / b.nc, 6) AS retention
+            FROM counts c JOIN base b USING (cohort)
+            ORDER BY cohort, c.k
         """,
         "user_sessions": f"""
             WITH ordered AS (

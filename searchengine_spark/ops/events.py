@@ -88,3 +88,99 @@ def value_percentiles(spark: SparkSession, sf_dir: str,
         ranked.join(F.broadcast(targets), ["event_type", "rn"])
         .select("event_type", "pct", "value")
     )
+
+
+# ordered funnel + retention cohorts — pinned params (interpolated
+# into the DuckDB oracles; change Spark and SQL together)
+FUNNEL_STEPS = ("view", "click", "purchase")
+RET_MAX_DAYS = 7
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str,
+                      steps=FUNNEL_STEPS) -> DataFrame:
+    """(step, event_type, n_users, conv) — the ordered conversion
+    funnel: a user reaches step i iff they have a step-i event STRICTLY
+    after their first step-(i-1) match (first-match sequential
+    semantics, the standard product-analytics funnel).  conv is the
+    fraction of step-1 users surviving to step i (exact BIGINT counts
+    divided as doubles, round-6 — the cross-engine float contract;
+    microsecond timestamps compare identically on both engines).
+
+    Scale: one per-step shuffle agg on user_id plus one equi-join on
+    user_id per step — |steps| co-partitioned key-hash stages, no
+    windows, no event-order state; the per-user first-match tree is
+    the min(ts) aggregate, never a sort."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    reached = []
+    prev = None
+    for s in steps:
+        cur = ev.filter(F.col("event_type") == s)
+        if prev is not None:
+            cur = cur.join(
+                prev.select("user_id", F.col("t").alias("_pt")), "user_id"
+            ).filter(F.col("ts") > F.col("_pt"))
+        prev = cur.groupBy("user_id").agg(F.min("ts").alias("t"))
+        reached.append(prev)
+    spark_counts = [
+        r.agg(F.count("*").cast("long").alias("n")) for r in reached
+    ]
+    rows = None
+    for i, (s, c) in enumerate(zip(steps, spark_counts)):
+        one = c.select(
+            F.lit(i + 1).cast("long").alias("step"),
+            F.lit(s).alias("event_type"),
+            F.col("n").alias("n_users"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    base = spark_counts[0].select(F.col("n").alias("_n1"))
+    return (
+        rows.join(F.broadcast(base))
+        .select(
+            "step", "event_type", "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("_n1"), 6
+            ).alias("conv"),
+        )
+        .orderBy("step")
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str,
+                      max_days: int = RET_MAX_DAYS) -> DataFrame:
+    """(cohort, k, n_active, retention) — classic retention triangle:
+    cohort = a user's first-activity DAY, n_active = distinct cohort
+    users active k days later (0 <= k <= max_days), retention =
+    n_active / cohort size (the k=0 row — every user is active on
+    their cohort day by construction).  Day bucketing is tz-free
+    (TIMESTAMP_NTZ end to end, the events_windowed contract); cohort
+    is formatted yyyy-MM-dd so no date types cross the driver compare.
+
+    Scale: distinct (user, day) projection, one min-agg per user, one
+    equi-join on user_id, one (cohort, k) count — all key-hash
+    shuffles on user/cohort keys; no windows."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    act = (
+        ev.join(first, "user_id")
+        .withColumn("k", F.datediff("day", "cohort").cast("long"))
+        .filter(F.col("k") <= max_days)
+    )
+    counts = act.groupBy("cohort", "k").agg(
+        F.count("*").cast("long").alias("n_active")
+    )
+    base = counts.filter(F.col("k") == 0).select(
+        "cohort", F.col("n_active").alias("_nc")
+    )
+    return (
+        counts.join(base, "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "k", "n_active",
+            F.round(
+                F.col("n_active").cast("double") / F.col("_nc"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort", "k")
+    )

@@ -68,3 +68,85 @@ def test_value_histogram_edges_and_clamp(spark, tmp_path):
     assert got[("a", 9)] == (1, 10.0)
     assert got[("b", 9)] == (2, round(9.99 + 10.0, 6))
     assert len(got) == 4
+
+
+def _write_user_events(spark, tmp_path, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    pdf["value"] = 1.0
+    spark.createDataFrame(pdf).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_funnel_conversion_strict_order(spark, tmp_path):
+    """First-match sequential funnel semantics on planted users: a
+    step counts only events STRICTLY after the user's previous-step
+    first match (same-timestamp pinned out), and a user whose steps
+    occur out of order stops at the last in-order step."""
+    T = pd.Timestamp
+    rows = [
+        # user 1: view < click < purchase — reaches all three
+        (1, 1, "view", T("2024-01-01 09:00:00")),
+        (2, 1, "click", T("2024-01-01 10:00:00")),
+        (3, 1, "purchase", T("2024-01-01 11:00:00")),
+        # user 2: click BEFORE first view — stops at step 1
+        (4, 2, "click", T("2024-01-01 09:00:00")),
+        (5, 2, "view", T("2024-01-01 10:00:00")),
+        (6, 2, "purchase", T("2024-01-01 11:00:00")),
+        # user 3: click at the SAME instant as view — strict > fails
+        (7, 3, "view", T("2024-01-01 09:00:00")),
+        (8, 3, "click", T("2024-01-01 09:00:00")),
+        # user 4: no view at all — never enters the funnel
+        (9, 4, "click", T("2024-01-01 09:00:00")),
+        (10, 4, "purchase", T("2024-01-01 10:00:00")),
+    ]
+    sf = _write_user_events(spark, tmp_path, rows)
+    from searchengine_spark.ops.events import funnel_conversion
+
+    got = [
+        (r["step"], r["event_type"], r["n_users"], r["conv"])
+        for r in funnel_conversion(spark, sf).collect()
+    ]
+    assert got == [
+        (1, "view", 3, 1.0),
+        (2, "click", 1, round(1 / 3, 6)),
+        (3, "purchase", 1, round(1 / 3, 6)),
+    ]
+
+
+def test_retention_cohorts_planted(spark, tmp_path):
+    """Retention triangle on planted cohorts: cohort = first-activity
+    day, same-day repeat events collapse (distinct (user, day)), days
+    beyond RET_MAX_DAYS are excluded, and retention divides by the
+    k=0 cohort size."""
+    T = pd.Timestamp
+    rows = [
+        # user 1 (cohort 01-01): active day 0, 1, 3, and day 9 (> max)
+        (1, 1, "view", T("2024-01-01 08:00:00")),
+        (2, 1, "view", T("2024-01-02 08:00:00")),
+        (3, 1, "view", T("2024-01-04 08:00:00")),
+        (4, 1, "view", T("2024-01-10 08:00:00")),
+        # user 2 (cohort 01-01): two events on day 0 only — collapses
+        (5, 2, "click", T("2024-01-01 09:00:00")),
+        (6, 2, "view", T("2024-01-01 10:00:00")),
+        # user 3 (cohort 01-02): active day 0 and day 2
+        (7, 3, "view", T("2024-01-02 09:00:00")),
+        (8, 3, "view", T("2024-01-04 09:00:00")),
+    ]
+    sf = _write_user_events(spark, tmp_path, rows)
+    from searchengine_spark.ops.events import retention_cohorts
+
+    got = [
+        (r["cohort"], r["k"], r["n_active"], r["retention"])
+        for r in retention_cohorts(spark, sf).collect()
+    ]
+    assert got == [
+        ("2024-01-01", 0, 2, 1.0),
+        ("2024-01-01", 1, 1, 0.5),
+        ("2024-01-01", 3, 1, 0.5),
+        ("2024-01-02", 0, 1, 1.0),
+        ("2024-01-02", 2, 1, 1.0),
+    ]
