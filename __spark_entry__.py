@@ -571,6 +571,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "searchengine_spark.ops.events",
             fromlist=["retention_cohorts"],
         ).retention_cohorts,
+        "event_transitions": __import__(
+            "searchengine_spark.ops.events",
+            fromlist=["event_transitions"],
+        ).event_transitions,
         "value_percentiles": __import__(
             "searchengine_spark.ops.events",
             fromlist=["value_percentiles"],
@@ -3067,6 +3071,27 @@ def oracle_sql() -> dict[str, str]:
                    round(c.n_active::DOUBLE / b.nc, 6) AS retention
             FROM counts c JOIN base b USING (cohort)
             ORDER BY cohort, c.k
+        """,
+        # first-order event path matrix (ops/events.event_transitions):
+        # per-user (ts, event_id)-ordered lag pairs; p divides exact
+        # BIGINT counts as doubles, round-6
+        "event_transitions": """
+            WITH pairs AS (
+              SELECT src, event_type AS dst FROM (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS src
+                FROM events)
+              WHERE src IS NOT NULL),
+            c2 AS (SELECT src, dst, count(*)::BIGINT AS n
+                   FROM pairs GROUP BY src, dst),
+            c1 AS (SELECT src, sum(n)::BIGINT AS ns
+                   FROM c2 GROUP BY src)
+            SELECT c2.src, c2.dst, c2.n,
+                   round(c2.n::DOUBLE / c1.ns, 6) AS p
+            FROM c2 JOIN c1 USING (src)
+            ORDER BY c2.src, c2.dst
         """,
         "user_sessions": f"""
             WITH ordered AS (

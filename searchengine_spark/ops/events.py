@@ -184,3 +184,39 @@ def retention_cohorts(spark: SparkSession, sf_dir: str,
         )
         .orderBy("cohort", "k")
     )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, n, p) — the first-order event path matrix: counts of
+    adjacent (prev_type -> type) transitions within each user's
+    event stream under the (ts, event_id) total order, and the row-
+    conditional probability p = n / n_src (exact BIGINT counts divided
+    as doubles, round-6).  The product-analytics path-analysis staple
+    next to funnel_conversion (which pins one ordered path; this
+    surveys all of them).
+
+    Scale: one lag window PER USER (bounded by a user's event count —
+    the user_sessions precedent, never a global window) and two
+    key-hash count aggs; ties on ts are broken by event_id so the
+    order is total and both engines see identical pairs."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts",
+                                       "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("src", F.lag("event_type").over(w))
+        .filter(F.col("src").isNotNull())
+        .select("src", F.col("event_type").alias("dst"))
+    )
+    c2 = pairs.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    c1 = c2.groupBy("src").agg(F.sum("n").alias("_ns"))
+    return (
+        c2.join(c1, "src")
+        .select(
+            "src", "dst", "n",
+            F.round(F.col("n").cast("double") / F.col("_ns"), 6)
+            .alias("p"),
+        )
+        .orderBy("src", "dst")
+    )

@@ -150,3 +150,32 @@ def test_retention_cohorts_planted(spark, tmp_path):
         ("2024-01-02", 0, 1, 1.0),
         ("2024-01-02", 2, 1, 1.0),
     ]
+
+
+def test_event_transitions_planted(spark, tmp_path):
+    """Path matrix on a planted stream: pairs follow the per-user
+    (ts, event_id) total order (same-ts ties broken by event_id),
+    streams never cross users, and p is row-conditional."""
+    T = pd.Timestamp
+    rows = [
+        # user 1: view -> click -> view   (ordered by ts)
+        (1, 1, "view", T("2024-01-01 09:00:00")),
+        (2, 1, "click", T("2024-01-01 10:00:00")),
+        (3, 1, "view", T("2024-01-01 11:00:00")),
+        # user 2: same-ts tie — event_id breaks it: view -> click
+        (4, 2, "view", T("2024-01-01 09:00:00")),
+        (5, 2, "click", T("2024-01-01 09:00:00")),
+        # user 3: single event — no pairs
+        (6, 3, "purchase", T("2024-01-01 09:00:00")),
+    ]
+    sf = _write_user_events(spark, tmp_path, rows)
+    from searchengine_spark.ops.events import event_transitions
+
+    got = [
+        (r["src"], r["dst"], r["n"], r["p"])
+        for r in event_transitions(spark, sf).collect()
+    ]
+    assert got == [
+        ("click", "view", 1, 1.0),
+        ("view", "click", 2, 1.0),
+    ]
