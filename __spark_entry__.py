@@ -477,6 +477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "dedup_minhash": lambda spark, sf: D.minhash_pairs(_docs(spark, sf)),
+        "topk_overlap_pairs": lambda spark, sf: D.topk_overlap_pairs(
+            _docs(spark, sf)
+        ),
         "ngram_jaccard": lambda spark, sf: D.jaccard_pairs(
             _docs(spark, sf), threshold=0.5
         ),
@@ -2313,6 +2316,7 @@ def oracle_sql() -> dict[str, str]:
         PREP_MAX_STOPWORD_RATIO,
         PREP_MIN_TOKENS,
     )
+    from searchengine_spark.ops.dedup import OVR_K as _OVR_K
     from searchengine_spark.ops.mix import (
         DECON_EVAL_MOD,
         DECON_MAX_SHINGLE_DF,
@@ -2488,6 +2492,38 @@ def oracle_sql() -> dict[str, str]:
             )"""
 
     d = {
+        # top-k overlap set-similarity join (ops/dedup.
+        # topk_overlap_pairs): the oracle is the BRUTE-FORCE all-pairs
+        # shared-bigram count — equality proves the prefix filter
+        # lossless (the substring_search pattern); OVR_K interpolated
+        "topk_overlap_pairs": f"""
+            WITH t AS (
+              SELECT doc_id, i AS pos, tk[i] AS term
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+')
+                             AS tk
+                    FROM documents) d,
+              LATERAL (
+                SELECT unnest(generate_series(1, len(tk))) AS i) g),
+            bg AS (
+              SELECT DISTINCT doc_id,
+                     term || ' ' || lead(term) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS s
+              FROM t
+              QUALIFY lead(term) OVER (
+                PARTITION BY doc_id ORDER BY pos) IS NOT NULL),
+            ov AS (
+              SELECT x.doc_id AS a, y.doc_id AS b,
+                     count(*)::BIGINT AS overlap
+              FROM bg x JOIN bg y
+                ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+            SELECT a, b, overlap FROM (
+              SELECT *, row_number() OVER (
+                       ORDER BY overlap DESC, a, b) AS rn
+              FROM ov) WHERE rn <= {_OVR_K}
+            ORDER BY overlap DESC, a, b
+        """,
         "dedup_minhash": f"""
             WITH {_SHINGLES},
             sig AS (

@@ -584,3 +584,103 @@ def winnow_matches(docs: DataFrame, id_col="doc_id", text_col="text",
         .filter(F.col("n_matches") >= min_matches)
         .orderBy(F.desc("n_matches"), F.asc("a"), F.asc("b"))
     )
+
+
+# top-k overlap set-similarity join — pinned params (interpolated into
+# the DuckDB oracle; change Spark and SQL together)
+OVR_K = 20       # pairs returned
+OVR_S_MIN = 24   # prefix-filter floor: sound iff kth overlap >= this
+
+
+def topk_overlap_pairs(docs: DataFrame, id_col="doc_id",
+                       text_col="text", k=OVR_K,
+                       s_min=OVR_S_MIN) -> DataFrame:
+    """(a, b, overlap) — the k most-similar document pairs by DISTINCT
+    shared-bigram count, found with a prefix-filtered set-similarity
+    join (the SSJoin/PPJoin blocking rule; the top-k adaptive variant
+    is ICDE 2020's "Adaptive Top-k Overlap Set Similarity Joins",
+    PAPERS.md): under a global (df asc, bigram asc) token order, any
+    pair with overlap >= s_min must share a bigram within both docs'
+    first (n - s_min + 1) rarest bigrams, so candidate generation
+    blocks ONLY on those prefixes and common-bigram-only pairs never
+    materialize.  Exact overlaps are then counted for the candidates
+    alone and the top k taken under (overlap desc, a, b).
+
+    Soundness is checked loudly: if the realized k-th overlap falls
+    below ``s_min`` the prune was not provably lossless and the op
+    raises (the substring_search floor pattern).  At corpus scale the
+    paper's adaptive escalation applies: re-run with s_min raised to
+    the running k-th best — pruning power GROWS as the corpus gets
+    more similar pairs.
+
+    Scale: shuffle-on-key throughout — per-doc bigram ranks are a
+    doc-partitioned window (bounded by doc length), candidates come
+    off the (prefix-bigram) equi-join, verification re-joins bigram
+    sets on (pair, bigram) equi-keys; only the k result rows are
+    collected (for the soundness guard)."""
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0
+            )
+        ).alias("pos", "term"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("nxt", F.lead("term").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "term", "nxt").alias("s"),
+        )
+        .distinct()
+    )
+    dfb = bg.groupBy("s").agg(F.count("*").alias("df"))
+    nn = bg.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rk = (
+        bg.join(dfb, "s")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "s")
+            ),
+        )
+        .join(nn, "doc_id")
+    )
+    pref = rk.filter(F.col("r") <= F.col("n") - s_min + 1).select(
+        "doc_id", "s"
+    )
+    cand = (
+        pref.alias("x")
+        .join(pref.alias("y"), "s")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    shared = (
+        cand.join(bg.select(F.col("doc_id").alias("a"), "s"), "a")
+        .join(bg.select(F.col("doc_id").alias("b"), "s"), ["b", "s"])
+    )
+    top = (
+        shared.groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("overlap"))
+        .orderBy(F.desc("overlap"), "a", "b")
+        .limit(k)
+    )
+    rows = top.collect()  # bounded: k rows (the soundness guard)
+    # sound iff k full rows came back with the k-th >= s_min; fewer
+    # rows means pairs below the floor may have been pruned away and
+    # the result is not provably the true top-k
+    if len(rows) < k or rows[-1]["overlap"] < s_min:
+        kth = rows[-1]["overlap"] if rows else 0
+        raise ValueError(
+            f"topk_overlap_pairs: {len(rows)} rows, kth overlap {kth} "
+            f"vs s_min {s_min} — the prefix prune is not lossless "
+            f"here; lower s_min (or raise it adaptively from a sound "
+            f"floor)"
+        )
+    return spark.createDataFrame(rows, "a long, b long, overlap long")

@@ -2655,3 +2655,74 @@ def test_winnow_matches_match_python(spark):
         ).collect()
     ]
     assert got == want
+
+
+def test_topk_overlap_pairs_lossless_and_pruned(spark):
+    """Prefix-filtered top-k overlap join equals the brute-force
+    all-pairs recomputation (losslessness), the prefix blocking
+    actually drops candidate pairs, and the soundness guard raises
+    when s_min exceeds the realized k-th overlap."""
+    import re
+    from collections import Counter
+
+    from searchengine_spark.ops.dedup import (
+        OVR_K,
+        OVR_S_MIN,
+        topk_overlap_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    tok = re.compile(r"[a-z0-9]+")
+    sets = {}
+    for d, t in texts.items():
+        ts = tok.findall(t.lower())
+        sets[d] = {f"{a} {b}" for a, b in zip(ts, ts[1:])}
+    ov = Counter()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            n = len(sets[a] & sets[b])
+            if n:
+                ov[(a, b)] = n
+    want = sorted(
+        ((n, a, b) for (a, b), n in ov.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:OVR_K]
+    got = [
+        (r["overlap"], r["a"], r["b"])
+        for r in topk_overlap_pairs(docs).collect()
+    ]
+    assert got == want
+
+    # the prefix prune must drop pairs: pairs sharing ONLY bigrams
+    # outside both prefixes never become candidates.  Recompute the
+    # candidate sets in Python with the op's exact (df asc, bigram)
+    # global order.
+    dfc = Counter()
+    for s in sets.values():
+        dfc.update(s)
+    pref = {
+        d: set(
+            sorted(s, key=lambda x: (dfc[x], x))[: len(s) - OVR_S_MIN + 1]
+        )
+        for d, s in sets.items()
+    }
+    n_cand = sum(
+        1
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if pref[a] & pref[b]
+    )
+    n_all = sum(
+        1
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if sets[a] & sets[b]
+    )
+    assert n_cand < n_all
+    # every true top-k pair is still a candidate (the blocking theorem)
+    assert all(pref[a] & pref[b] for _, a, b in want)
+
+    with pytest.raises(ValueError, match="not lossless"):
+        topk_overlap_pairs(docs, s_min=10_000)
