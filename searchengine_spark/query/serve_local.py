@@ -1090,6 +1090,55 @@ class LocalSearcher:
             out.append((rank, docid, score, "".join(pieces)))
         return out
 
+    def _mlt_keywords(self, content: str, topn: int):
+        """Top-``topn`` tf-idf keywords of an analyzed content string
+        under the SERVING stats — the ops/textops.tfidf_keywords rule
+        (tfidf = round(tf·ln(N/df), 6) ranked (tfidf desc, term asc))
+        with N/df from the index termdict, so sharded extraction is
+        exact (every shard loads the global termdict)."""
+        import math as _math
+        from collections import Counter
+
+        from ..text.analyze import analyze
+
+        tf = Counter(analyze(content, stem=self.stem))
+        n = self.n_survivors
+        scored = sorted(
+            (-round(c * _math.log(n / self._df[t]), 6), t)
+            for t, c in tf.items()
+            if self._df.get(t)
+        )
+        return [t for _, t in scored[:topn]]
+
+    def more_like_this(self, docid: int, k: int = 10, topn: int = 5):
+        """Lucene MoreLikeThis from the serving tier: the source doc's
+        top-``topn`` tf-idf keywords (``_mlt_keywords`` over its stored
+        content; topn default = ops/textops.MLT_KEYWORDS) become one
+        disjunctive WAND pass (mode="or"), with the source excluded
+        from the results — eligibility only, the batch op's rule,
+        implemented by fetching k+1 and dropping the source (it
+        occupies at most one slot, every other score is unaffected).
+        Requires stored fields (store_content=True), raising otherwise
+        like highlight().  Returns [(rank, docid, score)]."""
+        from collections import Counter
+
+        content = self.get_doc(docid)
+        if content is None:
+            raise ValueError(
+                f"doc {docid} has no stored fields — more_like_this "
+                "requires an index built with store_content=True"
+            )
+        kws = self._mlt_keywords(content, topn)
+        if not kws:
+            return []
+        freq = Counter(kws)
+        hits = self.topk(
+            " ".join(kws), k=k + 1, mode="or",
+            analyzer=lambda _text: freq,
+        )
+        out = [(d, s) for _, d, s in hits if d != docid][:k]
+        return [(r + 1, d, s) for r, (d, s) in enumerate(out)]
+
     def topk_after(self, text: str, cursor, k: int = 10,
                    cursor_rank: int | None = None, mode: str = "and",
                    analyzer=None):
@@ -1550,6 +1599,32 @@ class ShardedSearcher:
         a corpus-wide stat every shard needs for idf), so shard 0's
         answer is already exact — no merge."""
         return self.shards[0].suggest(term, topn=topn)
+
+    def more_like_this(self, docid: int, k: int = 10, topn: int = 5):
+        """Global MLT: the source content lives in exactly one shard
+        (self.get_doc) and keyword extraction uses only GLOBAL stats
+        (shard 0's termdict/n_survivors — identical in every shard),
+        so the keyword set equals an unsharded replica's; OR-mode
+        scores are global-stat-only, so the per-shard merge is exact
+        (topk's argument verbatim)."""
+        from collections import Counter
+
+        content = self.get_doc(docid)
+        if content is None:
+            raise ValueError(
+                f"doc {docid} has no stored fields — more_like_this "
+                "requires an index built with store_content=True"
+            )
+        kws = self.shards[0]._mlt_keywords(content, topn)
+        if not kws:
+            return []
+        freq = Counter(kws)
+        hits = self.topk(
+            " ".join(kws), k=k + 1, mode="or",
+            analyzer=lambda _text: freq,
+        )
+        out = [(d, s) for _, d, s in hits if d != docid][:k]
+        return [(r + 1, d, s) for r, (d, s) in enumerate(out)]
 
     def slop_topk(self, terms, slop: int = 3, k: int = 20,
                   analyzer=None):

@@ -224,3 +224,53 @@ def test_mixed_run_merges_to_no_sidecar(spark, halves, tmp_path_factory):
     ls2 = LocalSearcher(d, stem=True)
     assert ls2.get_doc(ids[0]) is None
     assert ls2.topk("parser notes", k=5)
+
+
+def test_more_like_this_matches_recomputation(spark, stored_dir):
+    """Serving-tier MLT: keyword extraction equals an independent
+    tf-idf recomputation over the analyzed corpus (the
+    tfidf_keywords rounded-rank rule), results are the OR-mode pass
+    minus the source doc, the sharded answer is identical, and a
+    content-less docid raises loudly."""
+    import math
+    from collections import Counter
+
+    from searchengine_spark.text.analyze import analyze
+
+    ls = LocalSearcher(stored_dir, stem=True)
+    cur = load_segments(spark, stored_dir, cache_meta=False)
+    ids = sorted(
+        int(r["docid"]) for r in cur.docs.select("docid").collect()
+    )
+    texts = {d: ls.get_doc(d) for d in ids}
+    toks = {d: analyze(t, stem=True) for d, t in texts.items()}
+    df = Counter()
+    for ts in toks.values():
+        df.update(set(ts))
+    n = len(ids)
+    assert n == ls.n_survivors
+
+    sh = ShardedSearcher(stored_dir, n_shards=2, stem=True)
+    for docid in ids[:3] + ids[-2:]:
+        tf = Counter(toks[docid])
+        want_kws = [t for _, t in sorted(
+            (-round(c * math.log(n / df[t]), 6), t)
+            for t, c in tf.items()
+        )[:5]]
+        assert ls._mlt_keywords(texts[docid], 5) == want_kws
+
+        freq = Counter(want_kws)
+        ref = ls.topk(
+            " ".join(want_kws), k=11, mode="or",
+            analyzer=lambda _t, f=freq: f,
+        )
+        want = [(d, s) for _, d, s in ref if d != docid][:10]
+        got = ls.more_like_this(docid)
+        assert got == [
+            (r + 1, d, s) for r, (d, s) in enumerate(want)
+        ]
+        assert all(d != docid for _, d, _ in got)
+        assert sh.more_like_this(docid) == got
+
+    with pytest.raises(ValueError, match="stored fields"):
+        ls.more_like_this(0)
