@@ -578,6 +578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "searchengine_spark.ops.events",
             fromlist=["event_transitions"],
         ).event_transitions,
+        "props_stats": __import__(
+            "searchengine_spark.ops.events", fromlist=["props_stats"]
+        ).props_stats,
         "value_percentiles": __import__(
             "searchengine_spark.ops.events",
             fromlist=["value_percentiles"],
@@ -3128,6 +3131,26 @@ def oracle_sql() -> dict[str, str]:
                    round(c2.n::DOUBLE / c1.ns, 6) AS p
             FROM c2 JOIN c1 USING (src)
             ORDER BY c2.src, c2.dst
+        """,
+        # JSON props analytics (ops/events.props_stats): $.k extracted
+        # natively on both engines (get_json_object vs
+        # json_extract_string — raw string, BIGINT cast); avg divides
+        # exact BIGINT sums as doubles, round-6
+        "props_stats": """
+            WITH x AS (
+              SELECT event_type,
+                     json_extract_string(props, '$.k')::BIGINT AS kv
+              FROM events)
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   count(kv)::BIGINT AS n_with_k,
+                   sum(kv)::BIGINT AS sum_k,
+                   round(sum(kv)::DOUBLE / count(kv)::DOUBLE, 6)
+                     AS avg_k,
+                   min(kv)::BIGINT AS min_k,
+                   max(kv)::BIGINT AS max_k
+            FROM x GROUP BY event_type
+            ORDER BY event_type
         """,
         "user_sessions": f"""
             WITH ordered AS (

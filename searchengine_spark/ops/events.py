@@ -220,3 +220,40 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+def props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_events, n_with_k, sum_k, avg_k, min_k, max_k) —
+    semi-structured analytics over the JSON ``props`` column: the
+    ``$.k`` field extracted per event (Spark get_json_object / DuckDB
+    json_extract_string — both return the raw string, cast BIGINT) and
+    aggregated per event_type.  avg divides the exact BIGINT sum by
+    the non-null count as doubles, round-6 (the bpe_fertility
+    exact-sums contract); rows missing the field count in n_events but
+    not the stats.
+
+    Scale: one columnar JSON path extraction (no UDF — both engines'
+    native JSON readers) and one key-hash agg."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("kv"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count("kv").cast("long").alias("n_with_k"),
+            F.sum("kv").cast("long").alias("sum_k"),
+            F.min("kv").cast("long").alias("min_k"),
+            F.max("kv").cast("long").alias("max_k"),
+        )
+        .select(
+            "event_type", "n_events", "n_with_k", "sum_k",
+            F.round(
+                F.col("sum_k").cast("double")
+                / F.col("n_with_k").cast("double"), 6
+            ).alias("avg_k"),
+            "min_k", "max_k",
+        )
+        .orderBy("event_type")
+    )

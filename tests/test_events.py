@@ -179,3 +179,35 @@ def test_event_transitions_planted(spark, tmp_path):
         ("click", "view", 1, 1.0),
         ("view", "click", 2, 1.0),
     ]
+
+
+def test_props_stats_planted(spark, tmp_path):
+    """JSON $.k extraction: missing/malformed props count in n_events
+    but not the stats; avg divides the exact integer sum by the
+    non-null count."""
+    T = pd.Timestamp
+    rows = [
+        {"event_id": 1, "ts": T("2024-01-01"), "user_id": 1,
+         "event_type": "a", "value": 1.0, "props": '{"k": 10}'},
+        {"event_id": 2, "ts": T("2024-01-01"), "user_id": 1,
+         "event_type": "a", "value": 1.0, "props": '{"k": 25}'},
+        {"event_id": 3, "ts": T("2024-01-01"), "user_id": 1,
+         "event_type": "a", "value": 1.0, "props": '{"other": 1}'},
+        {"event_id": 4, "ts": T("2024-01-01"), "user_id": 1,
+         "event_type": "b", "value": 1.0, "props": '{"k": 7}'},
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    from searchengine_spark.ops.events import props_stats
+
+    got = [
+        (r["event_type"], r["n_events"], r["n_with_k"], r["sum_k"],
+         r["avg_k"], r["min_k"], r["max_k"])
+        for r in props_stats(spark, sf).collect()
+    ]
+    assert got == [
+        ("a", 3, 2, 35, 17.5, 10, 25),
+        ("b", 1, 1, 7, 7.0, 7, 7),
+    ]
