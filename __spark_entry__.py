@@ -581,6 +581,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_stats": __import__(
             "searchengine_spark.ops.events", fromlist=["props_stats"]
         ).props_stats,
+        # relational OLAP over the TPC-H-shaped tables
+        # (ops/relational.py): exact-integer-unit money sums
+        "tpch_q1": __import__(
+            "searchengine_spark.ops.relational", fromlist=["tpch_q1"]
+        ).tpch_q1,
+        "tpch_q3": __import__(
+            "searchengine_spark.ops.relational", fromlist=["tpch_q3"]
+        ).tpch_q3,
+        "tpch_q5": __import__(
+            "searchengine_spark.ops.relational", fromlist=["tpch_q5"]
+        ).tpch_q5,
         "value_percentiles": __import__(
             "searchengine_spark.ops.events",
             fromlist=["value_percentiles"],
@@ -2319,6 +2330,7 @@ def oracle_sql() -> dict[str, str]:
         PREP_MAX_STOPWORD_RATIO,
         PREP_MIN_TOKENS,
     )
+    from searchengine_spark.ops import relational as _REL
     from searchengine_spark.ops.dedup import OVR_K as _OVR_K
     from searchengine_spark.ops.mix import (
         DECON_EVAL_MOD,
@@ -3152,6 +3164,9 @@ def oracle_sql() -> dict[str, str]:
             FROM x GROUP BY event_type
             ORDER BY event_type
         """,
+        "tpch_q1": _REL.tpch_q1_oracle_sql(),
+        "tpch_q3": _REL.tpch_q3_oracle_sql(),
+        "tpch_q5": _REL.tpch_q5_oracle_sql(),
         "user_sessions": f"""
             WITH ordered AS (
               SELECT user_id, ts, value,

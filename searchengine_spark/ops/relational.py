@@ -1,0 +1,275 @@
+"""Relational OLAP over the TPC-H-shaped tables ([NORTH-EXT]).
+
+The driver testdata ships trimmed TPC-H tables (lineitem/orders/
+customer/supplier/nation/region/part) next to the text corpus; this
+module serves the classic warehouse side of the analytics engine —
+pricing summary (Q1), shipping priority (Q3), and local supplier
+volume (Q5) — as declarative DataFrame plans whose physical shape is
+the one a 100 TB fact table needs and whose values are bit-exact
+against the DuckDB oracles.
+
+Float discipline (the repo's cross-engine contract, hardened for
+money): all monetary inputs are cents/percent-exact doubles, so every
+sum is taken over EXACT integer units — cents for prices, 1e-4
+dollars for price·(1-disc), 1e-6 dollars for price·(1-disc)·(1+tax)
+(each true value is an integer in those units; the double product's
+error is a few ulps, far below the 0.5 rounding margin) — and BIGINT
+sums divide back to dollars in the identical expression order on both
+engines.  No order-dependent double accumulation anywhere.
+
+Plan discipline (asserted in tests/test_relational.py):
+ * Q1 is one scan + one key-hash agg; the l_shipdate predicate reaches
+   the parquet scan (PushedFilters) and column pruning reads only the
+   7 needed columns (ReadSchema).
+ * Q3/Q5 broadcast every dimension side explicitly (customer 1.5 k
+   rows, supplier 100, nation 25, region 5) — the fact table
+   (lineitem) is never shuffled for a join; the only shuffle is the
+   final aggregation on the group key.  At 1000 executors that is the
+   textbook star-join: dims replicated, fact streamed once.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# pinned parameters, interpolated into the DuckDB oracles — change
+# Spark and SQL together
+Q1_CUTOFF = "1998-09-02"
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-03-15"
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+# shared exact-integer-unit expressions (Spark SQL and DuckDB agree on
+# every function here; interpolated into both engines)
+_CENTS = "cast(round(l_extendedprice * 100) as bigint)"
+_DISC_PCT = "cast(round(l_discount * 100) as bigint)"
+_DISC_E4 = (
+    "cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)"
+)
+_CHARGE_E6 = (
+    "cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) "
+    "* 1000000) as bigint)"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str,
+            cutoff: str = Q1_CUTOFF) -> DataFrame:
+    """TPC-H Q1 pricing summary: per (returnflag, linestatus) sums and
+    averages over lineitem shipped on or before ``cutoff``."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(cutoff)
+    )
+    agg = (
+        li.select(
+            "l_returnflag", "l_linestatus",
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.expr(_CENTS).alias("cents"),
+            F.expr(_DISC_PCT).alias("dpct"),
+            F.expr(_DISC_E4).alias("de4"),
+            F.expr(_CHARGE_E6).alias("ce6"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty").cast("long").alias("sq"),
+            F.sum("cents").cast("long").alias("sc"),
+            F.sum("dpct").cast("long").alias("sd"),
+            F.sum("de4").cast("long").alias("s4"),
+            F.sum("ce6").cast("long").alias("s6"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+    n = F.col("count_order").cast("double")
+    return agg.select(
+        "l_returnflag", "l_linestatus",
+        F.col("sq").alias("sum_qty"),
+        (F.col("sc").cast("double") / F.lit(100.0)).alias(
+            "sum_base_price"
+        ),
+        (F.col("s4").cast("double") / F.lit(10000.0)).alias(
+            "sum_disc_price"
+        ),
+        (F.col("s6").cast("double") / F.lit(1000000.0)).alias(
+            "sum_charge"
+        ),
+        F.round(F.col("sq").cast("double") / n, 6).alias("avg_qty"),
+        F.round(
+            F.col("sc").cast("double") / F.lit(100.0) / n, 6
+        ).alias("avg_price"),
+        F.round(
+            F.col("sd").cast("double") / F.lit(100.0) / n, 6
+        ).alias("avg_disc"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def tpch_q1_oracle_sql(cutoff: str = Q1_CUTOFF) -> str:
+    return f"""
+        WITH x AS (
+          SELECT l_returnflag, l_linestatus,
+                 l_quantity::BIGINT AS qty,
+                 {_CENTS} AS cents, {_DISC_PCT} AS dpct,
+                 {_DISC_E4} AS de4, {_CHARGE_E6} AS ce6
+          FROM lineitem WHERE l_shipdate <= '{cutoff}'),
+        a AS (
+          SELECT l_returnflag, l_linestatus,
+                 sum(qty)::BIGINT AS sq, sum(cents)::BIGINT AS sc,
+                 sum(dpct)::BIGINT AS sd, sum(de4)::BIGINT AS s4,
+                 sum(ce6)::BIGINT AS s6,
+                 count(*)::BIGINT AS count_order
+          FROM x GROUP BY l_returnflag, l_linestatus)
+        SELECT l_returnflag, l_linestatus,
+               sq AS sum_qty,
+               sc::DOUBLE / 100.0 AS sum_base_price,
+               s4::DOUBLE / 10000.0 AS sum_disc_price,
+               s6::DOUBLE / 1000000.0 AS sum_charge,
+               round(sq::DOUBLE / count_order::DOUBLE, 6) AS avg_qty,
+               round(sc::DOUBLE / 100.0 / count_order::DOUBLE, 6)
+                 AS avg_price,
+               round(sd::DOUBLE / 100.0 / count_order::DOUBLE, 6)
+                 AS avg_disc,
+               count_order
+        FROM a ORDER BY l_returnflag, l_linestatus
+    """
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str, segment: str = Q3_SEGMENT,
+            date: str = Q3_DATE, k: int = 10) -> DataFrame:
+    """TPC-H Q3 shipping priority: top-k open orders of one market
+    segment by discounted revenue.  customer broadcasts; lineitem (the
+    fact) is shuffled only by the final group key."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == segment
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(date)
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(date)
+    ).select("l_orderkey", F.expr(_DISC_E4).alias("de4"))
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(
+                    F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey,
+                ).select("o_orderkey", "o_orderdate")
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum("de4").cast("long").alias("r4"))
+        .select(
+            "l_orderkey",
+            (F.col("r4").cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            ),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                "o_orderdate"
+            ),
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(k)
+    )
+
+
+def tpch_q3_oracle_sql(segment: str = Q3_SEGMENT, date: str = Q3_DATE,
+                       k: int = 10) -> str:
+    return f"""
+        SELECT l_orderkey,
+               sum({_DISC_E4})::BIGINT::DOUBLE / 10000.0 AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+        FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = '{segment}'
+          AND o_orderdate < '{date}'
+          AND l_shipdate > '{date}'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT {k}
+    """
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str, region: str = Q5_REGION,
+            lo: str = Q5_DATE_LO, hi: str = Q5_DATE_HI) -> DataFrame:
+    """TPC-H Q5 local supplier volume: revenue per nation of one
+    region, customer and supplier in the SAME nation.  Every dimension
+    broadcasts (region→nation→customer/supplier chain); the fact
+    shuffles once, on the final n_name group key."""
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(
+                    F.col("r_name") == region
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nat),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_nationkey").alias("c_nk"),
+                "n_name")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("s_nk")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(lo))
+        & (F.col("o_orderdate") < F.lit(hi))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.expr(_DISC_E4).alias("de4")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(
+                    F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey,
+                ).select("o_orderkey", "c_nk", "n_name")
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nk") == F.col("s_nk"))
+        .groupBy("n_name")
+        .agg(F.sum("de4").cast("long").alias("r4"))
+        .select(
+            "n_name",
+            (F.col("r4").cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            ),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def tpch_q5_oracle_sql(region: str = Q5_REGION, lo: str = Q5_DATE_LO,
+                       hi: str = Q5_DATE_HI) -> str:
+    return f"""
+        SELECT n_name,
+               sum({_DISC_E4})::BIGINT::DOUBLE / 10000.0 AS revenue
+        FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+            AND c_nationkey = s_nationkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = '{region}'
+          AND o_orderdate >= '{lo}' AND o_orderdate < '{hi}'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """

@@ -1,0 +1,66 @@
+"""Relational OLAP (ops/relational.py): value parity vs DuckDB at
+sf0.001 in-suite (the driver re-checks at sf0.01) plus the plan
+assertions the module's scale story rests on — predicate pushdown +
+column pruning on the fact scan, broadcast-only dimension joins."""
+
+import duckdb
+import pytest
+
+from searchengine_spark.ops.relational import tpch_q1, tpch_q3, tpch_q5
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("lineitem", "orders", "customer", "supplier", "nation",
+          "region")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def _match(spark_df, con, sql):
+    got = [tuple(r) for r in spark_df.collect()]
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert got == want
+
+
+def test_q1_values_and_scan_shape(spark, con):
+    from searchengine_spark.ops.relational import tpch_q1_oracle_sql
+
+    df = tpch_q1(spark, SF)
+    _match(df, con, tpch_q1_oracle_sql())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the shipdate predicate reaches the parquet scan, and the scan
+    # reads only the needed columns (no l_orderkey/l_partkey/...)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+
+
+def test_q3_values_and_broadcast_only_joins(spark, con):
+    from searchengine_spark.ops.relational import tpch_q3_oracle_sql
+
+    df = tpch_q3(spark, SF)
+    _match(df, con, tpch_q3_oracle_sql())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment" in plan
+
+
+def test_q5_values_and_broadcast_only_joins(spark, con):
+    from searchengine_spark.ops.relational import tpch_q5_oracle_sql
+
+    df = tpch_q5(spark, SF)
+    _match(df, con, tpch_q5_oracle_sql())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
