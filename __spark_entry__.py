@@ -592,6 +592,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": __import__(
             "searchengine_spark.ops.relational", fromlist=["tpch_q5"]
         ).tpch_q5,
+        "tpch_q14": __import__(
+            "searchengine_spark.ops.relational", fromlist=["tpch_q14"]
+        ).tpch_q14,
+        "tpch_q4": __import__(
+            "searchengine_spark.ops.relational", fromlist=["tpch_q4"]
+        ).tpch_q4,
         "value_percentiles": __import__(
             "searchengine_spark.ops.events",
             fromlist=["value_percentiles"],
@@ -3167,6 +3173,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": _REL.tpch_q1_oracle_sql(),
         "tpch_q3": _REL.tpch_q3_oracle_sql(),
         "tpch_q5": _REL.tpch_q5_oracle_sql(),
+        "tpch_q14": _REL.tpch_q14_oracle_sql(),
+        "tpch_q4": _REL.tpch_q4_oracle_sql(),
         "user_sessions": f"""
             WITH ordered AS (
               SELECT user_id, ts, value,

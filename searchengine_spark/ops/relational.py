@@ -273,3 +273,101 @@ def tpch_q5_oracle_sql(region: str = Q5_REGION, lo: str = Q5_DATE_LO,
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
     """
+
+
+Q14_LO = "1996-01-01"
+Q14_HI = "1996-02-01"
+Q4_LO = "1996-01-01"
+Q4_HI = "1996-04-01"
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str, lo: str = Q14_LO,
+             hi: str = Q14_HI) -> DataFrame:
+    """TPC-H Q14 promotion effect: the percentage of one month's
+    discounted revenue from PROMO-type parts.  part broadcasts;
+    the ratio divides two exact BIGINT sums in the identical
+    expression order on both engines, round-6."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(lo))
+        & (F.col("l_shipdate") < F.lit(hi))
+    ).select("l_partkey", F.expr(_DISC_E4).alias("de4"))
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    )
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", F.col("de4"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("promo4"),
+        F.sum("de4").cast("long").alias("total4"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.col("promo4").cast("double")
+            / F.col("total4").cast("double"), 6
+        ).alias("promo_revenue_pct")
+    )
+
+
+def tpch_q14_oracle_sql(lo: str = Q14_LO, hi: str = Q14_HI) -> str:
+    return f"""
+        WITH x AS (
+          SELECT p_type, {_DISC_E4} AS de4
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= '{lo}' AND l_shipdate < '{hi}'),
+        a AS (
+          SELECT sum(CASE WHEN p_type = 'PROMO' THEN de4 ELSE 0 END)
+                   ::BIGINT AS promo4,
+                 sum(de4)::BIGINT AS total4
+          FROM x)
+        SELECT round(100.0 * promo4::DOUBLE / total4::DOUBLE, 6)
+                 AS promo_revenue_pct
+        FROM a
+    """
+
+
+def tpch_q4(spark: SparkSession, sf_dir: str, lo: str = Q4_LO,
+            hi: str = Q4_HI) -> DataFrame:
+    """TPC-H Q4 (adapted to the trimmed schema): per order priority,
+    the count of one quarter's orders with at least one lineitem
+    shipped AFTER the order date — an EXISTS over the fact table,
+    i.e. a LEFT SEMI join on the order key with a correlated range
+    condition (the plan shape Q4 exists to exercise; the classic
+    commitdate/receiptdate columns are not in this table).
+
+    Scale: semi-join on l_orderkey — one key-hash shuffle of each
+    fact-side projection, no row multiplication (semi stops at the
+    first match), then a 5-group count."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(lo))
+        & (F.col("o_orderdate") < F.lit(hi))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "leftsemi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def tpch_q4_oracle_sql(lo: str = Q4_LO, hi: str = Q4_HI) -> str:
+    return f"""
+        SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        FROM orders
+        WHERE o_orderdate >= '{lo}' AND o_orderdate < '{hi}'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """

@@ -64,3 +64,33 @@ def test_q5_values_and_broadcast_only_joins(spark, con):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_q14_values(spark, con):
+    import duckdb as _d
+
+    from searchengine_spark.ops.relational import (
+        tpch_q14,
+        tpch_q14_oracle_sql,
+    )
+
+    c = _d.connect()
+    for t in ("lineitem", "part"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    _match(tpch_q14(spark, SF), c, tpch_q14_oracle_sql())
+
+
+def test_q4_values_and_semi_join_shape(spark, con):
+    from searchengine_spark.ops.relational import (
+        tpch_q4,
+        tpch_q4_oracle_sql,
+    )
+
+    df = tpch_q4(spark, SF)
+    _match(df, con, tpch_q4_oracle_sql())
+    # the EXISTS is a LEFT SEMI join — no row multiplication
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
