@@ -598,6 +598,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": __import__(
             "searchengine_spark.ops.relational", fromlist=["tpch_q4"]
         ).tpch_q4,
+        "pricing_rollup": __import__(
+            "searchengine_spark.ops.relational",
+            fromlist=["pricing_rollup"],
+        ).pricing_rollup,
         "value_percentiles": __import__(
             "searchengine_spark.ops.events",
             fromlist=["value_percentiles"],
@@ -3175,6 +3179,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": _REL.tpch_q5_oracle_sql(),
         "tpch_q14": _REL.tpch_q14_oracle_sql(),
         "tpch_q4": _REL.tpch_q4_oracle_sql(),
+        "pricing_rollup": _REL.pricing_rollup_oracle_sql(),
         "user_sessions": f"""
             WITH ordered AS (
               SELECT user_id, ts, value,

@@ -371,3 +371,49 @@ def tpch_q4_oracle_sql(lo: str = Q4_LO, hi: str = Q4_HI) -> str:
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """
+
+
+def pricing_rollup(spark: SparkSession, sf_dir: str,
+                   cutoff: str = Q1_CUTOFF) -> DataFrame:
+    """Q1's sums at every grouping level at once — GROUP BY ROLLUP
+    (returnflag, linestatus): per-pair rows, per-returnflag subtotals,
+    and the grand total in ONE pass (Spark rollup == SQL ROLLUP, a
+    single shuffle producing all grouping sets).  Rolled-up group
+    columns surface as 'ALL' (coalesce on both engines — NULL group
+    markers must not cross the driver compare).  Money stays in exact
+    BIGINT cents."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(cutoff)
+    ).select(
+        "l_returnflag", "l_linestatus",
+        F.expr(_CENTS).alias("cents"),
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias(
+                "returnflag"
+            ),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias(
+                "linestatus"
+            ),
+            "sum_cents", "n_items",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+def pricing_rollup_oracle_sql(cutoff: str = Q1_CUTOFF) -> str:
+    return f"""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               sum({_CENTS})::BIGINT AS sum_cents,
+               count(*)::BIGINT AS n_items
+        FROM lineitem WHERE l_shipdate <= '{cutoff}'
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus
+    """

@@ -94,3 +94,32 @@ def test_q4_values_and_semi_join_shape(spark, con):
     # the EXISTS is a LEFT SEMI join — no row multiplication
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_pricing_rollup_one_pass(spark, con):
+    from searchengine_spark.ops.relational import (
+        pricing_rollup,
+        pricing_rollup_oracle_sql,
+    )
+
+    df = pricing_rollup(spark, SF)
+    _match(df, con, pricing_rollup_oracle_sql())
+    rows = df.collect()
+    # grand total row present and consistent with the leaf rows
+    total = next(
+        r for r in rows
+        if r["returnflag"] == "ALL" and r["linestatus"] == "ALL"
+    )
+    leaves = [
+        r for r in rows
+        if r["returnflag"] != "ALL" and r["linestatus"] != "ALL"
+    ]
+    assert total["sum_cents"] == sum(r["sum_cents"] for r in leaves)
+    assert total["n_items"] == sum(r["n_items"] for r in leaves)
+    # all grouping sets come from ONE read + ONE Expand (not one
+    # aggregation pass and scan per level); count in the FINAL plan
+    # only — AQE's toString appends the Initial Plan section too
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Expand") == 1
+    assert final.count("Scan parquet") == 1
