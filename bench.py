@@ -432,6 +432,33 @@ def _run_ops_tier(spark):
           lambda: T.gopher_quality(spark, SF_DIR).count())
     timed("perplexity_buckets_sec",
           lambda: X.perplexity_buckets(spark, SF_DIR).count())
+    # third-continuation families (collect(): tiny results — count()
+    # would let the optimizer drop the ordering work being timed)
+    from searchengine_spark.ops import events as EV
+    from searchengine_spark.ops import relational as R
+
+    timed("tpch_q1_sec", lambda: R.tpch_q1(spark, SF_DIR).collect())
+    timed("tpch_q3_sec", lambda: R.tpch_q3(spark, SF_DIR).collect())
+    timed("pricing_rollup_sec",
+          lambda: R.pricing_rollup(spark, SF_DIR).collect())
+    timed("funnel_conversion_sec",
+          lambda: EV.funnel_conversion(spark, SF_DIR).collect())
+    timed("retention_cohorts_sec",
+          lambda: EV.retention_cohorts(spark, SF_DIR).collect())
+    timed("kmv_distinct_sec",
+          lambda: X.kmv_distinct(spark, SF_DIR).collect())
+    # bounded 1k-doc slice: the all-candidates verify stage is
+    # quadratic-ish in df and the bench SF is not the op's adaptive
+    # regime (s_min would be raised at scale — ops/dedup.py docstring)
+    # s_min=12: the 1k slice's realized 20th overlap is 18 at sf0.1
+    # (the default 24 floor is pinned to the full driver SFs)
+    timed("topk_overlap_1k_sec",
+          lambda: D.topk_overlap_pairs(
+              spark.read.parquet(f"{SF_DIR}/documents.parquet")
+              .orderBy("doc_id").limit(1000), s_min=12
+          ).collect())
+    timed("highlight_topk_sec",
+          lambda: PSG.highlight_topk(spark, SF_DIR).collect())
     return out
 
 
