@@ -602,6 +602,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "searchengine_spark.ops.relational",
             fromlist=["pricing_rollup"],
         ).pricing_rollup,
+        "bucketed_revenue": __import__(
+            "searchengine_spark.ops.relational",
+            fromlist=["bucketed_revenue"],
+        ).bucketed_revenue,
         "value_percentiles": __import__(
             "searchengine_spark.ops.events",
             fromlist=["value_percentiles"],
@@ -3180,6 +3184,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14": _REL.tpch_q14_oracle_sql(),
         "tpch_q4": _REL.tpch_q4_oracle_sql(),
         "pricing_rollup": _REL.pricing_rollup_oracle_sql(),
+        "bucketed_revenue": _REL.bucketed_revenue_oracle_sql(),
         "user_sessions": f"""
             WITH ordered AS (
               SELECT user_id, ts, value,

@@ -417,3 +417,77 @@ def pricing_rollup_oracle_sql(cutoff: str = Q1_CUTOFF) -> str:
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY returnflag, linestatus
     """
+
+
+BUCKETS = 8
+
+
+def bucketed_revenue(spark: SparkSession, sf_dir: str,
+                     n_buckets: int = BUCKETS) -> DataFrame:
+    """Revenue per order priority through Spark-NATIVE bucketed tables
+    — the co-located fact-to-fact join the star-join playbook cannot
+    broadcast: orders and lineitem are written ``bucketBy(n,
+    orderkey).sortBy(orderkey)`` (external parquet tables), so the
+    join aligns bucket-to-bucket and runs WITHOUT a join-side shuffle
+    (plan-asserted in tests/test_relational.py: SortMergeJoin with no
+    Exchange on either join key; the only exchange left is the final
+    5-group agg).  At 100 TB this is the difference between shuffling
+    the fact table once per join and never: bucketing pays the
+    partitioning cost once at write time and every subsequent
+    orderkey join rides it free.
+
+    Values are bucketing-invisible (the DuckDB oracle is the plain
+    join) and follow the exact-integer-units money discipline."""
+    import hashlib
+    import os
+    import tempfile
+
+    sig = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{n_buckets}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(
+        tempfile.gettempdir(), f"se_spark_bucketed_{sig}"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.expr(_DISC_E4).alias("de4")
+    )
+    specs = (
+        ("se_orders_b", orders, "o_orderkey"),
+        ("se_lineitem_b", li, "l_orderkey"),
+    )
+    for name, df, key in specs:
+        (
+            df.write.format("parquet")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    ob = spark.table("se_orders_b")
+    lb = spark.table("se_lineitem_b")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("de4").cast("long").alias("r4"))
+        .select(
+            "o_orderpriority",
+            (F.col("r4").cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def bucketed_revenue_oracle_sql() -> str:
+    return f"""
+        SELECT o_orderpriority,
+               sum({_DISC_E4})::BIGINT::DOUBLE / 10000.0 AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """

@@ -123,3 +123,46 @@ def test_pricing_rollup_one_pass(spark, con):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Expand") == 1
     assert final.count("Scan parquet") == 1
+
+
+def test_bucketed_revenue_values_and_no_join_shuffle(spark, con):
+    from searchengine_spark.ops.relational import (
+        bucketed_revenue,
+        bucketed_revenue_oracle_sql,
+    )
+
+    df = bucketed_revenue(spark, SF)
+    _match(df, con, bucketed_revenue_oracle_sql())
+    # at test scale AQE broadcast-converts the tiny orders side; at
+    # fact-to-fact scale neither side broadcasts — disable broadcast
+    # to assert the plan bucketing exists FOR: a bucket-aligned
+    # SortMergeJoin with no exchange on either join key
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        )
+        df2 = bucketed_revenue(spark, SF)
+        df2.collect()
+        plan = df2._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in final
+        assert "Exchange hashpartitioning(l_orderkey" not in final
+        assert "Exchange hashpartitioning(o_orderkey" not in final
+        assert "SelectedBucketsCount" in final
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
