@@ -570,6 +570,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "searchengine_spark.ops.events",
             fromlist=["funnel_conversion"],
         ).funnel_conversion,
+        "funnel_latency": __import__(
+            "searchengine_spark.ops.events",
+            fromlist=["funnel_latency"],
+        ).funnel_latency,
         "retention_cohorts": __import__(
             "searchengine_spark.ops.events",
             fromlist=["retention_cohorts"],
@@ -2400,6 +2404,7 @@ def oracle_sql() -> dict[str, str]:
         WINDOW,
     )
     from searchengine_spark.ops.events import (
+        FUNNEL_PCTS as _FUNNEL_PCTS,
         FUNNEL_STEPS as _FUNNEL,
         HIST_BINS as _HIST_BINS,
         PCTS as _PCTS,
@@ -3111,6 +3116,37 @@ def oracle_sql() -> dict[str, str]:
                    round(n_users::DOUBLE
                          / (SELECT count(*) FROM s1), 6) AS conv
             FROM n ORDER BY step
+        """,
+        # time-to-convert (ops/events.funnel_latency): exact integer
+        # microsecond durations (date_diff vs timestampdiff — tz-free
+        # on NTZ), nearest-rank over (delta, user_id) with the pinned
+        # double-product ceil; FUNNEL_PCTS interpolated
+        "funnel_latency": f"""
+            WITH {", ".join(_fun_ctes)},
+            conv AS (
+              SELECT s1.user_id,
+                     date_diff('microsecond', s1.t,
+                               s{len(_FUNNEL)}.t)::BIGINT AS delta_us
+              FROM s1 JOIN s{len(_FUNNEL)}
+                ON s1.user_id = s{len(_FUNNEL)}.user_id),
+            ranked AS (
+              SELECT delta_us, row_number() OVER (
+                       ORDER BY delta_us, user_id) AS rn
+              FROM conv),
+            nn AS (SELECT count(*)::BIGINT AS n FROM conv),
+            targets AS (
+              SELECT n, pct::BIGINT AS pct,
+                     ceil(p::DOUBLE * n)::BIGINT AS rn
+              FROM nn CROSS JOIN (VALUES {", ".join(
+                  f"({label}, {p!r})" for label, p in _FUNNEL_PCTS
+              )}) v(pct, p))
+            SELECT n AS n_converters,
+                   max(CASE WHEN pct = 50 THEN delta_us END)::BIGINT
+                     AS p50_us,
+                   max(CASE WHEN pct = 90 THEN delta_us END)::BIGINT
+                     AS p90_us
+            FROM ranked JOIN targets USING (rn)
+            GROUP BY n
         """,
         # retention triangle (ops/events.retention_cohorts): RET_MAX_DAYS
         # interpolated; cohort = first-activity day (tz-free NTZ

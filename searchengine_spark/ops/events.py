@@ -96,6 +96,25 @@ FUNNEL_STEPS = ("view", "click", "purchase")
 RET_MAX_DAYS = 7
 
 
+def _funnel_reached(spark: SparkSession, sf_dir: str, steps):
+    """Per-step (user_id, t) DataFrames under the first-match
+    sequential rule: step i's t is the min ts of step-i events
+    STRICTLY after the user's step-(i-1) match — shared by
+    funnel_conversion (counts) and funnel_latency (durations)."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    reached = []
+    prev = None
+    for s in steps:
+        cur = ev.filter(F.col("event_type") == s)
+        if prev is not None:
+            cur = cur.join(
+                prev.select("user_id", F.col("t").alias("_pt")), "user_id"
+            ).filter(F.col("ts") > F.col("_pt"))
+        prev = cur.groupBy("user_id").agg(F.min("ts").alias("t"))
+        reached.append(prev)
+    return reached
+
+
 def funnel_conversion(spark: SparkSession, sf_dir: str,
                       steps=FUNNEL_STEPS) -> DataFrame:
     """(step, event_type, n_users, conv) — the ordered conversion
@@ -110,17 +129,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str,
     user_id per step — |steps| co-partitioned key-hash stages, no
     windows, no event-order state; the per-user first-match tree is
     the min(ts) aggregate, never a sort."""
-    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
-    reached = []
-    prev = None
-    for s in steps:
-        cur = ev.filter(F.col("event_type") == s)
-        if prev is not None:
-            cur = cur.join(
-                prev.select("user_id", F.col("t").alias("_pt")), "user_id"
-            ).filter(F.col("ts") > F.col("_pt"))
-        prev = cur.groupBy("user_id").agg(F.min("ts").alias("t"))
-        reached.append(prev)
+    reached = _funnel_reached(spark, sf_dir, steps)
     spark_counts = [
         r.agg(F.count("*").cast("long").alias("n")) for r in reached
     ]
@@ -256,4 +265,54 @@ def props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_k", "max_k",
         )
         .orderBy("event_type")
+    )
+
+
+FUNNEL_PCTS = ((50, 0.5), (90, 0.9))
+
+
+def funnel_latency(spark: SparkSession, sf_dir: str,
+                   steps=FUNNEL_STEPS, pcts=FUNNEL_PCTS) -> DataFrame:
+    """(n_converters, p50_us, p90_us) — time-to-convert: for users who
+    complete the whole funnel, the exact nearest-rank percentiles of
+    the first-step→last-step duration in MICROSECONDS
+    (timestampdiff(MICROSECOND) / date_diff('microsecond') — exact
+    integers on NTZ timestamps, timezone-free, so no doubles are
+    compared at all).  Rank = ceil(p·n) over (delta, user_id), the
+    value_percentiles double-product rule.
+
+    Scale: the funnel chain's key-hash joins plus one rank over the
+    CONVERTERS only (bounded by the final-step survivor count)."""
+    reached = _funnel_reached(spark, sf_dir, steps)
+    first = reached[0].select("user_id", F.col("t").alias("t1"))
+    last = reached[-1].select("user_id", F.col("t").alias("tn"))
+    conv = first.join(last, "user_id").select(
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, t1, tn)").alias("delta_us"),
+    )
+    w = Window.orderBy("delta_us", "user_id")
+    ranked = conv.withColumn("rn", F.row_number().over(w))
+    n = conv.agg(F.count("*").cast("long").alias("n"))
+    targets = n.select(
+        "n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(label).cast("long").alias("pct"),
+                    F.ceil(F.lit(p) * F.col("n")).alias("rn"),
+                )
+                for label, p in pcts
+            ])
+        ).alias("t"),
+    ).select("n", "t.pct", "t.rn")
+    picked = ranked.join(F.broadcast(targets), "rn")
+    return picked.groupBy("n").agg(
+        F.max(
+            F.when(F.col("pct") == 50, F.col("delta_us"))
+        ).alias("p50_us"),
+        F.max(
+            F.when(F.col("pct") == 90, F.col("delta_us"))
+        ).alias("p90_us"),
+    ).select(
+        F.col("n").alias("n_converters"), "p50_us", "p90_us"
     )

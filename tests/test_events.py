@@ -211,3 +211,31 @@ def test_props_stats_planted(spark, tmp_path):
         ("a", 3, 2, 35, 17.5, 10, 25),
         ("b", 1, 1, 7, 7.0, 7, 7),
     ]
+
+
+def test_funnel_latency_planted(spark, tmp_path):
+    """Time-to-convert: exact microsecond first-to-last durations for
+    completing users only, nearest-rank percentiles (ceil(p*n) over
+    (delta, user_id))."""
+    T = pd.Timestamp
+    rows = []
+    # users 1..3 convert with deltas 2h, 1h, 3h; user 4 stops at view
+    for u, (h1, h3) in enumerate([(9, 11), (9, 10), (9, 12)], start=1):
+        rows += [
+            (u * 10 + 1, u, "view", T(f"2024-01-01 0{h1}:00:00")),
+            (u * 10 + 2, u, "click", T(f"2024-01-01 0{h1}:30:00")),
+            (u * 10 + 3, u, "purchase", T(f"2024-01-01 {h3}:00:00")),
+        ]
+    rows.append((41, 4, "view", T("2024-01-01 09:00:00")))
+    sf = _write_user_events(spark, tmp_path, rows)
+    from searchengine_spark.ops.events import funnel_latency
+
+    got = funnel_latency(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    hours = 3_600_000_000
+    # deltas sorted: [1h, 2h, 3h]; p50 -> rank ceil(.5*3)=2 (2h),
+    # p90 -> rank ceil(.9*3)=3 (3h)
+    assert (r["n_converters"], r["p50_us"], r["p90_us"]) == (
+        3, 2 * hours, 3 * hours,
+    )
