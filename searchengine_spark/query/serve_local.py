@@ -1090,6 +1090,38 @@ class LocalSearcher:
             out.append((rank, docid, score, "".join(pieces)))
         return out
 
+    def allowed_for_field(self, field: str, value: str):
+        """Server-side metadata-filter resolution: live docids whose
+        stored doc ``field`` (repo / path / commit / url / sha256)
+        equals ``value``, read columnar off each served segment's docs
+        parquet (row-group-pruned pyarrow filter) and masked by _dl
+        liveness.  Feed the result to topk/search(allowed=...) —
+        eligibility-only, BM25 stats stay corpus-global (the
+        filtered-search rule).  This is the resolver behind the
+        'callers pre-resolve field filters to allowed=' contract; the
+        analyzed-text field (lang:) stays out — the index stores no
+        text-derived metadata, and that parser path still raises."""
+        import pyarrow.dataset as pads
+
+        if field not in ("repo", "path", "commit", "url", "sha256"):
+            raise ValueError(
+                f"unknown stored doc field: {field!r} (one of repo/"
+                "path/commit/url/sha256)"
+            )
+        parts = []
+        for d in self._serve_dirs:
+            ds = pads.dataset(os.path.join(d, "docs"))
+            t = ds.to_table(
+                columns=["docid"],
+                filter=pads.field(field) == value,
+            )
+            parts.append(t.column("docid").to_numpy())
+        if not parts:
+            return np.array([], dtype=np.int64)
+        ids = np.unique(np.concatenate(parts)).astype(np.int64)
+        live = self._dl[0]
+        return ids[np.isin(ids, live, assume_unique=True)]
+
     def _mlt_keywords(self, content: str, topn: int):
         """Top-``topn`` tf-idf keywords of an analyzed content string
         under the SERVING stats — the ops/textops.tfidf_keywords rule
@@ -1599,6 +1631,16 @@ class ShardedSearcher:
         a corpus-wide stat every shard needs for idf), so shard 0's
         answer is already exact — no merge."""
         return self.shards[0].suggest(term, topn=topn)
+
+    def allowed_for_field(self, field: str, value: str):
+        """Global metadata-filter resolution: every live doc's metadata
+        lives in exactly one shard's docs tables, so the union of
+        per-shard resolutions is exact; feed it to topk(allowed=...) —
+        each shard intersects its own docid range."""
+        parts = [
+            sh.allowed_for_field(field, value) for sh in self.shards
+        ]
+        return np.unique(np.concatenate(parts)).astype(np.int64)
 
     def more_like_this(self, docid: int, k: int = 10, topn: int = 5):
         """Global MLT: the source content lives in exactly one shard

@@ -274,3 +274,34 @@ def test_more_like_this_matches_recomputation(spark, stored_dir):
 
     with pytest.raises(ValueError, match="stored fields"):
         ls.more_like_this(0)
+
+
+def test_allowed_for_field_resolves_metadata_filters(spark, stored_dir):
+    """Server-side field-filter resolution: the resolved docid set
+    equals a Spark recomputation over the index docs tables, composes
+    with filtered search exactly as a caller-supplied allowed= list,
+    the sharded union is identical, and unknown fields raise."""
+    from collections import Counter
+
+    ls = LocalSearcher(stored_dir, stem=True)
+    cur = load_segments(spark, stored_dir, cache_meta=False)
+    docs = cur.docs.select("docid", "repo").collect()
+    repo = Counter(r["repo"] for r in docs).most_common(1)[0][0]
+    want = sorted(int(r["docid"]) for r in docs if r["repo"] == repo)
+    assert want
+
+    got = ls.allowed_for_field("repo", repo)
+    assert sorted(int(x) for x in got) == want
+
+    q = "spark table join"
+    ref = ls.topk(q, allowed=want)
+    assert ls.topk(q, allowed=got) == ref
+    assert all(d in set(want) for _, d, _ in ref)
+
+    sh = ShardedSearcher(stored_dir, n_shards=2, stem=True)
+    got_sh = sh.allowed_for_field("repo", repo)
+    assert sorted(int(x) for x in got_sh) == want
+    assert sh.topk(q, allowed=got_sh) == ref
+
+    with pytest.raises(ValueError, match="unknown stored doc field"):
+        ls.allowed_for_field("lang", "en")
