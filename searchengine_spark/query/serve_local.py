@@ -1090,6 +1090,44 @@ class LocalSearcher:
             out.append((rank, docid, score, "".join(pieces)))
         return out
 
+    def count(self, text: str, mode: str = "and",
+              analyzer=None) -> int:
+        """Total-hits count without scoring — the Lucene
+        ``IndexSearcher.count`` surface powering hit totals and
+        pagination UIs: the number of LIVE docs matching the analyzed
+        query conjunctively (every term) or disjunctively (any term,
+        ``mode="or"``).  Decoded postings come off the same block LRU
+        the kernels use; eligibility rides the _dl liveness mask, so
+        tombstoned docs never count (the filtered-search rule)."""
+        if analyzer is None:
+            freq = analyze_query(text, stem=self.stem)
+        else:
+            freq = analyzer(text)
+        terms = sorted(freq)
+        known = [t for t in terms if t in self._df]
+        if mode == "and":
+            if not terms or len(known) != len(terms):
+                return 0
+        elif not known:
+            return 0
+        acc = None
+        for t in sorted(known, key=lambda x: (self._df[x], x)):
+            parts = [blk[3][0] for blk in self._blocks_for(t)]
+            ids = (
+                np.unique(np.concatenate(parts))
+                if parts else np.array([], dtype=np.int64)
+            )
+            if acc is None:
+                acc = ids
+            elif mode == "and":
+                acc = np.intersect1d(acc, ids, assume_unique=True)
+                if acc.size == 0:
+                    return 0
+            else:
+                acc = np.union1d(acc, ids)
+        live = self._dl[0]
+        return int(np.isin(acc, live, assume_unique=True).sum())
+
     def allowed_for_field(self, field: str, value: str):
         """Server-side metadata-filter resolution: live docids whose
         stored doc ``field`` (repo / path / commit / url / sha256)
@@ -1631,6 +1669,15 @@ class ShardedSearcher:
         a corpus-wide stat every shard needs for idf), so shard 0's
         answer is already exact — no merge."""
         return self.shards[0].suggest(term, topn=topn)
+
+    def count(self, text: str, mode: str = "and",
+              analyzer=None) -> int:
+        """Global hit count: every live doc lives in exactly one
+        shard's docid range, so per-shard counts sum exactly."""
+        return sum(
+            sh.count(text, mode=mode, analyzer=analyzer)
+            for sh in self.shards
+        )
 
     def allowed_for_field(self, field: str, value: str):
         """Global metadata-filter resolution: every live doc's metadata

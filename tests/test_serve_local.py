@@ -1489,3 +1489,42 @@ def test_search_boost_matches_oracle(searcher, oracle):
         for _, dd, s in got_ex:
             assert math.isclose(s, full[dd], rel_tol=1e-9,
                                 abs_tol=1e-12)
+
+
+def test_count_matches_python_recompute(spark, index_dir, searcher,
+                                        corpus_rows):
+    """Total-hits count equals a termset recomputation over the live
+    index docs (conjunctive and disjunctive), and the sharded sum is
+    identical; unknown conjunctive terms count zero."""
+    import hashlib
+
+    from searchengine_spark.query.prune import analyze_query
+    from searchengine_spark.text.analyze import analyze
+
+    by_sha = {
+        hashlib.sha256(r["content"].encode("utf-8")).hexdigest():
+            r["content"]
+        for r in corpus_rows
+    }
+    docs = spark.read.parquet(f"{index_dir}/docs").select(
+        "docid", "sha256"
+    ).collect()
+    termsets = {
+        int(r["docid"]): set(analyze(by_sha[r["sha256"]], stem=True))
+        for r in docs
+    }
+    queries = ["spark table join", "hash dup", "the spark",
+               "zzzqx spark", "parser"]
+    for q in queries:
+        qterms = set(analyze_query(q, stem=True))
+        for mode in ("and", "or"):
+            if mode == "and":
+                want = sum(
+                    1 for ts in termsets.values() if qterms <= ts
+                )
+            else:
+                want = sum(
+                    1 for ts in termsets.values() if qterms & ts
+                )
+            got = searcher.count(q, mode=mode)
+            assert got == want, (q, mode, got, want)

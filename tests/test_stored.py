@@ -305,3 +305,14 @@ def test_allowed_for_field_resolves_metadata_filters(spark, stored_dir):
 
     with pytest.raises(ValueError, match="unknown stored doc field"):
         ls.allowed_for_field("lang", "en")
+
+
+def test_sharded_count_sums_exactly(spark, stored_dir):
+    """Per-shard hit counts sum to the unsharded total (every live doc
+    in exactly one shard's range), both modes."""
+    ls = LocalSearcher(stored_dir, stem=True)
+    sh = ShardedSearcher(stored_dir, n_shards=2, stem=True)
+    for q in ("spark table join", "hash dup"):
+        for mode in ("and", "or"):
+            assert sh.count(q, mode=mode) == ls.count(q, mode=mode)
+    assert ls.count("spark", mode="and") > 0
