@@ -509,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_or_topk": T.wand_or_topk,
         "bm25_not_topk": T.bm25_not_topk,
         "lm_dirichlet_topk": T.lm_dirichlet_topk,
+        "match_counts": T.match_counts,
         "wand_topk_filtered": T.wand_topk_filtered,
         "hybrid_rrf_topk": T.hybrid_rrf_topk,
         "bm25_snippets": T.bm25_snippets,
@@ -3574,6 +3575,13 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id NOT IN (SELECT doc_id FROM excl)
             ORDER BY score DESC, doc_id LIMIT 10
         """,
+        # total-hits counts, both modes (ops/textops.match_counts):
+        # the batch twin of LocalSearcher.count — COUNT_TERMS pinned
+        # in the module's oracle builder
+        "match_counts": __import__(
+            "searchengine_spark.ops.textops",
+            fromlist=["match_counts_oracle_sql"],
+        ).match_counts_oracle_sql(),
         # query-likelihood ranking, Dirichlet smoothing (ops/textops
         # .lm_dirichlet_topk): per term ln(1 + tf/(mu·cf/T)) +
         # ln(mu/(dl+mu)); dl = occurrence count (true LM length, NOT

@@ -2485,3 +2485,74 @@ def regex_search_persisted(spark, sf_dir, pattern=REGEX_Q,
         os.makedirs(d, exist_ok=True)
         build_trigram_index(spark, docs, d)
     return regex_topk_ondisk(spark, d, docs, pattern, k=k)
+
+
+COUNT_TERMS = ("spark", "query", "join")   # the lm/bm25 probe set
+
+
+def match_counts(spark, sf_dir, terms=COUNT_TERMS) -> DataFrame:
+    """(mode, n_docs) — total-hits counts without scoring, both query
+    modes at once: docs containing ALL the terms ("and") and docs
+    containing ANY ("or").  The batch twin of the serving tier's
+    LocalSearcher.count (the Lucene IndexSearcher.count surface) —
+    hit totals power pagination and facet UIs where a scored top-k is
+    wasted work.
+
+    Scale: one distinct (doc, term) projection filtered to the |terms|
+    probe set, one per-doc countDistinct, one 2-row aggregate — no
+    scoring chain, no windows."""
+    tlist = list(dict.fromkeys(terms))
+    qterms = spark.createDataFrame([(t,) for t in tlist], "term string")
+    per_doc = (
+        doc_tokens(spark, sf_dir)
+        .join(F.broadcast(qterms), "term")
+        .select("doc_id", "term")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nm"))
+    )
+    agg = per_doc.agg(
+        F.sum(
+            F.when(F.col("nm") == len(tlist), 1).otherwise(0)
+        ).cast("long").alias("n_and"),
+        F.count("*").cast("long").alias("n_or"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("and").alias("mode"),
+                    F.col("n_and").alias("n_docs"),
+                ),
+                F.struct(
+                    F.lit("or").alias("mode"),
+                    F.col("n_or").alias("n_docs"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.mode", "r.n_docs").orderBy("mode")
+
+
+def match_counts_oracle_sql(terms=COUNT_TERMS) -> str:
+    tlist = list(dict.fromkeys(terms))
+    inlist = ", ".join(f"'{t}'" for t in tlist)
+    return f"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, t.term FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                     AS term
+            FROM documents) t
+          WHERE t.term IN ({inlist})),
+        per_doc AS (
+          SELECT doc_id, count(*) AS nm FROM toks GROUP BY doc_id),
+        agg AS (
+          SELECT sum(CASE WHEN nm = {len(tlist)} THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_and,
+                 count(*)::BIGINT AS n_or
+          FROM per_doc)
+        SELECT 'and' AS mode, n_and AS n_docs FROM agg
+        UNION ALL
+        SELECT 'or', n_or FROM agg
+        ORDER BY mode
+    """

@@ -2726,3 +2726,22 @@ def test_topk_overlap_pairs_lossless_and_pruned(spark):
 
     with pytest.raises(ValueError, match="not lossless"):
         topk_overlap_pairs(docs, s_min=10_000)
+
+
+def test_match_counts_python(spark):
+    """Both-mode hit totals equal a termset recompute (the serving
+    count() rule at batch granularity)."""
+    import re
+
+    from searchengine_spark.ops.textops import COUNT_TERMS, match_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    tok = re.compile(r"[a-z0-9]+")
+    qs = set(COUNT_TERMS)
+    n_and = n_or = 0
+    for r in docs:
+        ts = set(tok.findall(r["text"].lower()))
+        n_and += qs <= ts
+        n_or += bool(qs & ts)
+    got = {r["mode"]: r["n_docs"] for r in match_counts(spark, SF).collect()}
+    assert got == {"and": n_and, "or": n_or}
