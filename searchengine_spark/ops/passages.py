@@ -429,13 +429,14 @@ def window_snippets_oracle_sql(terms=SNIPPET_TERMS, w=SNIPPET_W,
     """
 
 
-def highlight_topk_oracle_sql(terms=SNIPPET_TERMS, w=SNIPPET_W,
-                              k=SNIPPET_K) -> str:
-    # char-span slice arithmetic mirrored from highlight_topk: the
-    # tokenizer split's seps/toks interleaving gives exact 1-based char
-    # offsets with no per-match position function needed on either
-    # engine.  array_to_string of an empty slice is NULL in DuckDB —
-    # keep the coalesces.
+def _char_span_exprs() -> tuple[str, str]:
+    """The DuckDB char-span slice arithmetic mirrored from
+    highlight_topk — the tokenizer split's seps/toks interleaving
+    gives exact 1-based char offsets with no per-match position
+    function on either engine; array_to_string of an empty slice is
+    NULL in DuckDB, hence the coalesces.  Exposed for the hypothesis
+    property test (tests/test_passages.py) so the oracle and the test
+    share one definition."""
     c_start = (
         "coalesce(length(array_to_string(list_slice(seps, 1, s), '')), 0)"
         " + coalesce(length(array_to_string("
@@ -445,6 +446,12 @@ def highlight_topk_oracle_sql(terms=SNIPPET_TERMS, w=SNIPPET_W,
         "coalesce(length(array_to_string(list_slice(seps, 1, e), '')), 0)"
         " + coalesce(length(array_to_string(list_slice(toks, 1, e), '')), 0)"
     )
+    return c_start, c_end
+
+
+def highlight_topk_oracle_sql(terms=SNIPPET_TERMS, w=SNIPPET_W,
+                              k=SNIPPET_K) -> str:
+    c_start, c_end = _char_span_exprs()
     return f"""
         WITH {_SCORE_BASE},
         {_conj_scored_sql(terms)},

@@ -239,3 +239,46 @@ def test_dup_chunks_match_python(spark):
     }
     assert got == want
     assert want  # planted dups guarantee repeated chunks exist
+
+
+def test_char_span_arithmetic_property():
+    """Hypothesis: the DuckDB slice arithmetic the highlight oracle
+    uses (shared via _char_span_exprs) lands on exactly re.finditer's
+    char span for ANY k-th token of ANY printable-ascii string —
+    leading/trailing separators, punctuation-only gaps, tokens at both
+    boundaries."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from searchengine_spark.ops.passages import _char_span_exprs
+
+    c_start, c_end = _char_span_exprs()
+    con = duckdb.connect()
+    q = f"""
+        SELECT ({c_start})::BIGINT, ({c_end})::BIGINT FROM (
+          SELECT regexp_extract_all(lower($t), '[a-z0-9]+') AS toks,
+                 regexp_split_to_array(lower($t), '[a-z0-9]+') AS seps,
+                 $k::BIGINT AS s, $e::BIGINT AS e)
+    """
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=60,
+        ),
+        st.integers(min_value=1, max_value=6),
+        st.integers(min_value=0, max_value=5),
+    )
+    def check(text, k, span):
+        ms = list(re.finditer(r"[a-z0-9]+", text.lower()))
+        if k > len(ms):
+            return
+        e = min(k + span, len(ms))
+        got = con.execute(q, {"t": text, "k": k, "e": e}).fetchone()
+        # 1-based inclusive char span of tokens k..e
+        want = (ms[k - 1].start() + 1, ms[e - 1].end())
+        assert got == want, (text, k, e, got, want)
+
+    check()
