@@ -316,3 +316,24 @@ def test_sharded_count_sums_exactly(spark, stored_dir):
         for mode in ("and", "or"):
             assert sh.count(q, mode=mode) == ls.count(q, mode=mode)
     assert ls.count("spark", mode="and") > 0
+
+
+def test_search_cli_one_shot(spark, stored_dir):
+    """The CLI front-end prints the same docids LocalSearcher.search
+    returns, with a count line, through the real subprocess surface."""
+    import re
+    import subprocess
+    import sys
+
+    q = "spark table"
+    ls = LocalSearcher(stored_dir, stem=True)
+    want = [d for _, d, _ in ls.search(q, k=10)]
+    p = subprocess.run(
+        [sys.executable, "tools/search_cli.py", "--index", stored_dir,
+         q],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert f"count: {ls.count(q)}" in p.stdout
+    got = [int(m) for m in re.findall(r"doc (\d+)", p.stdout)]
+    assert got == want
