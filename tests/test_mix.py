@@ -570,3 +570,31 @@ def test_weighted_sample_matches_python(spark, docs_pd):
     mean_all = sum(w for _, w, _ in rows) / len(rows)
     mean_smp = sum(w for _, w, _, _ in want) / len(want)
     assert mean_smp > mean_all
+
+
+def test_kmv_u32_sql_property():
+    """Hypothesis: the shared digit-arithmetic SQL snippet equals
+    int(md5(s)[:8], 16) for arbitrary strings (incl. non-ascii —
+    both engines hash the utf-8 bytes)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from searchengine_spark.ops.mix import kmv_u32_sql
+
+    con = duckdb.connect()
+    q = f"SELECT {kmv_u32_sql('s')} FROM (SELECT $s::VARCHAR AS s)"
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x24F),
+        max_size=30,
+    ))
+    def check(sval):
+        got = con.execute(q, {"s": sval}).fetchone()[0]
+        want = int(
+            hashlib.md5(sval.encode("utf-8")).hexdigest()[:8], 16
+        )
+        assert got == want, (sval, got, want)
+
+    check()
