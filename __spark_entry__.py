@@ -510,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_not_topk": T.bm25_not_topk,
         "lm_dirichlet_topk": T.lm_dirichlet_topk,
         "match_counts": T.match_counts,
+        "hashed_tfidf_topk": T.hashed_tfidf_topk,
         "wand_topk_filtered": T.wand_topk_filtered,
         "hybrid_rrf_topk": T.hybrid_rrf_topk,
         "bm25_snippets": T.bm25_snippets,
@@ -3582,6 +3583,13 @@ def oracle_sql() -> dict[str, str]:
             "searchengine_spark.ops.textops",
             fromlist=["match_counts_oracle_sql"],
         ).match_counts_oracle_sql(),
+        # hashing-trick tf-idf featurization + cosine retrieval
+        # (ops/textops.hashed_tfidf_topk): order-pinned folds end to
+        # end; bucket = shared md5-u32 snippet mod HV_DIM
+        "hashed_tfidf_topk": __import__(
+            "searchengine_spark.ops.textops",
+            fromlist=["hashed_tfidf_topk_oracle_sql"],
+        ).hashed_tfidf_topk_oracle_sql(),
         # query-likelihood ranking, Dirichlet smoothing (ops/textops
         # .lm_dirichlet_topk): per term ln(1 + tf/(mu·cf/T)) +
         # ln(mu/(dl+mu)); dl = occurrence count (true LM length, NOT

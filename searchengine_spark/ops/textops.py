@@ -2556,3 +2556,140 @@ def match_counts_oracle_sql(terms=COUNT_TERMS) -> str:
         SELECT 'or', n_or FROM agg
         ORDER BY mode
     """
+
+
+HV_DIM = 64        # hashing-trick feature dimensions
+HV_DOC_ID = 1      # pinned query document (the MLT probe doc)
+HV_K = 10
+
+
+def hashed_tfidf_topk(spark, sf_dir, doc_id: int = HV_DOC_ID,
+                      dim: int = HV_DIM, k: int = HV_K) -> DataFrame:
+    """(doc_id, cos) — model-free embedding retrieval: every doc is
+    featurized by the hashing trick (tf·idf mass summed into
+    ``dim`` buckets keyed by the md5-u32 of the term — the
+    HashingVectorizer staple) and ranked by cosine against the pinned
+    query document's vector, source excluded.  The no-model bridge
+    from the text corpus into the ANN family's vector shapes.
+
+    Float discipline: tf·ln(N/df) weights flow UNROUNDED through
+    ORDER-PINNED folds — bucket sums fold colliding terms in term
+    order, norms and dots fold buckets in bucket order, each a left
+    fold with a 0.0 init ((0+x) == x exactly, and DuckDB's
+    list_reduce seeds with the first element — the same fold) — so
+    both engines produce bit-identical doubles before the one round-6
+    on the final cosine.  Docs sharing no bucket with the query are
+    unscored (inner-join semantics; at dim=64 over a corpus
+    vocabulary that is the empty-overlap corner only).
+
+    Scale: two key-hash aggs (term tf, bucket sums), a broadcast of
+    the dim-row query vector, one per-doc fold — the ann_cosine shape
+    with engine-derived vectors instead of a stored embedding
+    column."""
+    from .mix import kmv_u32_sql
+
+    tf = term_tf(spark, sf_dir)
+    stats = tf.agg(F.countDistinct("doc_id").alias("n"))
+    dft = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    coords = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "term",
+            F.expr(f"pmod({kmv_u32_sql('term')}, {dim})").alias("j"),
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n").cast("double") / F.col("df"))
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(term, w))), "
+                "cast(0 as double), (a, x) -> a + x.w)"
+            ).alias("v")
+        )
+    )
+    norms = coords.groupBy("doc_id").agg(
+        F.expr(
+            "sqrt(aggregate(array_sort(collect_list(struct(j, v))), "
+            "cast(0 as double), (a, x) -> a + x.v * x.v))"
+        ).alias("nrm")
+    )
+    qv = coords.filter(F.col("doc_id") == doc_id).select(
+        "j", F.col("v").alias("qv")
+    )
+    qn = norms.filter(F.col("doc_id") == doc_id).select(
+        F.col("nrm").alias("qn")
+    )
+    dots = (
+        coords.join(F.broadcast(qv), "j")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(j, v, qv))), "
+                "cast(0 as double), (a, x) -> a + x.v * x.qv)"
+            ).alias("dot")
+        )
+    )
+    return (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qn))
+        .filter(F.col("doc_id") != doc_id)
+        .select(
+            "doc_id",
+            F.round(
+                F.col("dot") / (F.col("nrm") * F.col("qn")), 6
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(k)
+    )
+
+
+def hashed_tfidf_topk_oracle_sql(doc_id: int = HV_DOC_ID,
+                                 dim: int = HV_DIM,
+                                 k: int = HV_K) -> str:
+    from .mix import kmv_u32_sql
+
+    u32 = kmv_u32_sql("term")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(
+            regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        st AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tf),
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM tf GROUP BY term),
+        wts AS (
+          SELECT tf.doc_id, tf.term,
+                 ({u32}) % {dim} AS j,
+                 tf.tf::DOUBLE * ln(st.n / dft.df) AS w
+          FROM tf JOIN dft USING (term) CROSS JOIN st),
+        coords AS (
+          SELECT doc_id, j,
+                 list_reduce(list(w ORDER BY term),
+                             (a, b) -> a + b) AS v
+          FROM wts GROUP BY doc_id, j),
+        norms AS (
+          SELECT doc_id,
+                 sqrt(list_reduce(list(v * v ORDER BY j),
+                                  (a, b) -> a + b)) AS nrm
+          FROM coords GROUP BY doc_id),
+        qv AS (SELECT j, v AS qv FROM coords
+               WHERE doc_id = {doc_id}),
+        qn AS (SELECT nrm AS qn FROM norms WHERE doc_id = {doc_id}),
+        dots AS (
+          SELECT c.doc_id,
+                 list_reduce(list(c.v * q.qv ORDER BY c.j),
+                             (a, b) -> a + b) AS dot
+          FROM coords c JOIN qv q USING (j)
+          GROUP BY c.doc_id)
+        SELECT d.doc_id,
+               round(d.dot / (n.nrm * q.qn), 6) AS cos
+        FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn q
+        WHERE d.doc_id != {doc_id}
+        ORDER BY cos DESC, doc_id LIMIT {k}
+    """

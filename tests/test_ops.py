@@ -2745,3 +2745,75 @@ def test_match_counts_python(spark):
         n_or += bool(qs & ts)
     got = {r["mode"]: r["n_docs"] for r in match_counts(spark, SF).collect()}
     assert got == {"and": n_and, "or": n_or}
+
+
+def test_hashed_tfidf_topk_matches_python(spark):
+    """Hashing-trick cosine retrieval equals a Python recomputation
+    with the SAME fold orders (bucket sums in term order, norms/dots
+    in bucket order, 0.0 seeds) — the cross-engine float discipline
+    at test scale."""
+    import hashlib
+    import re
+    from collections import Counter, defaultdict
+
+    from searchengine_spark.ops.textops import (
+        HV_DIM,
+        HV_DOC_ID,
+        HV_K,
+        hashed_tfidf_topk,
+    )
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    tok = re.compile(r"[a-z0-9]+")
+    tfs = {d: Counter(tok.findall(t.lower())) for d, t in texts.items()}
+    tfs = {d: c for d, c in tfs.items() if c}
+    n = float(len(tfs))
+    df = Counter()
+    for c in tfs.values():
+        df.update(set(c))
+
+    def bucket(term):
+        return int(
+            hashlib.md5(term.encode()).hexdigest()[:8], 16
+        ) % HV_DIM
+
+    coords = {}
+    for d, c in tfs.items():
+        by_j = defaultdict(list)
+        for term in c:
+            by_j[bucket(term)].append(
+                (term, c[term] * math.log(n / df[term]))
+            )
+        coords[d] = {
+            j: sum((w for _, w in sorted(pairs)), 0.0)
+            for j, pairs in by_j.items()
+        }
+    norms = {
+        d: math.sqrt(
+            sum((v * v for _, v in sorted(cs.items())), 0.0)
+        )
+        for d, cs in coords.items()
+    }
+    q = coords[HV_DOC_ID]
+    scored = []
+    for d, cs in coords.items():
+        if d == HV_DOC_ID:
+            continue
+        shared = sorted(set(cs) & set(q))
+        if not shared:
+            continue
+        dot = sum((cs[j] * q[j] for j in shared), 0.0)
+        scored.append(
+            (round(dot / (norms[d] * norms[HV_DOC_ID]), 6), d)
+        )
+    want = [
+        (d, c) for c, d in sorted(scored, key=lambda t: (-t[0], t[1]))
+    ][:HV_K]
+    got = [
+        (r["doc_id"], r["cos"])
+        for r in hashed_tfidf_topk(spark, SF).collect()
+    ]
+    assert got == want
