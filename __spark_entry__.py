@@ -561,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": X.bigram_logprob,
         "collocations": X.collocations,
         "kmv_distinct": X.kmv_distinct,
+        "cms_heavy_hitters": X.cms_heavy_hitters,
         "weighted_sample": X.weighted_sample,
         "events_windowed": _events_windowed,
         "user_sessions": _user_sessions,
@@ -587,6 +588,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_stats": __import__(
             "searchengine_spark.ops.events", fromlist=["props_stats"]
         ).props_stats,
+        "asof_attribution": __import__(
+            "searchengine_spark.ops.events",
+            fromlist=["asof_attribution"],
+        ).asof_attribution,
         # relational OLAP over the TPC-H-shaped tables
         # (ops/relational.py): exact-integer-unit money sums
         "tpch_q1": __import__(
@@ -2371,6 +2376,7 @@ def oracle_sql() -> dict[str, str]:
         SOURCE_CAP as _SRC_CAP,
         SPLIT_FRACS,
         WS_N,
+        cms_heavy_hitters_oracle_sql as _cms_hh_oracle_sql,
         kmv_u32_sql,
     )
     from searchengine_spark.ops.scrub import (
@@ -2406,6 +2412,8 @@ def oracle_sql() -> dict[str, str]:
         WINDOW,
     )
     from searchengine_spark.ops.events import (
+        ASOF_SRC as _ASOF_SRC,
+        ASOF_TGT as _ASOF_TGT,
         FUNNEL_PCTS as _FUNNEL_PCTS,
         FUNNEL_STEPS as _FUNNEL,
         HIST_BINS as _HIST_BINS,
@@ -2964,6 +2972,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE r.rn = {KMV_K}
             ORDER BY r.lang
         """,
+        # count-min heavy hitters (ops/mix.cms_heavy_hitters): the
+        # identical d x w sketch built in SQL — md5-u32 buckets,
+        # BIGINT counter sums, integer-division support threshold,
+        # sketch-side (estimate) selection — collisions pinned exactly
+        "cms_heavy_hitters": _cms_hh_oracle_sql(),
         # Efraimidis–Spirakis weighted sample (ops/mix.weighted_sample):
         # rank desc over round-6 ln(u)/w with u = (md5-u32 + 1)/2^32
         # (exact division; ln is the only transcendental), doc_id
@@ -3215,6 +3228,36 @@ def oracle_sql() -> dict[str, str]:
                    max(kv)::BIGINT AS max_k
             FROM x GROUP BY event_type
             ORDER BY event_type
+        """,
+        # as-of attribution (ops/events.asof_attribution): the oracle
+        # states the SPEC as the brute-force inequality join +
+        # row_number argmax over (ts DESC, event_id DESC); the Spark
+        # kernel is the single-pass per-user merge scan and must stay
+        # equivalent.  ASOF_SRC/ASOF_TGT interpolated; <= inclusive;
+        # unmatched -> click_id 0 / lag_us -1; exact microsecond lags
+        "asof_attribution": f"""
+            WITH p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = '{_ASOF_TGT}'),
+            c AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = '{_ASOF_SRC}'),
+            j AS (
+              SELECT p.event_id, c.event_id AS cid, c.ts AS cts,
+                     p.ts AS pts,
+                     row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+              FROM p JOIN c
+                ON p.user_id = c.user_id AND c.ts <= p.ts)
+            SELECT p.event_id, p.user_id,
+                   coalesce(j.cid, 0)::BIGINT AS click_id,
+                   coalesce(
+                     date_diff('microsecond', j.cts, j.pts),
+                     -1)::BIGINT AS lag_us
+            FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+              ON p.event_id = j.event_id
+            ORDER BY p.event_id
         """,
         "tpch_q1": _REL.tpch_q1_oracle_sql(),
         "tpch_q3": _REL.tpch_q3_oracle_sql(),

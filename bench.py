@@ -447,6 +447,10 @@ def _run_ops_tier(spark):
           lambda: EV.retention_cohorts(spark, SF_DIR).collect())
     timed("kmv_distinct_sec",
           lambda: X.kmv_distinct(spark, SF_DIR).collect())
+    timed("cms_heavy_hitters_sec",
+          lambda: X.cms_heavy_hitters(spark, SF_DIR).collect())
+    timed("asof_attribution_sec",
+          lambda: EV.asof_attribution(spark, SF_DIR).count())
     # bounded 1k-doc slice: the all-candidates verify stage is
     # quadratic-ish in df and the bench SF is not the op's adaptive
     # regime (s_min would be raised at scale — ops/dedup.py docstring)

@@ -789,3 +789,121 @@ def weighted_sample(spark: SparkSession, sf_dir: str,
         )
         .orderBy("pos")
     )
+
+
+# count-min sketch heavy hitters — pinned params, interpolated into
+# the DuckDB oracle — change Spark and SQL together
+CMS_D = 4                 # sketch depth (independent hash rows)
+CMS_W = 512               # sketch width (buckets per row)
+CMS_PHI_DEN = 200         # support threshold = ceil(total_tokens / DEN)
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str,
+                      d: int = CMS_D, w: int = CMS_W,
+                      phi_den: int = CMS_PHI_DEN) -> DataFrame:
+    """(term, n_est, n_exact, err) — phi-heavy-hitters from a
+    count-min sketch (Cormode & Muthukrishnan): token-occurrence
+    counts are folded into a d x w counter array (row r's bucket for
+    term t is u32(md5(r ':' t)) % w — the KMV md5 determinism), the
+    estimate is the row-wise MIN of the term's counters, and a term is
+    surfaced iff its ESTIMATE clears the support threshold
+    ceil(total_tokens / phi_den) — sketch-side selection, so the CMS
+    one-sided error (n_est >= n_exact always) guarantees NO false
+    negatives; err = n_est - n_exact is the collision overcount the
+    driver oracle pins exactly.  n_exact is the evaluation column this
+    test-scale op carries (the kmv_distinct contract); a 100 TB run
+    drops it — that is the point of the sketch.
+
+    All arithmetic is exact BIGINT (counter sums, integer-division
+    threshold (total + den - 1) div den, min/compare) — no floats
+    cross the compare at all.
+
+    Scale: the counter array is MERGEABLE and fixed-size — per-term
+    counts are one map-side-combined shuffle agg, the d x w counters a
+    second (d * w rows total, broadcastable), and candidate lookup
+    joins terms x d against the BROADCAST counters: no per-doc state,
+    no windows, and the sketch memory is constant however large the
+    corpus — the exact shape a 1000-executor union of per-partition
+    sketches needs."""
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    tf = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(TOKEN_PATTERN), 0
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    rows_d = spark.range(d).select(F.col("id").alias("r"))
+    keyed = tf.crossJoin(F.broadcast(rows_d)).select(
+        "term", "n", "r",
+        F.pmod(
+            F.expr(kmv_u32_sql("concat(r, ':', term)")), F.lit(w)
+        ).alias("bucket"),
+    )
+    counters = keyed.groupBy("r", "bucket").agg(
+        F.sum("n").cast("long").alias("cnt")
+    )
+    est = (
+        keyed.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("term")
+        .agg(
+            F.min("cnt").cast("long").alias("n_est"),
+            F.max("n").cast("long").alias("n_exact"),
+        )
+    )
+    thr = tf.agg(
+        F.expr(f"(sum(n) + {phi_den - 1}) div {phi_den}")
+        .cast("long").alias("_thr")
+    )
+    return (
+        est.join(F.broadcast(thr))
+        .filter(F.col("n_est") >= F.col("_thr"))
+        .select(
+            "term", "n_est", "n_exact",
+            (F.col("n_est") - F.col("n_exact")).cast("long")
+            .alias("err"),
+        )
+        .orderBy(F.desc("n_est"), "term")
+    )
+
+
+def cms_heavy_hitters_oracle_sql(d: int = CMS_D, w: int = CMS_W,
+                                 phi_den: int = CMS_PHI_DEN) -> str:
+    """DuckDB oracle: the identical sketch built in SQL — same md5
+    bucket arithmetic, same BIGINT counter sums, same integer-division
+    threshold — so the compare pins collisions exactly, not just the
+    surviving term set."""
+    u32 = kmv_u32_sql("concat(r, ':', term)")
+    return f"""
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(lower(text),
+                        '{TOKEN_PATTERN}')) AS term
+          FROM documents),
+        tf AS (SELECT term, count(*)::BIGINT AS n FROM toks
+               GROUP BY term),
+        rows_d AS (SELECT unnest(range({d})) AS r),
+        keyed AS (
+          SELECT term, n, r, ({u32}) % {w} AS bucket
+          FROM tf CROSS JOIN rows_d),
+        counters AS (
+          SELECT r, bucket, sum(n)::BIGINT AS cnt
+          FROM keyed GROUP BY r, bucket),
+        est AS (
+          SELECT k.term,
+                 min(c.cnt)::BIGINT AS n_est,
+                 max(k.n)::BIGINT AS n_exact
+          FROM keyed k JOIN counters c USING (r, bucket)
+          GROUP BY k.term),
+        thr AS (
+          SELECT (sum(n)::BIGINT + {phi_den - 1}) // {phi_den}
+                 AS t FROM tf)
+        SELECT term, n_est, n_exact,
+               (n_est - n_exact)::BIGINT AS err
+        FROM est CROSS JOIN thr
+        WHERE n_est >= t
+        ORDER BY n_est DESC, term
+    """

@@ -239,3 +239,48 @@ def test_funnel_latency_planted(spark, tmp_path):
     assert (r["n_converters"], r["p50_us"], r["p90_us"]) == (
         3, 2 * hours, 3 * hours,
     )
+
+
+def test_asof_attribution_planted(spark, tmp_path):
+    """As-of last-touch attribution on planted streams: INCLUSIVE
+    same-microsecond match, max-event_id tie-break among equal-ts
+    clicks, later clicks never match, and unmatched purchases encode
+    (click_id 0, lag_us -1)."""
+    T = pd.Timestamp
+    rows = [
+        # user 1: two clicks before, one after — latest prior wins
+        (1, 1, "click", T("2024-01-01 09:00:00")),
+        (2, 1, "click", T("2024-01-01 10:00:00")),
+        (3, 1, "purchase", T("2024-01-01 11:00:00")),
+        (4, 1, "click", T("2024-01-01 12:00:00")),      # after: ignored
+        # user 2: click at the SAME instant — inclusive <= matches;
+        # two equal-ts clicks -> max event_id wins
+        (5, 2, "click", T("2024-01-01 09:00:00")),
+        (6, 2, "click", T("2024-01-01 09:00:00")),
+        (7, 2, "purchase", T("2024-01-01 09:00:00")),
+        # user 3: purchase with no click at all — unmatched encoding
+        (8, 3, "purchase", T("2024-01-01 09:00:00")),
+        # user 4: only a view (filtered out) then purchase
+        (9, 4, "view", T("2024-01-01 08:00:00")),
+        (10, 4, "purchase", T("2024-01-01 09:00:00")),
+        # user 5: second purchase re-attributes to the same click
+        (11, 5, "click", T("2024-01-01 09:00:00")),
+        (12, 5, "purchase", T("2024-01-01 10:00:00")),
+        (13, 5, "purchase", T("2024-01-01 11:00:00")),
+    ]
+    sf = _write_user_events(spark, tmp_path, rows)
+    from searchengine_spark.ops.events import asof_attribution
+
+    got = [
+        (r["event_id"], r["user_id"], r["click_id"], r["lag_us"])
+        for r in asof_attribution(spark, sf).collect()
+    ]
+    hour = 3_600_000_000
+    assert got == [
+        (3, 1, 2, hour),
+        (7, 2, 6, 0),
+        (8, 3, 0, -1),
+        (10, 4, 0, -1),
+        (12, 5, 11, hour),
+        (13, 5, 11, 2 * hour),
+    ]

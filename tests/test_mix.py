@@ -598,3 +598,57 @@ def test_kmv_u32_sql_property():
         assert got == want, (sval, got, want)
 
     check()
+
+
+def test_cms_heavy_hitters_planted_collisions(spark, tmp_path):
+    """CMS semantics on a planted corpus with a TINY sketch (w=4, so
+    collisions are forced): estimates equal a hashlib recomputation of
+    the same d x w counter array, n_est >= n_exact everywhere
+    (one-sided error), selection is by ESTIMATE (a light term inflated
+    by collisions may surface — no false negatives by construction),
+    and at least one surfaced term carries a nonzero collision err."""
+    import pandas as pd
+
+    from searchengine_spark.ops.mix import cms_heavy_hitters
+
+    # 6 distinct terms with skewed counts; w=4 forces bucket sharing
+    words = {"alpha": 30, "beta": 20, "gamma": 6, "delta": 5,
+             "eps": 2, "zeta": 1}
+    text = " ".join(" ".join([w] * n) for w, n in words.items())
+    pdf = pd.DataFrame(
+        [{"doc_id": 1, "text": text, "lang": "en", "source": "s",
+          "n_chars": len(text)}]
+    )
+    spark.createDataFrame(pdf).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    d, w, phi_den = 2, 2, 8   # threshold = ceil(64/8) = 8
+    got = {
+        r["term"]: (r["n_est"], r["n_exact"], r["err"])
+        for r in cms_heavy_hitters(
+            spark, str(tmp_path), d=d, w=w, phi_den=phi_den
+        ).collect()
+    }
+
+    # pure-Python recomputation of the identical sketch
+    counters = [[0] * w for _ in range(d)]
+    def bucket(r, t):
+        return int(
+            hashlib.md5(f"{r}:{t}".encode()).hexdigest()[:8], 16
+        ) % w
+    for t, n in words.items():
+        for r in range(d):
+            counters[r][bucket(r, t)] += n
+    total = sum(words.values())
+    thr = -(-total // phi_den)
+    want = {}
+    for t, n in words.items():
+        est = min(counters[r][bucket(r, t)] for r in range(d))
+        assert est >= n                      # one-sided error
+        if est >= thr:
+            want[t] = (est, n, est - n)
+    assert got == want
+    assert set(words) & set(got)             # nonempty selection
+    assert any(err > 0 for _, _, err in got.values()), (
+        "w=4 over 6 terms must produce at least one collision"
+    )
