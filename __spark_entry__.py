@@ -592,6 +592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "searchengine_spark.ops.events",
             fromlist=["asof_attribution"],
         ).asof_attribution,
+        "burst_pairs": __import__(
+            "searchengine_spark.ops.events", fromlist=["burst_pairs"]
+        ).burst_pairs,
         # relational OLAP over the TPC-H-shaped tables
         # (ops/relational.py): exact-integer-unit money sums
         "tpch_q1": __import__(
@@ -2414,6 +2417,7 @@ def oracle_sql() -> dict[str, str]:
     from searchengine_spark.ops.events import (
         ASOF_SRC as _ASOF_SRC,
         ASOF_TGT as _ASOF_TGT,
+        BP_GAP_SEC as _BP_GAP,
         FUNNEL_PCTS as _FUNNEL_PCTS,
         FUNNEL_STEPS as _FUNNEL,
         HIST_BINS as _HIST_BINS,
@@ -3258,6 +3262,23 @@ def oracle_sql() -> dict[str, str]:
             FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
               ON p.event_id = j.event_id
             ORDER BY p.event_id
+        """,
+        # bucketed range self-join (ops/events.burst_pairs): the
+        # oracle is the brute-force inequality join; the Spark kernel
+        # is the 2-bucket equi-join and must stay pair-complete —
+        # sum_delta_us pins the matched pair SET.  BP_GAP_SEC
+        # interpolated; strict lower bound, inclusive upper
+        "burst_pairs": f"""
+            SELECT a.event_type,
+                   count(*)::BIGINT AS n_pairs,
+                   sum(date_diff('microsecond', a.ts, b.ts))::BIGINT
+                     AS sum_delta_us
+            FROM events a JOIN events b
+              ON a.event_type = b.event_type
+             AND b.ts > a.ts
+             AND b.ts <= a.ts + INTERVAL {_BP_GAP} SECOND
+            GROUP BY a.event_type
+            ORDER BY a.event_type
         """,
         "tpch_q1": _REL.tpch_q1_oracle_sql(),
         "tpch_q3": _REL.tpch_q3_oracle_sql(),

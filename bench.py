@@ -451,6 +451,8 @@ def _run_ops_tier(spark):
           lambda: X.cms_heavy_hitters(spark, SF_DIR).collect())
     timed("asof_attribution_sec",
           lambda: EV.asof_attribution(spark, SF_DIR).count())
+    timed("burst_pairs_sec",
+          lambda: EV.burst_pairs(spark, SF_DIR).collect())
     # bounded 1k-doc slice: the all-candidates verify stage is
     # quadratic-ish in df and the bench SF is not the op's adaptive
     # regime (s_min would be raised at scale — ops/dedup.py docstring)

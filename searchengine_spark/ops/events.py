@@ -389,3 +389,70 @@ def asof_attribution(spark: SparkSession, sf_dir: str,
         )
         .orderBy("event_id")
     )
+
+
+# bucketed range self-join — pinned param, interpolated into the
+# DuckDB oracle — change Spark and SQL together
+BP_GAP_SEC = 600
+
+
+def burst_pairs(spark: SparkSession, sf_dir: str,
+                gap_sec: int = BP_GAP_SEC) -> DataFrame:
+    """(event_type, n_pairs, sum_delta_us) — the event-time RANGE JOIN:
+    ordered pairs of same-type events with 0 < b.ts - a.ts <= gap
+    (strictly-later partner within the gap window), counted per type
+    with the exact BIGINT sum of pair deltas (the sum pins the matched
+    pair SET, not just its size).
+
+    Scale — the bucketed range-join strategy, not an inequality join:
+    both sides key on (event_type, floor(us / gap)); the left side is
+    exploded to its OWN bucket and the NEXT one (any partner within
+    gap lives in one of the two), the join is a plain equi-join on
+    (type, bucket), and the time predicate filters the 2-bucket
+    candidates.  Each true pair matches exactly once (the left tags
+    are distinct buckets).  Partition-key cardinality is #types x
+    #buckets and per-key population is one gap-window of one type's
+    events — bounded by event RATE, not corpus size, so the shuffle
+    stays balanced at 10^12 events where a naive (type)-keyed or
+    theta-join plan would put one type in one task (or cross-join).
+    The DuckDB oracle states the spec as the brute-force inequality
+    join, so the driver compare proves bucket completeness (a pair
+    straddling a bucket boundary that the explode missed would change
+    both columns)."""
+    gap_us = gap_sec * 1_000_000
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("us"),
+    )
+    left = ev.select(
+        F.col("event_type").alias("t"),
+        F.col("us").alias("us_a"),
+        F.explode(
+            F.array(
+                (F.col("us") / gap_us).cast("long"),
+                (F.col("us") / gap_us).cast("long") + 1,
+            )
+        ).alias("tag"),
+    )
+    right = ev.select(
+        F.col("event_type").alias("t"),
+        F.col("us").alias("us_b"),
+        (F.col("us") / gap_us).cast("long").alias("tag"),
+    )
+    return (
+        left.join(right, ["t", "tag"])
+        .filter(
+            (F.col("us_b") > F.col("us_a"))
+            & (F.col("us_b") <= F.col("us_a") + gap_us)
+        )
+        .groupBy(F.col("t").alias("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("us_b") - F.col("us_a")).cast("long")
+            .alias("sum_delta_us"),
+        )
+        .orderBy("event_type")
+    )

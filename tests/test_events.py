@@ -284,3 +284,39 @@ def test_asof_attribution_planted(spark, tmp_path):
         (12, 5, 11, hour),
         (13, 5, 11, 2 * hour),
     ]
+
+
+def test_burst_pairs_planted(spark, tmp_path):
+    """Bucketed range self-join semantics: strict lower / inclusive
+    upper bound, same-instant pairs excluded, a pair straddling a
+    bucket boundary is still found (the explode's +1 tag), and each
+    pair counts exactly once."""
+    T = pd.Timestamp
+    rows = [
+        # type a, gap 60s: ts at 0s, 30s, 90s, 91s
+        #  (0,30) d=30 in; (0,90) d=90 out; (0,91) d=91 out
+        #  (30,90) d=60 INCLUSIVE in; (30,91) d=61 out; (90,91) d=1 in
+        (1, 1, "a", T("2024-01-01 00:00:00")),
+        (2, 1, "a", T("2024-01-01 00:00:30")),
+        (3, 1, "a", T("2024-01-01 00:01:30")),
+        (4, 1, "a", T("2024-01-01 00:01:31")),
+        # type b: same-instant pair (excluded) + cross-bucket pair:
+        # 00:00:59 (bucket 0) and 00:01:01 (bucket 1), d=2s in
+        (5, 2, "b", T("2024-01-01 00:00:59")),
+        (6, 2, "b", T("2024-01-01 00:00:59")),
+        (7, 2, "b", T("2024-01-01 00:01:01")),
+        # type c: lone event — no pairs, no output row
+        (8, 3, "c", T("2024-01-01 00:00:00")),
+    ]
+    sf = _write_user_events(spark, tmp_path, rows)
+    from searchengine_spark.ops.events import burst_pairs
+
+    got = [
+        (r["event_type"], r["n_pairs"], r["sum_delta_us"])
+        for r in burst_pairs(spark, sf, gap_sec=60).collect()
+    ]
+    s = 1_000_000
+    assert got == [
+        ("a", 3, (30 + 60 + 1) * s),
+        ("b", 2, (2 + 2) * s),
+    ]
