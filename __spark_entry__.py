@@ -483,6 +483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": lambda spark, sf: D.jaccard_pairs(
             _docs(spark, sf), threshold=0.5
         ),
+        "dupgraph_triangles": lambda spark, sf: D.dupgraph_triangles(
+            _docs(spark, sf), threshold=0.5
+        ),
         "embedding_neardup": V.embedding_neardup,
         "embedding_neardup_lsh": V.embedding_neardup_lsh,
         "ann_ivf_topk": V.ann_ivf_topk,
@@ -3317,6 +3320,39 @@ def oracle_sql() -> dict[str, str]:
         # damping interpolated via repr() so the float literal matches
         # Spark's 1.0 - 0.85 bit for bit
         "pagerank_dupgraph": _pagerank_dupgraph_oracle_sql(),
+        # triangle counts + clustering coefficients over the dup graph
+        # (ops/dedup.dupgraph_triangles): brute-force doc_id-ordered
+        # 3-way join states the spec; the Spark kernel is the
+        # degree-ordered wedge algorithm and must count the identical
+        # triangle set.  Shares the _PAIRS_EDGES pair definition.
+        "dupgraph_triangles": f"""
+            WITH {_SHINGLES},
+            {_PAIRS_EDGES},
+            tri AS (
+              SELECT e1.a AS u, e1.b AS v, e2.b AS w
+              FROM pairs e1
+              JOIN pairs e2 ON e2.a = e1.b
+              JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+            tn AS (
+              SELECT node, count(*)::BIGINT AS n_tri FROM (
+                SELECT u AS node FROM tri
+                UNION ALL SELECT v FROM tri
+                UNION ALL SELECT w FROM tri)
+              GROUP BY node),
+            deg AS (
+              SELECT node, count(*)::BIGINT AS degree FROM (
+                SELECT a AS node FROM pairs
+                UNION ALL SELECT b FROM pairs)
+              GROUP BY node)
+            SELECT d.node AS doc_id, d.degree,
+                   coalesce(tn.n_tri, 0)::BIGINT AS n_tri,
+                   CASE WHEN d.degree >= 2 THEN
+                     round(2.0 * coalesce(tn.n_tri, 0)
+                           / (d.degree * (d.degree - 1))::DOUBLE, 6)
+                   ELSE 0.0 END AS clust
+            FROM deg d LEFT JOIN tn ON tn.node = d.node
+            ORDER BY doc_id
+        """,
         "ngram_jaccard": f"""
             WITH {_SHINGLES},
             sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),

@@ -58,6 +58,19 @@ fetch_postings work unchanged.  Serving-state exactness:
    blocks are masked against the docs table inside the WAND kernels
    (query/wand._dl_member) before they can score.
 
+Quality scope: PageRank/HITS quality is computed at build/append time
+over each generation's OWN link subgraph (build_tables consumes the
+extracted edges and folds quality into that generation's docs rows;
+edges are not persisted).  Cross-generation links — a doc in seg=1
+importing a doc in seg=0 — are therefore not observed, and neither
+compaction nor ``merge_segments`` re-derives them (merge preserves the
+docs rows' quality values).  This is the documented segmented
+tradeoff, like the A~B~C near-dup note: authority drifts only where
+link neighborhoods straddle an append boundary, and a full
+``build_tables(compute_quality=True)`` rebuild over the reunited
+corpus is the refresh path.  (The driver-contract segment entries pin
+exactness with quality pinned constant, where the tradeoff is vacuous.)
+
 ``merge_segments`` is the physical analogue of the reference's merge
 step (lib/writer.py:166-300): all generations minus tombstones are
 rewritten into ONE fresh segment through the ordinary build/write path

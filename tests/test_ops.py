@@ -2817,3 +2817,47 @@ def test_hashed_tfidf_topk_matches_python(spark):
         for r in hashed_tfidf_topk(spark, SF).collect()
     ]
     assert got == want
+
+
+def test_dupgraph_triangles_matches_bruteforce(spark):
+    """The degree-ordered wedge kernel counts the identical triangle
+    set as a brute-force recomputation from the pair list (incl. a
+    node's local clustering coefficient and degree), on real sf0.001
+    dup edges — which contain triangles (the planted dup cliques)."""
+    import itertools
+    from collections import defaultdict
+
+    from searchengine_spark.ops.dedup import (
+        dupgraph_triangles,
+        jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = [
+        (r["a"], r["b"])
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    ]
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = defaultdict(int)
+    n_tri_total = 0
+    for v in sorted(adj):
+        for u, w in itertools.combinations(sorted(adj[v]), 2):
+            if u > v and w > v and w in adj[u]:
+                n_tri_total += 1
+                for x in (v, u, w):
+                    tri[x] += 1
+    assert n_tri_total > 0, "sf0.001 dup graph must contain triangles"
+
+    got = {
+        r["doc_id"]: (r["degree"], r["n_tri"], r["clust"])
+        for r in dupgraph_triangles(docs).collect()
+    }
+    want = {}
+    for v, nbrs in adj.items():
+        d = len(nbrs)
+        c = round(2.0 * tri[v] / (d * (d - 1)), 6) if d >= 2 else 0.0
+        want[v] = (d, tri[v], c)
+    assert got == want
