@@ -156,6 +156,68 @@ def run(cpus: int, n_docs: int):
         ).count().count()
         t_bigram.append(time.time() - t0)
 
+    # event-time family (ops/events): synthetic deterministic event
+    # stream — the as-of per-key window merge scan and the 2-bucket
+    # range-join shape, the round-3 fourth-continuation hot kernels
+    n_events = n_docs * 4
+    horizon_us = 30 * 86_400 * 1_000_000
+    ev = (
+        spark.range(n_events)
+        .select(
+            (F.col("id") % 512).alias("user"),
+            F.pmod(F.col("id") * 2654435761, F.lit(horizon_us))
+            .alias("us"),
+            (F.col("id") % 3 == 0).cast("long").alias("kind"),
+            (F.col("id") % 5).alias("etype"),
+            F.col("id").alias("event_id"),
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    ev.count()
+
+    wz = (
+        Window.partitionBy("user")
+        .orderBy("us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_src = F.last(
+        F.when(F.col("kind") == 0, F.struct("us", "event_id")),
+        ignorenulls=True,
+    ).over(wz)
+    t_asof = []
+    for _ in range(2):
+        t0 = time.time()
+        ev.withColumn("_ls", last_src).filter(
+            F.col("kind") == 1
+        ).select(
+            F.coalesce(F.col("us") - F.col("_ls.us"), F.lit(-1))
+        ).count()
+        t_asof.append(time.time() - t0)
+
+    gap_us = 600 * 1_000_000
+    lft = ev.select(
+        "etype", F.col("us").alias("us_a"),
+        F.explode(
+            F.array(
+                (F.col("us") / gap_us).cast("long"),
+                (F.col("us") / gap_us).cast("long") + 1,
+            )
+        ).alias("tag"),
+    )
+    rgt = ev.select(
+        "etype", F.col("us").alias("us_b"),
+        (F.col("us") / gap_us).cast("long").alias("tag"),
+    )
+    t_rangejoin = []
+    for _ in range(2):
+        t0 = time.time()
+        lft.join(rgt, ["etype", "tag"]).filter(
+            (F.col("us_b") > F.col("us_a"))
+            & (F.col("us_b") <= F.col("us_a") + gap_us)
+        ).groupBy("etype").count().count()
+        t_rangejoin.append(time.time() - t0)
+
     spark.stop()
     return {"analyze": round(min(t_analyze), 2),
             "simhash": round(min(t_simhash), 2),
@@ -163,6 +225,8 @@ def run(cpus: int, n_docs: int):
             "span": round(min(t_span), 2),
             "chunk": round(min(t_chunk), 2),
             "bigram": round(min(t_bigram), 2),
+            "asof": round(min(t_asof), 2),
+            "rangejoin": round(min(t_rangejoin), 2),
             "n_blocks": n_blocks,
             "postings": n_postings}
 
@@ -196,7 +260,8 @@ def main():
         "n_docs": n_docs,
         "stages": res,
     }
-    for s in ("analyze", "simhash", "decode", "span", "chunk", "bigram"):
+    for s in ("analyze", "simhash", "decode", "span", "chunk", "bigram",
+              "asof", "rangejoin"):
         speedup = res[lo][s] / res[hi][s]
         out[f"{s}_speedup"] = round(speedup, 3)
         out[f"{s}_efficiency"] = round(speedup / (hi / lo), 3)
