@@ -320,3 +320,29 @@ def test_burst_pairs_planted(spark, tmp_path):
         ("a", 3, (30 + 60 + 1) * s),
         ("b", 2, (2 + 2) * s),
     ]
+
+
+def test_new_join_ops_plan_shapes(spark):
+    """Plan-shape guards for the event-join family: asof_attribution
+    is ONE user_id shuffle + window (no join at all — the merge-scan
+    kernel); burst_pairs is an equi-join on (type, bucket) — never a
+    cartesian/broadcast-nested-loop theta join."""
+    from searchengine_spark.ops.events import (
+        asof_attribution,
+        burst_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    asof_plan = (
+        asof_attribution(spark, sf)._jdf.queryExecution()
+        .toString().lower()
+    )
+    assert "join" not in asof_plan, "as-of must be the window scan"
+    assert "window" in asof_plan
+
+    bp_plan = (
+        burst_pairs(spark, sf)._jdf.queryExecution()
+        .executedPlan().toString().lower()
+    )
+    assert "cartesianproduct" not in bp_plan
+    assert "broadcastnestedloop" not in bp_plan
