@@ -696,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_topk": S.search_after_topk,
         "explain_score": S.explain_score,
         "percolate": S.percolate,
+        "percolate_rich": S.percolate_rich,
         # passage/chunk family (ops/passages.py): RAG chunking,
         # passage-level BM25, positions-based best-window snippets —
         # pinned-constant ops with same-constant oracle builders
@@ -4614,6 +4615,7 @@ def oracle_sql() -> dict[str, str]:
     d["search_after_topk"] = SRCH.search_after_topk_oracle_sql()
     d["explain_score"] = SRCH.explain_score_oracle_sql()
     d["percolate"] = SRCH.percolate_oracle_sql()
+    d["percolate_rich"] = SRCH.percolate_rich_oracle_sql()
     # passage/chunk family: oracles built from the same pinned constants
     from searchengine_spark.ops import passages as PSGO
 

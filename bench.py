@@ -412,6 +412,8 @@ def _run_ops_tier(spark):
           lambda: T.df_histogram(spark, SF_DIR).count())
     timed("percolate_sec",
           lambda: SRC.percolate(spark, SF_DIR).count())
+    timed("percolate_rich_sec",
+          lambda: SRC.percolate_rich(spark, SF_DIR).count())
     timed("query_or_sec",
           lambda: SRC.query_topk(spark, SF_DIR, q=SRC.QL_QUERY_OR).count())
     timed("query_boost_sec",

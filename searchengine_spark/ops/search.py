@@ -960,3 +960,164 @@ def percolate_oracle_sql(queries=PERC_QUERIES) -> str:
         HAVING count(DISTINCT term) = arity
         ORDER BY qid, doc_id
     """
+
+
+# rich standing queries — the query-language subset the percolator
+# accepts (bare terms, "phrase", -not); pinned + interpolated into the
+# DuckDB oracle — change Spark and SQL together
+PERC_RICH_QUERIES = (
+    "spark query",
+    '"table hash"',
+    "merge -dup",
+    'stream "merge join"',
+    '"customer order" -dup',
+)
+
+
+def _parse_perc_rich(queries):
+    """(qid, required_terms, phrase_strings, not_terms) per standing
+    query, via the ONE shared parser (text/querylang) — the percolator
+    accepts the bare/phrase/-not subset and raises on anything else
+    (lang:/OR/wildcard/boost have no containment semantics here)."""
+    from ..text.querylang import parse_query
+
+    parsed = []
+    for qi, q in enumerate(queries):
+        p = parse_query(q)
+        if (p["filters"] or p.get("groups") or p.get("wildcards")
+                or p.get("boosts")):
+            raise ValueError(
+                "percolate_rich supports bare terms, phrases, and "
+                f"-not only: {q!r}"
+            )
+        req = sorted(
+            set(p["must"]) | {t for ph in p["phrases"] for t in ph}
+        )
+        if not req:
+            raise ValueError(f"standing query needs a positive part: {q!r}")
+        parsed.append((
+            qi, req,
+            [" ".join(ph) for ph in p["phrases"]],
+            sorted(set(p["must_not"])),
+        ))
+    return parsed
+
+
+def percolate_rich(spark, sf_dir,
+                   queries=PERC_RICH_QUERIES) -> DataFrame:
+    """(qid, doc_id) — the percolator over RICH standing queries:
+    bare terms (all must be present), "phrases" (exact token
+    adjacency), and -not exclusions — the ES-percolator shape where
+    registered alerts carry real query syntax, parsed by the same
+    text/querylang parser as every other tier.
+
+    Two stages, both columnar (no UDF):
+     1. candidates — required-term containment exactly like
+        ``percolate`` (in-row array_distinct dedup, broadcast term
+        join BEFORE any shuffle, arity count): a doc missing any
+        bare/phrase token cannot match, so this is a lossless prune.
+     2. verify — candidates join back to the doc text (candidate rows
+        ≪ corpus) and a per-qid CASE checks phrase adjacency as
+        token-string containment (' a b ' inside the
+        space-joined token string — exact because tokens contain no
+        spaces) and -not as token absence.
+
+    Scale: stage 1 is the lean percolate plan (one shuffle over
+    matched rows); stage 2 touches only candidate docs.  A phrase-only
+    query still prunes on its tokens first — the adjacency check
+    never scans the full corpus."""
+    from ..text.tokenizer import TOKEN_PATTERN
+    from .textops import documents
+
+    parsed = _parse_perc_rich(queries)
+    rows = [
+        (qi, t, len(req)) for qi, req, _, _ in parsed for t in req
+    ]
+    qt = spark.createDataFrame(rows, "qid long, term string, arity int")
+    docs = documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(TOKEN_PATTERN), 0
+                )
+            )
+        ).alias("term"),
+    )
+    cand = (
+        toks.join(F.broadcast(qt), "term")
+        .groupBy("qid", "arity", "doc_id")
+        .agg(F.count("*").alias("nm"))
+        .filter(F.col("nm") == F.col("arity"))
+        .select("qid", "doc_id")
+    )
+    jd = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(TOKEN_PATTERN), 0
+                ),
+                " ",
+            ),
+            F.lit(" "),
+        ).alias("j"),
+    )
+    cond = None
+    for qi, _, phs, nots in parsed:
+        c = F.lit(True)
+        for ph in phs:
+            c = c & F.col("j").contains(f" {ph} ")
+        for t in nots:
+            c = c & ~F.col("j").contains(f" {t} ")
+        cond = (
+            F.when(F.col("qid") == qi, c) if cond is None
+            else cond.when(F.col("qid") == qi, c)
+        )
+    return (
+        cand.join(jd, "doc_id")
+        .filter(cond.otherwise(F.lit(False)))
+        .select("qid", "doc_id")
+        .orderBy("qid", "doc_id")
+    )
+
+
+def percolate_rich_oracle_sql(queries=PERC_RICH_QUERIES) -> str:
+    """DuckDB mirror: identical candidate stage + per-qid CASE with
+    instr() token-string containment for phrases / absence for -not."""
+    parsed = _parse_perc_rich(queries)
+    vals = ", ".join(
+        f"({qi}, '{t}', {len(req)})"
+        for qi, req, _, _ in parsed
+        for t in req
+    )
+    cases = []
+    for qi, _, phs, nots in parsed:
+        conds = (
+            [f"instr(j, ' {ph} ') > 0" for ph in phs]
+            + [f"instr(j, ' {t} ') = 0" for t in nots]
+        ) or ["TRUE"]
+        cases.append(f"WHEN qid = {qi} THEN ({' AND '.join(conds)})")
+    return f"""
+        WITH toks AS ({_TOKS}),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               GROUP BY doc_id, term),
+        qt AS (SELECT * FROM (VALUES {vals}) v(qid, term, arity)),
+        cand AS (
+          SELECT qid, doc_id
+          FROM tf JOIN qt USING (term)
+          GROUP BY qid, doc_id, arity
+          HAVING count(DISTINCT term) = arity),
+        jd AS (
+          SELECT doc_id,
+                 ' ' || array_to_string(
+                   regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')
+                 || ' ' AS j
+          FROM documents)
+        SELECT qid::BIGINT AS qid, doc_id
+        FROM cand JOIN jd USING (doc_id)
+        WHERE CASE {' '.join(cases)} ELSE FALSE END
+        ORDER BY qid, doc_id
+    """

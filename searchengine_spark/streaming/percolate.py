@@ -65,3 +65,62 @@ def percolate_stream(
     if not q.awaitTermination(600):
         q.stop()
         raise RuntimeError("percolate stream did not drain in 600s")
+
+
+def percolate_rich_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    queries=None,
+) -> None:
+    """The rich-query gate (ops/search.percolate_rich semantics —
+    bare/phrase/-not, same parser): stateless broadcast matcher, one
+    (qid, doc_id) alert row per satisfied standing query, exactly-once
+    per input file via the checkpoint.  Phrase adjacency is checked on
+    the space-joined token string (exact: tokens contain no spaces),
+    identical to the batch op's verify stage."""
+    import pandas as pd
+
+    from ..ops.search import PERC_RICH_QUERIES, _parse_perc_rich
+
+    parsed = _parse_perc_rich(
+        PERC_RICH_QUERIES if queries is None else queries
+    )
+    qlist = [
+        (qi, frozenset(req), tuple(phs), tuple(nots))
+        for qi, req, phs, nots in parsed
+    ]
+    bc = spark.sparkContext.broadcast(qlist)
+
+    @F.pandas_udf("array<long>")
+    def _match(texts: pd.Series) -> pd.Series:
+        qs = bc.value
+
+        def hits(t):
+            toks = tokenize(t) if t is not None else []
+            tset = set(toks)
+            joined = " " + " ".join(toks) + " "
+            return [
+                qi for qi, need, phs, nots in qs
+                if need <= tset
+                and all(f" {ph} " in joined for ph in phs)
+                and not any(f" {x} " in joined for x in nots)
+            ]
+
+        return texts.map(hits)
+
+    src = spark.readStream.schema(DOCS_SCHEMA).parquet(src_dir)
+    alerts = src.select(
+        "doc_id", F.explode(_match(F.col("text"))).alias("qid")
+    ).select("qid", "doc_id")
+    q = (
+        alerts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("percolate stream did not drain in 600s")

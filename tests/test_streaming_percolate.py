@@ -75,3 +75,36 @@ def test_stream_alerts_match_batch_percolate(spark, docs_table, tmp_path):
     assert new_rows == sorted(
         (q, late_id) for q, d in got if d == base_doc
     )
+
+
+def test_rich_stream_alerts_match_batch(spark, docs_table, tmp_path):
+    """The rich gate (bare/phrase/-not) equals ops/search.
+    percolate_rich over the same docs, and replays append nothing."""
+    from searchengine_spark.ops.search import percolate_rich
+    from searchengine_spark.streaming.percolate import (
+        percolate_rich_stream,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ckpt")
+    _write_chunks(src, docs_table, 3)
+
+    percolate_rich_stream(spark, src, out, ckpt)
+    got = sorted(
+        (r["qid"], r["doc_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = [
+        (r["qid"], r["doc_id"])
+        for r in percolate_rich(spark, SF).collect()
+    ]
+    assert got == want
+    assert len({q for q, _ in got}) == 5  # every rich query fires
+
+    percolate_rich_stream(spark, src, out, ckpt)
+    again = sorted(
+        (r["qid"], r["doc_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert again == got

@@ -159,7 +159,8 @@ def run(cpus: int, n_docs: int):
     # event-time family (ops/events): synthetic deterministic event
     # stream — the as-of per-key window merge scan and the 2-bucket
     # range-join shape, the round-3 fourth-continuation hot kernels
-    n_events = n_docs * 4
+    # floor: sub-second walls measure per-job fixed cost, not scaling
+    n_events = max(n_docs * 4, 6_000_000)
     horizon_us = 30 * 86_400 * 1_000_000
     ev = (
         spark.range(n_events)
@@ -188,11 +189,14 @@ def run(cpus: int, n_docs: int):
     t_asof = []
     for _ in range(2):
         t0 = time.time()
+        # aggregate over the lag so the window cannot be pruned away
         ev.withColumn("_ls", last_src).filter(
             F.col("kind") == 1
-        ).select(
-            F.coalesce(F.col("us") - F.col("_ls.us"), F.lit(-1))
-        ).count()
+        ).agg(
+            F.sum(
+                F.coalesce(F.col("us") - F.col("_ls.us"), F.lit(-1))
+            )
+        ).collect()
         t_asof.append(time.time() - t0)
 
     gap_us = 600 * 1_000_000
