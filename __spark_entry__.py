@@ -3127,6 +3127,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT r.event_type, t.pct, r.value
             FROM ranked r JOIN targets t USING (event_type, rn)
+            ORDER BY r.event_type, t.pct
         """,
         # ordered funnel (ops/events.funnel_conversion): FUNNEL_STEPS
         # interpolated; first-match sequential semantics via chained

@@ -17,12 +17,13 @@ Cross-engine float contracts (the repo's usual rules):
    differ, which is why neither is used).
 
 Scale: the histogram is one shuffle agg keyed (type, bin) after a
-broadcast of the 1-row global range; percentiles are one per-type
-window (rank) + a broadcast of per-type counts — at 10^12 events the
-rank window is the skew point and would move to the two-phase
-range-partition scan (ops/prep._prefix_sum); the plain window is kept
-for oracle parity at driver scale.
+broadcast of the 1-row global range; the percentile rank rides the
+two-phase range-partition prefix scan (ops/prep._prefix_sum) minus
+broadcast per-type offsets — partition-count invariant, never a
+per-type window (one task per event_type at 10^12 events).
 """
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -67,26 +68,46 @@ def value_percentiles(spark: SparkSession, sf_dir: str,
                       pcts=PCTS) -> DataFrame:
     """(event_type, pct, value) — exact nearest-rank percentiles per
     event_type: the value at rank ceil(p * n) in (value asc, event_id
-    asc) order.  pct is the integer label (50/90/99)."""
+    asc) order.  pct is the integer label (50/90/99).
+
+    Scale: the per-type rank is NOT a per-type window (one task per
+    event_type at 10^12 events = skew): it rides the two-phase
+    range-partition prefix count (ops/prep._prefix_sum over
+    (event_type, value, event_id)) minus broadcast per-type exclusive
+    offsets — partition-count invariant, the perplexity_buckets
+    pattern.  The per-type counts come off the same P-row collect, so
+    the ceil(p*n) targets (the SAME IEEE double product on both
+    engines) are driver-computed and broadcast-joined back."""
     ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.withColumn("rn", F.row_number().over(w))
-    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
-    targets = counts.select(
-        "event_type",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(label).cast("long").alias("pct"),
-                    F.ceil(F.lit(p) * F.col("n")).alias("rn"),
-                )
-                for label, p in pcts
-            ])
-        ).alias("t"),
-    ).select("event_type", "t.pct", "t.rn")
+    from .prep import _prefix_sum
+
+    rows = ev.withColumn("_one", F.lit(1))
+    ranked, _ = _prefix_sum(
+        rows, "_one", ["event_type", "value", "event_id"]
+    )
+    per_type = {
+        r["event_type"]: r["n"]
+        for r in ranked.groupBy("event_type").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    offs, acc = [], 0
+    targets = []
+    for et in sorted(per_type):
+        offs.append((et, acc))
+        for label, p in pcts:
+            targets.append((et, int(label), int(math.ceil(p * per_type[et]))))
+        acc += per_type[et]
+    off_df = spark.createDataFrame(offs, "event_type string, _off long")
+    tgt_df = spark.createDataFrame(
+        targets, "event_type string, pct long, rn long"
+    )
     return (
-        ranked.join(F.broadcast(targets), ["event_type", "rn"])
+        ranked.join(F.broadcast(off_df), "event_type")
+        .withColumn("rn", F.col("cum_tokens") - F.col("_off"))
+        .join(F.broadcast(tgt_df), ["event_type", "rn"])
         .select("event_type", "pct", "value")
+        .orderBy("event_type", "pct")
     )
 
 
