@@ -544,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_eval_ndcg": T.search_eval_ndcg,
         "search_eval_map_mrr": T.search_eval_map_mrr,
         "hard_negatives": T.hard_negatives,
+        "ltr_features": T.ltr_features,
         "term_vectors": T.term_vectors,
         "pagerank_dupgraph": lambda spark, sf: D.pagerank_dupgraph(
             _docs(spark, sf)
@@ -1994,6 +1995,99 @@ def _search_eval_oracle_sql() -> str:
         )
         SELECT d.qid::BIGINT AS qid, round(d.dcg / i.idcg, 6) AS ndcg
         FROM dcg d JOIN idcg i USING (qid)
+        ORDER BY qid
+    """
+
+
+def _ltr_features_oracle_sql() -> str:
+    """DuckDB mirror of ops.textops.ltr_features: the eval family's
+    candidate CTE extended with sum_tf/dl, rounded-rank pool cut, and
+    the span_near anchor-join min cover computed ONLY for pool docs
+    (coalesce 0 for partial matches)."""
+    from searchengine_spark.ops.textops import EVAL_QUERIES, LTR_POOL
+
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in EVAL_QUERIES for t in terms
+    )
+    ntvals = ", ".join(
+        f"({qid}, {len(terms)})" for qid, terms in EVAL_QUERIES
+    )
+    return f"""
+        WITH toks AS ({_TOKS}),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, count(*) AS total_tokens
+               FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(total_tokens) AS avgdl
+                  FROM dl),
+        qterms AS (SELECT * FROM (VALUES {qvals}) AS v(qid, term)),
+        nt AS (SELECT * FROM (VALUES {ntvals}) AS v(qid, nterms)),
+        dft AS (SELECT term, count(DISTINCT tf.doc_id) AS df
+                FROM tf JOIN (SELECT DISTINCT term FROM qterms)
+                  USING (term)
+                GROUP BY term),
+        cand AS (
+          SELECT q.qid, tf.doc_id,
+                 round(sum( ln((stats.n - dft.df + 0.5)
+                               / (dft.df + 0.5) + 1.0)
+                            * tf.tf * 2.2
+                            / (tf.tf + 1.2 * (0.25 + 0.75
+                               * dl.total_tokens / stats.avgdl))
+                 ), 6) AS score,
+                 count(*) AS nmatch,
+                 sum(tf.tf)::BIGINT AS sum_tf,
+                 max(dl.total_tokens)::BIGINT AS dl
+          FROM tf JOIN qterms q USING (term) JOIN dft USING (term)
+               JOIN dl USING (doc_id) CROSS JOIN stats
+          GROUP BY q.qid, tf.doc_id
+        ),
+        pooled AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+            FROM cand)
+          WHERE rank <= {LTR_POOL}
+        ),
+        ptoks AS (
+          SELECT t.doc_id, i AS pos, t.t[i] AS term
+          FROM (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                FROM documents) t, LATERAL (
+            SELECT unnest(generate_series(1, len(t.t))) AS i) g
+        ),
+        qpos AS (
+          SELECT p.qid, p.doc_id, pt.pos, pt.term
+          FROM pooled p
+          JOIN qterms q ON q.qid = p.qid
+          JOIN ptoks pt ON pt.doc_id = p.doc_id
+                       AND pt.term = q.term
+        ),
+        anchors AS (SELECT DISTINCT qid, doc_id, pos FROM qpos),
+        nxt AS (
+          SELECT a.qid, a.doc_id, a.pos AS p, q.term,
+                 min(q.pos) AS np
+          FROM anchors a JOIN qpos q
+            ON q.qid = a.qid AND q.doc_id = a.doc_id
+           AND q.pos >= a.pos
+          GROUP BY a.qid, a.doc_id, a.pos, q.term
+        ),
+        cover AS (
+          SELECT n.qid, n.doc_id, n.p, max(n.np) AS e
+          FROM nxt n JOIN nt ON nt.qid = n.qid
+          GROUP BY n.qid, n.doc_id, n.p, nt.nterms
+          HAVING count(DISTINCT n.term) = nt.nterms
+        ),
+        win AS (
+          SELECT qid, doc_id, min(e - p + 1)::BIGINT AS min_win
+          FROM cover GROUP BY qid, doc_id)
+        SELECT p.qid::BIGINT AS qid, p.doc_id,
+               p.rank::BIGINT AS rank,
+               p.nmatch::BIGINT AS nmatch, p.sum_tf, p.dl,
+               p.score AS bm25,
+               coalesce(w.min_win, 0)::BIGINT AS min_win
+        FROM pooled p LEFT JOIN win w USING (qid, doc_id)
+        ORDER BY p.qid, p.rank
     """
 
 
@@ -2070,6 +2164,7 @@ def _search_eval_map_mrr_oracle_sql(k: int = 10) -> str:
                      6) AS ap,
                round(p.mrr_raw, 6) AS mrr
         FROM perq p JOIN rt r USING (qid)
+        ORDER BY qid
     """
 
 
@@ -2625,6 +2720,7 @@ def oracle_sql() -> dict[str, str]:
         "search_eval_map_mrr": _search_eval_map_mrr_oracle_sql(),
         # DPR-style hard-negative mining from the eval retrieval pool
         "hard_negatives": _hard_negatives_oracle_sql(),
+        "ltr_features": _ltr_features_oracle_sql(),
         # ES _termvectors-shape surface: per pinned doc, each term's
         # tf / first position / full 1-based position list
         # (ops/textops.term_vectors; TV_DOC_IDS interpolated)

@@ -348,6 +348,8 @@ def _run_ops_tier(spark):
           lambda: T.phrase_suggest(spark, SF_DIR).count())
     timed("result_clusters_sec",
           lambda: T.result_clusters(spark, SF_DIR).count())
+    timed("ltr_features_sec",
+          lambda: T.ltr_features(spark, SF_DIR).count())
     timed("search_eval_ndcg_sec",
           lambda: T.search_eval_ndcg(spark, SF_DIR).count())
 

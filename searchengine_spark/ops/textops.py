@@ -911,6 +911,8 @@ def _eval_candidates(spark, sf_dir) -> DataFrame:
     return hits.withColumn("bm25", bm25).groupBy("qid", "doc_id").agg(
         F.round(F.sum("bm25"), 6).alias("score"),
         F.count("*").alias("rel"),  # distinct terms matched (tf rows)
+        F.sum("tf").cast("long").alias("sum_tf"),     # ltr_features
+        F.max("total_tokens").cast("long").alias("dl"),  # ltr_features
     )
 
 
@@ -963,6 +965,7 @@ def search_eval_ndcg(spark, sf_dir, k: int = 10) -> DataFrame:
             "qid",
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         )
+        .orderBy("qid")
     )
 
 
@@ -1023,7 +1026,7 @@ def search_eval_map_mrr(spark, sf_dir, k: int = 10) -> DataFrame:
         "qid",
         F.round(F.col("ap_num") / denom, 6).alias("ap"),
         F.round(F.col("mrr_raw"), 6).alias("mrr"),
-    )
+    ).orderBy("qid")
 
 
 HN_POOL = 20   # retrieval pool depth mined for negatives
@@ -2693,3 +2696,105 @@ def hashed_tfidf_topk_oracle_sql(doc_id: int = HV_DOC_ID,
         WHERE d.doc_id != {doc_id}
         ORDER BY cos DESC, doc_id LIMIT {k}
     """
+
+
+LTR_POOL = 20   # retrieval-pool size feature rows are exported for
+
+
+def ltr_features(spark, sf_dir, pool: int = LTR_POOL) -> DataFrame:
+    """(qid, doc_id, rank, nmatch, sum_tf, dl, bm25, min_win) — the
+    learning-to-rank training export: per pinned EVAL_QUERIES query,
+    one feature row for each doc in the top-``pool`` disjunctive-BM25
+    retrieval — exactly the (query, doc) feature table an LTR trainer
+    (LambdaMART / a cross-encoder distillation set) consumes, with the
+    graded label nmatch alongside (the eval family's deterministic
+    qrels).
+
+    Features: pool rank (rounded-rank contract), nmatch = distinct
+    query terms present, sum_tf = total query-term occurrences, dl =
+    the BM25 doc length (the distinct-term quirk length the scorer
+    itself uses), bm25 = the rounded disjunctive score, min_win = the
+    k-ary minimal covering window over ALL query terms (the span_near
+    tightness signal) — 0 when the doc is not a full conjunctive
+    match (partial matches have no full cover; 0 is the pinned
+    "undefined" encoding, distinguishable because a real cover is
+    >= nterms >= 2).
+
+    Scale: the candidate/rank stages are the eval family's shape
+    (broadcast query set, one shuffle agg, per-qid windows over
+    matched candidates).  min_win is computed ONLY for pool docs —
+    the anchor join is quadratic in a doc's query-term occurrences
+    but runs on <= |queries| * pool rows (the L2-rerank cascade
+    shape: expensive features only for the retrieval pool)."""
+    from ..text.tokenizer import TOKEN_PATTERN
+
+    nt_rows = [(qid, len(terms)) for qid, terms in EVAL_QUERIES]
+    ntdf = spark.createDataFrame(nt_rows, "qid long, nterms long")
+    cand = _eval_candidates(spark, sf_dir).join(
+        F.broadcast(ntdf), "qid"
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    pooled = (
+        cand.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= pool)
+    )
+    qrows = [(qid, t) for qid, terms in EVAL_QUERIES for t in terms]
+    qterms = spark.createDataFrame(qrows, "qid long, term string")
+    toks = documents(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(TOKEN_PATTERN), 0
+            )
+        ).alias("pos0", "term"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "term"
+    )
+    qpos = (
+        toks.join(F.broadcast(qterms), "term")
+        .join(pooled.select("qid", "doc_id"), ["qid", "doc_id"])
+        .select("qid", "doc_id", "pos", "term")
+    )
+    anchors = qpos.select("qid", "doc_id", "pos").distinct()
+    nxt = (
+        anchors.alias("a")
+        .join(
+            qpos.alias("q"),
+            (F.col("a.qid") == F.col("q.qid"))
+            & (F.col("a.doc_id") == F.col("q.doc_id"))
+            & (F.col("q.pos") >= F.col("a.pos")),
+        )
+        .groupBy(
+            F.col("a.qid").alias("qid"),
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.pos").alias("p"),
+            F.col("q.term").alias("term"),
+        )
+        .agg(F.min("q.pos").alias("np"))
+    )
+    cover = (
+        nxt.groupBy("qid", "doc_id", "p")
+        .agg(
+            F.max("np").alias("e"),
+            F.countDistinct("term").alias("ct"),
+        )
+        .join(F.broadcast(ntdf), "qid")
+        .filter(F.col("ct") == F.col("nterms"))
+    )
+    win = cover.groupBy("qid", "doc_id").agg(
+        F.min(F.col("e") - F.col("p") + 1).cast("long").alias("min_win")
+    )
+    return (
+        pooled.join(win, ["qid", "doc_id"], "left")
+        .na.fill({"min_win": 0})
+        .select(
+            "qid", "doc_id", "rank",
+            F.col("rel").cast("long").alias("nmatch"),
+            "sum_tf", "dl",
+            F.col("score").alias("bm25"),
+            "min_win",
+        )
+        .orderBy("qid", "rank")
+    )

@@ -2861,3 +2861,40 @@ def test_dupgraph_triangles_matches_bruteforce(spark):
         c = round(2.0 * tri[v] / (d * (d - 1)), 6) if d >= 2 else 0.0
         want[v] = (d, tri[v], c)
     assert got == want
+
+
+def test_ltr_features_encoding(spark):
+    """LTR export invariants on sf0.001: full conjunctive matches
+    carry a real cover (min_win >= nterms), partial matches encode
+    min_win 0, rank is dense 1..pool per query, and bm25/nmatch agree
+    with the shared eval-candidate core."""
+    from searchengine_spark.ops.textops import (
+        EVAL_QUERIES,
+        LTR_POOL,
+        _eval_candidates,
+        ltr_features,
+    )
+
+    rows = ltr_features(spark, SF).collect()
+    nt = dict((q, len(t)) for q, t in EVAL_QUERIES)
+    byq = {}
+    for r in rows:
+        byq.setdefault(r["qid"], []).append(r)
+    assert set(byq) == set(nt)
+    for qid, rs in byq.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= LTR_POOL
+        for r in rs:
+            if r["nmatch"] == nt[qid]:
+                assert r["min_win"] >= nt[qid]
+            else:
+                assert r["min_win"] == 0
+            assert r["sum_tf"] >= r["nmatch"]
+
+    cand = {
+        (r["qid"], r["doc_id"]): (r["score"], r["rel"])
+        for r in _eval_candidates(spark, SF).collect()
+    }
+    for r in rows:
+        sc, rel = cand[(r["qid"], r["doc_id"])]
+        assert (r["bm25"], r["nmatch"]) == (sc, rel)
