@@ -489,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": V.embedding_neardup,
         "embedding_neardup_lsh": V.embedding_neardup_lsh,
         "ann_ivf_topk": V.ann_ivf_topk,
+        "ann_filtered_topk": V.ann_filtered_topk,
         "ann_recall": V.ann_recall,
         "ann_ivf_kmeans_topk": V.ann_ivf_kmeans_topk,
         "pq_codes": V.pq_codes,
@@ -2524,6 +2525,7 @@ def oracle_sql() -> dict[str, str]:
         RET_MAX_DAYS as _RET_MAX,
     )
     from searchengine_spark.ops.vectors import (
+        ANN_FILTER_LABELS as _ANN_FILTER_LABELS,
         SQ_BINS as _SQ_BINS,
         SQ_QUERY_VEC as _SQ_QV,
         SQ_RERANK as _SQ_RERANK,
@@ -3502,6 +3504,38 @@ def oracle_sql() -> dict[str, str]:
                    round({_COS.format(a="a.v", b="q.qv")}, 5) AS cosine
             FROM assigned a JOIN probes USING (cid) CROSS JOIN q
             WHERE a.vec_id != 0
+            ORDER BY cosine DESC, a.vec_id LIMIT 10
+        """,
+        # filtered vector search (ops/vectors.ann_filtered_topk):
+        # probes chosen by query geometry alone, label predicate drops
+        # candidates before rescoring, survivor cosines unchanged
+        "ann_filtered_topk": f"""
+            WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                         FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM emb
+                     WHERE vec_id % 50 = 0),
+            scored AS (
+              SELECT e.vec_id, e.label, e.v, c.cid,
+                     {_COS.format(a="e.v", b="c.cv")} AS ccos
+              FROM emb e CROSS JOIN cent c
+            ),
+            assigned AS (
+              SELECT vec_id, label, v, cid FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+                FROM scored) WHERE rn = 1
+            ),
+            q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+            probes AS (
+              SELECT cid FROM cent CROSS JOIN q
+              ORDER BY {_COS.format(a="qv", b="cv")} DESC, cid
+              LIMIT 3
+            )
+            SELECT a.vec_id, a.label::BIGINT AS label,
+                   round({_COS.format(a="a.v", b="q.qv")}, 5) AS cosine
+            FROM assigned a JOIN probes USING (cid) CROSS JOIN q
+            WHERE a.vec_id != 0
+              AND a.label IN {tuple(_ANN_FILTER_LABELS)}
             ORDER BY cosine DESC, a.vec_id LIMIT 10
         """,
         # recall@10 of the stride-IVF search vs the exact ranking, per

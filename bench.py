@@ -325,6 +325,8 @@ def _run_ops_tier(spark):
           lambda: X.unigram_logprob(spark, SF_DIR).count())
     timed("ann_recall_sec",
           lambda: V.ann_recall(spark, SF_DIR).count())
+    timed("ann_filtered_sec",
+          lambda: V.ann_filtered_topk(spark, SF_DIR).count())
     timed("ann_ivf_pq_rerank_sec",
           lambda: V.ann_ivf_pq_rerank_topk(spark, SF_DIR).count())
     timed("span_dedup_sec", lambda: D.span_dedup(docs).count())

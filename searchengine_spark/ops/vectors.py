@@ -1536,3 +1536,74 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str,
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# filtered vector search — pinned label subset, interpolated into the
+# DuckDB oracle — change Spark and SQL together
+ANN_FILTER_LABELS = (2, 5)
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str,
+                      query_vec_id: int = 0, k: int = 10,
+                      labels=ANN_FILTER_LABELS) -> DataFrame:
+    """(vec_id, label, cosine) — FILTERED vector search: IVF ANN
+    restricted to vectors whose ``label`` is in the pinned set — the
+    metadata-filtered ANN every vector store serves (pgvector WHERE,
+    Pinecone/Qdrant filters).
+
+    Filter semantics are eligibility-only, the engine's filtered-search
+    contract: probes are chosen by query geometry alone (the filter
+    must not move the probe set), the label predicate then drops
+    ineligible candidates BEFORE the exact rescoring, and survivor
+    cosines equal the unfiltered scores exactly.  Known IVF caveat
+    (documented, not hidden): a highly selective filter thins the
+    probed cells, so recall under heavy filtering needs more probes —
+    nprobe is the knob, and the brute-force-within-filter alternative
+    wins below ~1% selectivity.
+
+    Scale: identical plan shape to ann_ivf_topk (broadcast centroid
+    assignment, probe-pruned rescoring, no driver loop); the label
+    predicate is a columnar filter pushed below the rescoring join.
+    On the persisted path the cells carry label columns, so the same
+    predicate reaches the parquet cell scan next to the cid partition
+    filter."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = emb.filter(
+        F.col("vec_id") % CENTROID_STRIDE == 0
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    asg = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "embedding", "cid",
+        _cosine("embedding", "cv").alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("cid")
+    )
+    assigned = (
+        asg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cid")
+    )
+    probes = (
+        assigned.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("qv"))
+        .crossJoin(F.broadcast(cent))
+        .select("cid", "qv", _cosine("qv", "cv").alias("qcos"))
+        .orderBy(F.desc("qcos"), F.asc("cid"))
+        .limit(NPROBE)
+    )
+    cands = (
+        assigned.filter(
+            (F.col("vec_id") != query_vec_id)
+            & F.col("label").isin(*labels)
+        )
+        .join(F.broadcast(probes.select("cid", "qv")), "cid")
+    )
+    return (
+        cands.select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            F.round(_cosine("embedding", "qv"), 5).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -2898,3 +2898,32 @@ def test_ltr_features_encoding(spark):
     for r in rows:
         sc, rel = cand[(r["qid"], r["doc_id"])]
         assert (r["bm25"], r["nmatch"]) == (sc, rel)
+
+
+def test_ann_filtered_topk_eligibility_only(spark):
+    """Filtered ANN contract: every hit's label is in the filter set,
+    probes are unchanged by the filter (survivor cosines equal the
+    unfiltered probe scoring exactly), and the filtered top-k is the
+    label-subset prefix of the unfiltered candidate ranking."""
+    from searchengine_spark.ops.vectors import (
+        ANN_FILTER_LABELS,
+        ann_filtered_topk,
+        ann_ivf_topk,
+    )
+
+    got = ann_filtered_topk(spark, SF).collect()
+    assert got and all(r["label"] in ANN_FILTER_LABELS for r in got)
+
+    # unfiltered ranking over the same probes, large k — the filtered
+    # result must be its label-subset prefix with identical cosines
+    full = ann_ivf_topk(spark, SF, k=10_000).collect()
+    lab = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "label").collect()
+    }
+    want = [
+        (r["vec_id"], r["cosine"]) for r in full
+        if lab[r["vec_id"]] in ANN_FILTER_LABELS
+    ][: len(got)]
+    assert [(r["vec_id"], r["cosine"]) for r in got] == want
