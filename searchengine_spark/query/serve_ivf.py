@@ -257,8 +257,15 @@ class LocalANN:
 
     # -- query ------------------------------------------------------------
 
-    def topk(self, query_vec, k: int = 10, exclude_vec_id=None):
-        """[(vec_id, cosine)] — value-identical to ivf_topk_ondisk."""
+    def topk(self, query_vec, k: int = 10, exclude_vec_id=None,
+             allowed=None):
+        """[(vec_id, cosine)] — value-identical to ivf_topk_ondisk.
+
+        ``allowed``: optional vec_id collection — metadata-filtered
+        ANN on the serving tier, eligibility-only like the batch
+        ann_filtered_topk (probes are chosen by query geometry alone;
+        the mask rides the same slot as tombstones, so survivor
+        cosines equal unfiltered scores exactly)."""
         qv = [float(x) for x in query_vec]
         qn = math.sqrt(_fold_dot(qv, qv))
         ranked = sorted(
@@ -303,19 +310,25 @@ class LocalANN:
             )
         if exclude_vec_id is not None:
             mask &= ids != int(exclude_vec_id)
+        if allowed is not None:
+            mask &= np.isin(
+                ids, np.fromiter(allowed, dtype=np.int64)
+            )
         ids, cos = ids[mask], cos[mask]
         rcos = np.array([_round5(c) for c in cos])
         order = np.lexsort((ids, -rcos))[:k]
         return [(int(ids[i]), float(rcos[i])) for i in order]
 
     def pq_topk(self, query_vec, k: int = 10, exclude_vec_id=None,
-                rerank: int = 32):
+                rerank: int = 32, allowed=None):
         """[(vec_id, cosine)] — the IVF-PQ serving path, value-identical
         to ops.vectors.ivf_pq_topk_ondisk: candidates ADC-scored from
         the cached codes (quantized cosine via the per-query lookup
         table, round-5), the top-``rerank`` shortlist rescored with the
         exact cosine (only those full vectors are read, via a vec_id
-        predicate on the probed cells)."""
+        predicate on the probed cells).  ``allowed`` masks candidates
+        BEFORE the shortlist cut (so a filtered query still fills its
+        shortlist with eligible vectors), same contract as topk."""
         if self.pq_cb is None:
             raise ValueError(
                 "no PQ codebook attached to this index "
@@ -332,7 +345,9 @@ class LocalANN:
             key=lambda cq: (-cq[1], cq[0]),
         )
         probes = [cid for cid, _ in ranked[: self.nprobe]]
-        ids, rsc = self._adc_scores(qv, qn, probes, exclude_vec_id)
+        ids, rsc = self._adc_scores(
+            qv, qn, probes, exclude_vec_id, allowed=allowed
+        )
         if ids is None:
             return []
         order = np.lexsort((ids, -rsc))[:rerank]
@@ -342,10 +357,11 @@ class LocalANN:
         order = np.lexsort((r_ids, -rcos))[:k]
         return [(int(r_ids[i]), float(rcos[i])) for i in order]
 
-    def _adc_scores(self, qv, qn, probes, exclude_vec_id=None):
+    def _adc_scores(self, qv, qn, probes, exclude_vec_id=None,
+                    allowed=None):
         """ADC phase of pq_topk over THIS replica's cells: (ids,
-        round-5 quantized cosines) post tombstone/exclude mask, or
-        (None, None) when nothing matches."""
+        round-5 quantized cosines) post tombstone/exclude/allowed
+        mask, or (None, None) when nothing matches."""
         n_m = len(self.pq_cb)
         n_c = len(self.pq_cb[0])
         sub = len(self.pq_cb[0][0])
@@ -384,6 +400,10 @@ class LocalANN:
             )
         if exclude_vec_id is not None:
             mask &= ids != int(exclude_vec_id)
+        if allowed is not None:
+            mask &= np.isin(
+                ids, np.fromiter(allowed, dtype=np.int64)
+            )
         ids, sc = ids[mask], sc[mask]
         return ids, np.array([_round5(x) for x in sc])
 
@@ -481,17 +501,19 @@ class ShardedANN:
             return True
         return False
 
-    def topk(self, query_vec, k: int = 10, exclude_vec_id=None):
+    def topk(self, query_vec, k: int = 10, exclude_vec_id=None,
+             allowed=None):
         cands = []
         for sh in self.shards:
             cands.extend(
-                sh.topk(query_vec, k=k, exclude_vec_id=exclude_vec_id)
+                sh.topk(query_vec, k=k, exclude_vec_id=exclude_vec_id,
+                        allowed=allowed)
             )
         cands.sort(key=lambda vc: (-vc[1], vc[0]))
         return cands[:k]
 
     def pq_topk(self, query_vec, k: int = 10, exclude_vec_id=None,
-                rerank: int = 32):
+                rerank: int = 32, allowed=None):
         qv = [float(x) for x in query_vec]
         qn = math.sqrt(_fold_dot(qv, qv))
         sh0 = self.shards[0]
@@ -511,7 +533,9 @@ class ShardedANN:
                     "no PQ codebook attached to this index "
                     "(ops.vectors.attach_pq_codebook)"
                 )
-            ids, rsc = sh._adc_scores(qv, qn, probes, exclude_vec_id)
+            ids, rsc = sh._adc_scores(
+                qv, qn, probes, exclude_vec_id, allowed=allowed
+            )
             if ids is not None and len(ids):
                 all_ids.append(ids)
                 all_rsc.append(rsc)

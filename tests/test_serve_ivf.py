@@ -244,3 +244,47 @@ def test_sharded_ann_equals_unsharded(spark, tmp_path):
         assert got == whole.topk(qv, k=10, exclude_vec_id=vid)
         assert not set(dead) & {v for v, _ in got}
     assert router.maybe_refresh() is False
+
+
+def test_allowed_filter_on_serving_tiers(spark, tmp_path):
+    """allowed= on LocalANN/ShardedANN (exact + PQ): eligibility-only
+    — the filtered top-k is the allowed-subset prefix of a large
+    unfiltered ranking with identical cosines, the PQ shortlist fills
+    with eligible vectors (k results despite a narrow filter), and
+    sharded == local under the same filter."""
+    from searchengine_spark.ops.vectors import (
+        attach_pq_codebook,
+        build_ivf_index,
+    )
+    from searchengine_spark.query.serve_ivf import LocalANN, ShardedANN
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    d = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, d)
+    attach_pq_codebook(spark, emb, d)
+
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    allowed = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("label").isin(2, 5)).select("vec_id").collect()
+    }
+
+    ann = LocalANN(d)
+    got = ann.topk(qv, k=10, exclude_vec_id=0, allowed=allowed)
+    assert got and all(v in allowed for v, _ in got)
+    full = ann.topk(qv, k=10_000, exclude_vec_id=0)
+    want = [(v, c) for v, c in full if v in allowed][: len(got)]
+    assert got == want
+
+    pq_got = ann.pq_topk(qv, k=10, exclude_vec_id=0, allowed=allowed)
+    assert len(pq_got) == 10
+    assert all(v in allowed for v, _ in pq_got)
+
+    router = ShardedANN(d, n_shards=2)
+    assert router.topk(qv, k=10, exclude_vec_id=0,
+                       allowed=allowed) == got
+    assert router.pq_topk(qv, k=10, exclude_vec_id=0,
+                          allowed=allowed) == pq_got
