@@ -39,11 +39,12 @@ def test_report_matches_operators(spark, job_result):
         retention_cohorts,
     )
 
-    assert metrics["value"] == 8
+    assert metrics["value"] == 10
     assert set(metrics["rows"]) == {
         "funnel_conversion", "retention_cohorts", "event_transitions",
         "user_sessions", "event_bursts", "value_histogram",
-        "value_percentiles", "props_stats",
+        "value_percentiles", "props_stats", "asof_attribution",
+        "burst_pairs",
     }
     # spot-check two surfaces value-for-value through the written files
     want_f = {

@@ -11,7 +11,8 @@ curation jobs:
 
 Surfaces: funnel_conversion, retention_cohorts, event_transitions,
 user_sessions, event_bursts, value_histogram, value_percentiles,
-props_stats — each the already-oracled operator, written as-is (the
+props_stats, asof_attribution, burst_pairs — each the already-oracled
+operator, written as-is (the
 job is pure composition; tests/test_events_job.py re-runs the
 operators in-process and compares counts through the real deploy
 surface).
@@ -47,6 +48,8 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     from searchengine_spark.ops.events import (
+        asof_attribution,
+        burst_pairs,
         funnel_conversion,
         event_transitions,
         props_stats,
@@ -68,6 +71,8 @@ def main():
         "value_histogram": value_histogram,
         "value_percentiles": value_percentiles,
         "props_stats": props_stats,
+        "asof_attribution": asof_attribution,
+        "burst_pairs": burst_pairs,
     }
     t0 = time.time()
     counts = {}
