@@ -492,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered_topk": V.ann_filtered_topk,
         "ann_recall": V.ann_recall,
         "ann_ivf_kmeans_topk": V.ann_ivf_kmeans_topk,
+        "ivf_stats": V.ivf_stats,
         "pq_codes": V.pq_codes,
         "ann_ivf_pq_topk": V.ann_ivf_pq_topk,
         "ann_ivf_pq_rerank_topk": V.ann_ivf_pq_rerank_topk,
@@ -976,6 +977,25 @@ def _ivf_kmeans_oracle_sql(train_pred: str = "TRUE",
         FROM asgf a JOIN probes USING (cid) CROSS JOIN q
         WHERE a.vec_id != 0 AND ({serve_pred.replace("vec_id", "a.vec_id")})
         ORDER BY cosine DESC, a.vec_id LIMIT 10
+    """
+
+
+def _ivf_stats_oracle_sql() -> str:
+    """DuckDB mirror of ops.vectors.ivf_stats: the SAME unrolled
+    k-means training + final assignment CTEs as the kmeans oracle
+    (everything up to and including asgf — probes/q unused), then one
+    per-cell count with the exact-integer round-6 fraction."""
+    base = _ivf_kmeans_oracle_sql()
+    # reuse the kmeans oracle's CTE body verbatim: take everything up
+    # to the final SELECT (the CTEs are a prefix of the text by
+    # construction) — guarantees the two oracles cannot drift
+    cte_end = base.rindex("SELECT a.vec_id")
+    ctes = base[:cte_end]
+    return f"""{ctes}
+        SELECT cid::BIGINT AS cid, count(*)::BIGINT AS n_vecs,
+               round(count(*)::DOUBLE /
+                     (SELECT count(*) FROM emb)::DOUBLE, 6) AS frac
+        FROM asgf GROUP BY cid ORDER BY cid
     """
 
 
@@ -4268,6 +4288,7 @@ def oracle_sql() -> dict[str, str]:
     # one oracle proves both (and the stored positions payload with it)
     d["phrase_match_indexed"] = d["phrase_match"]
     d["ann_ivf_kmeans_topk"] = _ivf_kmeans_oracle_sql()
+    d["ivf_stats"] = _ivf_stats_oracle_sql()
     # proximity ranking (positions consumer #2): conjunctive BM25 +
     # 1/(1+min pair distance) boost, recomputed from text in SQL
     d["proximity_topk"] = f"""

@@ -234,6 +234,63 @@ def kmeans_centroids(spark: SparkSession, emb: DataFrame,
     return cents
 
 
+def _kmeans_assigned(spark: SparkSession, emb: DataFrame):
+    """(assigned, centroids): every vector joined to its nearest
+    trained-k-means centroid (broadcast join, not k×dim literals — see
+    kmeans_centroids; lowest-cid tie-break) — shared by
+    ann_ivf_kmeans_topk and ivf_stats so the assignment rule cannot
+    fork."""
+    cents = kmeans_centroids(spark, emb)
+    cent_df = spark.createDataFrame(
+        [(ci, cv) for ci, cv in enumerate(cents)],
+        "cid int, cv array<double>",
+    )
+    cdf = emb.crossJoin(F.broadcast(cent_df)).select(
+        "vec_id", "embedding", "cid",
+        _cosine("embedding", F.col("cv")).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("cid")
+    )
+    assigned = (
+        cdf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    return assigned, cents
+
+
+def ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, n_vecs, frac) — IVF cell-occupancy observability: how
+    many vectors each trained cell holds and its corpus fraction
+    (round-6 over exact integer counts).  The drift/retrain signal an
+    IVF deployment watches: append_ivf never retrains (by design), so
+    as appended data drifts, occupancy skews — max(frac)·k far above 1
+    means probes scan ever-fatter cells and it is time for the
+    rebuild/compact retrain.  The index_stats sibling for the vector
+    side.
+
+    Scale: the assignment pass is the broadcast-centroid join the ANN
+    path already does; the stats are one key-hash count agg."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    assigned, _ = _kmeans_assigned(spark, emb)
+    total = emb.count()
+    return (
+        assigned.groupBy("cid")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            "n_vecs",
+            F.round(
+                F.col("n_vecs").cast("double") / F.lit(float(total)), 6
+            ).alias("frac"),
+        )
+        .orderBy("cid")
+    )
+
+
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str,
                         query_vec_id: int = 0, k: int = 10,
                         nprobe: int = NPROBE) -> DataFrame:
@@ -244,22 +301,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str,
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
-    cents = kmeans_centroids(spark, emb)
-    cent_df = spark.createDataFrame(
-        [(ci, cv) for ci, cv in enumerate(cents)],
-        "cid int, cv array<double>",
-    )
-    # broadcast join, not k×dim literals — see kmeans_centroids
-    cdf = emb.crossJoin(F.broadcast(cent_df)).select(
-        "vec_id", "embedding", "cid",
-        _cosine("embedding", F.col("cv")).alias("ccos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
-    assigned = (
-        cdf.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
-    )
+    assigned, cents = _kmeans_assigned(spark, emb)
     probes = (
         assigned.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("embedding").alias("qv"))
