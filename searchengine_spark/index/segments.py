@@ -1087,3 +1087,165 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
                 and per_seg[i] / n_surv > max_del_frac):
             out.append(merge_run(spark, index_dir, i, 1))
     return out
+
+
+FSCK_SCHEMA = "check string, term string, detail string"
+
+
+def fsck_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Index audit (Lucene CheckIndex analogue): re-derive every
+    stored invariant from the raw bytes and return a DataFrame of
+    violations — EMPTY means healthy.  Works on a segments dir or a
+    single write_index dir.
+
+    Checks, all distributed (one full block-decode pass + joins):
+      * block-count     — decoded posting count == stored ``n``
+      * block-sorted    — decoded docids strictly ascending
+      * block-bounds    — first/last decoded == docid_first/docid_last
+      * block-cf        — sum of decoded tf == stored ``cf``
+      * block-bucket    — bucket == xxhash64 routing of the term (the
+                          reader's pruning reaches this block)
+      * posting-orphan  — decoded docid absent from the STORED docs
+                          (pre-tombstone: tombstoned postings are
+                          legitimately present until a merge)
+      * termdict-df     — serving termdict df != live posting doc
+                          count (tombstone-masked), i.e. the
+                          df_corrections accounting broke
+      * docs-dup        — duplicate docid in the serving docs view
+
+    The decode uses the byte-at-a-time REFERENCE decoder
+    (varbyte.decode_block_py), not the vectorized kernel the query
+    path runs — fsck is the independent implementation, so a bug in
+    the fast path cannot vouch for itself.  Cost is a full index scan
+    by design (the maintenance-window audit job, not a serving path).
+    """
+    from .shards import term_bucket_col
+
+    seg_meta = os.path.join(index_dir, "segments.json")
+    # cache_meta=False: an audit must read the CURRENT bytes — the
+    # session meta cache could vouch for a termdict that has since
+    # been corrupted on disk
+    if os.path.exists(seg_meta):
+        sh = load_segments(spark, index_dir, cache_meta=False)
+        meta = _read_meta(index_dir)
+        stored = _raw_docs(spark, index_dir, meta["segments"])
+    else:
+        sh = load_index(spark, index_dir, cache_meta=False)
+        stored = sh.docs
+
+    def _audit(batches):
+        import pyarrow as pa
+
+        from .varbyte import decode_block_py
+
+        for b in batches:
+            terms = b.column("term").to_pylist()
+            ns = b.column("n").to_pylist()
+            firsts = b.column("docid_first").to_pylist()
+            lasts = b.column("docid_last").to_pylist()
+            cfs = b.column("cf").to_pylist()
+            payloads = b.column("payload").to_pylist()
+            out = []
+            for t, n, lo, hi, cf, pl in zip(
+                terms, ns, firsts, lasts, cfs, payloads
+            ):
+                ids, tfs, _ = decode_block_py(bytes(pl))
+                if len(ids) != n:
+                    out.append(("block-count", t,
+                                f"decoded {len(ids)} != n {n}"))
+                if any(b2 <= a2 for a2, b2 in zip(ids, ids[1:])):
+                    out.append(("block-sorted", t, "docids not "
+                                "strictly ascending"))
+                if ids and (ids[0] != lo or ids[-1] != hi):
+                    out.append(("block-bounds", t,
+                                f"[{ids[0]},{ids[-1]}] != "
+                                f"stored [{lo},{hi}]"))
+                if sum(tfs) != cf:
+                    out.append(("block-cf", t,
+                                f"sum(tf) {sum(tfs)} != cf {cf}"))
+            if out:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([r[i] for r in out]) for i in range(3)],
+                    names=["check", "term", "detail"],
+                )
+
+    blocks = sh.blocks
+    block_viol = blocks.select(
+        "term", "n", "docid_first", "docid_last", "cf", "payload"
+    ).mapInArrow(_audit, schema=FSCK_SCHEMA)
+
+    bucket_viol = (
+        blocks.filter(F.col("bucket") != term_bucket_col())
+        .select(
+            F.lit("block-bucket").alias("check"),
+            F.col("term"),
+            F.concat(
+                F.lit("bucket "), F.col("bucket").cast("string"),
+                F.lit(" != routing "),
+                term_bucket_col().cast("string"),
+            ).alias("detail"),
+        )
+    )
+
+    from .shards import DECODE_SCHEMA, decode_blocks
+
+    decoded = blocks.select("term", "payload").mapInArrow(
+        decode_blocks, schema=DECODE_SCHEMA
+    )
+    orphan_viol = (
+        decoded.select("term", "docid")
+        .join(stored.select("docid"), "docid", "left_anti")
+        .groupBy("term")
+        .agg(F.count("*").alias("_n"),
+             F.min("docid").alias("_d"))
+        .select(
+            F.lit("posting-orphan").alias("check"), "term",
+            F.concat(
+                F.col("_n").cast("string"),
+                F.lit(" orphan postings, e.g. docid "),
+                F.col("_d").cast("string"),
+            ).alias("detail"),
+        )
+    )
+
+    live_df = (
+        decoded.select("term", "docid")
+        .join(sh.docs.select("docid"), "docid")
+        .groupBy("term")
+        .agg(F.countDistinct("docid").alias("_live"))
+    )
+    df_viol = (
+        sh.termdict.select("term", "df")
+        .join(live_df, "term", "full_outer")
+        .filter(
+            F.coalesce(F.col("df"), F.lit(0))
+            != F.coalesce(F.col("_live"), F.lit(0))
+        )
+        .select(
+            F.lit("termdict-df").alias("check"), "term",
+            F.concat(
+                F.lit("termdict df "),
+                F.coalesce(F.col("df"), F.lit(0)).cast("string"),
+                F.lit(" != live "),
+                F.coalesce(F.col("_live"), F.lit(0)).cast("string"),
+            ).alias("detail"),
+        )
+    )
+
+    dup_viol = (
+        sh.docs.groupBy("docid").agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select(
+            F.lit("docs-dup").alias("check"),
+            F.col("docid").cast("string").alias("term"),
+            F.concat(F.col("_c").cast("string"),
+                     F.lit(" rows")).alias("detail"),
+        )
+    )
+
+    return (
+        block_viol.unionByName(bucket_viol)
+        .unionByName(orphan_viol)
+        .unionByName(df_viol)
+        .unionByName(dup_viol)
+    )

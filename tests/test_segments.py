@@ -1266,3 +1266,61 @@ def test_index_stats_surface(spark, compacted):
         assert r["n_total"] == mi["n_total"]
         assert r["n_stored"] == mi["n_survivors"]
         assert r["token_sum"] == mi["token_sum"]
+
+
+def test_fsck_index_clean_and_detects_corruption(spark, index_dir,
+                                                 tmp_path):
+    """fsck_index returns ZERO violations on a freshly-written index,
+    then flags exactly the invariant that was broken: a tampered block
+    ``cf`` -> block-cf, a tampered termdict ``df`` -> termdict-df."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.index.segments import fsck_index
+
+    assert fsck_index(spark, index_dir).count() == 0
+
+    d = str(tmp_path / "tampered")
+    shutil.copytree(index_dir, d)
+
+    # tamper ONE block row's cf inside one resume group
+    gdir = None
+    for g in sorted(os.listdir(os.path.join(d, "postings"))):
+        if g.startswith("group="):
+            gdir = os.path.join(d, "postings", g)
+            break
+    rows = spark.read.parquet(gdir)
+    first_term = rows.orderBy("term").first()["term"]
+    fixed = rows.withColumn(
+        "cf",
+        F.when(F.col("term") == first_term, F.col("cf") + 7)
+        .otherwise(F.col("cf")),
+    )
+    tmp_out = str(tmp_path / "gfix")
+    fixed.write.mode("overwrite").partitionBy("bucket").parquet(tmp_out)
+    shutil.rmtree(gdir)
+    shutil.copytree(tmp_out, gdir)
+
+    viol = fsck_index(spark, d).collect()
+    kinds = {v["check"] for v in viol}
+    assert "block-cf" in kinds
+    assert all(v["check"] == "block-cf" for v in viol)
+    assert any(v["term"] == first_term for v in viol)
+
+    # additionally tamper the termdict df of one term
+    td = spark.read.parquet(os.path.join(d, "termdict"))
+    some = td.orderBy("term").first()["term"]
+    td2 = td.withColumn(
+        "df",
+        F.when(F.col("term") == some, F.col("df") + 1)
+        .otherwise(F.col("df")),
+    )
+    tdo = str(tmp_path / "tdfix")
+    td2.write.mode("overwrite").parquet(tdo)
+    shutil.rmtree(os.path.join(d, "termdict"))
+    shutil.copytree(tdo, os.path.join(d, "termdict"))
+
+    kinds2 = {v["check"] for v in fsck_index(spark, d).collect()}
+    assert kinds2 == {"block-cf", "termdict-df"}

@@ -77,14 +77,20 @@ def main():
     ap.add_argument("--stats", action="store_true",
                     help="print index_stats (per-generation + TOTAL "
                          "serving row) after any maintenance")
+    ap.add_argument("--fsck", action="store_true",
+                    help="full index audit (segments.fsck_index): "
+                         "re-derive every stored invariant from the "
+                         "raw bytes; violations in the JSON line and "
+                         "a nonzero exit when any are found")
     args = ap.parse_args()
     if not (args.compact or args.merge or args.tiered
             or args.expunge is not None or args.delete_ids
             or args.backup or args.restore_from or args.verify_backup
-            or args.stats):
+            or args.stats or args.fsck):
         ap.error("nothing to do: pass --delete-ids, --compact, "
                  "--merge, --tiered, --expunge, --backup, "
-                 "--restore-from, --verify-backup and/or --stats")
+                 "--restore-from, --verify-backup, --stats and/or "
+                 "--fsck")
 
     try:
         from searchengine_spark.index.backup import (
@@ -116,7 +122,7 @@ def main():
         )
     spark_work = (args.compact or args.merge or args.tiered
                   or args.expunge is not None or args.delete_ids
-                  or args.stats)
+                  or args.stats or args.fsck)
     if not spark_work:
         out = {"metric": "segment maintenance", "index": args.index}
         if args.restore_from:
@@ -187,6 +193,14 @@ def main():
         out["backup"] = backup_index(
             args.index, args.backup, checksum=not args.no_checksum
         )
+    fsck_bad = 0
+    if args.fsck:
+        from searchengine_spark.index.segments import fsck_index
+
+        viol = [r.asDict() for r in
+                fsck_index(spark, args.index).collect()]
+        out["fsck_violations"] = viol
+        fsck_bad = len(viol)
     st = load_segments(spark, args.index, cache_meta=False).stats
     out.update({
         "n_total": st["n_total"],
@@ -197,6 +211,7 @@ def main():
     })
     print(json.dumps(out))
     spark.stop()
+    return 1 if fsck_bad else 0
 
 
 if __name__ == "__main__":
