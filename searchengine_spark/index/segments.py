@@ -1249,3 +1249,31 @@ def fsck_index(spark: SparkSession, index_dir: str) -> DataFrame:
         .unionByName(df_viol)
         .unionByName(dup_viol)
     )
+
+
+def delete_where(spark: SparkSession, index_dir: str,
+                 predicate: str) -> int:
+    """Delete-by-predicate — the policy/GDPR surface over the stored
+    docs metadata (``repo``, ``path``, ``commit``, ``sha256``,
+    ``url``): resolves the LIVE docids matching the SQL ``predicate``
+    and routes them through the delete_docs tombstone machinery, so
+    every delete_docs guarantee (immediate serving removal, exact
+    df/cf corrections, idempotent replays, physical reclaim at the
+    next merge/expunge) applies unchanged.
+
+    ``delete_where(spark, d, "repo = 'src1'")`` forgets a whole
+    repository; a re-run matches nothing (already tombstoned) and
+    returns 0.  The resolved-id collect is bounded by the delete
+    batch — the same bounded-collect class as delete_docs itself and
+    upsert_segment's stale-key scan.
+
+    :return: number of newly tombstoned docs.
+    """
+    cur = load_segments(spark, index_dir, cache_meta=False)
+    ids = [
+        r["docid"]
+        for r in cur.docs.filter(predicate).select("docid").collect()
+    ]
+    if not ids:
+        return 0
+    return delete_docs(spark, index_dir, ids)

@@ -1324,3 +1324,37 @@ def test_fsck_index_clean_and_detects_corruption(spark, index_dir,
 
     kinds2 = {v["check"] for v in fsck_index(spark, d).collect()}
     assert kinds2 == {"block-cf", "termdict-df"}
+
+
+def test_delete_where_predicate(spark, split_corpora, tmp_path_factory):
+    """delete_where (the policy/GDPR surface): tombstones exactly the
+    LIVE docs matching the metadata predicate — equivalent to
+    delete_docs of the resolved ids — a replay matches nothing, and
+    the repo's docs are gone from serving while everything else
+    survives."""
+    from searchengine_spark.index.segments import delete_where
+
+    full, a, b = split_corpora
+    base = tmp_path_factory.mktemp("seg_delw")
+    seg_dir = str(base / "idx")
+    init_segmented(
+        spark,
+        build_tables(spark, a, compute_quality=False, simhash_bits=32),
+        seg_dir,
+    )
+    append_segment(spark, seg_dir, b, compute_quality=False,
+                   simhash_bits=32)
+    before = load_segments(spark, seg_dir)
+    repo = before.docs.select("repo").orderBy("repo").first()["repo"]
+    n_repo = before.docs.filter(f"repo = '{repo}'").count()
+    n_before = before.stats["n_survivors"]
+    assert n_repo > 0
+
+    assert delete_where(spark, seg_dir, f"repo = '{repo}'") == n_repo
+    # replay: every matching doc is already tombstoned
+    assert delete_where(spark, seg_dir, f"repo = '{repo}'") == 0
+
+    after = load_segments(spark, seg_dir)
+    assert after.stats["n_survivors"] == n_before - n_repo
+    assert after.docs.filter(f"repo = '{repo}'").count() == 0
+    assert after.docs.count() == n_before - n_repo

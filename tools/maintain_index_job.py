@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--simhash-bits", type=int, default=64,
                     choices=(32, 64),
                     help="must match the bits the segments were built with")
+    ap.add_argument("--delete-where", default=None, metavar="SQL",
+                    help="tombstone every LIVE doc whose metadata row "
+                         "(repo/path/commit/sha256/url) matches the "
+                         "SQL predicate, e.g. \"repo = 'src1'\"")
     ap.add_argument("--delete-ids", default=None,
                     help="comma-separated docids to tombstone "
                          "(segments.delete_docs; reclaimed by the next "
@@ -85,6 +89,7 @@ def main():
     args = ap.parse_args()
     if not (args.compact or args.merge or args.tiered
             or args.expunge is not None or args.delete_ids
+            or args.delete_where
             or args.backup or args.restore_from or args.verify_backup
             or args.stats or args.fsck):
         ap.error("nothing to do: pass --delete-ids, --compact, "
@@ -122,7 +127,7 @@ def main():
         )
     spark_work = (args.compact or args.merge or args.tiered
                   or args.expunge is not None or args.delete_ids
-                  or args.stats or args.fsck)
+                  or args.delete_where or args.stats or args.fsck)
     if not spark_work:
         out = {"metric": "segment maintenance", "index": args.index}
         if args.restore_from:
@@ -167,6 +172,12 @@ def main():
     if args.delete_ids:
         ids = [int(x) for x in args.delete_ids.split(",") if x.strip()]
         out["deleted"] = delete_docs(spark, args.index, ids)
+    if args.delete_where:
+        from searchengine_spark.index.segments import delete_where
+
+        out["deleted_where"] = delete_where(
+            spark, args.index, args.delete_where
+        )
     if args.compact:
         out["tombstoned"] = compact_near_dups(
             spark, args.index, bits=args.simhash_bits
