@@ -491,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": V.ann_ivf_topk,
         "ann_filtered_topk": V.ann_filtered_topk,
         "ann_recall": V.ann_recall,
+        "ann_recall_curve": V.ann_recall_curve,
         "ann_ivf_kmeans_topk": V.ann_ivf_kmeans_topk,
         "ivf_stats": V.ivf_stats,
         "pq_codes": V.pq_codes,
@@ -2545,6 +2546,7 @@ def oracle_sql() -> dict[str, str]:
         RET_MAX_DAYS as _RET_MAX,
     )
     from searchengine_spark.ops.vectors import (
+        ANN_CURVE_MAX_NPROBE as _ANN_CURVE_MAX,
         ANN_FILTER_LABELS as _ANN_FILTER_LABELS,
         SQ_BINS as _SQ_BINS,
         SQ_QUERY_VEC as _SQ_QV,
@@ -3626,6 +3628,66 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hits, 0)::BIGINT AS n_hits,
                    round(coalesce(h.n_hits, 0) / 10, 6) AS recall
             FROM q LEFT JOIN hits h ON h.qid = q.qid
+        """,
+        # nprobe↔recall tradeoff curve (ops/vectors.ann_recall_curve):
+        # one-pass monotone-membership argument (docstring) — a truth
+        # top-k vector enters ivf-topk(p) iff its cell's probe rank
+        # <= p; exact integer hit counts, one round-6 division/point
+        "ann_recall_curve": f"""
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                         FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM emb
+                     WHERE vec_id % 50 = 0),
+            scored AS (
+              SELECT e.vec_id, e.v, c.cid,
+                     {_COS.format(a="e.v", b="c.cv")} AS ccos
+              FROM emb e CROSS JOIN cent c
+            ),
+            assigned AS (
+              SELECT vec_id, cid FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+                FROM scored) WHERE rn = 1
+            ),
+            q AS (SELECT vec_id AS qid, v AS qv FROM emb
+                  WHERE vec_id % 25 = 0),
+            pranks AS (
+              SELECT qid, cid, row_number() OVER (
+                       PARTITION BY qid ORDER BY qcos DESC, cid
+                     ) AS prank
+              FROM (
+                SELECT q.qid, c.cid,
+                       {_COS.format(a="q.qv", b="c.cv")} AS qcos
+                FROM q CROSS JOIN cent c)
+            ),
+            ex_sc AS (
+              SELECT q.qid, e.vec_id,
+                     round({_COS.format(a="e.v", b="q.qv")}, 5) AS cosine
+              FROM emb e CROSS JOIN q
+              WHERE e.vec_id != q.qid
+            ),
+            ex_k AS (
+              SELECT qid, vec_id FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+                FROM ex_sc) WHERE rn <= 10
+            ),
+            minp AS (
+              SELECT x.qid, pr.prank
+              FROM ex_k x
+              JOIN assigned a ON a.vec_id = x.vec_id
+              JOIN pranks pr ON pr.qid = x.qid AND pr.cid = a.cid
+            ),
+            nq AS (SELECT count(*)::BIGINT AS n FROM q),
+            points AS (SELECT unnest(generate_series(
+                         1, {_ANN_CURVE_MAX})) AS nprobe)
+            SELECT p.nprobe::BIGINT AS nprobe,
+                   round(
+                     (SELECT count(*) FROM minp m
+                      WHERE m.prank <= p.nprobe)::DOUBLE
+                     / (nq.n * 10)::DOUBLE, 6) AS recall
+            FROM points p CROSS JOIN nq
+            ORDER BY nprobe
         """,
         # PQ codes: per-subspace nearest codebook entry (squared L2,
         # 6dp-rounded before the argmin, tie → lowest code) against the

@@ -1649,3 +1649,93 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str,
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+ANN_CURVE_MAX_NPROBE = 8   # curve domain, interpolated into the oracle
+
+
+def ann_recall_curve(spark: SparkSession, sf_dir: str, k: int = 10,
+                     query_mod: int = 25,
+                     max_nprobe: int = ANN_CURVE_MAX_NPROBE
+                     ) -> DataFrame:
+    """(nprobe, recall) — the nprobe↔recall TRADEOFF CURVE of the
+    stride-IVF search, every point from ONE pass: the tuning table an
+    ANN deployment reads to pick its probe budget (ann_recall measures
+    the single deployed point; this measures the whole knob).
+
+    One pass suffices because membership is monotone: under the
+    engine's pinned total order (round-5 cosine, vec_id tie-break) a
+    ground-truth top-k vector has at most k-1 vectors above it
+    GLOBALLY, so within ANY candidate subset it stays inside the
+    top-k cut — v ∈ ivf-topk(p) iff the probe rank of v's cell
+    ≤ p.  Hence recall@k(p) = |truth hits with cell-probe-rank ≤ p|
+    / (|Q|·k), computed for all p from the per-hit minimal probe rank
+    (exact integer counts, one round-6 division per point).
+
+    Scale: assignment/probe ranking are the ann_recall shapes; the
+    per-hit join is |Q|·k rows; the curve join is that tiny set
+    against max_nprobe literals."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    asg = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cid",
+        _cosine("embedding", "cv").alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assigned = (
+        asg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("qcos"), F.asc("cid"))
+    pranks = (
+        queries.crossJoin(F.broadcast(cent))
+        .select("qid", "cid", _cosine("qv", "cv").alias("qcos"))
+        .withColumn("prank", F.row_number().over(wq))
+        .select("qid", "cid", "prank")
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    exact_k = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            F.round(_cosine("embedding", "qv"), 5).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    minp = (
+        exact_k.join(assigned, "vec_id")
+        .join(pranks, ["qid", "cid"])
+        .select("qid", "prank")
+    )
+    nq = queries.count()
+    points = spark.range(1, max_nprobe + 1).select(
+        F.col("id").alias("nprobe")
+    )
+    hits = (
+        minp.crossJoin(F.broadcast(points))
+        .filter(F.col("prank") <= F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg(F.count("*").cast("long").alias("_h"))
+    )
+    return (
+        points.join(hits, "nprobe", "left")
+        .na.fill({"_h": 0})
+        .select(
+            "nprobe",
+            F.round(
+                F.col("_h").cast("double") / F.lit(float(nq * k)), 6
+            ).alias("recall"),
+        )
+        .orderBy("nprobe")
+    )

@@ -2927,3 +2927,26 @@ def test_ann_filtered_topk_eligibility_only(spark):
         if lab[r["vec_id"]] in ANN_FILTER_LABELS
     ][: len(got)]
     assert [(r["vec_id"], r["cosine"]) for r in got] == want
+
+
+def test_ann_recall_curve_consistency(spark):
+    """The one-pass curve must be monotone nondecreasing in nprobe and
+    its point at the deployed NPROBE must equal the mean of
+    ann_recall's per-query recalls (same truth sets, same order
+    contracts) — the monotone-membership argument checked empirically."""
+    from searchengine_spark.ops.vectors import (
+        NPROBE,
+        ann_recall,
+        ann_recall_curve,
+    )
+
+    curve = {
+        r["nprobe"]: r["recall"]
+        for r in ann_recall_curve(spark, SF).collect()
+    }
+    assert list(curve) == sorted(curve)
+    vals = [curve[p] for p in sorted(curve)]
+    assert all(b >= a for a, b in zip(vals, vals[1:]))
+
+    per_q = [r["recall"] for r in ann_recall(spark, SF).collect()]
+    assert curve[NPROBE] == round(sum(per_q) / len(per_q), 6)
