@@ -327,6 +327,8 @@ def _run_ops_tier(spark):
           lambda: V.ann_recall(spark, SF_DIR).count())
     timed("ann_filtered_sec",
           lambda: V.ann_filtered_topk(spark, SF_DIR).count())
+    timed("ann_recall_curve_sec",
+          lambda: V.ann_recall_curve(spark, SF_DIR).count())
     timed("ann_ivf_pq_rerank_sec",
           lambda: V.ann_ivf_pq_rerank_topk(spark, SF_DIR).count())
     timed("span_dedup_sec", lambda: D.span_dedup(docs).count())
