@@ -619,6 +619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": __import__(
             "searchengine_spark.ops.relational", fromlist=["tpch_q4"]
         ).tpch_q4,
+        "tpch_q17": __import__(
+            "searchengine_spark.ops.relational", fromlist=["tpch_q17"]
+        ).tpch_q17,
         "pricing_rollup": __import__(
             "searchengine_spark.ops.relational",
             fromlist=["pricing_rollup"],
@@ -3410,6 +3413,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": _REL.tpch_q5_oracle_sql(),
         "tpch_q14": _REL.tpch_q14_oracle_sql(),
         "tpch_q4": _REL.tpch_q4_oracle_sql(),
+        "tpch_q17": _REL.tpch_q17_oracle_sql(),
         "pricing_rollup": _REL.pricing_rollup_oracle_sql(),
         "bucketed_revenue": _REL.bucketed_revenue_oracle_sql(),
         "user_sessions": f"""

@@ -449,6 +449,7 @@ def _run_ops_tier(spark):
     timed("tpch_q3_sec", lambda: R.tpch_q3(spark, SF_DIR).collect())
     timed("pricing_rollup_sec",
           lambda: R.pricing_rollup(spark, SF_DIR).collect())
+    timed("tpch_q17_sec", lambda: R.tpch_q17(spark, SF_DIR).collect())
     timed("funnel_conversion_sec",
           lambda: EV.funnel_conversion(spark, SF_DIR).collect())
     timed("retention_cohorts_sec",

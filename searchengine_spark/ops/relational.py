@@ -491,3 +491,65 @@ def bucketed_revenue_oracle_sql() -> str:
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """
+
+
+Q17_BRAND = "Brand#1"
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str,
+             brand: str = Q17_BRAND) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: average yearly revenue
+    lost if small orders (quantity below 20% of the part's average)
+    of one brand's parts were not filled — THE correlated-scalar-
+    subquery query, decorrelated the Spark way: the per-part average
+    becomes one aggregate joined back on p_partkey (never a per-row
+    subquery), with the brand's part keys broadcast-semi-filtering the
+    fact table FIRST so the avg agg only touches the brand's
+    lineitems (the avg per part over that subset IS the full per-part
+    avg — part membership, not a lineitem filter).
+
+    Floats: l_quantity is integer-valued (1..50), so per-part sums
+    are exact doubles regardless of order, avg = exact/count and
+    0.2*avg are bit-identical on both engines; revenue sums exact
+    cents ({_CENTS}) and divides once by 700.0, round-6."""
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == brand)
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", F.expr(_CENTS).alias("cents")
+    )
+    li_b = li.join(
+        F.broadcast(parts), li.l_partkey == parts.p_partkey
+    ).select("l_partkey", "l_quantity", "cents")
+    thr = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_thr")
+    )
+    return (
+        li_b.join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_thr"))
+        .agg(F.sum("cents").cast("long").alias("_c"))
+        .select(
+            F.round(
+                F.col("_c").cast("double") / F.lit(700.0), 6
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def tpch_q17_oracle_sql(brand: str = Q17_BRAND) -> str:
+    return f"""
+        WITH pb AS (SELECT p_partkey FROM part
+                    WHERE p_brand = '{brand}'),
+        lb AS (
+          SELECT l_partkey, l_quantity, {_CENTS} AS cents
+          FROM lineitem JOIN pb ON l_partkey = p_partkey),
+        thr AS (
+          SELECT l_partkey, 0.2 * avg(l_quantity) AS t
+          FROM lb GROUP BY l_partkey)
+        SELECT round(sum(cents)::BIGINT::DOUBLE / 700.0, 6)
+                 AS avg_yearly
+        FROM lb JOIN thr USING (l_partkey)
+        WHERE l_quantity < t
+    """

@@ -166,3 +166,42 @@ def test_bucketed_revenue_values_and_no_join_shuffle(spark, con):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_q17_values_and_decorrelated_shape(spark):
+    """Q17 (correlated scalar subquery): values match DuckDB's
+    correlated formulation via the decorrelated per-part-avg join,
+    and the plan broadcasts the brand part keys with no
+    nested-loop/cartesian fallback."""
+    import duckdb as _d
+
+    from searchengine_spark.ops.relational import (
+        tpch_q17,
+        tpch_q17_oracle_sql,
+    )
+
+    c = _d.connect()
+    for t in ("lineitem", "part"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    df = tpch_q17(spark, SF)
+    _match(df, c, tpch_q17_oracle_sql())
+    # the TRUE correlated form in DuckDB must agree too (the rewrite
+    # proof, not just oracle-vs-oracle)
+    corr = c.execute("""
+        SELECT round(sum(cast(round(l_extendedprice * 100) as bigint))
+                     ::BIGINT::DOUBLE / 700.0, 6) AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = p.p_partkey)
+    """).fetchall()
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in corr]
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
