@@ -692,6 +692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_topk": S.diversified_topk,
         "synonym_topk": S.synonym_topk,
         "query_topk": S.query_topk,
+        "query_source_topk": lambda spark, sf: S.query_topk(
+            spark, sf, q=S.QL_QUERY_SOURCE
+        ),
         "query_or_topk": lambda spark, sf: S.query_topk(
             spark, sf, q=S.QL_QUERY_OR
         ),
@@ -4824,6 +4827,9 @@ def oracle_sql() -> dict[str, str]:
     d["diversified_topk"] = SRCH.diversified_topk_oracle_sql()
     d["synonym_topk"] = SRCH.synonym_topk_oracle_sql()
     d["query_topk"] = SRCH.query_topk_oracle_sql()
+    d["query_source_topk"] = SRCH.query_topk_oracle_sql(
+        q=SRCH.QL_QUERY_SOURCE
+    )
     d["query_or_topk"] = SRCH.query_topk_oracle_sql(q=SRCH.QL_QUERY_OR)
     d["query_boost_topk"] = SRCH.query_topk_oracle_sql(
         q=SRCH.QL_QUERY_BOOST

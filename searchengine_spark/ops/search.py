@@ -44,6 +44,7 @@ SYN_GROUPS = (("join", "merge"), ("fast", "slow"))
 QL_QUERY = 'spark query "table hash" -dup lang:en sc* *er'
 QL_QUERY_OR = 'spark "table hash" -dup part|stream query|window'
 QL_QUERY_BOOST = 'spark query^2.5 "table hash" -dup'
+QL_QUERY_SOURCE = "table hash source:src3 -dup"
 RELATED_SEED = "spark"
 RELATED_MIN_CO = 5          # ignore co-occurrence counts below this
 RELATED_TOPN = 10
@@ -536,9 +537,9 @@ def query_topk(spark, sf_dir, q=QL_QUERY, k=10) -> DataFrame:
             cur = cur.join(nxt, ["doc_id", "pos"])
         res = res.join(cur.select("doc_id").distinct(), "doc_id")
 
-    if parsed["filters"].get("lang"):
+    for field, value in sorted(parsed["filters"].items()):
         allowed = documents(spark, sf_dir).filter(
-            F.col("lang") == parsed["filters"]["lang"]
+            F.col(field) == value
         ).select("doc_id")
         res = res.join(allowed, "doc_id", "left_semi")
 
@@ -601,10 +602,10 @@ def query_topk_oracle_sql(q=QL_QUERY, k=10) -> str:
         ph{pi} AS (SELECT DISTINCT p0.doc_id FROM pos p0 {joins}
                    WHERE p0.term = '{phrase[0]}')""")
         conds.append(f"doc_id IN (SELECT doc_id FROM ph{pi})")
-    if parsed["filters"].get("lang"):
+    for field, value in sorted(parsed["filters"].items()):
         conds.append(
             "doc_id IN (SELECT doc_id FROM documents"
-            f" WHERE lang = '{parsed['filters']['lang']}')"
+            f" WHERE {field} = '{value}')"
         )
     if parsed["must_not"]:
         tlist = ", ".join(f"'{t}'" for t in parsed["must_not"])

@@ -12,7 +12,9 @@ Syntax:
   "quoted tokens"    -> phrase (adjacent positions required; its tokens
                         also score like must terms)
   -token             -> must_not (boolean NOT, eligibility-only)
-  lang:value         -> metadata filter (the only field understood)
+  lang:value         -> metadata filter (lang / source are the
+  source:value          understood fields — the documents table's
+                        metadata columns)
   a|b|c              -> OR group (one scoring SLOT): the doc must match
                         at least one alternative, and its score sums
                         BM25 over ALL matched alternatives — Lucene's
@@ -133,9 +135,9 @@ def parse_query(q: str) -> dict:
             must_not.extend(tokenize(tok[1:]))
         elif ":" in tok:
             field, value = tok.split(":", 1)
-            if field != "lang":
+            if field not in ("lang", "source"):
                 raise ValueError(f"unknown query field: {field!r}")
-            filters["lang"] = value
+            filters[field] = value
         else:
             bt = tokenize(tok)
             must.extend(bt)

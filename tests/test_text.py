@@ -198,8 +198,8 @@ def test_extract_importance_text_title_tokens():
 
 def test_parse_query_clauses():
     """The mini query language (text/querylang.py): bare tokens = must,
-    quotes = phrase (tokens also score), -tok = must_not, lang: = the
-    one metadata filter, anything else raises."""
+    quotes = phrase (tokens also score), -tok = must_not, lang:/source:
+    = the metadata filters, anything else raises."""
     import pytest
 
     from searchengine_spark.text.querylang import parse_query
@@ -209,6 +209,10 @@ def test_parse_query_clauses():
     assert p["phrases"] == [["table", "hash"]]
     assert p["must_not"] == ["dup"]
     assert p["filters"] == {"lang": "en"}
+
+    # source: is the other understood metadata field; both combine
+    ps = parse_query("table source:src3 lang:en")
+    assert ps["filters"] == {"lang": "en", "source": "src3"}
     # scoring = sorted distinct union of must + phrase tokens
     assert p["scoring"] == ["hash", "query", "spark", "table"]
 
