@@ -11,9 +11,15 @@ shards (index/shards.py) and the persisted IVF (ops/vectors.py).
 Layout under ``index_dir``::
 
     cells/tb=<bucket>/*.parquet   (tg string, doc_id long)
-    trigram_index.json            manifest, written LAST — the
+    cells_g<N>/tb=<bucket>/...    append generations (append_trigram;
+                                  readers union them — a doc_id lives
+                                  in exactly one generation, keeping
+                                  coverage counts exact)
+    trigram_index.json            manifest (generation list, batch
+                                  tags, n_docs), written LAST — the
                                   completeness marker (cells alone
-                                  mean a crashed build)
+                                  mean a crashed build); every append
+                                  commits by atomic manifest swap
 
 The index stores NO text: verification joins the caller's documents
 table on the candidate ids only (candidates ≪ corpus by construction),
@@ -78,6 +84,78 @@ def build_trigram_index(spark: SparkSession, docs: DataFrame,
     return index_dir
 
 
+def _gens(manifest: dict) -> list:
+    """Generation dirs, oldest first — pre-generation manifests (v1)
+    mean the single ``cells`` dir."""
+    return manifest.get("generations", ["cells"])
+
+
+def append_trigram(spark: SparkSession, docs: DataFrame,
+                   index_dir: str, batch_tag: str | None = None) -> int:
+    """Append new (doc_id, text) rows as a fresh cells generation —
+    the incremental half of the Zoekt story (build once, keep
+    indexing): readers union the generation dirs, and coverage counts
+    stay exact because a doc_id lives in EXACTLY ONE generation
+    (already-indexed ids are anti-joined out, so replayed or
+    overlapping batches cannot double a doc's trigram rows — the
+    coverage == |need| rule depends on per-doc distinctness).
+
+    ``batch_tag`` gives streaming idempotence (the append_ivf
+    contract): a committed tag no-ops, and an append whose every doc
+    is already indexed (or tokenless) commits its tag WITHOUT a
+    generation (an empty partitionBy dir is schema-less and would
+    poison the union read).  Commit = one atomic manifest swap AFTER
+    the data is down.
+
+    :return: number of newly indexed docs.
+    """
+    mpath = os.path.join(index_dir, MANIFEST)
+    if not os.path.exists(mpath):
+        raise ValueError(f"no committed trigram index at {index_dir}")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    if batch_tag and batch_tag in manifest.get("tags", []):
+        return 0
+    gens = _gens(manifest)
+    from functools import reduce
+
+    existing = (
+        reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                spark.read.parquet(os.path.join(index_dir, g))
+                for g in gens
+            ],
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    fresh = docs.join(existing, "doc_id", "left_anti")
+    n_new = fresh.count()
+    tri = fresh.select(
+        "doc_id", F.explode(_trigrams_col()).alias("tg")
+    ).withColumn(
+        "tb",
+        F.pmod(
+            F.xxhash64("tg"), F.lit(int(manifest["n_buckets"]))
+        ).cast("int"),
+    )
+    gen = f"cells_g{len(gens)}"
+    if n_new and tri.limit(1).count():
+        tri.write.mode("overwrite").partitionBy("tb").parquet(
+            os.path.join(index_dir, gen)
+        )
+        manifest["generations"] = gens + [gen]
+    manifest["n_docs"] = int(manifest.get("n_docs", 0)) + int(n_new)
+    if batch_tag:
+        manifest.setdefault("tags", []).append(batch_tag)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)
+    return int(n_new)
+
+
 def _query_trigrams(ql: str, require: bool) -> list:
     """Distinct trigrams of a lowercased literal; < 3 chars raises
     when ``require`` (substring search has nothing to prune with)."""
@@ -98,9 +176,21 @@ def _shard_candidates(spark: SparkSession, index_dir: str, need):
     if not need:
         return None
     with open(mpath) as f:
-        n_buckets = int(json.load(f)["n_buckets"])
+        manifest = json.load(f)
+    n_buckets = int(manifest["n_buckets"])
     tbs = sorted({term_bucket(t, n_buckets) for t in need})
-    cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+    # per-generation reads unioned (one spark.read over sibling
+    # partitioned dirs trips CONFLICTING_DIRECTORY_STRUCTURES);
+    # pruning survives the union — the test_segments plan precedent
+    from functools import reduce
+
+    cells = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(os.path.join(index_dir, g))
+            for g in _gens(manifest)
+        ],
+    )
     return (
         cells.filter(F.col("tb").isin(tbs) & F.col("tg").isin(need))
         .groupBy("doc_id")

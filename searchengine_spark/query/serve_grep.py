@@ -29,17 +29,43 @@ class LocalGrep:
     the candidates' rows from the source table (pushdown on doc_id)."""
 
     def __init__(self, index_dir: str, docs_parquet: str):
-        mpath = os.path.join(index_dir, "trigram_index.json")
+        self._index_dir = index_dir
+        self._docs = docs_parquet
+        self._load()
+
+    def _load(self):
+        mpath = os.path.join(self._index_dir, "trigram_index.json")
         if not os.path.exists(mpath):
-            raise ValueError(f"no committed trigram index at {index_dir}")
+            raise ValueError(
+                f"no committed trigram index at {self._index_dir}"
+            )
         with open(mpath) as f:
-            self.n_buckets = int(json.load(f)["n_buckets"])
+            manifest = json.load(f)
+        self.n_buckets = int(manifest["n_buckets"])
+        self._gens = manifest.get("generations", ["cells"])
         import pyarrow.dataset as pads
 
-        self._cells = pads.dataset(
-            os.path.join(index_dir, "cells"), partitioning="hive"
-        )
-        self._docs = docs_parquet
+        # one UNION dataset over all generations (append_trigram keeps
+        # each doc_id in exactly one, so coverage counts stay exact);
+        # pyarrow unions dataset OBJECTS, not directory paths
+        parts = [
+            pads.dataset(
+                os.path.join(self._index_dir, g), partitioning="hive"
+            )
+            for g in self._gens
+        ]
+        self._cells = parts[0] if len(parts) == 1 else pads.dataset(parts)
+
+    def maybe_refresh(self) -> bool:
+        """Reload when an append committed a new generation list —
+        the LocalSearcher/LocalANN maintenance contract."""
+        mpath = os.path.join(self._index_dir, "trigram_index.json")
+        with open(mpath) as f:
+            gens = json.load(f).get("generations", ["cells"])
+        if gens != self._gens:
+            self._load()
+            return True
+        return False
 
     def search(self, q: str, k: int = 20):
         """[(doc_id, n_occurrences)] — n desc, doc_id asc, top k."""

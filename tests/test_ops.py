@@ -2950,3 +2950,63 @@ def test_ann_recall_curve_consistency(spark):
 
     per_q = [r["recall"] for r in ann_recall(spark, SF).collect()]
     assert curve[NPROBE] == round(sum(per_q) / len(per_q), 6)
+
+
+def test_trigram_append_generations(spark, tmp_path):
+    """append_trigram: the build-half + append-half shard serves
+    value-identically to a one-shot build over the union (Spark path
+    AND LocalGrep, which must maybe_refresh onto the new generation);
+    overlapping doc_ids are anti-joined out (coverage counts stay
+    exact), replayed batch tags no-op, and an all-duplicate append
+    commits NO generation."""
+    import json
+    import os
+
+    from searchengine_spark.index.trigram import (
+        append_trigram,
+        build_trigram_index,
+        substring_topk_ondisk,
+    )
+    from searchengine_spark.query.serve_grep import LocalGrep
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    d_inc = str(tmp_path / "tri_inc")
+    build_trigram_index(spark, half_a, d_inc)
+    grep = LocalGrep(d_inc, f"{SF}/documents.parquet")
+
+    # append half_b PLUS an overlap resend of some half_a docs
+    resend = half_a.limit(5)
+    n = append_trigram(spark, half_b.unionByName(resend), d_inc,
+                       batch_tag="t1")
+    assert n == half_b.count()          # overlaps anti-joined out
+    assert append_trigram(spark, half_b, d_inc, batch_tag="t1") == 0
+
+    d_full = str(tmp_path / "tri_full")
+    build_trigram_index(spark, docs, d_full)
+    q = "table hash"
+    inc = [tuple(r) for r in
+           substring_topk_ondisk(spark, d_inc, docs, q, k=20).collect()]
+    full = [tuple(r) for r in
+            substring_topk_ondisk(spark, d_full, docs, q, k=20).collect()]
+    assert inc == full and len(inc) > 0
+
+    # LocalGrep: stale replica refreshes onto the generation union
+    assert grep.maybe_refresh() is True
+    assert grep.maybe_refresh() is False
+    assert grep.search(q, k=20) == full
+
+    # an all-duplicate append commits its tag but NO generation
+    man_before = json.load(
+        open(os.path.join(d_inc, "trigram_index.json"))
+    )
+    assert append_trigram(spark, resend, d_inc, batch_tag="t2") == 0
+    man_after = json.load(
+        open(os.path.join(d_inc, "trigram_index.json"))
+    )
+    assert man_after["generations"] == man_before["generations"]
+    assert "t2" in man_after["tags"]

@@ -28,6 +28,14 @@ def main():
     ap.add_argument("--input", required=True,
                     help="sf dir with documents.parquet")
     ap.add_argument("--index", required=True, help="shard output dir")
+    ap.add_argument("--append", action="store_true",
+                    help="append the input as a new cells generation "
+                         "instead of rebuilding (index/trigram."
+                         "append_trigram: already-indexed doc_ids "
+                         "skipped, atomic manifest commit)")
+    ap.add_argument("--batch-tag", default=None,
+                    help="idempotence tag for --append (a committed "
+                         "tag no-ops — the streaming replay contract)")
     ap.add_argument("--probe", default=None,
                     help="substring to serve as a post-build smoke")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -48,6 +56,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     from searchengine_spark.index.trigram import (
+        append_trigram,
         build_trigram_index,
         substring_topk_ondisk,
     )
@@ -57,7 +66,11 @@ def main():
     ).select("doc_id", "text")
     n_docs = docs.count()
     t0 = time.time()
-    build_trigram_index(spark, docs, args.index)
+    if args.append:
+        n_docs = append_trigram(spark, docs, args.index,
+                                batch_tag=args.batch_tag)
+    else:
+        build_trigram_index(spark, docs, args.index)
     build_sec = time.time() - t0
 
     out = {
