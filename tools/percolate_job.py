@@ -22,8 +22,15 @@ Prints ONE JSON line with alert counts and wall time.
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# Spark-free invocation without --py-files/PYTHONPATH: resolve the
+# package from the repo checkout this script lives in
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def main():
@@ -34,6 +41,10 @@ def main():
     ap.add_argument("--batch", metavar="SF_DIR",
                     help="backfill: run the batch percolator over "
                          "SF_DIR/documents.parquet and print counts")
+    ap.add_argument("--rich", action="store_true",
+                    help="use the rich standing queries (bare/phrase/"
+                         "-not via the shared query-language parser; "
+                         "ops PERC_RICH_QUERIES + the rich gate)")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
     if not args.batch and not (args.src and args.out and args.checkpoint):
@@ -54,30 +65,38 @@ def main():
 
     t0 = time.time()
     if args.batch:
-        from searchengine_spark.ops.search import percolate
+        from searchengine_spark.ops.search import (
+            percolate,
+            percolate_rich,
+        )
 
-        alerts = percolate(spark, args.batch)
+        op = percolate_rich if args.rich else percolate
+        alerts = op(spark, args.batch)
         n = alerts.count()
         wall = time.time() - t0
         print(json.dumps({
             "metric": "percolate backfill alerts",
             "unit": "alerts",
-            "mode": "batch",
+            "mode": "batch" + ("-rich" if args.rich else ""),
             "input": args.batch,
             "n_alerts": n,
             "wall_sec": round(wall, 3),
             "value": n,
         }))
     else:
-        from searchengine_spark.streaming.percolate import percolate_stream
+        from searchengine_spark.streaming.percolate import (
+            percolate_rich_stream,
+            percolate_stream,
+        )
 
-        percolate_stream(spark, args.src, args.out, args.checkpoint)
+        gate = percolate_rich_stream if args.rich else percolate_stream
+        gate(spark, args.src, args.out, args.checkpoint)
         n = spark.read.parquet(args.out).count()
         wall = time.time() - t0
         print(json.dumps({
             "metric": "percolate stream drain",
             "unit": "alerts",
-            "mode": "stream",
+            "mode": "stream" + ("-rich" if args.rich else ""),
             "src": args.src,
             "n_alerts_total": n,
             "wall_sec": round(wall, 3),
