@@ -448,20 +448,21 @@ def burst_pairs(spark: SparkSession, sf_dir: str,
             " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
         ).alias("us"),
     )
+    # exact integer division on the long microsecond column: a double
+    # quotient can round UP across a bucket boundary once us is large
+    # enough that the half-ULP exceeds 1/gap_us, silently breaking the
+    # 2-bucket completeness argument (us is nonnegative epoch-us, so
+    # truncating `div` == floor)
+    bucket = F.expr(f"us div {gap_us}")
     left = ev.select(
         F.col("event_type").alias("t"),
         F.col("us").alias("us_a"),
-        F.explode(
-            F.array(
-                (F.col("us") / gap_us).cast("long"),
-                (F.col("us") / gap_us).cast("long") + 1,
-            )
-        ).alias("tag"),
+        F.explode(F.array(bucket, bucket + 1)).alias("tag"),
     )
     right = ev.select(
         F.col("event_type").alias("t"),
         F.col("us").alias("us_b"),
-        (F.col("us") / gap_us).cast("long").alias("tag"),
+        bucket.alias("tag"),
     )
     return (
         left.join(right, ["t", "tag"])
