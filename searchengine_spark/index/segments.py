@@ -358,20 +358,44 @@ def load_segments(spark: SparkSession, index_dir: str,
     )
 
 
+CORR_RANGE = 4096  # docid range-bucket width for the distributed prune
+                   # (the stored-fields sidecar's range_id granularity)
+
+
 def _tombstone_corrections(spark: SparkSession, blocks: DataFrame,
                            tomb_ids) -> DataFrame:
     """Per-term (df_sub, cf_sub) of the tombstoned docs, from ONE
     docid-range-pruned pass over the block metadata + payloads.
 
-    Block-level pruning is vectorized against the broadcast sorted
-    tombstone array (searchsorted range-overlap on the skip-pointer
-    columns, no decode); only overlapping payloads are decoded, and
-    membership is a second searchsorted.  Output is term-count-sized —
-    the whole point vs a physical rewrite: the index is read once (the
-    salted striping keeps block spans tight, so most blocks prune) but
-    nothing is rewritten.
+    ``tomb_ids`` is either a bounded Python iterable of docids (the
+    explicit delete_docs batch — query-terms-sized, broadcastable) or
+    a ``docid`` **DataFrame** (the maintenance flows: predicate
+    deletes, near-dup compaction, merge rewrites — unbounded at
+    100 TB, so the set must NEVER cross the driver).
+
+    List path: block-level pruning is vectorized against the broadcast
+    sorted tombstone array (searchsorted range-overlap on the
+    skip-pointer columns, no decode); only overlapping payloads are
+    decoded, and membership is a second searchsorted.
+
+    DataFrame path (fully distributed, no driver state): blocks prune
+    by a range-bucket LEFT SEMI join — the narrow skip-pointer
+    projection explodes each block to the CORR_RANGE buckets its
+    [docid_first, docid_last] span covers (salted striping keeps spans
+    tight, so the explode is O(1) per block) and semi-joins the
+    distinct tombstone buckets; surviving payloads decode once
+    (docid+tf sections only) and the posting rows semi-join the
+    tombstone ids on docid before the per-term aggregate.  Shuffles
+    carry only (range_id)/(docid)-keyed narrow rows and the pruned
+    payload subset.
+
+    Either way the output is term-count-sized — the whole point vs a
+    physical rewrite: the index is read once but nothing is rewritten.
     """
     import numpy as np
+
+    if isinstance(tomb_ids, DataFrame):
+        return _tombstone_corrections_df(blocks, tomb_ids)
 
     tomb = np.asarray(sorted(int(d) for d in tomb_ids), dtype=np.int64)
     tomb_b = spark.sparkContext.broadcast(tomb)
@@ -440,6 +464,77 @@ def _tombstone_corrections(spark: SparkSession, blocks: DataFrame,
     )
 
 
+def _tombstone_corrections_df(blocks: DataFrame,
+                              tomb_df: DataFrame) -> DataFrame:
+    """The distributed half of _tombstone_corrections (see its
+    docstring): tombstone ids stay a DataFrame end-to-end."""
+    ids = tomb_df.select(F.col("docid").cast("long").alias("docid"))
+    tranges = ids.select(
+        F.expr(f"(docid - 1) div {CORR_RANGE}").alias("range_id")
+    ).distinct()
+    # narrow skip-pointer projection → range explode → semi-join: the
+    # payload column never rides the pruning shuffle
+    hit = (
+        blocks.select("term", "docid_first", "docid_last")
+        .withColumn(
+            "range_id",
+            F.explode(F.sequence(
+                F.expr(f"(docid_first - 1) div {CORR_RANGE}"),
+                F.expr(f"(docid_last - 1) div {CORR_RANGE}"),
+            )),
+        )
+        .join(tranges, "range_id", "left_semi")
+        # (term, docid_first) is a block key: per segment a term's
+        # blocks have distinct docid_first, and segments own disjoint
+        # docid intervals
+        .select("term", "docid_first")
+        .distinct()
+    )
+    pruned = blocks.join(
+        hit, ["term", "docid_first"], "left_semi"
+    ).select("term", "payload")
+
+    def _decode_tf(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from .varbyte import decode_payloads_np
+
+        for rb in batches:
+            terms = rb.column(
+                rb.schema.get_field_index("term")
+            ).to_pylist()
+            payloads = rb.column(
+                rb.schema.get_field_index("payload")
+            ).to_pylist()
+            if not terms:
+                continue
+            n, dids, tfs, _, _ = decode_payloads_np(
+                [bytes(p) for p in payloads], want_positions=False
+            )
+            rep = np.repeat(np.array(terms, dtype=object), n)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rep.tolist(), pa.string()),
+                    pa.array(dids, pa.int64()),
+                    pa.array(tfs.astype(np.int64), pa.int64()),
+                ],
+                names=["term", "docid", "tf"],
+            )
+
+    decoded = pruned.mapInArrow(
+        _decode_tf, schema="term string, docid long, tf long"
+    )
+    return (
+        decoded.join(ids, "docid", "left_semi")
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df_sub"),
+            F.sum("tf").cast("long").alias("cf_sub"),
+        )
+    )
+
+
 def compact_near_dups(spark: SparkSession, index_dir: str,
                       bits: int = 64) -> int:
     """Cross-segment near-dup compaction from STORED fingerprints.
@@ -480,48 +575,68 @@ def compact_near_dups(spark: SparkSession, index_dir: str,
     fps = cur.docs.filter(F.col("fingerprint").isNotNull()).select(
         "docid", "fingerprint"
     )
-    dropped = simhash_dropped(fps, bits).persist()
-    rows = cur.docs.join(dropped, "docid").select(
+    dropped = simhash_dropped(fps, bits)
+    tomb_df = cur.docs.join(dropped, "docid").select(
         "docid", "total_tokens"
-    ).collect()
-    n_new = len(rows)
-    if n_new:
-        _commit_tombstones(spark, index_dir, cur.blocks, rows)
-    dropped.unpersist()
-    return n_new
+    )
+    return _commit_tombstones(spark, index_dir, cur.blocks, tomb_df)
 
 
 def _commit_tombstones(spark: SparkSession, index_dir: str,
-                       blocks: DataFrame, rows) -> None:
-    """Write one tombstone generation for ``rows`` ((docid,
-    total_tokens) of LIVE docs) with its df_corrections, and commit
-    both atomically via segments.json — the shared tail of
-    compact_near_dups and delete_docs (same crash-idempotence: data
-    dirs are mode=overwrite on the not-yet-listed generation, the meta
-    save is the single commit point)."""
-    corr = _tombstone_corrections(
-        spark, blocks, [r["docid"] for r in rows]
-    )
-    meta = _read_meta(index_dir)
-    gen = f"g{int(meta.get('next_tomb_gen', 0))}"
-    # overwrite, not append: a rerun after a crashed commit lands on
-    # the same (still-uncommitted) generation dir
-    corr.write.mode("overwrite").parquet(
-        os.path.join(index_dir, DF_CORRECTIONS_DIR, gen)
-    )
-    spark.createDataFrame(
-        [(int(r["docid"]),) for r in rows], "docid long"
-    ).write.mode("overwrite").parquet(
-        os.path.join(index_dir, TOMBSTONES_DIR, gen)
-    )
-    # single atomic commit: generation listed + counters advanced
-    meta["tomb_gens"] = meta.get("tomb_gens", []) + [gen]
-    meta["next_tomb_gen"] = int(meta.get("next_tomb_gen", 0)) + 1
-    meta["n_tombstones"] = int(meta.get("n_tombstones", 0)) + len(rows)
-    meta["tomb_tokens"] = int(meta.get("tomb_tokens", 0)) + sum(
-        int(r["total_tokens"]) for r in rows
-    )
-    _save_meta(index_dir, meta)
+                       blocks: DataFrame, tomb_df: DataFrame,
+                       bounded_ids=None) -> int:
+    """Write one tombstone generation for ``tomb_df`` ((docid,
+    total_tokens) DataFrame of LIVE docs) with its df_corrections, and
+    commit both atomically via segments.json — the shared tail of
+    compact_near_dups, delete_docs, and delete_where (same
+    crash-idempotence: data dirs are mode=overwrite on the
+    not-yet-listed generation, the meta save is the single commit
+    point).
+
+    The dropped set stays a DataFrame end-to-end: the generation is
+    written from the join output, corrections run distributively, and
+    the ONLY values crossing the driver are the (count, token-sum)
+    scalar pair — mass deletion on a 100-TB corpus never materializes
+    billions of ids driver-side.  ``bounded_ids`` (optional Python
+    list, the explicit delete_docs batch) routes corrections through
+    the broadcast-searchsorted kernel instead; the commit layout is
+    identical.
+
+    :return: number of newly tombstoned docs.
+    """
+    tomb_df = tomb_df.persist()
+    try:
+        row = tomb_df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("total_tokens"), F.lit(0)).alias("t"),
+        ).collect()[0]
+        n_new, tok = int(row["n"]), int(row["t"])
+        if not n_new:
+            return 0
+        corr = _tombstone_corrections(
+            spark, blocks,
+            bounded_ids if bounded_ids is not None
+            else tomb_df.select("docid"),
+        )
+        meta = _read_meta(index_dir)
+        gen = f"g{int(meta.get('next_tomb_gen', 0))}"
+        # overwrite, not append: a rerun after a crashed commit lands
+        # on the same (still-uncommitted) generation dir
+        corr.write.mode("overwrite").parquet(
+            os.path.join(index_dir, DF_CORRECTIONS_DIR, gen)
+        )
+        tomb_df.select("docid").write.mode("overwrite").parquet(
+            os.path.join(index_dir, TOMBSTONES_DIR, gen)
+        )
+        # single atomic commit: generation listed + counters advanced
+        meta["tomb_gens"] = meta.get("tomb_gens", []) + [gen]
+        meta["next_tomb_gen"] = int(meta.get("next_tomb_gen", 0)) + 1
+        meta["n_tombstones"] = int(meta.get("n_tombstones", 0)) + n_new
+        meta["tomb_tokens"] = int(meta.get("tomb_tokens", 0)) + tok
+        _save_meta(index_dir, meta)
+        return n_new
+    finally:
+        tomb_df.unpersist()
 
 
 def delete_docs(spark: SparkSession, index_dir: str, docids) -> int:
@@ -548,12 +663,19 @@ def delete_docs(spark: SparkSession, index_dir: str, docids) -> int:
         return 0
     cur = load_segments(spark, index_dir, cache_meta=False)
     want = spark.createDataFrame([(d,) for d in ids], "docid long")
-    rows = cur.docs.join(want, "docid").select(
+    tomb_df = cur.docs.join(want, "docid").select(
         "docid", "total_tokens"
-    ).collect()
-    if rows:
-        _commit_tombstones(spark, index_dir, cur.blocks, rows)
-    return len(rows)
+    )
+    # the explicit batch is bounded by construction, so resolving the
+    # LIVE subset driver-side stays in the bounded-collect class —
+    # corrections then take the broadcast-kernel fast path (must be
+    # live-only: an already-dead id would double-subtract its df/cf)
+    live = [int(r["docid"]) for r in tomb_df.select("docid").collect()]
+    if not live:
+        return 0
+    return _commit_tombstones(
+        spark, index_dir, cur.blocks, tomb_df, bounded_ids=live
+    )
 
 
 def upsert_segment(
@@ -896,7 +1018,10 @@ def merge_run(spark: SparkSession, index_dir: str, start: int,
     # outside -> survive into a recomputed generation
     tomb_gens = meta.get("tomb_gens", [])
     run_tomb_tokens = 0
-    remaining_ids: list[int] = []
+    # out-of-run tombstones stay a DataFrame end-to-end (rewritten
+    # into the fresh generation below without crossing the driver —
+    # only their count does)
+    rem_df = None
     if tomb_gens:
         tombs = spark.read.parquet(*[
             os.path.join(index_dir, TOMBSTONES_DIR, g) for g in tomb_gens
@@ -908,10 +1033,7 @@ def merge_run(spark: SparkSession, index_dir: str, start: int,
             .collect()[0]
         )
         run_tomb_tokens = int(row["t"])
-        remaining_ids = [
-            int(r["docid"])
-            for r in tombs.filter(~in_run).select("docid").collect()
-        ]
+        rem_df = tombs.filter(~in_run).select("docid").persist()
         docs = docs.join(tombs, "docid", "left_anti")
 
     postings = (
@@ -955,15 +1077,12 @@ def merge_run(spark: SparkSession, index_dir: str, start: int,
     meta = _read_meta(index_dir)
     new_segs = segs[:start] + [name] + segs[start + length:]
     new_tomb_gens: list[str] = []
-    n_remain = len(remaining_ids)
+    n_remain = int(rem_df.count()) if rem_df is not None else 0
     tokens_remain = 0
     gen = f"g{int(meta.get('next_tomb_gen', 0))}"
     if n_remain:
         others = [s for s in segs if s not in run]
         odocs = _raw_docs(spark, index_dir, others)
-        rem_df = spark.createDataFrame(
-            [(d,) for d in remaining_ids], "docid long"
-        )
         tokens_remain = int(
             odocs.join(rem_df, "docid")
             .agg(F.coalesce(F.sum("total_tokens"), F.lit(0)).alias("t"))
@@ -978,7 +1097,7 @@ def merge_run(spark: SparkSession, index_dir: str, start: int,
                 p.blocks if oblocks is None
                 else oblocks.unionByName(p.blocks)
             )
-        corr = _tombstone_corrections(spark, oblocks, remaining_ids)
+        corr = _tombstone_corrections(spark, oblocks, rem_df)
         corr.write.mode("overwrite").parquet(
             os.path.join(index_dir, DF_CORRECTIONS_DIR, gen)
         )
@@ -986,6 +1105,8 @@ def merge_run(spark: SparkSession, index_dir: str, start: int,
             os.path.join(index_dir, TOMBSTONES_DIR, gen)
         )
         new_tomb_gens = [gen]
+    if rem_df is not None:
+        rem_df.unpersist()
 
     old_tomb_gens = meta.get("tomb_gens", [])
     meta["segments"] = new_segs
@@ -1068,14 +1189,26 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
     for st in stats:
         bounds.append((off + 1, off + st["n_total"]))
         off += st["n_total"]
-    # one pass over the (small) tombstone set: docid -> segment index
-    tomb_ids = [int(r["docid"]) for r in tombs.select("docid").collect()]
-    import bisect
-
-    starts = [lo for lo, _ in bounds]
+    # docid -> segment attribution runs distributively (broadcast
+    # range join over the per-segment docid intervals, the index_stats
+    # pattern) — only len(segs) count rows cross the driver, never
+    # the tombstone set itself
+    rng = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(bounds)],
+        "seg int, lo long, hi long",
+    )
     per_seg = [0] * len(segs)
-    for d in tomb_ids:
-        per_seg[bisect.bisect_right(starts, d) - 1] += 1
+    for r in (
+        tombs.join(
+            F.broadcast(rng),
+            (F.col("docid") >= F.col("lo"))
+            & (F.col("docid") <= F.col("hi")),
+        )
+        .groupBy("seg")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ):
+        per_seg[int(r["seg"])] = int(r["n"])
     out = []
     for i in range(len(segs) - 1, -1, -1):  # right-to-left: indices of
         # unprocessed (smaller-i) segments survive earlier rewrites
@@ -1187,10 +1320,32 @@ def fsck_index(spark: SparkSession, index_dir: str) -> DataFrame:
         )
     )
 
-    from .shards import DECODE_SCHEMA, decode_blocks
+    # the (term, docid) rows driving the orphan/df joins decode via
+    # the SAME scalar reference decoder as the block audit — keeping
+    # shards.decode_blocks (the vectorized fast path) out of fsck
+    # entirely, so a fast-path bug cannot vouch for itself on any half
+    # of the audit
+    def _decode_scalar(batches):
+        import pyarrow as pa
+
+        from .varbyte import decode_block_py
+
+        for b in batches:
+            terms = b.column("term").to_pylist()
+            payloads = b.column("payload").to_pylist()
+            o_t, o_d = [], []
+            for t, pl in zip(terms, payloads):
+                ids, _, _ = decode_block_py(bytes(pl))
+                o_t.extend(t for _ in ids)
+                o_d.extend(ids)
+            if o_t:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(o_t), pa.array(o_d, type=pa.int64())],
+                    names=["term", "docid"],
+                )
 
     decoded = blocks.select("term", "payload").mapInArrow(
-        decode_blocks, schema=DECODE_SCHEMA
+        _decode_scalar, schema="term string, docid long"
     )
     orphan_viol = (
         decoded.select("term", "docid")
@@ -1256,24 +1411,21 @@ def delete_where(spark: SparkSession, index_dir: str,
     """Delete-by-predicate — the policy/GDPR surface over the stored
     docs metadata (``repo``, ``path``, ``commit``, ``sha256``,
     ``url``): resolves the LIVE docids matching the SQL ``predicate``
-    and routes them through the delete_docs tombstone machinery, so
-    every delete_docs guarantee (immediate serving removal, exact
+    and routes them through the SAME _commit_tombstones machinery as
+    delete_docs, so every delete guarantee (immediate serving removal, exact
     df/cf corrections, idempotent replays, physical reclaim at the
     next merge/expunge) applies unchanged.
 
     ``delete_where(spark, d, "repo = 'src1'")`` forgets a whole
     repository; a re-run matches nothing (already tombstoned) and
-    returns 0.  The resolved-id collect is bounded by the delete
-    batch — the same bounded-collect class as delete_docs itself and
-    upsert_segment's stale-key scan.
+    returns 0.  The resolved set stays a DataFrame end-to-end — a
+    predicate matching half a 100-TB corpus never pulls its docids
+    through the driver (only the count/token-sum scalars cross);
+    commit + corrections ride the same _commit_tombstones machinery
+    as delete_docs and compact_near_dups.
 
     :return: number of newly tombstoned docs.
     """
     cur = load_segments(spark, index_dir, cache_meta=False)
-    ids = [
-        r["docid"]
-        for r in cur.docs.filter(predicate).select("docid").collect()
-    ]
-    if not ids:
-        return 0
-    return delete_docs(spark, index_dir, ids)
+    tomb_df = cur.docs.filter(predicate).select("docid", "total_tokens")
+    return _commit_tombstones(spark, index_dir, cur.blocks, tomb_df)

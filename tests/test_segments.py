@@ -1358,3 +1358,81 @@ def test_delete_where_predicate(spark, split_corpora, tmp_path_factory):
     assert after.stats["n_survivors"] == n_before - n_repo
     assert after.docs.filter(f"repo = '{repo}'").count() == 0
     assert after.docs.count() == n_before - n_repo
+
+
+def test_mass_delete_stays_distributed(spark, tmp_path_factory,
+                                       monkeypatch):
+    """The 100-TB maintenance contract: a predicate delete matching
+    the MAJORITY of the corpus, followed by a merge that rewrites the
+    out-of-run tombstones, must keep the dropped/resolved docid set a
+    DataFrame end-to-end — every DataFrame.collect issued during the
+    maintenance calls returns a bounded handful of rows (scalar
+    aggregates, per-segment stats, bucket lists), never the dropped
+    set itself.  Exactness of the resulting serving state is what the
+    rest of this suite pins; this test pins the PLAN SHAPE."""
+    from searchengine_spark.index.segments import (
+        delete_where,
+        merge_run,
+    )
+
+    rows = sorted(
+        synth_corpus(800),
+        key=lambda r: (r["repo"], r["path"], r["commit"]),
+    )
+    half = len(rows) // 2
+    a = spark.createDataFrame(rows[:half])
+    b = spark.createDataFrame(rows[half:])
+    seg_dir = str(tmp_path_factory.mktemp("seg_mass") / "idx")
+    init_segmented(
+        spark,
+        build_tables(spark, a, compute_quality=False, near_dup=False),
+        seg_dir,
+    )
+    append_segment(spark, seg_dir, b, compute_quality=False,
+                   near_dup=False)
+    before = load_segments(spark, seg_dir)
+    n_before = before.stats["n_survivors"]
+    # middle repos: majority of the corpus, but the lexical split
+    # leaves survivors in BOTH segments (merge_run refuses a
+    # zero-survivor rewrite by design)
+    pred = ("repo like 'org2/%' or repo like 'org3/%' or "
+            "repo like 'org4/%' or repo like 'org5/%'")
+    expect = before.docs.filter(pred).count()
+    assert expect > 200, "fixture must drop a majority-scale set"
+
+    # patch the CONCRETE class (pyspark.sql.classic) — instances
+    # override the pyspark.sql.DataFrame base, so patching the base
+    # would intercept nothing
+    from pyspark.sql.classic.dataframe import (
+        DataFrame as ClassicDataFrame,
+    )
+
+    sizes = []
+    orig = ClassicDataFrame.collect
+
+    def spy(self):
+        out = orig(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(ClassicDataFrame, "collect", spy)
+    n = delete_where(spark, seg_dir, pred)
+    # merging segment 0's run alone forces the out-of-run (segment 1)
+    # tombstones through the rewrite-into-a-fresh-generation path
+    merge_run(spark, seg_dir, 0, 1)
+    monkeypatch.undo()
+
+    assert n == expect
+    assert sizes, "spy saw no driver results at all"
+    assert max(sizes) <= 128, (
+        f"maintenance materialized {max(sizes)} rows driver-side — "
+        "the dropped set must stay distributed"
+    )
+
+    after = load_segments(spark, seg_dir)
+    assert after.stats["n_survivors"] == n_before - expect
+    assert after.docs.filter(pred).count() == 0
+    # the delete replays as a no-op through the distributed path too
+    monkeypatch.setattr(ClassicDataFrame, "collect", spy)
+    assert delete_where(spark, seg_dir, pred) == 0
+    monkeypatch.undo()
