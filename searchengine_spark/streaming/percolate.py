@@ -3,13 +3,17 @@
 The batch operator (ops/search.percolate) matches a registered-query
 table against a corpus — right for backfills.  The alerting deployment
 is the other way around (Elasticsearch percolator / Lucene Monitor):
-the standing queries are a fixed, tiny artifact, so they ship to every
+the standing queries are a fixed artifact, so they ship to every
 executor once and each arriving document is checked STATELESSLY — no
 shuffle, no state store, the stream stays append-only and
 embarrassingly parallel (the decon-gate shape, streaming/decon.py).
-At millions of standing queries the broadcast list becomes a term →
-query inverted index executor-side (Lucene Monitor's QueryIndex);
-same plumbing, swap the membership structure.
+The broadcast structure is a term → qid INVERTED index (Lucene
+Monitor's QueryIndex / the ES percolator design, InvertedQueryIndex
+below): per-doc cost is Σ_{t ∈ doc} |queries containing t| — the
+posting lists of the doc's own terms — not O(|queries|), so the gate
+holds at 10⁶ standing queries where a query-list loop would scan all
+of them for every document (pinned by the 10⁴-query work-bound test
+in tests/test_streaming_percolate.py).
 
 Semantics are pinned to the batch operator: same tokenizer spec, a doc
 alerts query qid iff it contains ALL of qid's terms (conjunctive);
@@ -26,6 +30,56 @@ from ..text.tokenizer import tokenize
 from .decon import DOCS_SCHEMA
 
 
+class InvertedQueryIndex:
+    """Standing conjunctive queries inverted into term → qid posting
+    lists (Lucene Monitor's QueryIndex): matching a document touches
+    only the qids of terms the doc actually contains.
+
+    ``match(tokens)`` returns the qids whose DISTINCT-term set is
+    fully contained in ``tokens`` — identical to the naive
+    every-query containment loop (pinned in
+    tests/test_streaming_percolate.py), but per-doc work is
+    Σ_{t ∈ tokens} len(postings[t]) instead of O(|queries|): at 10⁶
+    standing queries a doc touching a handful of indexed terms costs
+    a handful of bincount increments.  ``touched(tokens)`` reports
+    that work bound for the test harness."""
+
+    def __init__(self, queries):
+        import numpy as np
+
+        self.nq = len(queries)
+        self.need = np.empty(self.nq, dtype=np.int64)
+        postings: dict = {}
+        for qi, q in enumerate(queries):
+            terms = frozenset(q)
+            if not terms:
+                raise ValueError(f"empty standing query at qid {qi}")
+            self.need[qi] = len(terms)
+            for t in terms:
+                postings.setdefault(t, []).append(qi)
+        self.postings = {
+            t: np.asarray(qids, dtype=np.int64)
+            for t, qids in postings.items()
+        }
+
+    def touched(self, tokens) -> int:
+        """Number of (term, qid) posting entries a match visits."""
+        p = self.postings
+        return sum(len(p[t]) for t in set(tokens) if t in p)
+
+    def match(self, tokens) -> list:
+        import numpy as np
+
+        p = self.postings
+        hit = [p[t] for t in set(tokens) if t in p]
+        if not hit:
+            return []
+        counts = np.bincount(
+            np.concatenate(hit), minlength=self.nq
+        )
+        return np.flatnonzero(counts == self.need).tolist()
+
+
 def percolate_stream(
     spark: SparkSession,
     src_dir: str,
@@ -38,16 +92,14 @@ def percolate_stream(
     again as new files land."""
     import pandas as pd
 
-    qlist = [(qi, frozenset(q)) for qi, q in enumerate(queries)]
-    bc = spark.sparkContext.broadcast(qlist)
+    bc = spark.sparkContext.broadcast(InvertedQueryIndex(queries))
 
     @F.pandas_udf("array<long>")
     def _match(texts: pd.Series) -> pd.Series:
-        qs = bc.value
+        qidx = bc.value
 
         def hits(t):
-            toks = set(tokenize(t)) if t is not None else set()
-            return [qi for qi, need in qs if need <= toks]
+            return qidx.match(tokenize(t)) if t is not None else []
 
         return texts.map(hits)
 
@@ -77,9 +129,13 @@ def percolate_rich_stream(
     """The rich-query gate (ops/search.percolate_rich semantics —
     bare/phrase/-not, same parser): stateless broadcast matcher, one
     (qid, doc_id) alert row per satisfied standing query, exactly-once
-    per input file via the checkpoint.  Phrase adjacency is checked on
-    the space-joined token string (exact: tokens contain no spaces),
-    identical to the batch op's verify stage."""
+    per input file via the checkpoint.  Stage 1 is the SAME inverted
+    term→qid prune as the lean gate (lossless: required-term
+    containment is necessary for an alert), so per-doc work scales
+    with the doc's matched terms, not |queries|; stage 2 verifies
+    phrase adjacency on the space-joined token string (exact: tokens
+    contain no spaces) and -not absence for the CANDIDATE qids only —
+    identical to the batch op's two-stage rule."""
     import pandas as pd
 
     from ..ops.search import PERC_RICH_QUERIES, _parse_perc_rich
@@ -87,25 +143,29 @@ def percolate_rich_stream(
     parsed = _parse_perc_rich(
         PERC_RICH_QUERIES if queries is None else queries
     )
-    qlist = [
-        (qi, frozenset(req), tuple(phs), tuple(nots))
+    verify = {
+        qi: (tuple(phs), tuple(nots))
         for qi, req, phs, nots in parsed
-    ]
-    bc = spark.sparkContext.broadcast(qlist)
+    }
+    qidx = InvertedQueryIndex(
+        [frozenset(req) for _, req, _, _ in parsed]
+    )
+    bc = spark.sparkContext.broadcast((qidx, verify))
 
     @F.pandas_udf("array<long>")
     def _match(texts: pd.Series) -> pd.Series:
-        qs = bc.value
+        idx, ver = bc.value
 
         def hits(t):
             toks = tokenize(t) if t is not None else []
-            tset = set(toks)
+            cands = idx.match(toks)
+            if not cands:
+                return []
             joined = " " + " ".join(toks) + " "
             return [
-                qi for qi, need, phs, nots in qs
-                if need <= tset
-                and all(f" {ph} " in joined for ph in phs)
-                and not any(f" {x} " in joined for x in nots)
+                qi for qi in cands
+                if all(f" {ph} " in joined for ph in ver[qi][0])
+                and not any(f" {x} " in joined for x in ver[qi][1])
             ]
 
         return texts.map(hits)

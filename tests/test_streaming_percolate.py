@@ -108,3 +108,54 @@ def test_rich_stream_alerts_match_batch(spark, docs_table, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert again == got
+
+
+def test_inverted_query_index_scale_shape():
+    """The ES-percolator design contract: at 10^4 standing queries,
+    matching one doc (a) returns EXACTLY what the naive all-queries
+    containment loop returns, and (b) touches only the posting
+    entries of the doc's own terms — work proportional to matched
+    terms, not |queries|."""
+    import random
+
+    from searchengine_spark.streaming.percolate import (
+        InvertedQueryIndex,
+    )
+
+    rng = random.Random(7)
+    nq = 10_000
+    # mostly-rare vocabulary: each query draws 2-4 terms from a wide
+    # term space, plus a planted cluster sharing the probe doc's terms
+    queries = [
+        tuple(
+            f"t{rng.randrange(50_000)}"
+            for _ in range(rng.randrange(2, 5))
+        )
+        for _ in range(nq - 20)
+    ]
+    doc_toks = [f"probe{i}" for i in range(12)]
+    for i in range(20):  # planted: 10 full subsets (alert), 10 partial
+        if i < 10:
+            queries.append(tuple(rng.sample(doc_toks, 3)))
+        else:
+            queries.append(tuple(rng.sample(doc_toks, 2)) + ("zmiss",))
+    idx = InvertedQueryIndex(queries)
+
+    naive = [
+        qi for qi, q in enumerate(queries)
+        if frozenset(q) <= set(doc_toks)
+    ]
+    assert sorted(idx.match(doc_toks)) == naive
+    assert len(naive) == 10
+    # the work bound: only the planted 20 queries' postings are
+    # touched (<= 60 entries), never the 10^4-query list
+    assert idx.touched(doc_toks) <= 60
+
+    # a doc over the wide vocabulary: identity holds there too
+    wide = [f"t{rng.randrange(50_000)}" for _ in range(30)]
+    naive_w = [
+        qi for qi, q in enumerate(queries)
+        if frozenset(q) <= set(wide)
+    ]
+    assert sorted(idx.match(wide)) == naive_w
+    assert idx.touched(wide) < nq / 10
