@@ -95,3 +95,58 @@ def test_stream_matches_batch_decontaminate(spark, docs_table, tmp_path):
     if extra_id in got:  # its text was clean → the re-keyed copy is too
         expect2.add(new_id)
     assert got2 == expect2
+
+
+def test_bloom_gate_properties_and_batch_parity(spark, docs_table,
+                                                tmp_path):
+    """The billions-of-shingles membership structure: (a) built
+    distributively, a member is ALWAYS contained (one-sided — no
+    false negatives, the guarantee decontamination needs); (b) the
+    realized false-positive rate on non-members stays near target;
+    (c) swapped into the stream gate, the surviving set still equals
+    the batch operator's survivors on this corpus (no false positive
+    fires at test scale with fpr=1e-4 — deterministic: the hash rule
+    is fixed)."""
+    from searchengine_spark.streaming.decon import (
+        ShingleBloom,
+        eval_shingle_bloom,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    train_docs = docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    exact = eval_shingle_set(docs, train_docs=train_docs)
+    bloom = eval_shingle_bloom(docs, train_docs=train_docs)
+
+    # (a) no false negatives, ever
+    assert all(s in bloom for s in exact)
+
+    # (b) fpr near target (fixed hash rule -> deterministic outcome)
+    probes = [f"zz{i} yy{i} xx{i}" for i in range(20_000)]
+    fp = sum((p not in exact) and (p in bloom) for p in probes)
+    assert fp / len(probes) <= 5e-4
+
+    # sizing sanity: power-of-two m, k >= 1
+    m, k = ShingleBloom.params(10**9, 1e-2)
+    assert m & (m - 1) == 0 and k >= 1
+
+    # (c) stream survivors through the Bloom == through the exact set
+    keep = pa.array(
+        [v % DECON_EVAL_MOD != 0
+         for v in docs_table["doc_id"].to_pylist()]
+    )
+    train = docs_table.filter(keep)
+    src = str(tmp_path / "src")
+    _write_chunks(src, train, 2)
+    out_b = str(tmp_path / "out_bloom")
+    out_e = str(tmp_path / "out_exact")
+    decontaminate_stream(spark, src, bloom, out_b,
+                         str(tmp_path / "ck_b"))
+    decontaminate_stream(spark, src, exact, out_e,
+                         str(tmp_path / "ck_e"))
+    got_b = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_b).collect()
+    )
+    got_e = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_e).collect()
+    )
+    assert got_b == got_e
