@@ -131,7 +131,6 @@ def append_trigram(spark: SparkSession, docs: DataFrame,
         .distinct()
     )
     fresh = docs.join(existing, "doc_id", "left_anti")
-    n_new = fresh.count()
     tri = fresh.select(
         "doc_id", F.explode(_trigrams_col()).alias("tg")
     ).withColumn(
@@ -140,8 +139,13 @@ def append_trigram(spark: SparkSession, docs: DataFrame,
             F.xxhash64("tg"), F.lit(int(manifest["n_buckets"]))
         ).cast("int"),
     )
+    # n_new counts docs that PRODUCE trigram rows: a tokenless doc
+    # (len(text) < 3) lands in no generation, so the anti-join can
+    # never exclude a replay of it — counting it would drift n_docs
+    # (and overstate the return) on every untagged re-send
+    n_new = tri.select("doc_id").distinct().count()
     gen = f"cells_g{len(gens)}"
-    if n_new and tri.limit(1).count():
+    if n_new:
         tri.write.mode("overwrite").partitionBy("tb").parquet(
             os.path.join(index_dir, gen)
         )
@@ -204,20 +208,24 @@ def regex_topk_ondisk(spark: SparkSession, index_dir: str,
                       docs: DataFrame, pattern: str,
                       k: int = 20) -> DataFrame:
     """Regex search from the persisted shard: candidates pruned by the
-    trigrams of the pattern's longest guaranteed literal run
-    (ops/textops.regex_literal_runs), verified with regexp_count —
-    ops/textops.regex_search's contract served shard-side (a pattern
-    with no >= 3-char literal run falls back to a full verify scan,
-    correct but unpruned)."""
-    from ..ops.textops import regex_literal_runs
+    per-branch trigram plan (ops/textops.regex_anchor_sets — top-level
+    alternation = UNION of each branch's coverage candidates),
+    verified with regexp_count — ops/textops.regex_search's contract
+    served shard-side (a pattern where any branch lacks a >= 3-char
+    literal run falls back to a full verify scan, correct but
+    unpruned)."""
+    from functools import reduce
+
+    from ..ops.textops import regex_anchor_sets
 
     pl = pattern.lower()
-    runs = [r for r in regex_literal_runs(pl) if len(r) >= 3]
-    need = (
-        _query_trigrams(max(runs, key=len), require=False)
-        if runs else []
-    )
-    cand = _shard_candidates(spark, index_dir, need)
+    need_sets = regex_anchor_sets(pl)
+    cand = None
+    if need_sets:
+        parts = [
+            _shard_candidates(spark, index_dir, s) for s in need_sets
+        ]
+        cand = reduce(lambda a, b: a.unionByName(b), parts).distinct()
     d = docs if cand is None else docs.join(cand, "doc_id")
     return (
         d.withColumn(

@@ -45,6 +45,11 @@ QL_QUERY = 'spark query "table hash" -dup lang:en sc* *er'
 QL_QUERY_OR = 'spark "table hash" -dup part|stream query|window'
 QL_QUERY_BOOST = 'spark query^2.5 "table hash" -dup'
 QL_QUERY_SOURCE = "table hash source:src3 -dup"
+# OR groups composed with a metadata filter + NOT in ONE query — the
+# round-3 stretch item: the combination has clean semantics (slots
+# score, filters/nots stay eligibility-only), pinned under the driver
+# gate as query_or_filter_topk
+QL_QUERY_OR_FILTER = 'spark part|stream query|window lang:en -dup'
 RELATED_SEED = "spark"
 RELATED_MIN_CO = 5          # ignore co-occurrence counts below this
 RELATED_TOPN = 10
@@ -553,22 +558,42 @@ def query_topk(spark, sf_dir, q=QL_QUERY, k=10) -> DataFrame:
         res = res.join(excl, "doc_id", "left_anti")
 
     for kind, base in parsed["wildcards"]:
-        # constant-score rewrite: eligibility-only, uncapped expansion
-        # against the vocabulary (the querylang contract)
-        cond = (
-            F.col("term").startswith(base)
-            if kind == "prefix"
-            else F.col("term").endswith(base)
+        res = res.join(
+            _wildcard_docs(spark, sf_dir, kind, base),
+            "doc_id", "left_semi",
         )
-        wdocs = (
-            term_tf(spark, sf_dir)
-            .filter(cond)
-            .select("doc_id")
-            .distinct()
-        )
-        res = res.join(wdocs, "doc_id", "left_semi")
 
     return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _wildcard_docs(spark, sf_dir, kind: str, base: str) -> DataFrame:
+    """Eligible docs for one wildcard clause (constant-score rewrite:
+    eligibility-only, uncapped expansion — the querylang contract),
+    resolved through the term DICTIONARY first, exactly as the serving
+    tier's _terms_matching does over its in-RAM termdict
+    (query/serve_local.py): the vocabulary scan yields the matched
+    terms (V-sized output), and the token stream is broadcast-joined
+    on that term list — map-side pruning of every non-matching token.
+    Replaces the round-3 shape (a full per-wildcard (doc, term)
+    aggregation of the corpus via term_tf, then an endswith filter):
+    at 100x the old plan shuffled the whole token table once per
+    wildcard; this one's only wide edge is the vocabulary aggregate,
+    and the postings union never leaves the map side.  Plan-asserted
+    in tests/test_search_ops.py."""
+    from .textops import term_dict
+
+    cond = (
+        F.col("term").startswith(base)
+        if kind == "prefix"
+        else F.col("term").endswith(base)
+    )
+    wterms = term_dict(spark, sf_dir).filter(cond).select("term")
+    return (
+        doc_tokens(spark, sf_dir)
+        .join(F.broadcast(wterms), "term", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
 
 
 def query_topk_oracle_sql(q=QL_QUERY, k=10) -> str:

@@ -2336,6 +2336,9 @@ def substring_search_persisted(spark, sf_dir, q=SUBSTR_Q,
 # (the pattern is restricted to the dialect-identical subset: literals,
 # character classes, ., quantifiers — see regex_literal_runs)
 REGEX_Q = "tab[a-z]e +hash"
+# the pinned ALTERNATION pattern (branch-union pruning; both branches
+# match docs in the synthetic corpus) — interpolated into the oracle
+REGEX_ALT_Q = "tab[a-z]e +hash|merge (sort|join)"
 REGEX_K = 20
 
 
@@ -2420,22 +2423,209 @@ def regex_literal_runs(pattern: str) -> list:
     return runs
 
 
+def _regex_split_top(pattern: str) -> list:
+    """Split on TOP-LEVEL alternation bars (depth-0 ``|`` outside
+    classes and escapes).  Pure string processing."""
+    branches, cur, depth, i = [], "", 0, 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            if i + 1 >= len(pattern):
+                raise ValueError(f"trailing backslash in {pattern!r}")
+            cur += pattern[i:i + 2]
+            i += 2
+            continue
+        if c == "[":
+            j = pattern.find("]", i + 1)
+            if j < 0:
+                raise ValueError(f"unclosed class in {pattern!r}")
+            cur += pattern[i:j + 1]
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced ')' in {pattern!r}")
+        if c == "|" and depth == 0:
+            branches.append(cur)
+            cur = ""
+        else:
+            cur += c
+        i += 1
+    if depth != 0:
+        raise ValueError(f"unbalanced '(' in {pattern!r}")
+    branches.append(cur)
+    return branches
+
+
+def _match_paren(p: str, i: int) -> int:
+    """Index of the ``)`` closing the ``(`` at ``p[i]`` (escape- and
+    class-aware)."""
+    depth, j = 0, i
+    while j < len(p):
+        c = p[j]
+        if c == "\\":
+            j += 2
+            continue
+        if c == "[":
+            k = p.find("]", j + 1)
+            if k < 0:
+                raise ValueError(f"unclosed class in {p!r}")
+            j = k + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+        j += 1
+    raise ValueError(f"unbalanced '(' in {p!r}")
+
+
+def _branch_runs(branch: str) -> list:
+    """Guaranteed literal runs of ONE branch (no top-level ``|``),
+    group-aware: a bare, alternation-free, unquantified group is
+    TRANSPARENT (parens spliced out — runs merge across it, so
+    ``ab(cd)ef`` guarantees ``abcdef``); a quantified group or one
+    containing alternation is an OPAQUE atom (splits runs, contributes
+    nothing — still sound: every emitted run stays guaranteed).
+    ``(?...)`` constructs are outside the dialect-identical subset and
+    raise."""
+    runs, cur, i = [], "", 0
+    prev_literal = False
+
+    def flush():
+        nonlocal cur
+        if cur:
+            runs.append(cur)
+        cur = ""
+
+    while i < len(branch):
+        c = branch[i]
+        if c in "|)":
+            raise ValueError(
+                f"_branch_runs: stray {c!r} in {branch!r}"
+            )
+        if c == "\\":
+            if i + 1 >= len(branch):
+                raise ValueError(f"trailing backslash in {branch!r}")
+            nxt = branch[i + 1]
+            if nxt.isalnum():
+                flush()
+                prev_literal = False
+            else:
+                cur += nxt
+                prev_literal = True
+            i += 2
+            continue
+        if c == "(":
+            if branch[i + 1:i + 2] == "?":
+                raise ValueError(
+                    f"(?...) constructs unsupported in {branch!r}"
+                )
+            j = _match_paren(branch, i)
+            inner = branch[i + 1:j]
+            quantified = branch[j + 1:j + 2] in ("*", "+", "?", "{")
+            if quantified or len(_regex_split_top(inner)) != 1:
+                # opaque atom; a following quantifier then hits the
+                # quantifier arm below with prev_literal False (the
+                # group was never part of cur), which is exactly right
+                flush()
+                prev_literal = False
+                i = j + 1
+                continue
+            # transparent: splice the body in place (strictly shorter,
+            # so the scan terminates)
+            branch = branch[:i] + inner + branch[j + 1:]
+            continue
+        if c == "[":
+            j = branch.find("]", i + 1)
+            if j < 0:
+                raise ValueError(f"unclosed class in {branch!r}")
+            flush()
+            prev_literal = False
+            i = j + 1
+            continue
+        if c == ".":
+            flush()
+            prev_literal = False
+            i += 1
+            continue
+        if c in "*+?{":
+            if prev_literal and cur:
+                cur = cur[:-1]
+            flush()
+            prev_literal = False
+            if c == "{":
+                j = branch.find("}", i + 1)
+                if j < 0:
+                    raise ValueError(f"unclosed brace in {branch!r}")
+                i = j + 1
+            else:
+                i += 1
+            continue
+        if c in "^$":
+            flush()
+            prev_literal = False
+            i += 1
+            continue
+        cur += c
+        prev_literal = True
+        i += 1
+    flush()
+    return runs
+
+
+def regex_branch_runs(pattern: str) -> list:
+    """Per-top-level-branch guaranteed literal runs — the alternation
+    extension of regex_literal_runs (the Zoekt planning rule:
+    candidates(A|B) = candidates(A) ∪ candidates(B), lossless iff
+    EVERY branch yields a usable run).  Returns one runs-list per
+    top-level branch; an empty branch yields ``[]`` (it matches
+    everywhere — callers must fall back to the full verify scan)."""
+    return [_branch_runs(b) for b in _regex_split_top(pattern)]
+
+
+def regex_anchor_sets(pattern: str) -> list | None:
+    """Pruning plan for ``pattern``: one sorted distinct trigram list
+    per top-level branch (the trigrams of that branch's LONGEST
+    guaranteed literal run), or ``None`` when any branch lacks a
+    >= 3-char run (union pruning would be lossy, so the caller must
+    full-scan).  Duplicate anchor sets collapse.  Shared by the Spark
+    op (regex_search), the persisted shard (index/trigram), and the
+    ms tier (query/serve_grep) — ONE planner for all three tiers."""
+    out, seen = [], set()
+    for runs in regex_branch_runs(pattern):
+        good = [r for r in runs if len(r) >= 3]
+        if not good:
+            return None
+        a = max(good, key=len)
+        need = tuple(sorted({a[i:i + 3] for i in range(len(a) - 2)}))
+        if need not in seen:
+            seen.add(need)
+            out.append(list(need))
+    return out
+
+
 def regex_search(spark, sf_dir, pattern=REGEX_Q, k=REGEX_K) -> DataFrame:
     """Zoekt-style regex search: candidates are pruned by the trigrams
     of the LONGEST guaranteed literal run of the pattern
     (regex_literal_runs), then verified with the real regex engine and
     counted (leftmost non-overlapping matches — regexp_count in Spark,
     len(regexp_extract_all) in the DuckDB oracle; identical for the
-    supported dialect subset).  A pattern whose longest run is < 3
-    chars gets no pruning (full verify scan — correct, just unpruned).
-    (doc_id, n_matches), n desc / doc_id asc, top k.  The oracle is
-    the brute-force regex scan: equality proves the literal-run
-    pruning lossless."""
-    runs = [r for r in regex_literal_runs(pattern.lower()) if len(r) >= 3]
+    supported dialect subset).  Alternation (``a|b``, incl. groups)
+    prunes as the UNION of each top-level branch's trigram-coverage
+    candidates (regex_anchor_sets); a pattern where any branch's
+    longest run is < 3 chars gets no pruning (full verify scan —
+    correct, just unpruned).  (doc_id, n_matches), n desc / doc_id
+    asc, top k.  The oracle is the brute-force regex scan: equality
+    proves the branch-union pruning lossless."""
+    need_sets = regex_anchor_sets(pattern.lower())
     d = documents(spark, sf_dir)
-    if runs:
-        anchor = max(runs, key=len)
-        need = sorted({anchor[i:i + 3] for i in range(len(anchor) - 2)})
+    if need_sets:
         tri = d.select(
             "doc_id",
             F.explode(
@@ -2447,13 +2637,24 @@ def regex_search(spark, sf_dir, pattern=REGEX_Q, k=REGEX_K) -> DataFrame:
                 )
             ).alias("tg"),
         )
-        needed = spark.createDataFrame([(t,) for t in need], "tg string")
+        needed = spark.createDataFrame(
+            [(bi, tg) for bi, s in enumerate(need_sets) for tg in s],
+            "br int, tg string",
+        )
+        sizes = spark.createDataFrame(
+            [(bi, len(s)) for bi, s in enumerate(need_sets)],
+            "br int, need_n int",
+        )
+        # a doc is a candidate iff it covers ALL trigrams of ANY
+        # branch anchor (per-doc distinct rows, so count == coverage)
         cand = (
             tri.join(F.broadcast(needed), "tg")
-            .groupBy("doc_id")
+            .groupBy("doc_id", "br")
             .agg(F.count("*").alias("ncov"))
-            .filter(F.col("ncov") == len(need))
+            .join(F.broadcast(sizes), "br")
+            .filter(F.col("ncov") == F.col("need_n"))
             .select("doc_id")
+            .distinct()
         )
         d = d.join(cand, "doc_id")
     return (
@@ -2468,6 +2669,15 @@ def regex_search(spark, sf_dir, pattern=REGEX_Q, k=REGEX_K) -> DataFrame:
         .orderBy(F.desc("n_matches"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def regex_alt_search(spark, sf_dir, pattern=REGEX_ALT_Q,
+                     k=REGEX_K) -> DataFrame:
+    """regex_search under the pinned alternation pattern — the driver
+    surface for branch-union trigram pruning (top-level ``|`` plus an
+    opaque inner group).  Same contract, same brute-force oracle:
+    equality proves the union pruning lossless."""
+    return regex_search(spark, sf_dir, pattern=pattern, k=k)
 
 
 def regex_search_persisted(spark, sf_dir, pattern=REGEX_Q,
@@ -2488,6 +2698,13 @@ def regex_search_persisted(spark, sf_dir, pattern=REGEX_Q,
         os.makedirs(d, exist_ok=True)
         build_trigram_index(spark, docs, d)
     return regex_topk_ondisk(spark, d, docs, pattern, k=k)
+
+
+def regex_alt_search_persisted(spark, sf_dir, pattern=REGEX_ALT_Q,
+                               k=REGEX_K) -> DataFrame:
+    """The alternation pattern served from the persisted trigram shard
+    (per-branch candidate union inside regex_topk_ondisk)."""
+    return regex_search_persisted(spark, sf_dir, pattern=pattern, k=k)
 
 
 COUNT_TERMS = ("spark", "query", "join")   # the lm/bm25 probe set

@@ -80,25 +80,24 @@ class LocalGrep:
 
     def grep(self, pattern: str, k: int = 20):
         """Regex search — ops/textops.regex_search's rule on the ms
-        tier: candidates pruned by the trigrams of the pattern's
-        longest guaranteed literal run (regex_literal_runs; < 3 chars
+        tier: candidates pruned by the per-branch trigram plan
+        (regex_anchor_sets — top-level alternation = union of branch
+        coverage sets; any branch without a >= 3-char guaranteed run
         → full scan over all docs, correct but unpruned), verified
         with Python ``re`` (leftmost non-overlapping count, identical
         to regexp_count for the supported subset).
         [(doc_id, n_matches)] — n desc, doc_id asc, top k."""
         import re
 
-        from ..ops.textops import regex_literal_runs
+        from ..ops.textops import regex_anchor_sets
 
         pl = pattern.lower()
-        runs = [r for r in regex_literal_runs(pl) if len(r) >= 3]
+        need_sets = regex_anchor_sets(pl)
         cand = None
-        if runs:
-            anchor = max(runs, key=len)
-            need = sorted(
-                {anchor[i:i + 3] for i in range(len(anchor) - 2)}
-            )
-            cand = self._candidates(need)
+        if need_sets:
+            cand = np.unique(np.concatenate(
+                [self._candidates(s) for s in need_sets]
+            ))
             if cand.size == 0:
                 return []
         rx = re.compile(pl)

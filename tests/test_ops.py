@@ -2281,6 +2281,36 @@ def test_regex_literal_runs_extraction():
             runs(bad)
 
 
+def test_regex_branch_runs_alternation():
+    """regex_branch_runs / regex_anchor_sets: per-branch guaranteed
+    runs with group handling — transparent bare groups splice (runs
+    merge across parens), quantified or alternation-bearing groups go
+    opaque, nested and empty branches behave, and any branch lacking
+    a >= 3-char run disables pruning entirely (soundness)."""
+    from searchengine_spark.ops.textops import (
+        regex_anchor_sets,
+        regex_branch_runs,
+    )
+
+    assert regex_branch_runs("foo|bar") == [["foo"], ["bar"]]
+    assert regex_branch_runs("ab(cd)ef") == [["abcdef"]]      # splice
+    assert regex_branch_runs("a(b|c)d") == [["a", "d"]]       # opaque
+    assert regex_branch_runs("a(bc)+d") == [["a", "d"]]       # quant
+    assert regex_branch_runs("((abc))") == [["abc"]]          # nested
+    assert regex_branch_runs("x(a(b|c)y)z") == [["xa", "yz"]]
+    assert regex_branch_runs("a|") == [["a"], []]             # empty
+    assert regex_branch_runs("(a|)x") == [["x"]]
+    # one short branch poisons pruning for the whole pattern
+    assert regex_anchor_sets("foobar|ab") is None
+    assert regex_anchor_sets("abc|") is None
+    assert regex_anchor_sets("foo|bar") == [["foo"], ["bar"]]
+    # duplicate anchors collapse
+    assert regex_anchor_sets("abc|abc") == [["abc"]]
+    for bad in ("a)b", "(ab", "a(?:b)c", "a\\"):
+        with pytest.raises(ValueError):
+            regex_branch_runs(bad)
+
+
 def test_regex_search_matches_brute_force(spark):
     """regex_search must equal a Python re scan (leftmost
     non-overlapping count) for pruned patterns, unprunable patterns
@@ -2310,6 +2340,11 @@ def test_regex_search_matches_brute_force(spark):
         "table hash",        # pure literal
         "zz[0-9]+qq",        # no match
         "a.c",               # longest run 1 char -> unpruned full scan
+        "tab[a-z]e +hash|merge (sort|join)",  # pinned alternation
+        "merge|sort",        # both-branch union
+        "merge (sort)",      # transparent group splice
+        "merge|a.c",         # short branch -> whole pattern unpruned
+        "zzqq111|zzqq222",   # alternation, no match
     ]
     for pat in probes:
         got = [
@@ -2333,7 +2368,8 @@ def test_local_grep_regex_matches_spark_path(spark, tmp_path):
     build_trigram_index(spark, docs, d)
     g = LocalGrep(d, f"{SF}/documents.parquet")
     hit_any = False
-    for pat in ("tab[a-z]e +hash", "table hash", "a.c", "zz[0-9]+qq"):
+    for pat in ("tab[a-z]e +hash", "table hash", "a.c", "zz[0-9]+qq",
+                "tab[a-z]e +hash|merge (sort|join)", "merge|a.c"):
         want = [
             (r["doc_id"], r["n_matches"])
             for r in regex_search(spark, SF, pattern=pat,
@@ -3010,3 +3046,29 @@ def test_trigram_append_generations(spark, tmp_path):
     )
     assert man_after["generations"] == man_before["generations"]
     assert "t2" in man_after["tags"]
+
+
+def test_wildcard_docs_plan_termdict_pruned(spark):
+    """The batch wildcard clause must resolve through the term
+    dictionary and broadcast-prune the token stream (the serving
+    tier's _terms_matching rule): plan carries a broadcast join on
+    term, and the token side reaches it WITHOUT the round-3 shape's
+    full per-wildcard (doc_id, term) term_tf aggregation.  Values are
+    pinned separately by the query_topk driver oracle."""
+    from searchengine_spark.ops.search import _wildcard_docs
+
+    df = _wildcard_docs(spark, SF, "suffix", "er")
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "broadcast" in plan, plan
+    # exactly the wide edges the design allows: the vocabulary agg
+    # (keys [term]) on the broadcast side and the final distinct
+    # (keys [doc_id]) — never a (doc_id, term) aggregate
+    import re
+
+    keysets = re.findall(r"hashaggregate\(keys=\[([^\]]*)\]", plan)
+    assert keysets, plan
+    for ks in keysets:
+        names = {
+            k.strip().split("#")[0] for k in ks.split(",") if k.strip()
+        }
+        assert names in ({"term"}, {"doc_id"}), (names, plan)
