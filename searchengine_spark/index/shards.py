@@ -70,6 +70,7 @@ BLOCK_SCHEMA = (
 )
 
 DECODE_SCHEMA = "term string, docid long, tf int, positions array<int>"
+DECODE_SCHEMA_IMP = DECODE_SCHEMA + ", important int"
 
 
 def term_bucket_col(term_col="term"):
@@ -88,6 +89,9 @@ _ENCODE_CHUNK_ROWS = 1 << 18
 def _encode_blocks(batches):
     """mapInArrow over (term, salt, bucket, docid, tf, positions, weight)
     rows sorted by (term, salt, docid) within the partition → block rows.
+    (`_encode_blocks_imp` is the importance-payload twin: rows carry an
+    extra ``important`` column that lands as the payload's trailing
+    section — see varbyte.encode_block.)
 
     Fully vectorized: block boundaries fall at (term, salt) changes and
     every POSTING_BLOCK postings within a group (so layout is
@@ -107,6 +111,17 @@ def _encode_blocks(batches):
     """
     import pyarrow as pa
 
+    yield from _encode_stream(batches, with_importance=False)
+
+
+def _encode_blocks_imp(batches):
+    """Importance-payload encode (write_index store_importance=True)."""
+    yield from _encode_stream(batches, with_importance=True)
+
+
+def _encode_stream(batches, with_importance: bool):
+    import pyarrow as pa
+
     buf, nrows = [], 0
     for rb in batches:
         if rb.num_rows == 0:
@@ -117,13 +132,15 @@ def _encode_blocks(batches):
             tbl = pa.concat_tables(buf).combine_chunks()
             head, tail = _split_last_group(tbl)
             if head is not None:
-                yield from _encode_table(head)
+                yield from _encode_table(head, with_importance)
                 buf = [tail]
                 nrows = tail.num_rows
             # else: one giant group fills the buffer — keep buffering
             # (bounded by the striping cap, this should not happen)
     if nrows:
-        yield from _encode_table(pa.concat_tables(buf).combine_chunks())
+        yield from _encode_table(
+            pa.concat_tables(buf).combine_chunks(), with_importance
+        )
 
 
 def _split_last_group(tbl):
@@ -158,7 +175,7 @@ def _group_flags(tbl):
     return g
 
 
-def _encode_table(tbl):
+def _encode_table(tbl, with_importance: bool = False):
     """Encode one table whose (term, salt) groups are all complete."""
     import numpy as np
     import pyarrow as pa
@@ -190,6 +207,12 @@ def _encode_table(tbl):
     npos = np.diff(off)
     flat = pos.flatten().to_numpy().astype(np.int64)
 
+    imps = None
+    if with_importance:
+        imps = tbl.column("important").chunk(0).to_numpy().astype(
+            np.int64
+        )
+
     g = _group_flags(tbl)
     gid = np.cumsum(g) - 1
     gstart = np.flatnonzero(g)
@@ -198,7 +221,8 @@ def _encode_table(tbl):
     starts = np.flatnonzero(bstart)
     bounds = np.append(starts, n)
 
-    payloads = encode_payloads_np(docid, tf, npos, flat, starts)
+    payloads = encode_payloads_np(docid, tf, npos, flat, starts,
+                                  imps=imps)
     lens = np.diff(bounds).astype(np.int32)
     cf = np.add.reduceat(tf, starts)
     maxw = np.maximum.reduceat(weight, starts)
@@ -273,6 +297,48 @@ def decode_blocks(batches):
         )
 
 
+def decode_blocks_imp(batches):
+    """decode_blocks for importance-payload indexes: the trailing
+    important[n] section rides out as an extra int32 column."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .varbyte import decode_payloads_np
+
+    out_schema = pa.schema([
+        ("term", pa.string()),
+        ("docid", pa.int64()),
+        ("tf", pa.int32()),
+        ("positions", pa.list_(pa.int32())),
+        ("important", pa.int32()),
+    ])
+    for rb in batches:
+        terms_in = rb.column(rb.schema.get_field_index("term")).to_pylist()
+        payloads = rb.column(rb.schema.get_field_index("payload")).to_pylist()
+        n, docids, tfs, npos_all, flat_all, imps = decode_payloads_np(
+            [bytes(p) for p in payloads], with_importance=True
+        )
+        tidx = np.repeat(np.arange(len(terms_in), dtype=np.int32), n)
+        terms = pa.DictionaryArray.from_arrays(
+            pa.array(tidx), pa.array(terms_in, pa.string())
+        ).cast(pa.string())
+        offsets = np.zeros(npos_all.size + 1, dtype=np.int32)
+        np.cumsum(npos_all, out=offsets[1:])
+        yield pa.RecordBatch.from_arrays(
+            [
+                terms,
+                pa.array(docids, pa.int64()),
+                pa.array(tfs.astype(np.int32), pa.int32()),
+                pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()),
+                    pa.array(flat_all.astype(np.int32), pa.int32()),
+                ),
+                pa.array(imps.astype(np.int32), pa.int32()),
+            ],
+            schema=out_schema,
+        )
+
+
 # --------------------------------------------------------------------------
 # manifest
 
@@ -321,6 +387,7 @@ def write_index(
     index_dir: str,
     fail_after_group: int | None = None,
     store_content: bool = False,
+    store_importance: bool = False,
 ) -> dict:
     """Materialize IndexTables into the sharded on-disk index.
 
@@ -334,6 +401,17 @@ def write_index(
     stored-fields sidecar (index/stored.py) from ``tables.survivors``
     — its own resumable stage, completed before the mergeinfo commit
     marker so a complete manifest implies a complete sidecar.
+
+    ``store_importance=True`` (requires postings built with
+    ``importance_fn``) writes the BM25F importance-payload variant:
+    each posting's field priority lands as the payload's trailing
+    varbyte section, and the block/termdict ``max_weight`` bounds the
+    importance-SCALED tf-side weight (weight × params.IMPORTANCE
+    multiplier), so block-max WAND pruning stays lossless for the
+    BM25F scorer.  The flag is recorded in mergeinfo
+    (``importance_payload``) — readers pick the decode variant from
+    it; a plain reader skipping positions can still read these blocks
+    (sections decode front-to-back).
     """
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(os.path.join(index_dir, "_manifest.json"))
@@ -366,6 +444,17 @@ def write_index(
             * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl / F.lit(avgdl))
         )
     )
+    if store_importance:
+        if "important" not in tables.postings.columns:
+            raise ValueError(
+                "store_importance=True needs postings with an"
+                " 'important' column (build_tables(importance_fn=...))"
+            )
+        from ..params import importance_mult_col
+
+        # bound the SCALED per-posting score: WAND's block max must
+        # dominate idf * tf_part * multiplier for losslessness
+        weight = weight * importance_mult_col(F.col("important"))
     # salted repartitioning (north rule): stripes = f(df); salt = docid
     # stripe index.  df via partial-aggregating groupBy (map-side combine
     # keeps hot terms cheap), joined back on term.
@@ -392,8 +481,10 @@ def write_index(
             ((F.col("docid") - 1) / stripe_width).cast("long"),
         )
         .select("term", "salt", "bucket", "docid", "tf", "positions",
-                "weight")
+                "weight",
+                *(["important"] if store_importance else []))
     )
+    encode_fn = _encode_blocks_imp if store_importance else _encode_blocks
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
     todo = [g for g in range(RESUME_GROUPS)
             if not man.done(f"postings_group_{g}")]
@@ -421,7 +512,7 @@ def write_index(
                 enriched.filter(F.col("bucket") % RESUME_GROUPS == g)
                 .repartition(max(n_parts // 4, 4), "term", "salt")
                 .sortWithinPartitions("term", "salt", "docid")
-                .mapInArrow(_encode_blocks, schema=BLOCK_SCHEMA)
+                .mapInArrow(encode_fn, schema=BLOCK_SCHEMA)
             )
             # lineage metrics ride on the write job itself (Observation)
             # instead of a read-back job per group
@@ -516,6 +607,7 @@ def write_index(
             "n_terms": n_terms,
             "posting_block": POSTING_BLOCK,
             "n_buckets": N_TERM_BUCKETS,
+            "importance_payload": bool(store_importance),
         }
         with open(os.path.join(index_dir, "mergeinfo.json"), "w") as f:
             json.dump(info, f, indent=1, sort_keys=True)
@@ -573,24 +665,42 @@ def load_index(spark: SparkSession, index_dir: str,
     )
 
 
-def fetch_postings(shards: IndexShards, terms) -> DataFrame:
+def fetch_postings(shards: IndexShards, terms,
+                   with_importance: bool = False) -> DataFrame:
     """Decoded postings for a term set, with shard pruning.
 
     The bucket filter prunes parquet partitions (group=G/bucket=B dirs);
     the term filter prunes row groups via parquet min/max stats.  This is
     the Spark-native replacement for the reference's in-RAM seek
     dictionary + per-term fseek (lib/reader.py:229-259).
+    ``with_importance=True`` (importance-payload indexes only) adds
+    the decoded ``important`` column.  The payload FLAVOR is detected
+    from mergeinfo (``shards.stats['importance_payload']``): a plain
+    read of an importance index decodes the trailing section and
+    drops it, so every positions consumer works on either format;
+    asking for importance from a plain index raises (the bits aren't
+    there).
     """
+    has_imp = bool(shards.stats.get("importance_payload"))
+    if with_importance and not has_imp:
+        raise ValueError(
+            "with_importance=True needs an importance-payload index"
+        )
+    schema = DECODE_SCHEMA_IMP if with_importance else DECODE_SCHEMA
     terms = list(terms)
     if not terms:
-        return shards.blocks.sparkSession.createDataFrame([], DECODE_SCHEMA)
+        return shards.blocks.sparkSession.createDataFrame([], schema)
     buckets = buckets_of(shards.blocks.sparkSession, terms)
     want = shards.blocks.filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
     )
-    return want.select("term", "payload").mapInArrow(
-        decode_blocks, schema=DECODE_SCHEMA
+    decoded = want.select("term", "payload").mapInArrow(
+        decode_blocks_imp if has_imp else decode_blocks,
+        schema=DECODE_SCHEMA_IMP if has_imp else DECODE_SCHEMA,
     )
+    if has_imp and not with_importance:
+        decoded = decoded.drop("important")
+    return decoded
 
 
 def buckets_of(spark: SparkSession, terms) -> list[int]:

@@ -16,6 +16,13 @@ Block payload layout (all integers varbyte, MSB-continuation encoding):
     tf[n]
     npos[n]                 positions-list length per posting
     pos_deltas[sum(npos)]   per posting: pos[0], then pos[i]-pos[i-1]
+    important[n]            OPT-IN (importance-payload indexes only,
+                            mergeinfo flag): per-posting BM25F field
+                            priority (params.IMPORTANCE index).
+                            Readers that skip positions can ignore it
+                            (sections decode front-to-back); readers
+                            that want either tail section must know
+                            the flag (with_importance=...)
 
 Skip pointers are *columnar*: each block row carries (docid_first,
 docid_last, max_weight) beside the payload, so readers skip whole blocks
@@ -130,7 +137,8 @@ def vb_decode_all(data: bytes) -> np.ndarray:
     return np.add.reduceat(vals7, starts).astype(np.int64)
 
 
-def decode_block_np(payload: bytes, want_positions: bool = True):
+def decode_block_np(payload: bytes, want_positions: bool = True,
+                    with_importance: bool = False):
     """Vectorized inverse of :func:`encode_block`.
 
     Returns ``(docids, tfs, npos, flat_positions)`` as int64 numpy
@@ -138,24 +146,40 @@ def decode_block_np(payload: bytes, want_positions: bool = True):
     absolute position lists (split points = cumsum(npos)).  With
     ``want_positions=False`` the last two are None and the position
     section is never reconstructed (the WAND hot path skips it).
+    ``with_importance=True`` (importance-payload indexes) appends the
+    decoded important[n] array as a fifth element.
     """
     vals = vb_decode_all(payload)
     n = int(vals[0])
     if n == 0:
         z = np.empty(0, dtype=np.int64)
-        return z, z, (None if not want_positions else z), (
-            None if not want_positions else z
-        )
+        out = (z, z, (None if not want_positions else z),
+               (None if not want_positions else z))
+        return out + (z,) if with_importance else out
     docids = np.cumsum(vals[1 : 1 + n])
     tfs = vals[1 + n : 1 + 2 * n]
+    imps = None
+    if with_importance:
+        npos_v = vals[1 + 2 * n : 1 + 3 * n]
+        total = int(npos_v.sum())
+        imps = vals[1 + 3 * n + total :]
+        if imps.size != n:
+            raise ValueError("importance section length mismatch")
     if not want_positions:
-        return docids, tfs, None, None
+        return (
+            (docids, tfs, None, None, imps)
+            if with_importance else (docids, tfs, None, None)
+        )
     npos = vals[1 + 2 * n : 1 + 3 * n]
-    flat = vals[1 + 3 * n :]
-    if flat.size != int(npos.sum()):
+    total = int(npos.sum())
+    flat = vals[1 + 3 * n : 1 + 3 * n + total]
+    if not with_importance and vals.size != 1 + 3 * n + total:
         raise ValueError("positions section length mismatch")
     if flat.size == 0:
-        return docids, tfs, npos, flat
+        return (
+            (docids, tfs, npos, flat, imps)
+            if with_importance else (docids, tfs, npos, flat)
+        )
     # segmented cumsum: global cumsum minus each segment's base offset
     cs = np.cumsum(flat)
     pstarts = np.empty(n, dtype=np.int64)
@@ -163,7 +187,10 @@ def decode_block_np(payload: bytes, want_positions: bool = True):
     np.cumsum(npos[:-1], out=pstarts[1:])
     base = np.where(pstarts > 0, cs[np.maximum(pstarts - 1, 0)], 0)
     abspos = cs - np.repeat(base, npos)
-    return docids, tfs, npos, abspos
+    return (
+        (docids, tfs, npos, abspos, imps)
+        if with_importance else (docids, tfs, npos, abspos)
+    )
 
 
 def _intra(counts: np.ndarray) -> np.ndarray:
@@ -189,7 +216,8 @@ def _seg_cumsum(x: np.ndarray, counts: np.ndarray) -> np.ndarray:
     return cs - np.repeat(base, counts)
 
 
-def decode_payloads_np(payloads, want_positions: bool = True):
+def decode_payloads_np(payloads, want_positions: bool = True,
+                       with_importance: bool = False):
     """Bulk-decode MANY block payloads in ONE vectorized pass.
 
     Varbyte values never span payload boundaries (every value ends with
@@ -204,12 +232,14 @@ def decode_payloads_np(payloads, want_positions: bool = True):
         ranges, the concatenated ``docids`` of one term's blocks stay
         globally sorted.  With ``want_positions=False`` npos/abspos are
         None and the position sections are never touched.
+        ``with_importance=True`` (importance-payload indexes) appends
+        the concatenated important values as a sixth element.
     """
     if not payloads:
         z = np.empty(0, dtype=np.int64)
-        return z, z, z, (z if want_positions else None), (
-            z if want_positions else None
-        )
+        out = (z, z, z, (z if want_positions else None),
+               (z if want_positions else None))
+        return out + (z,) if with_importance else out
     lens = np.fromiter((len(p) for p in payloads), np.int64,
                        count=len(payloads))
     buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
@@ -239,7 +269,7 @@ def decode_payloads_np(payloads, want_positions: bool = True):
     intra_n = _intra(n)
     docids = _seg_cumsum(vals[np.repeat(vstart + 1, n) + intra_n], n)
     tfs = vals[np.repeat(vstart + 1 + n, n) + intra_n]
-    if not want_positions:
+    if not want_positions and not with_importance:
         return n, docids, tfs, None, None
     npos = vals[np.repeat(vstart + 1 + 2 * n, n) + intra_n]
     # per-payload position totals: sum npos within each payload segment
@@ -250,22 +280,37 @@ def decode_payloads_np(payloads, want_positions: bool = True):
         n.size, dtype=np.int64
     )
     vcounts = np.diff(np.concatenate([vstart, [vals.size]]))
-    if not np.array_equal(vcounts, 1 + 3 * n + total):
+    want_counts = 1 + 3 * n + total + (n if with_importance else 0)
+    if not np.array_equal(vcounts, want_counts):
         raise ValueError("payload section length mismatch")
+    imps = None
+    if with_importance:
+        imps = vals[
+            np.repeat(vstart + 1 + 3 * n + total, n) + intra_n
+        ]
+    if not want_positions:
+        return n, docids, tfs, None, None, imps
     pdeltas = vals[np.repeat(vstart + 1 + 3 * n, total) + _intra(total)]
     abspos = _seg_cumsum(pdeltas, npos)
-    return n, docids, tfs, npos, abspos
+    return (
+        (n, docids, tfs, npos, abspos, imps)
+        if with_importance else (n, docids, tfs, npos, abspos)
+    )
 
 
-def encode_block(docids, tfs, positions) -> bytes:
+def encode_block(docids, tfs, positions, importants=None) -> bytes:
     """Encode one posting block (parallel lists, docids strictly asc).
 
     ``positions`` is a list of per-posting position lists (1-based,
     strictly ascending — posexplode order); empty lists allowed.
+    ``importants`` (opt-in) appends the per-posting BM25F field
+    priorities as a trailing section.
     """
     n = len(docids)
     if not (n == len(tfs) == len(positions)):
         raise ValueError("parallel lists must have equal length")
+    if importants is not None and len(importants) != n:
+        raise ValueError("importants must parallel docids")
     out = bytearray()
     out += vb_encode([n])
     out += encode_deltas(docids)
@@ -278,6 +323,8 @@ def encode_block(docids, tfs, positions) -> bytes:
             flat.append(p if i == 0 else p - prev)
             prev = p
     out += vb_encode(flat)
+    if importants is not None:
+        out += vb_encode(importants)
     return bytes(out)
 
 
@@ -292,16 +339,22 @@ def decode_block(payload: bytes):
     return docids.tolist(), tfs.tolist(), positions
 
 
-def decode_block_py(payload: bytes):
+def decode_block_py(payload: bytes, with_importance: bool = False):
     """Byte-at-a-time reference decoder (kept as the independent
-    implementation the round-trip tests cross-check against)."""
+    implementation the round-trip tests cross-check against).
+    ``with_importance=True`` additionally decodes the trailing
+    important[n] section and returns a 4-tuple."""
     (nv, off) = vb_decode(payload, count=1)
     n = nv[0]
     docids, off = decode_deltas(payload, n, offset=off)
     tfs, off = vb_decode(payload, offset=off, count=n)
     npos, off = vb_decode(payload, offset=off, count=n)
     total = sum(npos)
-    flat, off = vb_decode(payload, offset=off, count=total)
+    # count=0 must not consume anything (an importance payload may
+    # carry a trailing section after an empty positions section)
+    flat = []
+    if total:
+        flat, off = vb_decode(payload, offset=off, count=total)
     positions = []
     i = 0
     for k in npos:
@@ -312,6 +365,9 @@ def decode_block_py(payload: bytes):
             plist.append(acc)
         positions.append(plist)
         i += k
+    if with_importance:
+        imps, off = vb_decode(payload, offset=off, count=n)
+        return docids, tfs, positions, imps
     return docids, tfs, positions
 
 
@@ -363,18 +419,21 @@ def vb_encode_np(values: np.ndarray):
     return buf, ends
 
 
-def encode_payloads_np(docids, tfs, npos, flatpos, block_starts):
+def encode_payloads_np(docids, tfs, npos, flatpos, block_starts,
+                       imps=None):
     """Per-block payloads, byte-identical to :func:`encode_block`.
 
     Inputs are the PARTITION-level parallel arrays (postings sorted so
     that each block is a contiguous slice): ``docids``/``tfs``/``npos``
     int64 per posting, ``flatpos`` the row-major concatenation of the
     position lists (int64), ``block_starts`` int64 start indices of
-    each block (ascending, starting at 0).  Returns a list of bytes.
+    each block (ascending, starting at 0).  ``imps`` (opt-in) appends
+    the per-posting important[n] section.  Returns a list of bytes.
 
     One global varbyte pass per section + per-block slicing — the
     vectorized form of calling encode_block per block (whose layout
-    [n][docid deltas][tfs][npos][pos deltas] it reproduces exactly).
+    [n][docid deltas][tfs][npos][pos deltas][important?] it reproduces
+    exactly).
     """
     n_post = docids.size
     starts = np.asarray(block_starts, dtype=np.int64)
@@ -408,6 +467,10 @@ def encode_payloads_np(docids, tfs, npos, flatpos, block_starts):
     tf_buf, tf_ends = vb_encode_np(tfs)
     np_buf, np_ends = vb_encode_np(npos)
     pos_buf, pos_ends = vb_encode_np(pd_)
+    if imps is not None:
+        imp_buf, imp_ends = vb_encode_np(
+            np.asarray(imps, dtype=np.int64)
+        )
 
     def sec_bounds(ends, idx_bounds):
         """Byte offsets of each block's section given value ends and
@@ -433,6 +496,19 @@ def encode_payloads_np(docids, tfs, npos, flatpos, block_starts):
         memoryview(tf_buf), memoryview(np_buf), memoryview(pos_buf),
     )
     out = []
+    if imps is not None:
+        imp_b = sec_bounds(imp_ends, bounds)
+        imp_m = memoryview(imp_buf)
+        for k in range(starts.size):
+            out.append(
+                bytes(hdr_m[hdr_b[k]:hdr_b[k + 1]])
+                + bytes(did_m[did_b[k]:did_b[k + 1]])
+                + bytes(tf_m[tf_b[k]:tf_b[k + 1]])
+                + bytes(np_m[np_b[k]:np_b[k + 1]])
+                + bytes(pos_m[pos_b[k]:pos_b[k + 1]])
+                + bytes(imp_m[imp_b[k]:imp_b[k + 1]])
+            )
+        return out
     for k in range(starts.size):
         out.append(
             bytes(hdr_m[hdr_b[k]:hdr_b[k + 1]])

@@ -58,3 +58,22 @@ N_TERM_BUCKETS = 64     # hash buckets for the on-disk index partitioning
 SIMHASH_BITS = 32       # reference lib/duphash.py:118
 SIMHASH_HAMMING = 3     # reference lib/duphash.py:141
 SIMHASH_BANDS = 4       # 4 bands x 8 bits: Hamming<=3 guarantees >=1 equal band
+
+
+def importance_mult_col(important_col):
+    """Spark Column: params.IMPORTANCE multiplier for an ``important``
+    priority column — out-of-table priorities (custom extractors may
+    emit up to 15) fall back to the untagged multiplier, matching the
+    SQL oracle's CASE ... ELSE and never a NULL that would silently
+    drop a term's contribution.  ONE definition shared by the
+    in-memory scorer (query/scoring.py), the importance-payload index
+    writer's WAND bound (index/shards.py), and the on-disk scorers."""
+    from pyspark.sql import functions as F
+
+    return F.when(
+        important_col.between(0, len(IMPORTANCE) - 1),
+        F.element_at(
+            F.array(*[F.lit(float(m)) for m in IMPORTANCE]),
+            important_col.cast("int") + 1,
+        ),
+    ).otherwise(F.lit(float(IMPORTANCE[0])))

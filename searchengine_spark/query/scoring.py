@@ -115,20 +115,13 @@ def score_candidates(
         / (F.col("tf").cast("double") + dl_norm)
     )
     if importance:
-        from ..params import IMPORTANCE
+        from ..params import importance_mult_col
 
-        # out-of-table priorities (custom extractors may emit up to 15)
-        # fall back to the untagged multiplier — matching the SQL
-        # oracle's CASE ... ELSE, and never a NULL that would silently
-        # drop the term's contribution while nmatch still counts it
-        mult = F.when(
-            F.col("important").between(0, len(IMPORTANCE) - 1),
-            F.element_at(
-                F.array(*[F.lit(float(m)) for m in IMPORTANCE]),
-                F.col("important").cast("int") + 1,
-            ),
-        ).otherwise(F.lit(float(IMPORTANCE[0])))
-        bm25 = bm25 * mult
+        # shared multiplier rule (params.importance_mult_col): out-of-
+        # table priorities fall back to the untagged multiplier —
+        # matching the SQL oracle's CASE ... ELSE, never a NULL that
+        # would silently drop the term while nmatch still counts it
+        bm25 = bm25 * importance_mult_col(F.col("important"))
     per_doc = (
         hits.withColumn("bm25", bm25)
         .groupBy("qid", "docid")
@@ -250,15 +243,27 @@ def score_queries(spark, queries, tables, k=10, stem=True,
     )
 
 
-def score_queries_ondisk(spark, queries, shards, k=10, stem=True) -> DataFrame:
+def score_queries_ondisk(spark, queries, shards, k=10, stem=True,
+                         importance: bool = False) -> DataFrame:
     """Full blended scorer served from the on-disk index (SURVEY.md §7
     step 4): broadcast termdict lookup → bucket-pruned shard reads →
     decode UDF → the same score_candidates DAG as the in-memory path.
 
     Rank-identical to :func:`score_queries` over the tables the index
     was written from (asserted in tests/test_rank_identity.py).
+
+    ``importance=True`` (BM25F): the index must carry the importance
+    payload (write_index(store_importance=True) — checked via
+    mergeinfo); postings decode with the per-posting field priority
+    and score exactly like the in-memory BM25F path.
     """
     from ..index.shards import fetch_postings
+
+    if importance and not shards.stats.get("importance_payload"):
+        raise ValueError(
+            "importance=True needs an importance-payload index"
+            " (write_index(store_importance=True))"
+        )
 
     terms_needed = set()
     for _, text in queries:
@@ -284,7 +289,10 @@ def score_queries_ondisk(spark, queries, shards, k=10, stem=True) -> DataFrame:
         [(qid, m["nterms"], m["qnorm"]) for qid, m in meta.items()],
         "qid int, nterms int, qnorm double",
     )
-    postings = fetch_postings(shards, sorted({r[1] for r in rows}))
+    postings = fetch_postings(
+        shards, sorted({r[1] for r in rows}),
+        with_importance=importance,
+    )
     return score_candidates(
         spark,
         qterms,
@@ -293,4 +301,5 @@ def score_queries_ondisk(spark, queries, shards, k=10, stem=True) -> DataFrame:
         shards.docs,
         shards.stats["avgdl"],
         k=k,
+        importance=importance,
     )

@@ -66,28 +66,57 @@ def _dl_arrays(dl):
     return ids[o], lens[o]
 
 
-def _blk_decode(blk):
-    """(ids, tfs) of one block — payload bytes, or a pre-decoded
-    (ids, tfs) tuple (LocalSearcher's decoded LRU, the reference's
-    cache-decoded-postings design, lib/reader.py:229-259)."""
+def _blk_decode(blk, with_imp=False):
+    """(ids, tfs[, imps]) of one block — payload bytes, or a
+    pre-decoded (ids, tfs) tuple (LocalSearcher's decoded LRU, the
+    reference's cache-decoded-postings design, lib/reader.py:229-259)."""
     p = blk[3]
     if isinstance(p, tuple):
+        if with_imp:
+            raise ValueError("pre-decoded blocks carry no importance")
         return p
+    if with_imp:
+        ids, tfs, _, _, imps = decode_block_np(
+            bytes(p), want_positions=False, with_importance=True
+        )
+        return ids, tfs, imps
     ids, tfs, _, _ = decode_block_np(bytes(p), want_positions=False)
     return ids, tfs
 
 
-def _blks_decode(blks):
-    """Concatenated (ids, tfs) over blocks (bulk path)."""
+def _blks_decode(blks, with_imp=False):
+    """Concatenated (ids, tfs[, imps]) over blocks (bulk path)."""
     if blks and isinstance(blks[0][3], tuple):
+        if with_imp:
+            raise ValueError("pre-decoded blocks carry no importance")
         return (
             np.concatenate([b[3][0] for b in blks]),
             np.concatenate([b[3][1] for b in blks]),
         )
+    if with_imp:
+        _, ids, tfs, _, _, imps = decode_payloads_np(
+            [bytes(b[3]) for b in blks], want_positions=False,
+            with_importance=True,
+        )
+        return ids, tfs, imps
     _, ids, tfs, _, _ = decode_payloads_np(
         [bytes(b[3]) for b in blks], want_positions=False
     )
     return ids, tfs
+
+
+def _imp_table():
+    """params.IMPORTANCE as a float64 lookup array (BM25F kernels)."""
+    from ..params import IMPORTANCE
+
+    return np.asarray(IMPORTANCE, dtype=np.float64)
+
+
+def _imp_mult(table, imps):
+    """Per-posting multiplier; out-of-table priorities fall back to
+    the untagged multiplier — params.importance_mult_col's rule."""
+    idx = np.where((imps >= 0) & (imps < table.size), imps, 0)
+    return table[idx]
 
 
 def _dl_member(dl_ids, ids):
@@ -117,7 +146,8 @@ def _topk_merge(top_s, top_d, s, d, k):
     return all_s[order], all_d[order]
 
 
-def bmw_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
+def bmw_range(term_blocks, dl, avgdl, k, lo=None, hi=None,
+              imp_table=None):
     """Conjunctive block-max intersection over one docid range
     (numpy-vectorized kernel).
 
@@ -127,6 +157,11 @@ def bmw_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
     :param dl: dict docid → doc length, or a pre-built
         ``(sorted_docids, lengths)`` array pair;
     :param lo/hi: optional docid clip (inclusive) for range boundaries;
+    :param imp_table: BM25F mode (importance-payload indexes): the
+        params.IMPORTANCE lookup array — per-posting weights scale by
+        table[important].  Lossless with the same argument, because
+        importance-payload blocks store IMPORTANCE-SCALED maxima
+        (write_index bounds idf·tf_part·mult by idf·max_weight);
     :return: (top list of (score, docid) best-first, n_blocks_decoded).
 
     Exact-score guarantee: pruning only ever skips (a) docids that
@@ -142,11 +177,15 @@ def bmw_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
         return [], decoded
     dl_ids, dl_lens = _dl_arrays(dl)
     k1, b = BM25_K1, BM25_B
+    wimp = imp_table is not None
 
-    def weights(tfs, docids):
+    def weights(tfs, docids, imps=None):
         dlv = dl_lens[np.searchsorted(dl_ids, docids)]
         tff = tfs.astype(np.float64)
-        return tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dlv / avgdl))
+        w = tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dlv / avgdl))
+        if imps is not None:
+            w = w * _imp_mult(imp_table, imps)
+        return w
 
     # candidates from the rarest term (conjunctive: every result has it),
     # bulk-decoded in one vectorized pass; block spans are disjoint and
@@ -160,7 +199,9 @@ def bmw_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
     ]
     if not fblocks:
         return [], decoded
-    cand_ids, cand_tfs = _blks_decode(fblocks)
+    dec = _blks_decode(fblocks, with_imp=wimp)
+    cand_ids, cand_tfs = dec[0], dec[1]
+    cand_imps = dec[2] if wimp else None
     decoded += len(fblocks)
     m = _dl_member(dl_ids, cand_ids)
     if lo is not None:
@@ -168,9 +209,11 @@ def bmw_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
     if hi is not None:
         m &= cand_ids <= hi
     cand_ids, cand_tfs = cand_ids[m], cand_tfs[m]
+    if wimp:
+        cand_imps = cand_imps[m]
     if cand_ids.size == 0:
         return [], decoded
-    cand_scores = first["idf"] * weights(cand_tfs, cand_ids)
+    cand_scores = first["idf"] * weights(cand_tfs, cand_ids, cand_imps)
 
     top_s = np.empty(0, dtype=np.float64)
     top_d = np.empty(0, dtype=np.int64)
@@ -196,7 +239,8 @@ def bmw_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
             # exists before the last term — the scalar algorithm's heap
             # only fills there) → one bulk decode, one searchsorted
             need = np.unique(bi)
-            ids_b, tfs_b = _blks_decode([blocks[i] for i in need])
+            dec = _blks_decode([blocks[i] for i in need], with_imp=wimp)
+            ids_b, tfs_b = dec[0], dec[1]
             decoded += len(need)
             pos = np.minimum(np.searchsorted(ids_b, cand_ids),
                              ids_b.size - 1)
@@ -205,7 +249,8 @@ def bmw_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
                 return [], decoded
             cand_ids = cand_ids[present]
             cand_scores = cand_scores[present] + idf * weights(
-                tfs_b[pos[present]], cand_ids
+                tfs_b[pos[present]], cand_ids,
+                dec[2][pos[present]] if wimp else None,
             )
             continue
         # last term: per needed block in ascending docid order, so the
@@ -227,7 +272,8 @@ def bmw_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
                 if not keep.any():
                     continue
                 ids_m, sc_m = ids_m[keep], sc_m[keep]
-            ids_b, tfs_b = _blk_decode(blk)
+            dec = _blk_decode(blk, with_imp=wimp)
+            ids_b, tfs_b = dec[0], dec[1]
             decoded += 1
             pos = np.minimum(np.searchsorted(ids_b, ids_m),
                              ids_b.size - 1)
@@ -236,7 +282,8 @@ def bmw_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
                 continue
             ids_p = ids_m[present]
             s_p = sc_m[present] + idf * weights(
-                tfs_b[pos[present]], ids_p
+                tfs_b[pos[present]], ids_p,
+                dec[2][pos[present]] if wimp else None,
             )
             top_s, top_d = _topk_merge(top_s, top_d, s_p, ids_p, k)
         break
@@ -247,7 +294,8 @@ def bmw_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
     return [(float(s), int(d)) for s, d in zip(top_s, top_d)], decoded
 
 
-def bmw_or_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
+def bmw_or_range(term_blocks, dl, avgdl, k, lo=None, hi=None,
+                 imp_table=None):
     """DISJUNCTIVE (OR-mode) block-max top-k over one docid range — the
     classic WAND semantics the reference never had: score = Σ over the
     query terms a doc contains; no conjunctive filter.
@@ -274,11 +322,15 @@ def bmw_or_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
         return [], decoded
     dl_ids, dl_lens = _dl_arrays(dl)
     k1, b = BM25_K1, BM25_B
+    wimp = imp_table is not None
 
-    def weights(tfs, docids):
+    def weights(tfs, docids, imps=None):
         dlv = dl_lens[np.searchsorted(dl_ids, docids)]
         tff = tfs.astype(np.float64)
-        return tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dlv / avgdl))
+        w = tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dlv / avgdl))
+        if imps is not None:
+            w = w * _imp_mult(imp_table, imps)
+        return w
 
     def clipped_blocks(tb):
         return [
@@ -308,12 +360,14 @@ def bmw_or_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
         key=lambda i: per_term[i][0] * max(b2[2] for b2 in per_term[i][1]),
     )
     seed_idf, seed_blocks = per_term[seed_i]
-    s_ids, s_tfs = _blks_decode(seed_blocks)
+    dec = _blks_decode(seed_blocks, with_imp=wimp)
+    s_ids, s_tfs = dec[0], dec[1]
     decoded += len(seed_blocks)
     m = clip_mask(s_ids)
     s_ids, s_tfs = s_ids[m], s_tfs[m]
+    s_imps = dec[2][m] if wimp else None
     seed_contrib = (
-        seed_idf * weights(s_tfs, s_ids) if s_ids.size
+        seed_idf * weights(s_tfs, s_ids, s_imps) if s_ids.size
         else np.empty(0, np.float64)
     )
     thr = -np.inf
@@ -365,13 +419,16 @@ def bmw_or_range(term_blocks, dl, avgdl, k, lo=None, hi=None):
         needed_blocks = [b2 for b2, want in zip(bl, sel) if want]
         if not needed_blocks:
             continue
-        ids, tfs = _blks_decode(needed_blocks)
+        dec = _blks_decode(needed_blocks, with_imp=wimp)
+        ids, tfs = dec[0], dec[1]
         decoded += len(needed_blocks)
         m = clip_mask(ids)
         ids, tfs = ids[m], tfs[m]
         if ids.size:
             id_ch.append(ids)
-            c_ch.append(idf * weights(tfs, ids))
+            c_ch.append(
+                idf * weights(tfs, ids, dec[2][m] if wimp else None)
+            )
     if not id_ch:
         return [], decoded
     ids_all = np.concatenate(id_ch)
@@ -626,8 +683,14 @@ def wand_topk(
     mode: str = "and",
     cache: BlockCache | None = None,
     allowed_docs: DataFrame | None = None,
+    importance: bool = False,
 ) -> DataFrame:
     """Batch BM25 top-k with block-max pruning.
+
+    ``importance=True`` (BM25F, importance-payload indexes only):
+    per-posting weights scale by the decoded field priority's
+    params.IMPORTANCE multiplier; pruning stays lossless because such
+    indexes store importance-SCALED block maxima (write_index).
 
     ``mode="and"`` (default): conjunctive — rank-identical to the
     exhaustive conjunctive BM25 scorer (reference semantics).
@@ -708,6 +771,12 @@ def wand_topk(
     kk = k
     dpr = docs_per_range
     conjunctive = mode == "and"
+    if importance and not shards.stats.get("importance_payload"):
+        raise ValueError(
+            "importance=True needs an importance-payload index"
+            " (write_index(store_importance=True))"
+        )
+    imp_t = _imp_table() if importance else None
 
     def run_range(keys, left, right):
         (range_id,) = keys
@@ -737,14 +806,16 @@ def wand_topk(
                 tbs = [
                     {"idf": idf, "blocks": by_term[t]} for t, idf in plan
                 ]
-                top, _ = bmw_range(tbs, dl, avgdl, kk, lo=lo, hi=hi)
+                top, _ = bmw_range(tbs, dl, avgdl, kk, lo=lo, hi=hi,
+                                   imp_table=imp_t)
             else:
                 tbs = [
                     {"idf": idf, "blocks": by_term[t]}
                     for t, idf in plan
                     if t in by_term
                 ]
-                top, _ = bmw_or_range(tbs, dl, avgdl, kk, lo=lo, hi=hi)
+                top, _ = bmw_or_range(tbs, dl, avgdl, kk, lo=lo, hi=hi,
+                                      imp_table=imp_t)
             for s, d in top:
                 rows["qid"].append(qid)
                 rows["docid"].append(d)
@@ -772,6 +843,7 @@ def exhaustive_topk(
     analyzer=analyze_query,
     mode: str = "and",
     allowed_docs: DataFrame | None = None,
+    importance: bool = False,
 ) -> DataFrame:
     """Reference semantics without pruning: decode → join → agg → top-k.
 
@@ -780,6 +852,8 @@ def exhaustive_topk(
     conjunctive nmatch filter (disjunctive scoring).  ``allowed_docs``
     restricts eligibility with corpus-global stats, same contract as
     wand_topk's — here it simply narrows the docs inner join.
+    ``importance=True``: BM25F over an importance-payload index (the
+    losslessness partner of wand_topk(importance=True)).
     """
     from ..index.shards import fetch_postings
 
@@ -802,7 +876,7 @@ def exhaustive_topk(
     live = shards.docs
     if allowed_docs is not None:
         live = live.join(allowed_docs.select("docid"), "docid")
-    postings = fetch_postings(shards, needed)
+    postings = fetch_postings(shards, needed, with_importance=importance)
     hits = postings.join(F.broadcast(qterms), "term").join(
         live.select("docid", "total_tokens"), "docid"
     )
@@ -820,6 +894,10 @@ def exhaustive_topk(
             )
         )
     )
+    if importance:
+        from ..params import importance_mult_col
+
+        w8 = w8 * importance_mult_col(F.col("important"))
     scored = (
         hits.withColumn("contrib", F.col("idf") * w8)
         .groupBy("qid", "docid")

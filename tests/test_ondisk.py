@@ -256,3 +256,71 @@ def test_resume_after_injected_failure(spark, tables, tmp_path_factory,
                         "cf", "payload").collect(), key=key)
     assert [tuple(r) for r in ga] == [tuple(r) for r in gb]
     assert a.stats == b.stats
+
+
+@given(
+    st.lists(posting_lists, min_size=1, max_size=5),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=40, deadline=None)
+def test_vectorized_importance_payloads_match_encode_block(groups,
+                                                          block_cap):
+    """The importance-payload variant keeps the byte-identity contract:
+    encode_payloads_np(imps=...) == encode_block(..., importants) per
+    block, and both scalar and vectorized decoders round-trip the
+    trailing important[n] section."""
+    import numpy as np
+
+    from searchengine_spark.index.varbyte import (
+        decode_block_py,
+        decode_payloads_np,
+        encode_payloads_np,
+    )
+
+    docids, tfs, npos, flat, imps, starts = [], [], [], [], [], []
+    ref_blocks, ref_rows = [], []
+    base = 0
+    for gi, rows in enumerate(groups):
+        rows = [(base + i + 1, r[1], r[2]) for i, r in enumerate(rows)]
+        base = rows[-1][0]
+        for lo in range(0, len(rows), block_cap):
+            chunk = rows[lo : lo + block_cap]
+            ims = [(d * 7 + gi) % 11 for d, _, _ in chunk]  # incl. >8
+            starts.append(len(docids))
+            ref_blocks.append(
+                encode_block(
+                    [r[0] for r in chunk],
+                    [r[1] for r in chunk],
+                    [r[2] for r in chunk],
+                    importants=ims,
+                )
+            )
+            ref_rows.append(([r[0] for r in chunk],
+                             [r[1] for r in chunk],
+                             [r[2] for r in chunk], ims))
+            for (d, t, p), im in zip(chunk, ims):
+                docids.append(d)
+                tfs.append(t)
+                npos.append(len(p))
+                flat.extend(p)
+                imps.append(im)
+    got = encode_payloads_np(
+        np.array(docids, dtype=np.int64),
+        np.array(tfs, dtype=np.int64),
+        np.array(npos, dtype=np.int64),
+        np.array(flat, dtype=np.int64),
+        np.array(starts, dtype=np.int64),
+        imps=np.array(imps, dtype=np.int64),
+    )
+    assert got == ref_blocks
+    for pl, (d, t, p, im) in zip(ref_blocks, ref_rows):
+        assert decode_block_py(pl, with_importance=True) == (d, t, p, im)
+    n, d_all, t_all, _, _, i_all = decode_payloads_np(
+        ref_blocks, with_importance=True
+    )
+    assert d_all.tolist() == docids
+    assert i_all.tolist() == imps
+    # the lean (positions-skipping) decode ignores the tail section
+    _, d2, t2, _, _ = decode_payloads_np(ref_blocks,
+                                         want_positions=False)
+    assert d2.tolist() == docids and t2.tolist() == tfs

@@ -402,3 +402,78 @@ def test_wand_block_cache_warm_plan_and_memo(spark, shards):
     assert cache._shards_key[0] == id(reloaded.blocks)
     assert "qqzzneverterm" not in cache._dfmap  # memo flushed with the handle
     cache.clear()
+
+
+def test_wand_importance_lossless_and_matches_inmemory(
+        spark, corpus_df, tmp_path_factory):
+    """On-disk BM25F ([NORTH-EXT] completion): an importance-payload
+    index (write_index(store_importance=True)) must (a) keep WAND
+    lossless — wand_topk(importance=True) equals the exhaustive BM25F
+    scorer exactly, bounds being importance-scaled block maxima — and
+    (b) serve score_queries_ondisk(importance=True) rank-identical to
+    the in-memory BM25F chain the driver oracle pins."""
+    from searchengine_spark.index import build_tables
+    from searchengine_spark.index.shards import write_index
+    from searchengine_spark.query.scoring import (
+        score_queries,
+        score_queries_ondisk,
+    )
+    from searchengine_spark.text.importance import (
+        extract_importance_text,
+    )
+
+    tables = build_tables(
+        spark, corpus_df, compute_quality=False, stem=False,
+        near_dup=False, importance_fn=extract_importance_text,
+    )
+    d = str(tmp_path_factory.mktemp("idx_imp") / "idx")
+    write_index(spark, tables, d, store_importance=True)
+    sh = load_index(spark, d)
+    assert sh.stats["importance_payload"] is True
+
+    queries = [(qid, q) for qid, q in QUERIES]
+    for mode in ("and", "or"):
+        a = wand_topk(spark, sh, queries, k=10, docs_per_range=64,
+                      mode=mode, importance=True)
+        b = exhaustive_topk(spark, sh, queries, k=10, mode=mode,
+                            importance=True)
+        ra = [(r["qid"], r["rank"], r["docid"], r["score"])
+              for r in a.orderBy("qid", "rank").collect()]
+        rb = [(r["qid"], r["rank"], r["docid"], r["score"])
+              for r in b.orderBy("qid", "rank").collect()]
+        assert len(ra) == len(rb) and ra, mode
+        for (qa, ka, da, sa), (qb, kb, db, sb) in zip(ra, rb):
+            assert (qa, ka, da) == (qb, kb, db), mode
+            assert math.isclose(sa, sb, rel_tol=1e-9), mode
+
+    # importance actually changes ranks vs the plain index on this
+    # corpus (the extractor is live) — guard against a silent no-op
+    plain = exhaustive_topk(spark, sh, queries, k=10)
+    imp = exhaustive_topk(spark, sh, queries, k=10, importance=True)
+    sp = [(r["qid"], r["docid"], round(r["score"], 9))
+          for r in plain.orderBy("qid", "rank").collect()]
+    si = [(r["qid"], r["docid"], round(r["score"], 9))
+          for r in imp.orderBy("qid", "rank").collect()]
+    assert sp != si
+
+    # full blended chain: ondisk BM25F == in-memory BM25F
+    mem = score_queries(spark, queries, tables, k=10, stem=False,
+                        importance=True)
+    dsk = score_queries_ondisk(spark, queries, sh, k=10, stem=False,
+                               importance=True)
+    rm = [(r["qid"], r["rank"], r["docid"], round(r["score"], 9))
+          for r in mem.orderBy("qid", "rank").collect()]
+    rd = [(r["qid"], r["rank"], r["docid"], round(r["score"], 9))
+          for r in dsk.orderBy("qid", "rank").collect()]
+    assert rm == rd and rm
+
+    # a plain index refuses importance serving (loud, not silent)
+    plain_tables = build_tables(
+        spark, corpus_df, compute_quality=False, stem=False,
+        near_dup=False,
+    )
+    d2 = str(tmp_path_factory.mktemp("idx_plain") / "idx")
+    write_index(spark, plain_tables, d2)
+    with pytest.raises(ValueError):
+        wand_topk(spark, load_index(spark, d2), queries,
+                  importance=True)
