@@ -190,6 +190,18 @@ def _run_engine_flat_bm25f(
     importance-extended full-chain DuckDB oracle."""
     from searchengine_spark.query.scoring import score_queries
 
+    res = score_queries(
+        spark, queries, _engine_tables_flatimp(spark, sf_dir), k=k,
+        stem=False, importance=True,
+    )
+    return res.select(
+        "qid", "rank", "docid", F.round("score", 6).alias("score")
+    )
+
+
+def _engine_tables_flatimp(spark, sf_dir):
+    """Flat tables with the live importance extractor — shared by the
+    in-memory and on-disk BM25F twins."""
     key = (sf_dir, "flatimp")
     if key not in _TABLES_CACHE:
         from searchengine_spark.index import build_tables
@@ -202,9 +214,28 @@ def _run_engine_flat_bm25f(
             spark, corpus, compute_quality=False, stem=False,
             near_dup=False, importance_fn=extract_importance_text,
         )
-    res = score_queries(
-        spark, queries, _TABLES_CACHE[key], k=k, stem=False,
-        importance=True,
+    return _TABLES_CACHE[key]
+
+
+def _run_engine_ondisk_bm25f(
+    spark: SparkSession, sf_dir: str, queries, k=10
+) -> DataFrame:
+    """The BM25F variant served from the compressed on-disk index: the
+    importance-payload format (write_index(store_importance=True) —
+    field priorities in the payload's trailing varbyte section,
+    importance-scaled block maxima) scored by the same BM25F chain as
+    the flat twin, under the SAME importance-extended full-chain
+    DuckDB oracle — closing the round-3 'BM25F is in-memory-only'
+    parity gap."""
+    from searchengine_spark.index.shards import load_index, write_index
+    from searchengine_spark.query.scoring import score_queries_ondisk
+
+    tables = _engine_tables_flatimp(spark, sf_dir)
+    d = _index_cache_dir(sf_dir, "engineflatimp")
+    write_index(spark, tables, d, store_importance=True)
+    shards = load_index(spark, d)
+    res = score_queries_ondisk(
+        spark, queries, shards, k=k, stem=False, importance=True
     )
     return res.select(
         "qid", "rank", "docid", F.round("score", 6).alias("score")
@@ -652,6 +683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_search_persisted": T.substring_search_persisted,
         "regex_search": T.regex_search,
         "regex_search_persisted": T.regex_search_persisted,
+        "regex_alt_search": T.regex_alt_search,
+        "regex_alt_search_persisted": T.regex_alt_search_persisted,
         "doc_fingerprint": T.doc_fingerprint,
         "repetition_stats": T.repetition_stats,
         "ann_cosine_topk": T.ann_cosine_topk,
@@ -674,6 +707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stored_fields": _stored_fields,
         "engine_topk_flat_bm25f": lambda spark, sf: _run_engine_flat_bm25f(
             spark, sf, ENGINE_FLAT_QUERIES, k=10
+        ),
+        "engine_topk_ondisk_bm25f": lambda spark, sf: (
+            _run_engine_ondisk_bm25f(spark, sf, ENGINE_FLAT_QUERIES, k=10)
         ),
         "engine_topk_stem": lambda spark, sf: _run_engine_stem(
             spark, sf, ENGINE_FLAT_QUERIES, k=10
@@ -700,6 +736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "query_boost_topk": lambda spark, sf: S.query_topk(
             spark, sf, q=S.QL_QUERY_BOOST
+        ),
+        "query_or_filter_topk": lambda spark, sf: S.query_topk(
+            spark, sf, q=S.QL_QUERY_OR_FILTER
         ),
         "related_terms": S.related_terms,
         "suffix_topk": S.suffix_topk,
@@ -4337,6 +4376,9 @@ def oracle_sql() -> dict[str, str]:
     # multipliers live (proves the carried field machinery, not just
     # the constant-0 parity path)
     d["engine_topk_flat_bm25f"] = _engine_flat_oracle_sql(importance=True)
+    # the on-disk BM25F twin serves the identical contract from the
+    # importance-payload index format
+    d["engine_topk_ondisk_bm25f"] = d["engine_topk_flat_bm25f"]
     # STEMMED full-chain twins: the same oracle with corpus + query
     # tokens routed through the interpolated Porter stem map (None →
     # rows-only when the test corpora are absent)
@@ -4723,6 +4765,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_matches DESC, doc_id LIMIT {REGEX_K}
         """
     d["regex_search_persisted"] = d["regex_search"]
+    # alternation pattern (ops/textops.regex_alt_search): branch-union
+    # trigram pruning vs the same brute-force scan — RE2 and Java both
+    # use leftmost-first alternation, so the counts agree
+    from searchengine_spark.ops.textops import REGEX_ALT_Q
+
+    d["regex_alt_search"] = f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(
+                       lower(text), '{REGEX_ALT_Q.lower()}'))::BIGINT
+                     AS n_matches
+            FROM documents
+            WHERE regexp_matches(lower(text), '{REGEX_ALT_Q.lower()}')
+            ORDER BY n_matches DESC, doc_id LIMIT {REGEX_K}
+        """
+    d["regex_alt_search_persisted"] = d["regex_alt_search"]
     # sloppy ordered phrase (ops/textops.phrase_slop): the oracle is the
     # explicit ordered pair join — brute force at sf0.01, proving the
     # searchsorted window-count kernel lossless
@@ -4831,6 +4888,9 @@ def oracle_sql() -> dict[str, str]:
         q=SRCH.QL_QUERY_SOURCE
     )
     d["query_or_topk"] = SRCH.query_topk_oracle_sql(q=SRCH.QL_QUERY_OR)
+    d["query_or_filter_topk"] = SRCH.query_topk_oracle_sql(
+        q=SRCH.QL_QUERY_OR_FILTER
+    )
     d["query_boost_topk"] = SRCH.query_topk_oracle_sql(
         q=SRCH.QL_QUERY_BOOST
     )

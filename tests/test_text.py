@@ -478,3 +478,31 @@ def test_parse_query_boosts():
     ]:
         with pytest.raises(ValueError):
             parse_query(f"spark {bad}")
+
+
+def test_parse_query_or_group_composition():
+    """OR groups compose with phrases, field filters, NOT, wildcards,
+    and boosts ACROSS tokens (each clause keeps its own semantics);
+    only within-token operator mixes raise."""
+    from searchengine_spark.text.querylang import parse_query
+
+    p = parse_query('spark part|stream query|window lang:en -dup')
+    assert p["or_groups"] == [("part", "stream"), ("query", "window")]
+    assert p["filters"] == {"lang": "en"}
+    assert p["must_not"] == ["dup"]
+    assert ("spark",) in p["slots"]
+
+    p2 = parse_query('a|b "table hash" sc* src^2.0 source:src3')
+    assert p2["or_groups"] == [("a", "b")]
+    assert p2["wildcards"] == [("prefix", "sc")]
+    assert p2["boosts"] == {"src": 2.0}
+    assert p2["filters"] == {"source": "src3"}
+
+    # within-token mixes stay refused
+    import pytest as _pt
+    for bad in ("lang:a|b", "-a|b", "a|b*", "a|b^2"):
+        with _pt.raises(ValueError):
+            parse_query(bad)
+    # cross-slot duplicates stay refused even with filters present
+    with _pt.raises(ValueError):
+        parse_query('spark spark|query lang:en')
