@@ -390,6 +390,8 @@ def _run_ops_tier(spark):
           lambda: T.substring_search(spark, SF_DIR).count())
     timed("regex_search_sec",
           lambda: T.regex_search(spark, SF_DIR).count())
+    timed("regex_alt_search_sec",
+          lambda: T.regex_alt_search(spark, SF_DIR).count())
     timed("substring_persisted_cold_sec",
           lambda: T.substring_search_persisted(spark, SF_DIR).count())
     timed("substring_persisted_warm_sec",

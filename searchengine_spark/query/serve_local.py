@@ -98,6 +98,17 @@ class LocalSearcher:
         only the per-doc state (lengths, qualities) and posting blocks —
         the O(corpus) part of the RAM envelope — restrict to the subset.
         ``ShardedSearcher`` composes these into a lossless router.
+
+    BM25F: an importance-payload index (write_index
+    store_importance=True, flagged in mergeinfo) is served with the
+    field multipliers applied automatically — topk (and every surface
+    routed through it) is value-identical to
+    wand_topk(importance=True), and blended_topk mirrors the
+    importance=True blend chain.  Field-blind WAND over this flavor is
+    never offered (stored maxima are importance-scaled; multipliers
+    below 1 would make plain bounds lossy).  Positions surfaces
+    (phrase/proximity/span/slop/snippets) stay field-blind, matching
+    their batch twins.
     """
 
     def __init__(self, index_dir: str, stem: bool = True,
@@ -181,6 +192,26 @@ class LocalSearcher:
         self._n_buckets = int(
             seg_stats[0].get("n_buckets") or N_TERM_BUCKETS
         )
+        # importance-payload flavor (write_index store_importance=True):
+        # detected from mergeinfo, never guessed from bytes.  When set,
+        # WAND scoring (topk and everything routed through it) and the
+        # blended chain apply the BM25F field multipliers — the stored
+        # block maxima are importance-SCALED, so field-blind WAND over
+        # this flavor would prune lossily (multipliers < 1 exist) and
+        # is therefore never offered.  Positions surfaces
+        # (phrase/proximity/span/slop/snippets) stay field-blind: they
+        # score exhaustively (no bounds), matching their batch twins.
+        flags = {bool(st.get("importance_payload")) for st in seg_stats}
+        if len(flags) > 1:
+            raise ValueError(
+                "mixed importance-payload flavors across segments"
+            )
+        self._imp_payload = flags.pop()
+        self._imp_table = None
+        if self._imp_payload:
+            from ..params import IMPORTANCE
+
+            self._imp_table = np.asarray(IMPORTANCE, dtype=np.float64)
 
         # ---- per-segment block datasets + avgdl-drift max_weight factor
         # (served subset only; the factor still uses the GLOBAL avgdl)
@@ -377,10 +408,17 @@ class LocalSearcher:
                 t.column("max_weight").to_pylist(),
                 t.column("payload").to_pylist(),
             ):
-                ids, tfs, _, _ = decode_block_np(
-                    payload, want_positions=False
-                )
-                out.append((d1, d2, mw * factor, (ids, tfs)))
+                if self._imp_payload:
+                    ids, tfs, _, _, imps = decode_block_np(
+                        payload, want_positions=False,
+                        with_importance=True,
+                    )
+                    out.append((d1, d2, mw * factor, (ids, tfs, imps)))
+                else:
+                    ids, tfs, _, _ = decode_block_np(
+                        payload, want_positions=False
+                    )
+                    out.append((d1, d2, mw * factor, (ids, tfs)))
         out.sort(key=lambda b: b[0])
         self._blocks_lru[term] = out
         if len(self._blocks_lru) > self._cache_terms:
@@ -417,9 +455,14 @@ class LocalSearcher:
                 t.column("docid_first").to_pylist(),
                 t.column("payload").to_pylist(),
             ):
-                ids, tfs, npos, flat = decode_block_np(
-                    payload, want_positions=True
+                # importance payloads carry a trailing section the
+                # positions decode must skip past; the field bits are
+                # dropped here (positions surfaces are field-blind)
+                dec = decode_block_np(
+                    payload, want_positions=True,
+                    with_importance=self._imp_payload,
                 )
+                ids, tfs, npos, flat = dec[0], dec[1], dec[2], dec[3]
                 parts.append((d1, ids, tfs, npos, flat))
         # segment docid ranges are disjoint and blocks are docid-sorted
         # within a segment, so sorting by first docid restores the
@@ -533,7 +576,8 @@ class LocalSearcher:
             for t in plan
         ]
         kernel = bmw_range if mode == "and" else bmw_or_range
-        top, _ = kernel(tbs, dl, self.avgdl, k)
+        top, _ = kernel(tbs, dl, self.avgdl, k,
+                        imp_table=self._imp_table)
         return [(r + 1, d, s) for r, (s, d) in enumerate(top)]
 
     def blended_topk(self, text: str, k: int = 10):
@@ -1427,6 +1471,16 @@ class LocalSearcher:
                 tff * (k1 + 1.0)
                 / (tff + k1 * (1.0 - b + b * dl_lens[pos] / self.avgdl))
             )
+            if self._imp_table is not None:
+                # BM25F: the multiplied value flows into the BM25 sum
+                # AND the doc-vector cosine (score_candidates'
+                # importance=True rule, exactly)
+                from .wand import _imp_mult
+
+                imps = np.concatenate(
+                    [bl[3][2] for bl in blocks]
+                )[mem]
+                w = w * _imp_mult(self._imp_table, imps)
             bm = idf * w
             id_ch.append(ids)
             bm_ch.append(bm)

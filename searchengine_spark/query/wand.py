@@ -68,13 +68,19 @@ def _dl_arrays(dl):
 
 def _blk_decode(blk, with_imp=False):
     """(ids, tfs[, imps]) of one block — payload bytes, or a
-    pre-decoded (ids, tfs) tuple (LocalSearcher's decoded LRU, the
-    reference's cache-decoded-postings design, lib/reader.py:229-259)."""
+    pre-decoded (ids, tfs[, imps]) tuple (LocalSearcher's decoded LRU,
+    the reference's cache-decoded-postings design,
+    lib/reader.py:229-259; the 3-tuple form is the importance-payload
+    flavor)."""
     p = blk[3]
     if isinstance(p, tuple):
         if with_imp:
-            raise ValueError("pre-decoded blocks carry no importance")
-        return p
+            if len(p) != 3:
+                raise ValueError(
+                    "pre-decoded blocks carry no importance"
+                )
+            return p
+        return p[0], p[1]
     if with_imp:
         ids, tfs, _, _, imps = decode_block_np(
             bytes(p), want_positions=False, with_importance=True
@@ -88,7 +94,15 @@ def _blks_decode(blks, with_imp=False):
     """Concatenated (ids, tfs[, imps]) over blocks (bulk path)."""
     if blks and isinstance(blks[0][3], tuple):
         if with_imp:
-            raise ValueError("pre-decoded blocks carry no importance")
+            if len(blks[0][3]) != 3:
+                raise ValueError(
+                    "pre-decoded blocks carry no importance"
+                )
+            return (
+                np.concatenate([b[3][0] for b in blks]),
+                np.concatenate([b[3][1] for b in blks]),
+                np.concatenate([b[3][2] for b in blks]),
+            )
         return (
             np.concatenate([b[3][0] for b in blks]),
             np.concatenate([b[3][1] for b in blks]),

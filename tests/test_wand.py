@@ -467,6 +467,29 @@ def test_wand_importance_lossless_and_matches_inmemory(
           for r in dsk.orderBy("qid", "rank").collect()]
     assert rm == rd and rm
 
+    # serving tier: LocalSearcher auto-detects the payload flavor and
+    # serves BM25F values identical to wand_topk(importance=True)
+    from searchengine_spark.query.serve_local import LocalSearcher
+
+    lsr = LocalSearcher(d, stem=True)
+    want_rows = {}
+    got = wand_topk(spark, sh, queries, k=10, docs_per_range=64,
+                    importance=True)
+    for r in got.collect():
+        want_rows.setdefault(r["qid"], []).append(
+            (r["rank"], r["docid"], r["score"])
+        )
+    n_checked = 0
+    for qid, q in queries:
+        mine = lsr.topk(q, k=10)
+        want = sorted(want_rows.get(qid, []))
+        assert len(mine) == len(want), (qid, q)
+        for (ra_, da_, sa_), (rb_, db_, sb_) in zip(mine, want):
+            assert (ra_, da_) == (rb_, db_), (qid, q)
+            assert math.isclose(sa_, sb_, rel_tol=1e-9), (qid, q)
+        n_checked += len(mine)
+    assert n_checked > 0
+
     # a plain index refuses importance serving (loud, not silent)
     plain_tables = build_tables(
         spark, corpus_df, compute_quality=False, stem=False,
