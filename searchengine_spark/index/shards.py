@@ -57,7 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..params import BM25_B, BM25_K1, N_TERM_BUCKETS, POSTING_BLOCK
-from .varbyte import encode_payloads_np
+from .varbyte import encode_payloads_pre
 
 RESUME_GROUPS = 8
 
@@ -86,9 +86,53 @@ def term_bucket_col(term_col="term"):
 _ENCODE_CHUNK_ROWS = 1 << 18
 
 
+def _pre_positions(batches):
+    """Pre-SHUFFLE position encoding (the write path's shuffle-byte
+    diet): replaces the ``positions`` list column with ``npos`` (int32)
+    and ``pos_vb`` (binary — the row's varbyte [pos0, delta...]
+    section, varbyte.encode_row_positions_np).  Per-row sections are
+    block-cut independent, so the block writer later SLICES them
+    byte-for-byte instead of re-encoding — and the repartition shuffle
+    carries ~1-2 B/position binary instead of int list cells.  Every
+    other column passes through unchanged."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .varbyte import encode_row_positions_np
+
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        pos_idx = rb.schema.get_field_index("positions")
+        pos = rb.column(pos_idx)
+        off = pos.offsets.to_numpy().astype(np.int64)
+        off = off - off[0]
+        npos = np.diff(off)
+        flat = pos.flatten().to_numpy().astype(np.int64)
+        buf, rend = encode_row_positions_np(npos, flat)
+        bin_off = np.empty(npos.size + 1, dtype=np.int32)
+        bin_off[0] = 0
+        bin_off[1:] = rend
+        pos_vb = pa.Array.from_buffers(
+            pa.binary(), npos.size,
+            [None, pa.py_buffer(bin_off.tobytes()),
+             pa.py_buffer(buf.tobytes())],
+        )
+        arrays, names = [], []
+        for i in range(rb.num_columns):
+            if i == pos_idx:
+                continue
+            arrays.append(rb.column(i))
+            names.append(rb.schema.field(i).name)
+        arrays += [pa.array(npos.astype(np.int32), pa.int32()), pos_vb]
+        names += ["npos", "pos_vb"]
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
 def _encode_blocks(batches):
-    """mapInArrow over (term, salt, bucket, docid, tf, positions, weight)
-    rows sorted by (term, salt, docid) within the partition → block rows.
+    """mapInArrow over (term, salt, bucket, docid, tf, npos, pos_vb,
+    weight) rows sorted by (term, salt, docid) within the partition →
+    block rows.  Positions arrive PRE-ENCODED (_pre_positions).
     (`_encode_blocks_imp` is the importance-payload twin: rows carry an
     extra ``important`` column that lands as the payload's trailing
     section — see varbyte.encode_block.)
@@ -201,11 +245,19 @@ def _encode_table(tbl, with_importance: bool = False):
     docid = tbl.column("docid").chunk(0).to_numpy().astype(np.int64)
     tf = tbl.column("tf").chunk(0).to_numpy().astype(np.int64)
     weight = tbl.column("weight").chunk(0).to_numpy().astype(np.float64)
-    pos = tbl.column("positions").chunk(0)
-    off = pos.offsets.to_numpy().astype(np.int64)
-    off = off - off[0]
-    npos = np.diff(off)
-    flat = pos.flatten().to_numpy().astype(np.int64)
+    npos = tbl.column("npos").chunk(0).to_numpy().astype(np.int64)
+    # pos_vb: the rows' pre-encoded position sections, as one
+    # contiguous byte buffer + per-row exclusive end offsets (the
+    # BinaryArray's own layout, re-based to this table)
+    pv = tbl.column("pos_vb").chunk(0)
+    pv_bufs = pv.buffers()
+    pv_off = np.frombuffer(pv_bufs[1], dtype=np.int32)[
+        pv.offset : pv.offset + n + 1
+    ].astype(np.int64)
+    pos_buf = np.frombuffer(pv_bufs[2], dtype=np.uint8)[
+        pv_off[0]:pv_off[-1]
+    ]
+    pos_row_ends = pv_off[1:] - pv_off[0]
 
     imps = None
     if with_importance:
@@ -221,8 +273,8 @@ def _encode_table(tbl, with_importance: bool = False):
     starts = np.flatnonzero(bstart)
     bounds = np.append(starts, n)
 
-    payloads = encode_payloads_np(docid, tf, npos, flat, starts,
-                                  imps=imps)
+    payloads = encode_payloads_pre(docid, tf, npos, pos_buf,
+                                   pos_row_ends, starts, imps=imps)
     lens = np.diff(bounds).astype(np.int32)
     cf = np.add.reduceat(tf, starts)
     maxw = np.maximum.reduceat(weight, starts)
@@ -471,8 +523,29 @@ def write_index(
         base = tables.postings.join(
             tables.docs.select("docid", "total_tokens"), "docid"
         )
+    # positions pre-encode to per-row varbyte BEFORE any wide edge:
+    # the dfreq join and the (term, salt) repartition then carry
+    # ~1-2 B/position binary instead of int list cells — shuffle
+    # bytes are the build's scaling ceiling on a shared bus
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    pre_cols = ["term", "docid", "tf", "positions", "total_tokens"] + (
+        ["important"] if store_importance else []
+    )
+    base_p = base.select(*pre_cols)
+    pre_schema = StructType(
+        [f for f in base_p.schema.fields if f.name != "positions"]
+        + [StructField("npos", IntegerType()),
+           StructField("pos_vb", BinaryType())]
+    )
+    pre = base_p.mapInArrow(_pre_positions, schema=pre_schema)
     enriched = (
-        base
+        pre
         .join(dfreq, "term")
         .withColumn("bucket", term_bucket_col())
         .withColumn("weight", weight)
@@ -480,8 +553,8 @@ def write_index(
             "salt",
             ((F.col("docid") - 1) / stripe_width).cast("long"),
         )
-        .select("term", "salt", "bucket", "docid", "tf", "positions",
-                "weight",
+        .select("term", "salt", "bucket", "docid", "tf", "npos",
+                "pos_vb", "weight",
                 *(["important"] if store_importance else []))
     )
     encode_fn = _encode_blocks_imp if store_importance else _encode_blocks

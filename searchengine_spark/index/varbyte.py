@@ -419,6 +419,119 @@ def vb_encode_np(values: np.ndarray):
     return buf, ends
 
 
+def encode_row_positions_np(npos, flatpos):
+    """Pre-shuffle position encoding: per-ROW varbyte delta sections.
+
+    ``npos`` int64 per row, ``flatpos`` the row-major concatenation of
+    the (1-based ascending) position lists.  Returns ``(buf,
+    row_ends)`` — ``buf`` uint8 of every row's encoded
+    [pos0, pos1-pos0, ...] section concatenated, ``row_ends`` int64
+    EXCLUSIVE byte offsets per row.
+
+    The per-row delta encoding is independent of how rows later cut
+    into blocks (each row's first position is stored absolute), so a
+    block's position section is exactly the concatenation of its rows'
+    sections — write_index shuffles these small buffers instead of
+    int arrays and the block writer slices them byte-for-byte
+    (encode_payloads_pre), reproducing encode_block's output
+    exactly (property-pinned)."""
+    npos = np.asarray(npos, dtype=np.int64)
+    flatpos = np.asarray(flatpos, dtype=np.int64)
+    if flatpos.size:
+        pd_ = flatpos.copy()
+        pd_[1:] -= flatpos[:-1]
+        row_off = np.concatenate(([0], np.cumsum(npos)[:-1]))
+        row_starts_flat = np.zeros(flatpos.size, dtype=bool)
+        row_starts_flat[row_off[npos > 0]] = True
+        pd_[row_starts_flat] = flatpos[row_starts_flat]
+    else:
+        pd_ = flatpos
+    buf, ends = vb_encode_np(pd_)
+    # byte end per ROW = end of its last value (0-length rows inherit
+    # the previous row's end)
+    val_bounds = np.cumsum(npos)
+    row_ends = np.where(
+        val_bounds > 0,
+        ends[np.maximum(val_bounds - 1, 0)] if ends.size else 0,
+        0,
+    ).astype(np.int64)
+    # rows after the first with npos==0 must carry the running offset
+    np.maximum.accumulate(row_ends, out=row_ends)
+    return buf, row_ends
+
+
+def encode_payloads_pre(docids, tfs, npos, pos_buf, pos_row_ends,
+                        block_starts, imps=None):
+    """encode_payloads_np with the position sections PRE-ENCODED
+    (encode_row_positions_np): identical output bytes, but the
+    position work per block is one buffer slice instead of a varbyte
+    pass — the write path's shuffle-byte diet."""
+    n_post = docids.size
+    starts = np.asarray(block_starts, dtype=np.int64)
+    bounds = np.append(starts, n_post)
+    lens = np.diff(bounds)
+
+    dd = docids.copy()
+    dd[1:] -= docids[:-1]
+    dd[starts] = docids[starts]
+    if n_post > 1:
+        inner = np.ones(n_post, dtype=bool)
+        inner[starts] = False
+        if (dd[inner] <= 0).any():
+            raise ValueError("docids not strictly increasing in block")
+
+    hdr_buf, hdr_ends = vb_encode_np(lens)
+    did_buf, did_ends = vb_encode_np(dd)
+    tf_buf, tf_ends = vb_encode_np(tfs)
+    np_buf, np_ends = vb_encode_np(npos)
+    if imps is not None:
+        imp_buf, imp_ends = vb_encode_np(
+            np.asarray(imps, dtype=np.int64)
+        )
+
+    def sec_bounds(ends, idx_bounds):
+        if ends.size == 0:
+            return np.zeros(idx_bounds.size, dtype=np.int64)
+        return np.where(
+            idx_bounds == 0, 0, ends[np.maximum(idx_bounds, 1) - 1]
+        )
+
+    did_b = sec_bounds(did_ends, bounds)
+    tf_b = sec_bounds(tf_ends, bounds)
+    np_b = sec_bounds(np_ends, bounds)
+    # a block's position bytes = [end of the previous block's last
+    # row, end of this block's last row)
+    pos_b = sec_bounds(pos_row_ends, bounds)
+    hdr_b = np.concatenate(([0], hdr_ends))
+
+    hdr_m, did_m = memoryview(hdr_buf), memoryview(did_buf)
+    tf_m, np_m = memoryview(tf_buf), memoryview(np_buf)
+    pos_m = memoryview(pos_buf)
+    out = []
+    if imps is not None:
+        imp_b = sec_bounds(imp_ends, bounds)
+        imp_m = memoryview(imp_buf)
+        for k in range(starts.size):
+            out.append(
+                bytes(hdr_m[hdr_b[k]:hdr_b[k + 1]])
+                + bytes(did_m[did_b[k]:did_b[k + 1]])
+                + bytes(tf_m[tf_b[k]:tf_b[k + 1]])
+                + bytes(np_m[np_b[k]:np_b[k + 1]])
+                + bytes(pos_m[pos_b[k]:pos_b[k + 1]])
+                + bytes(imp_m[imp_b[k]:imp_b[k + 1]])
+            )
+        return out
+    for k in range(starts.size):
+        out.append(
+            bytes(hdr_m[hdr_b[k]:hdr_b[k + 1]])
+            + bytes(did_m[did_b[k]:did_b[k + 1]])
+            + bytes(tf_m[tf_b[k]:tf_b[k + 1]])
+            + bytes(np_m[np_b[k]:np_b[k + 1]])
+            + bytes(pos_m[pos_b[k]:pos_b[k + 1]])
+        )
+    return out
+
+
 def encode_payloads_np(docids, tfs, npos, flatpos, block_starts,
                        imps=None):
     """Per-block payloads, byte-identical to :func:`encode_block`.

@@ -324,3 +324,50 @@ def test_vectorized_importance_payloads_match_encode_block(groups,
     _, d2, t2, _, _ = decode_payloads_np(ref_blocks,
                                          want_positions=False)
     assert d2.tolist() == docids and t2.tolist() == tfs
+
+
+@given(
+    st.lists(posting_lists, min_size=1, max_size=5),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=40, deadline=None)
+def test_preencoded_payloads_match_encode_block(groups, block_cap):
+    """The shuffle-byte-diet write path (encode_row_positions_np +
+    encode_payloads_pre — per-row position sections sliced, never
+    re-encoded) must reproduce encode_block byte for byte for
+    arbitrary block cuts, with and without the importance section."""
+    import numpy as np
+
+    from searchengine_spark.index.varbyte import (
+        encode_payloads_pre,
+        encode_row_positions_np,
+    )
+
+    docids, tfs, npos, flat, imps, starts = [], [], [], [], [], []
+    ref_plain, ref_imp = [], []
+    base = 0
+    for gi, rows in enumerate(groups):
+        rows = [(base + i + 1, r[1], r[2]) for i, r in enumerate(rows)]
+        base = rows[-1][0]
+        for lo in range(0, len(rows), block_cap):
+            chunk = rows[lo : lo + block_cap]
+            ims = [(d * 5 + gi) % 10 for d, _, _ in chunk]
+            starts.append(len(docids))
+            ref_plain.append(encode_block(
+                [r[0] for r in chunk], [r[1] for r in chunk],
+                [r[2] for r in chunk]))
+            ref_imp.append(encode_block(
+                [r[0] for r in chunk], [r[1] for r in chunk],
+                [r[2] for r in chunk], importants=ims))
+            for (d, t, p), im in zip(chunk, ims):
+                docids.append(d); tfs.append(t)
+                npos.append(len(p)); flat.extend(p); imps.append(im)
+    np_npos = np.array(npos, dtype=np.int64)
+    buf, rend = encode_row_positions_np(
+        np_npos, np.array(flat, dtype=np.int64))
+    args = (np.array(docids, dtype=np.int64),
+            np.array(tfs, dtype=np.int64), np_npos, buf, rend,
+            np.array(starts, dtype=np.int64))
+    assert encode_payloads_pre(*args) == ref_plain
+    assert encode_payloads_pre(
+        *args, imps=np.array(imps, dtype=np.int64)) == ref_imp
