@@ -28,9 +28,19 @@ class LocalGrep:
     was built from — the index stores no text, so verification reads
     the candidates' rows from the source table (pushdown on doc_id)."""
 
-    def __init__(self, index_dir: str, docs_parquet: str):
+    def __init__(self, index_dir: str, docs_parquet: str,
+                 doc_range=None):
+        """``doc_range=(lo, hi)`` (half-open) restricts this replica to
+        a docid range — the ShardedGrep state partition: candidate and
+        verify reads both carry the range predicate, so parquet
+        row-group stats prune when cells/docs are docid-clustered (the
+        build writes them in docid order)."""
         self._index_dir = index_dir
         self._docs = docs_parquet
+        self._range = (
+            (int(doc_range[0]), int(doc_range[1]))
+            if doc_range is not None else None
+        )
         self._load()
 
     def _load(self):
@@ -110,11 +120,13 @@ class LocalGrep:
         import pyarrow.dataset as pads
 
         tbs = sorted({term_bucket(t, self.n_buckets) for t in need})
-        t = self._cells.to_table(
-            filter=pads.field("tb").isin(tbs)
-            & pads.field("tg").isin(need),
-            columns=["doc_id"],
-        )
+        flt = (pads.field("tb").isin(tbs)
+               & pads.field("tg").isin(need))
+        if self._range is not None:
+            lo, hi = self._range
+            flt = (flt & (pads.field("doc_id") >= lo)
+                   & (pads.field("doc_id") < hi))
+        t = self._cells.to_table(filter=flt, columns=["doc_id"])
         ids = t.column("doc_id").to_numpy()
         if ids.size == 0:
             return np.empty(0, np.int64)
@@ -129,13 +141,15 @@ class LocalGrep:
         import pyarrow.dataset as pads
 
         ds = pads.dataset(self._docs)
-        if cand is None:
-            dt = ds.to_table(columns=["doc_id", "text"])
-        else:
-            dt = ds.to_table(
-                filter=pads.field("doc_id").isin(cand.tolist()),
-                columns=["doc_id", "text"],
-            )
+        flt = None
+        if self._range is not None:
+            lo, hi = self._range
+            flt = ((pads.field("doc_id") >= lo)
+                   & (pads.field("doc_id") < hi))
+        if cand is not None:
+            c = pads.field("doc_id").isin(cand.tolist())
+            flt = c if flt is None else (flt & c)
+        dt = ds.to_table(filter=flt, columns=["doc_id", "text"])
         out = []
         for d, text in zip(
             dt.column("doc_id").to_pylist(), dt.column("text").to_pylist()
@@ -145,3 +159,65 @@ class LocalGrep:
                 out.append((int(d), n))
         out.sort(key=lambda dn: (-dn[1], dn[0]))
         return out[:k]
+
+
+class ShardedGrep:
+    """Docid-range-sharded grep serving over ONE trigram shard dir —
+    the substring/regex twin of serve_local.ShardedSearcher and
+    serve_ivf.ShardedANN: each replica is a LocalGrep restricted to a
+    contiguous docid range, so the O(corpus) serving reads (cell rows
+    and verify text) split across replicas while the planner state
+    (manifest, bucket rule) is global and identical in every shard.
+
+    Losslessness is trivial: ranges partition the docid space
+    disjointly, a doc's occurrence/match count depends only on its own
+    text, and the router merges per-shard results by
+    (n desc, doc_id asc) — exactly LocalGrep's order — so the merged
+    top-k equals an unsharded LocalGrep's (pinned in tests/test_ops.py).
+
+    In production each shard is its own replica process over shared
+    storage and the ranges come from table statistics; here the
+    bounds are read once from the docs parquet and the shards are
+    in-process objects — the state partitioning, not the transport,
+    is the demonstration (the ShardedSearcher contract).
+    """
+
+    def __init__(self, index_dir: str, docs_parquet: str,
+                 n_shards: int):
+        import pyarrow.dataset as pads
+
+        if n_shards < 1:
+            raise ValueError("n_shards must be >= 1")
+        ids = pads.dataset(docs_parquet).to_table(
+            columns=["doc_id"]
+        ).column("doc_id").to_numpy()
+        if ids.size == 0:
+            raise ValueError("empty docs table")
+        lo, hi = int(ids.min()), int(ids.max()) + 1
+        step = max(1, -(-(hi - lo) // n_shards))
+        self._shards = []
+        for s in range(n_shards):
+            a = lo + s * step
+            b = hi if s == n_shards - 1 else min(hi, a + step)
+            if a >= hi:
+                break
+            self._shards.append(
+                LocalGrep(index_dir, docs_parquet, doc_range=(a, b))
+            )
+
+    @staticmethod
+    def _merge(parts, k):
+        out = [r for p in parts for r in p]
+        out.sort(key=lambda dn: (-dn[1], dn[0]))
+        return out[:k]
+
+    def search(self, q: str, k: int = 20):
+        return self._merge([s.search(q, k=k) for s in self._shards], k)
+
+    def grep(self, pattern: str, k: int = 20):
+        return self._merge(
+            [s.grep(pattern, k=k) for s in self._shards], k
+        )
+
+    def maybe_refresh(self) -> bool:
+        return any([s.maybe_refresh() for s in self._shards])

@@ -3072,3 +3072,32 @@ def test_wildcard_docs_plan_termdict_pruned(spark):
             k.strip().split("#")[0] for k in ks.split(",") if k.strip()
         }
         assert names in ({"term"}, {"doc_id"}), (names, plan)
+
+
+def test_sharded_grep_matches_local(spark, tmp_path):
+    """ShardedGrep (docid-range replicas over one trigram shard) must
+    equal an unsharded LocalGrep on substring AND regex surfaces —
+    disjoint ranges + per-doc counts make the merge lossless."""
+    from searchengine_spark.index.trigram import build_trigram_index
+    from searchengine_spark.query.serve_grep import (
+        LocalGrep,
+        ShardedGrep,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    d = str(tmp_path / "tri")
+    build_trigram_index(spark, docs, d)
+    mono = LocalGrep(d, f"{SF}/documents.parquet")
+    for n in (2, 3):
+        router = ShardedGrep(d, f"{SF}/documents.parquet", n_shards=n)
+        assert router.search("table hash", k=20) == mono.search(
+            "table hash", k=20
+        )
+        for pat in ("tab[a-z]e +hash", "a.c",
+                    "tab[a-z]e +hash|merge (sort|join)"):
+            assert router.grep(pat, k=20) == mono.grep(pat, k=20), (
+                n, pat
+            )
+    assert mono.search("table hash", k=20)  # fixture really matches
