@@ -585,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "training_data_prep": P.training_data_prep,
         "decontaminate": X.decontaminate,
+        "contamination_report": X.contamination_report,
         "stratified_sample": X.stratified_sample,
         "corpus_mixture": X.corpus_mixture,
         "temperature_mixture": X.temperature_mixture,
@@ -2905,6 +2906,11 @@ def oracle_sql() -> dict[str, str]:
             FROM tr2 JOIN ev USING (shingle)
             GROUP BY doc_id
         """,
+        # eval-side contamination audit (ops/mix.contamination_report):
+        # same constants/cap, built by the module's oracle builder
+        "contamination_report": __import__(
+            "searchengine_spark.ops.mix", fromlist=["x"]
+        ).contamination_report_oracle_sql(),
         # deterministic hash-threshold sampling (ops/mix.stratified_sample):
         # thresholds are Python-computed hex literals shared with the Spark
         # builder; lowercase-hex string compare is engine-identical

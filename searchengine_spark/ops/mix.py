@@ -109,6 +109,103 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = DECON_NGRAM,
+    eval_mod: int = DECON_EVAL_MOD,
+    max_shingle_df: int = DECON_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """(doc_id, n_train_docs, n_leaked, n_shingles, leak_frac) — the
+    EVAL-side view of decontamination (benchmark integrity): for each
+    contaminated eval doc (doc_id % eval_mod == 0), how many capped
+    train docs share >= 1 of its distinct n-gram shingles
+    (n_train_docs), how many of its distinct shingles leak
+    (n_leaked of n_shingles), and the leaked fraction (round-6, the
+    repo's float contract).  decontaminate answers "which TRAIN rows
+    must go"; this answers "which BENCHMARK items are compromised and
+    how badly" — the report a suite owner reads before trusting a
+    score.  Same pinned constants, same hot-shingle cap (a
+    boilerplate n-gram is not evidence of a leak), same shingle-keyed
+    join shape — nothing new has to scale.
+    """
+    d = documents(spark, sf_dir).select("doc_id", "text")
+    sh = doc_shingles(d, n=n)
+    ev = sh.filter(F.col("doc_id") % eval_mod == 0)
+    tr = sh.filter(F.col("doc_id") % eval_mod != 0)
+    hot = (
+        tr.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_shingle_df)
+        .select("shingle")
+    )
+    tr = tr.join(F.broadcast(hot), "shingle", "left_anti")
+    per_ev = ev.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    pairs = ev.join(
+        tr.select(F.col("doc_id").alias("_tid"), "shingle"), "shingle"
+    )
+    agg = pairs.groupBy("doc_id").agg(
+        F.countDistinct("_tid").cast("long").alias("n_train_docs"),
+        F.countDistinct("shingle").cast("long").alias("n_leaked"),
+    )
+    return (
+        agg.join(per_ev, "doc_id")
+        .select(
+            "doc_id", "n_train_docs", "n_leaked", "n_shingles",
+            F.round(
+                F.col("n_leaked").cast("double")
+                / F.col("n_shingles").cast("double"), 6
+            ).alias("leak_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def contamination_report_oracle_sql(
+    n: int = DECON_NGRAM,
+    eval_mod: int = DECON_EVAL_MOD,
+    max_shingle_df: int = DECON_MAX_SHINGLE_DF,
+) -> str:
+    """DuckDB oracle for contamination_report — same constants, same
+    cap rule, same round-6 fraction (change Spark and SQL together)."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(t[i:i+{n - 1}], ' ') AS shingle
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - {n - 1})) AS i) g
+          WHERE len(t) >= {n}),
+        ev AS (SELECT * FROM sh WHERE doc_id % {eval_mod} = 0),
+        tr0 AS (SELECT * FROM sh WHERE doc_id % {eval_mod} <> 0),
+        hot AS (
+          SELECT shingle FROM tr0 GROUP BY shingle
+          HAVING count(*) > {max_shingle_df}),
+        tr AS (
+          SELECT * FROM tr0
+          WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        per_ev AS (
+          SELECT doc_id, count(*)::BIGINT AS n_shingles
+          FROM ev GROUP BY doc_id),
+        agg AS (
+          SELECT ev.doc_id,
+                 count(DISTINCT tr.doc_id)::BIGINT AS n_train_docs,
+                 count(DISTINCT ev.shingle)::BIGINT AS n_leaked
+          FROM ev JOIN tr USING (shingle)
+          GROUP BY ev.doc_id)
+        SELECT agg.doc_id, n_train_docs, n_leaked, n_shingles,
+               round(n_leaked::DOUBLE / n_shingles::DOUBLE, 6)
+                 AS leak_frac
+        FROM agg JOIN per_ev USING (doc_id)
+        ORDER BY doc_id
+    """
+
+
 def _rate_threshold_hex(rate: float) -> str:
     """8-hex-digit keep threshold: keep iff the first 8 md5 hex chars
     of the key are <= this string.  Lowercase-hex string comparison is

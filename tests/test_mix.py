@@ -652,3 +652,37 @@ def test_cms_heavy_hitters_planted_collisions(spark, tmp_path):
     assert any(err > 0 for _, _, err in got.values()), (
         "w=4 over 6 terms must produce at least one collision"
     )
+
+
+def test_contamination_report_matches_python(spark, docs_pd):
+    """Eval-side contamination audit: per compromised eval doc, the
+    (distinct train docs, leaked shingles, total shingles, fraction)
+    tuple must equal a brute-force python recomputation (the cap is a
+    no-op at this corpus size, same as decontaminate's test)."""
+    from searchengine_spark.ops.mix import contamination_report
+
+    got = {
+        r["doc_id"]: (r["n_train_docs"], r["n_leaked"],
+                      r["n_shingles"], r["leak_frac"])
+        for r in contamination_report(spark, SF).collect()
+    }
+    ev_sh = {}
+    tr_sh = {}
+    for _, r in docs_pd.iterrows():
+        s = _shingles(r["text"], DECON_NGRAM)
+        if r["doc_id"] % DECON_EVAL_MOD == 0:
+            if s:
+                ev_sh[r["doc_id"]] = s
+        elif s:
+            tr_sh[r["doc_id"]] = s
+    expect = {}
+    for ed, es in ev_sh.items():
+        tdocs = {td for td, ts in tr_sh.items() if es & ts}
+        leaked = {sh for ts in tr_sh.values() for sh in (es & ts)}
+        if tdocs:
+            expect[ed] = (
+                len(tdocs), len(leaked), len(es),
+                round(len(leaked) / len(es), 6),
+            )
+    assert got == expect
+    assert expect, "fixture must exercise a non-empty report"
