@@ -4559,6 +4559,7 @@ def oracle_sql() -> dict[str, str]:
     # unsigned numeric order
     from searchengine_spark.ops.dedup import (
         WINNOW_K,
+        WINNOW_MAX_FP_DF,
         WINNOW_MIN_MATCHES,
         WINNOW_W,
     )
@@ -4599,10 +4600,18 @@ def oracle_sql() -> dict[str, str]:
             FROM sel ORDER BY doc_id, pos
         """
     # MOSS candidate pairs: distinct fp VALUES per doc (set
-    # semantics), self-join on fp, a < b, min-match floor
+    # semantics), hot-fp cap (df > WINNOW_MAX_FP_DF removed from every
+    # doc's fp set — the jaccard max_shingle_df rule, default-on in
+    # winnow_matches), self-join on fp, a < b, min-match floor
     d["winnow_matches"] = f"""
             WITH {_winnow_ctes},
-            fps AS (SELECT DISTINCT doc_id, h AS fp FROM sel)
+            fps0 AS (SELECT DISTINCT doc_id, h AS fp FROM sel),
+            fps AS (
+              SELECT doc_id, fp FROM fps0
+              WHERE fp NOT IN (
+                SELECT fp FROM fps0 GROUP BY fp
+                HAVING count(*) > {WINNOW_MAX_FP_DF})
+            )
             SELECT x.doc_id AS a, y.doc_id AS b,
                    count(*)::BIGINT AS n_matches
             FROM fps x JOIN fps y

@@ -90,7 +90,18 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
 
 def minhash_pairs(docs: DataFrame, id_col="doc_id",
                   text_col="text") -> DataFrame:
-    """Candidate near-dup pairs (a < b) sharing >= 1 LSH band."""
+    """Candidate near-dup pairs (a < b) sharing >= 1 LSH band.
+
+    BOUNDED-REPORT FORM: the per-(band, key) self-join materializes
+    ALL pairs within each bucket — a template/boilerplate cluster of m
+    near-identical docs emits O(m²) rows from a single key, so this
+    shape is for the enumerable pair REPORT (the ``dedup_minhash``
+    driver entry, whose DuckDB oracle states exactly this join) and
+    small corpora.  Every at-scale consumer wants either connectivity
+    or a drop set, and both are linear via :func:`minhash_star_edges` —
+    use that instead (training_data_prep does; dup_clusters components
+    are identical over star edges, see its docstring proof).
+    """
     bands = lsh_bands(
         minhash_signatures(doc_shingles(docs, id_col, text_col))
     )
@@ -105,6 +116,48 @@ def minhash_pairs(docs: DataFrame, id_col="doc_id",
         .select(
             F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
         )
+        .distinct()
+    )
+
+
+def minhash_star_edges(docs: DataFrame, id_col="doc_id",
+                       text_col="text") -> DataFrame:
+    """Skew-safe LSH candidate edges: per (band, key) bucket emit only
+    the MIN-HUB STAR ``(bucket_min, member)`` — (a, b) with a < b,
+    distinct.  Output is LINEAR in the band rows (≤ one edge per
+    (doc, band) row), so a template cluster of m = 10⁵ near-identical
+    docs contributes m−1 edges instead of minhash_pairs' m²/2 ≈ 5·10⁹ —
+    the one blowup class that makes all-pairs LSH unaffordable on a
+    web corpus (the reference bounds the same cost with its 200-doc
+    comparison window, makeindex.py:72-78; this keeps exactness
+    instead of truncating).
+
+    Equivalences (why consumers lose nothing):
+     * CONNECTED COMPONENTS are identical to minhash_pairs':
+       within a bucket B = {m, x₁…x_k} (m = min), the star
+       {(m, xᵢ)} spans B just as the clique does, and components of a
+       union of graphs depend only on which vertex sets each
+       subgraph connects — per-bucket clique and per-bucket star
+       connect the same set B, so the union's components coincide.
+     * DROP SETS are identical: a doc has a smaller-id bucket-mate
+       (minhash_pairs' ``b`` side) iff it is not the min of some
+       bucket it belongs to — exactly this function's ``b`` column.
+
+    Plan shape: one groupBy (band, key) min (map-side partial agg, so
+    a hot bucket ships ONE row per upstream partition) + a shuffle
+    join back on (band, key).  The hot bucket's join output lands on
+    one task but is linear in the bucket, never quadratic.
+    """
+    bands = lsh_bands(
+        minhash_signatures(doc_shingles(docs, id_col, text_col))
+    )
+    mins = bands.groupBy("band", "key").agg(
+        F.min("doc_id").alias("a")
+    )
+    return (
+        bands.join(mins, ["band", "key"])
+        .filter(F.col("doc_id") > F.col("a"))
+        .select("a", F.col("doc_id").alias("b"))
         .distinct()
     )
 
@@ -552,11 +605,13 @@ def winnow_fingerprints(docs: DataFrame, id_col="doc_id",
 
 
 WINNOW_MIN_MATCHES = 2  # pairs must share this many fingerprints
+WINNOW_MAX_FP_DF = 1000  # hot-fp cap (interpolated into the oracle)
 
 
 def winnow_matches(docs: DataFrame, id_col="doc_id", text_col="text",
                    k: int = WINNOW_K, w: int = WINNOW_W,
-                   min_matches: int = WINNOW_MIN_MATCHES) -> DataFrame:
+                   min_matches: int = WINNOW_MIN_MATCHES,
+                   max_fp_df: int | None = WINNOW_MAX_FP_DF) -> DataFrame:
     """(a, b, n_matches) — MOSS candidate pairs: docs sharing
     >= min_matches winnowing fingerprint VALUES (a < b).  Distinct fp
     values per doc (a fingerprint selected at several positions counts
@@ -565,15 +620,32 @@ def winnow_matches(docs: DataFrame, id_col="doc_id", text_col="text",
     shared-substring evidence, robust to reordering and padding that
     defeat whole-doc hashes.
 
-    Scale: the fp self-join is shuffle-on-key like minhash banding;
-    boilerplate fingerprints shared by thousands of docs square that
-    key's join — at corpus scale cap hot fps first (the
-    max_shingle_df broadcast anti-join pattern in jaccard_pairs),
-    omitted here because the pinned test corpora carry no such key.
+    ``max_fp_df`` (default-on, pinned WINNOW_MAX_FP_DF — interpolated
+    into the DuckDB oracle, change Spark and SQL together): a
+    boilerplate fingerprint appearing in d docs creates a d² key in
+    the fp self-join (license headers / site templates — the same
+    blowup class as jaccard_pairs' hot shingles), so fps with df >
+    cap are removed from every doc's fp SET before candidates and
+    counts — i.e. n_matches counts shared NON-boilerplate
+    fingerprints, consistently for all pairs.  The hot list is at
+    most n_fp_rows/cap values, so the anti-join broadcasts (the
+    max_shingle_df pattern).  ``None`` disables the cap (exhaustive
+    small-corpus report).
+
+    Scale: one extra (fp) key-hash agg + broadcast anti-join; the
+    self-join is then shuffle-on-key with every key bounded by the
+    cap, so no bucket can square.
     """
     fps = winnow_fingerprints(
         docs, id_col=id_col, text_col=text_col, k=k, w=w
     ).select("doc_id", "fp").distinct()
+    if max_fp_df is not None:
+        hot = (
+            fps.groupBy("fp").agg(F.count("*").alias("fdf"))
+            .filter(F.col("fdf") > max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
     a = fps.select(F.col("doc_id").alias("a"), "fp")
     b = fps.select(F.col("doc_id").alias("b"), "fp")
     return (

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..text.tokenizer import TOKEN_PATTERN
-from .dedup import minhash_pairs
+from .dedup import minhash_star_edges
 from .textops import (
     QUALITY_STOPWORDS,
     bpe_pieces_agg,
@@ -138,8 +138,13 @@ def training_data_prep(
     d = documents(spark, sf_dir).select("doc_id", "text")
 
     alive = _dedup_exact_min(d)
+    # drop rule: a doc with ANY smaller-id LSH-bucket-mate is dropped,
+    # i.e. every doc that is not the min of all its buckets — exactly
+    # minhash_star_edges' `b` column, LINEAR per bucket (the all-pairs
+    # minhash_pairs form squares template clusters; see its docstring).
+    # Same set, value-identical to the all-pairs-stated DuckDB oracle.
     near = (
-        minhash_pairs(alive.select("doc_id", "text"))
+        minhash_star_edges(alive.select("doc_id", "text"))
         .select(F.col("b").alias("doc_id"))
         .distinct()
     )

@@ -790,6 +790,19 @@ def wand_topk(
             "importance=True needs an importance-payload index"
             " (write_index(store_importance=True))"
         )
+    if not importance and shards.stats.get("importance_payload"):
+        # field-blind WAND over an importance-payload index would be
+        # silently LOSSY: stored block maxima are importance-SCALED and
+        # multipliers < 1 exist (IMPORTANCE[0] = 0.8), so a plain-BM25
+        # bound can undershoot a posting's true weight and prune a block
+        # holding a top-k doc.  serve_local never offers this combination
+        # for the same reason — mirror it loudly (exhaustive_topk remains
+        # the field-blind scorer over this flavor: no bounds, no loss).
+        raise ValueError(
+            "importance=False over an importance-payload index is lossy"
+            " (block maxima are importance-scaled); pass importance=True"
+            " or use exhaustive_topk"
+        )
     imp_t = _imp_table() if importance else None
 
     def run_range(keys, left, right):

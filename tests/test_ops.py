@@ -36,6 +36,53 @@ def test_minhash_finds_planted_pairs(tiny_docs):
     assert all(4 not in p and 5 not in p for p in pairs)
 
 
+def test_minhash_star_edges_skew_safe(spark, tiny_docs):
+    """The scale path for LSH candidates (VERDICT r4 #1): per-bucket
+    min-hub star edges must (a) yield the SAME drop set and the SAME
+    connected components as the all-pairs form, and (b) stay LINEAR on
+    a planted template cluster — 10⁴ near-identical docs in one LSH
+    bucket emit exactly m−1 edges where minhash_pairs would emit
+    m(m−1)/2 ≈ 5·10⁷ rows from that single key."""
+    from searchengine_spark.ops.dedup import (
+        dup_clusters,
+        minhash_pairs,
+        minhash_star_edges,
+    )
+
+    # -- equivalence on the mixed tiny corpus
+    star = minhash_star_edges(tiny_docs)
+    pairs = minhash_pairs(tiny_docs)
+    star_rows = {(r["a"], r["b"]) for r in star.collect()}
+    pair_rows = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert star_rows <= pair_rows and star_rows  # star ⊆ clique, nonempty
+    # identical drop sets (the training_data_prep rule)
+    assert ({b for _, b in star_rows} == {b for _, b in pair_rows})
+    # identical connected components
+    comp_s = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters(star).collect()
+    }
+    comp_p = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters(pairs).collect()
+    }
+    assert comp_s == comp_p
+
+    # -- planted 10⁴-member template bucket: row-count ceiling on the
+    # candidate stage itself (the test_mass_delete plan-bound pattern)
+    m = 10_000
+    text = ("template boilerplate license header identical body "
+            "repeated across every page of the site")
+    tpl = spark.createDataFrame(
+        [(i, text) for i in range(1, m + 1)], "doc_id long, text string"
+    )
+    edges = minhash_star_edges(tpl)
+    n = edges.count()
+    assert n == m - 1                      # linear, not m(m-1)/2
+    hub = {r["a"] for r in edges.select("a").distinct().collect()}
+    assert hub == {1}                      # min-hub star
+
+
 def test_jaccard_exact_values(tiny_docs):
     from searchengine_spark.ops.dedup import doc_shingles, jaccard_pairs
 
@@ -2691,6 +2738,78 @@ def test_winnow_matches_match_python(spark):
         ).collect()
     ]
     assert got == want
+
+
+def test_winnow_matches_hot_fp_cap(spark):
+    """Planted boilerplate fingerprint (VERDICT r4 #2): a fingerprint
+    shared by every doc must be removed from the fp SETS by the
+    default-on cap — counts match a hand recompute with hot fps
+    dropped, and the boilerplate-only pairs vanish instead of squaring
+    the join key."""
+    import hashlib
+    import re
+    from collections import Counter
+    from itertools import combinations
+
+    from searchengine_spark.ops.dedup import (
+        WINNOW_K,
+        WINNOW_MIN_MATCHES,
+        WINNOW_W,
+        winnow_matches,
+    )
+
+    tok = re.compile(r"[a-z0-9]+")
+
+    def fpset(text):
+        toks = tok.findall(text.lower())
+        hs = [
+            hashlib.md5(
+                " ".join(toks[i:i + WINNOW_K]).encode()
+            ).hexdigest()[:8]
+            for i in range(len(toks) - WINNOW_K + 1)
+        ]
+        return {
+            min(hs[s:s + WINNOW_W])
+            for s in range(len(hs) - WINNOW_W + 1)
+        }
+
+    # every doc opens with the same long license header (hot fps);
+    # docs 1/2 additionally share a genuine 25-token run
+    header = " ".join(f"license{i} term{i}" for i in range(12))
+    shared = " ".join(f"body{i}" for i in range(25))
+    rows = [
+        (1, header + " " + shared + " tail1 one"),
+        (2, header + " " + shared + " tail2 two"),
+    ] + [
+        (i, header + " " + " ".join(f"u{i}x{j}" for j in range(10)))
+        for i in range(3, 12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cap = 5
+    sets = {d: fpset(t) for d, t in rows}
+    dfc = Counter(fp for s in sets.values() for fp in s)
+    capped = {d: {fp for fp in s if dfc[fp] <= cap}
+              for d, s in sets.items()}
+    want = sorted(
+        (
+            (a, b, len(capped[a] & capped[b]))
+            for a, b in combinations(sorted(capped), 2)
+            if len(capped[a] & capped[b]) >= WINNOW_MIN_MATCHES
+        ),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )
+    got = [
+        (r["a"], r["b"], r["n_matches"])
+        for r in winnow_matches(docs, max_fp_df=cap).collect()
+    ]
+    assert got == want
+    # the genuine pair survives; boilerplate-only pairs are gone
+    assert any(a == 1 and b == 2 for a, b, _ in got)
+    assert len(got) < len(rows) * (len(rows) - 1) // 2
+    # uncapped form would have matched every pair via the header
+    uncapped = winnow_matches(docs, max_fp_df=None).count()
+    assert uncapped == len(rows) * (len(rows) - 1) // 2
 
 
 def test_topk_overlap_pairs_lossless_and_pruned(spark):

@@ -500,3 +500,12 @@ def test_wand_importance_lossless_and_matches_inmemory(
     with pytest.raises(ValueError):
         wand_topk(spark, load_index(spark, d2), queries,
                   importance=True)
+
+    # ...and the opposite direction: field-blind WAND over an
+    # importance-payload index would prune lossily (block maxima are
+    # importance-SCALED, multipliers < 1 exist) — must raise, mirroring
+    # serve_local, never silently undershoot bounds
+    with pytest.raises(ValueError, match="lossy"):
+        wand_topk(spark, sh, queries, importance=False)
+    # exhaustive stays the field-blind scorer over this flavor (no
+    # bounds, no loss) — the `plain` run above already exercised it
