@@ -741,6 +741,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_or_filter_topk": lambda spark, sf: S.query_topk(
             spark, sf, q=S.QL_QUERY_OR_FILTER
         ),
+        "query_or_not_topk": lambda spark, sf: S.query_topk(
+            spark, sf, q=S.QL_QUERY_OR_NOT
+        ),
+        "query_or_boost_topk": lambda spark, sf: S.query_topk(
+            spark, sf, q=S.QL_QUERY_OR_BOOST
+        ),
         "related_terms": S.related_terms,
         "suffix_topk": S.suffix_topk,
         "search_after_topk": S.search_after_topk,
@@ -4908,6 +4914,12 @@ def oracle_sql() -> dict[str, str]:
     )
     d["query_boost_topk"] = SRCH.query_topk_oracle_sql(
         q=SRCH.QL_QUERY_BOOST
+    )
+    d["query_or_not_topk"] = SRCH.query_topk_oracle_sql(
+        q=SRCH.QL_QUERY_OR_NOT
+    )
+    d["query_or_boost_topk"] = SRCH.query_topk_oracle_sql(
+        q=SRCH.QL_QUERY_OR_BOOST
     )
     d["related_terms"] = SRCH.related_terms_oracle_sql()
     d["suffix_topk"] = SRCH.suffix_topk_oracle_sql()

@@ -359,6 +359,7 @@ def load_segments(spark: SparkSession, index_dir: str,
 
 
 CORR_RANGE = 4096  # docid range-bucket width for the distributed prune
+CORR_SPAN_CAP = 64  # widest block (in buckets) still pruned by explode
                    # (the stored-fields sidecar's range_id granularity)
 
 
@@ -472,17 +473,26 @@ def _tombstone_corrections_df(blocks: DataFrame,
     tranges = ids.select(
         F.expr(f"(docid - 1) div {CORR_RANGE}").alias("range_id")
     ).distinct()
-    # narrow skip-pointer projection → range explode → semi-join: the
-    # payload column never rides the pruning shuffle
-    hit = (
-        blocks.select("term", "docid_first", "docid_last")
-        .withColumn(
-            "range_id",
-            F.explode(F.sequence(
-                F.expr(f"(docid_first - 1) div {CORR_RANGE}"),
-                F.expr(f"(docid_last - 1) div {CORR_RANGE}"),
-            )),
-        )
+    # narrow skip-pointer projection → CAPPED range explode →
+    # semi-join: the payload column never rides the pruning shuffle.
+    # The explode is O(span/CORR_RANGE) per block, so a rare term's
+    # single stripe spanning the whole docid space (10^9 docids →
+    # ~244k bucket rows PER BLOCK) would make the pruning step itself
+    # the bottleneck — blocks wider than CORR_SPAN_CAP buckets skip
+    # pruning and decode unconditionally instead.  Correct because
+    # `hit` only SELECTS blocks for decoding (a superset is fine: the
+    # exact docid semi-join after decode filters precisely), and
+    # bounded because a block holds at most one block-cut of postings
+    # regardless of its docid span — wide spans mean SPARSE terms, so
+    # the unconditional decode is per-block O(block size), not
+    # O(span).
+    proj = blocks.select("term", "docid_first", "docid_last")
+    r_first = F.expr(f"(docid_first - 1) div {CORR_RANGE}")
+    r_last = F.expr(f"(docid_last - 1) div {CORR_RANGE}")
+    span = r_last - r_first
+    narrow = (
+        proj.filter(span <= CORR_SPAN_CAP)
+        .withColumn("range_id", F.explode(F.sequence(r_first, r_last)))
         .join(tranges, "range_id", "left_semi")
         # (term, docid_first) is a block key: per segment a term's
         # blocks have distinct docid_first, and segments own disjoint
@@ -490,6 +500,10 @@ def _tombstone_corrections_df(blocks: DataFrame,
         .select("term", "docid_first")
         .distinct()
     )
+    wide = proj.filter(span > CORR_SPAN_CAP).select(
+        "term", "docid_first"
+    )
+    hit = narrow.unionByName(wide)
     pruned = blocks.join(
         hit, ["term", "docid_first"], "left_semi"
     ).select("term", "payload")

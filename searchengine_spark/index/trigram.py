@@ -15,11 +15,20 @@ Layout under ``index_dir``::
                                   readers union them — a doc_id lives
                                   in exactly one generation, keeping
                                   coverage counts exact)
-    trigram_index.json            manifest (generation list, batch
-                                  tags, n_docs), written LAST — the
-                                  completeness marker (cells alone
-                                  mean a crashed build); every append
-                                  commits by atomic manifest swap
+    tombs_t<N>/*.parquet          (doc_id) tombstone generations
+                                  (delete_trigram) — dead docs' cell
+                                  rows stay physically present until a
+                                  rebuild, but every serving surface
+                                  (Spark ops AND LocalGrep/ShardedGrep)
+                                  masks them, the same liveness rule as
+                                  the WAND _dl_member mask and the ANN
+                                  tombstone anti-join
+    trigram_index.json            manifest (generation list, tombstone
+                                  list, batch tags, n_docs), written
+                                  LAST — the completeness marker (cells
+                                  alone mean a crashed build); every
+                                  append/delete commits by atomic
+                                  manifest swap
 
 The index stores NO text: verification joins the caller's documents
 table on the candidate ids only (candidates ≪ corpus by construction),
@@ -74,7 +83,19 @@ def build_trigram_index(spark: SparkSession, docs: DataFrame,
     tri.write.mode("overwrite").partitionBy("tb").parquet(
         os.path.join(index_dir, "cells")
     )
-    n_docs = docs.count()
+    # n_docs = INDEXED docs (trigram-producing, len(text) >= 3) — the
+    # same semantics append_trigram uses for its n_docs accounting, so
+    # build and append never drift (a tokenless doc lands in no cells
+    # generation on either path and is counted by neither); counted
+    # from the written cells, not a re-explode of the corpus
+    cells_dir = os.path.join(index_dir, "cells")
+    has_cells = any(
+        e.startswith("tb=") for e in os.listdir(cells_dir)
+    )  # an all-tokenless corpus writes no partitions (schema-less dir)
+    n_docs = (
+        spark.read.parquet(cells_dir).select("doc_id").distinct().count()
+        if has_cells else 0
+    )
     tmp = os.path.join(index_dir, MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(
@@ -160,6 +181,128 @@ def append_trigram(spark: SparkSession, docs: DataFrame,
     return int(n_new)
 
 
+def delete_trigram(spark: SparkSession, index_dir: str,
+                   doc_ids=None, docs_df: DataFrame | None = None) -> int:
+    """Tombstone docs in the trigram shard — the grep tier's liveness
+    story (every other serving tier masks deletes: WAND `_dl_member`,
+    ANN tombstone anti-join, stored-fields get_doc; without this a doc
+    deleted/upserted away in the text index keeps matching substring
+    and regex queries until a full trigram rebuild).
+
+    ``doc_ids``: explicit bounded id list (the delete_docs shape), OR
+    ``docs_df``: a one-column (doc_id) DataFrame for the distributed
+    delete-by-predicate path (the delete_where rule — never a
+    driver-side id collect).  Already-dead or never-indexed ids no-op
+    (idempotent replays): fresh ids are anti-joined against the
+    current tombstone union before writing, so replaying a delete adds
+    no generation.  Cell rows stay physically present (reclaimed only
+    by a rebuild); every reader masks them.  Commit = tombstone
+    parquet written first, ONE atomic manifest swap after.
+
+    :return: number of newly tombstoned ids.
+    """
+    mpath = os.path.join(index_dir, MANIFEST)
+    if not os.path.exists(mpath):
+        raise ValueError(f"no committed trigram index at {index_dir}")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    if (doc_ids is None) == (docs_df is None):
+        raise ValueError("pass exactly one of doc_ids / docs_df")
+    if docs_df is None:
+        docs_df = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id long"
+        )
+    fresh = docs_df.select("doc_id").distinct()
+    dead = _tombstones_df(spark, index_dir, manifest)
+    if dead is not None:
+        fresh = fresh.join(dead, "doc_id", "left_anti")
+    tombs = manifest.get("tombstones", [])
+    gen = f"tombs_t{len(tombs)}"
+    # overwrite on the not-yet-listed dir: a crashed commit's rerun
+    # lands on the same name (the _commit_tombstones precedent)
+    fresh.write.mode("overwrite").parquet(os.path.join(index_dir, gen))
+    n_new = int(
+        spark.read.parquet(os.path.join(index_dir, gen)).count()
+    )
+    if n_new:
+        manifest["tombstones"] = tombs + [gen]
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+    return n_new
+
+
+def sync_trigram_liveness(spark: SparkSession, index_dir: str,
+                          text_index_dir: str) -> int:
+    """Propagate the segmented text index's tombstones into the
+    trigram shard built over the SAME docid space — the one-call
+    bridge that makes delete_docs/delete_where (GDPR forgetting)
+    forget the grep index too.  Reads the text index's committed
+    tombstone generations (index/segments.py layout) as a DataFrame
+    and routes them through :func:`delete_trigram` (idempotent — safe
+    to call after every maintenance cycle).
+
+    :return: number of newly tombstoned ids in the trigram shard.
+    """
+    seg_meta = os.path.join(text_index_dir, "segments.json")
+    if not os.path.exists(seg_meta):
+        raise ValueError(f"no segmented index at {text_index_dir}")
+    with open(seg_meta) as f:
+        meta = json.load(f)
+    gens = meta.get("tomb_gens", [])
+    if not gens:
+        return 0
+    from functools import reduce
+
+    tomb = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(
+                os.path.join(text_index_dir, "tombstones", g)
+            )
+            for g in gens
+        ],
+    ).select(F.col("docid").alias("doc_id"))
+    return delete_trigram(spark, index_dir, docs_df=tomb)
+
+
+def _tombstones_df(spark: SparkSession, index_dir: str,
+                   manifest: dict) -> DataFrame | None:
+    """(doc_id) union of committed tombstone generations; None when
+    the shard has none (the common case — readers skip the join)."""
+    tombs = manifest.get("tombstones", [])
+    if not tombs:
+        return None
+    from functools import reduce
+
+    return (
+        reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                spark.read.parquet(os.path.join(index_dir, g))
+                for g in tombs
+            ],
+        )
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def _mask_dead(spark: SparkSession, index_dir: str,
+               d: DataFrame) -> DataFrame:
+    """Anti-join the shard's tombstones (no-op without any) — applied
+    at the VERIFY stage of both ondisk ops, so candidate pruning stays
+    untouched (dead cell rows only widen the candidate superset, the
+    same physical-until-merge rule as WAND postings) while no dead doc
+    can ever be returned."""
+    mpath = os.path.join(index_dir, MANIFEST)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    dead = _tombstones_df(spark, index_dir, manifest)
+    return d if dead is None else d.join(dead, "doc_id", "left_anti")
+
+
 def _query_trigrams(ql: str, require: bool) -> list:
     """Distinct trigrams of a lowercased literal; < 3 chars raises
     when ``require`` (substring search has nothing to prune with)."""
@@ -227,6 +370,7 @@ def regex_topk_ondisk(spark: SparkSession, index_dir: str,
         ]
         cand = reduce(lambda a, b: a.unionByName(b), parts).distinct()
     d = docs if cand is None else docs.join(cand, "doc_id")
+    d = _mask_dead(spark, index_dir, d)
     return (
         d.withColumn(
             "n_matches",
@@ -257,7 +401,7 @@ def substring_topk_ondisk(spark: SparkSession, index_dir: str,
     ql = q.lower()
     lt = F.lower(F.col("text"))
     return (
-        docs.join(cand, "doc_id")
+        _mask_dead(spark, index_dir, docs.join(cand, "doc_id"))
         .withColumn(
             "n_occurrences",
             (

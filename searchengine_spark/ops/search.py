@@ -50,6 +50,13 @@ QL_QUERY_SOURCE = "table hash source:src3 -dup"
 # score, filters/nots stay eligibility-only), pinned under the driver
 # gate as query_or_filter_topk
 QL_QUERY_OR_FILTER = 'spark part|stream query|window lang:en -dup'
+# round-5 composition lifts (VERDICT r4 #7): a NEGATED OR group
+# (-a|b == -a -b, De Morgan, eligibility-only) and a boost INSIDE an
+# OR group (a^2|b: slot eligibility weight-blind, matched boosted
+# term's BM25 scales) — pinned as query_or_not_topk /
+# query_or_boost_topk
+QL_QUERY_OR_NOT = 'spark part|stream -dup|slow'
+QL_QUERY_OR_BOOST = 'spark part^2|stream "table hash"'
 RELATED_SEED = "spark"
 RELATED_MIN_CO = 5          # ignore co-occurrence counts below this
 RELATED_TOPN = 10
@@ -579,7 +586,7 @@ def _wildcard_docs(spark, sf_dir, kind: str, base: str) -> DataFrame:
     at 100x the old plan shuffled the whole token table once per
     wildcard; this one's only wide edge is the vocabulary aggregate,
     and the postings union never leaves the map side.  Plan-asserted
-    in tests/test_search_ops.py."""
+    in tests/test_ops.py::test_wildcard_docs_plan_termdict_pruned."""
     from .textops import term_dict
 
     cond = (
@@ -1010,8 +1017,10 @@ def _parse_perc_rich(queries):
     parsed = []
     for qi, q in enumerate(queries):
         p = parse_query(q)
-        if (p["filters"] or p.get("groups") or p.get("wildcards")
-                or p.get("boosts")):
+        # NB: the parser's key is "or_groups" (a .get("groups") here
+        # once made the gate vacuously pass OR queries)
+        if (p["filters"] or p["or_groups"] or p["wildcards"]
+                or p["boosts"]):
             raise ValueError(
                 "percolate_rich supports bare terms, phrases, and "
                 f"-not only: {q!r}"

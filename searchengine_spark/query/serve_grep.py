@@ -34,11 +34,15 @@ class LocalGrep:
         a docid range — the ShardedGrep state partition: candidate and
         verify reads both carry the range predicate, so parquet
         row-group stats prune when cells/docs are docid-clustered (the
-        build writes them in docid order)."""
+        build writes them in docid order).  ``hi=None`` leaves the
+        upper bound OPEN — the last shard's form, so ids appended
+        after construction still route somewhere (the ShardedGrep
+        merge == unsharded contract under growth)."""
         self._index_dir = index_dir
         self._docs = docs_parquet
         self._range = (
-            (int(doc_range[0]), int(doc_range[1]))
+            (int(doc_range[0]),
+             None if doc_range[1] is None else int(doc_range[1]))
             if doc_range is not None else None
         )
         self._load()
@@ -53,7 +57,9 @@ class LocalGrep:
             manifest = json.load(f)
         self.n_buckets = int(manifest["n_buckets"])
         self._gens = manifest.get("generations", ["cells"])
+        self._tomb_gens = manifest.get("tombstones", [])
         import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
 
         # one UNION dataset over all generations (append_trigram keeps
         # each doc_id in exactly one, so coverage counts stay exact);
@@ -65,14 +71,29 @@ class LocalGrep:
             for g in self._gens
         ]
         self._cells = parts[0] if len(parts) == 1 else pads.dataset(parts)
+        # tombstone mask (delete_trigram sidecar): dead docs' cell rows
+        # are physically present until a rebuild — every query masks
+        # them, the serve_local _dl/tombstone contract on the grep tier
+        if self._tomb_gens:
+            self._tombs = np.unique(np.concatenate([
+                pq.read_table(
+                    os.path.join(self._index_dir, g),
+                    columns=["doc_id"],
+                ).column("doc_id").to_numpy()
+                for g in self._tomb_gens
+            ]))
+        else:
+            self._tombs = np.empty(0, np.int64)
 
     def maybe_refresh(self) -> bool:
-        """Reload when an append committed a new generation list —
-        the LocalSearcher/LocalANN maintenance contract."""
+        """Reload when an append committed a new generation list OR a
+        delete committed new tombstones — the LocalSearcher/LocalANN
+        maintenance contract."""
         mpath = os.path.join(self._index_dir, "trigram_index.json")
         with open(mpath) as f:
-            gens = json.load(f).get("generations", ["cells"])
-        if gens != self._gens:
+            m = json.load(f)
+        if (m.get("generations", ["cells"]) != self._gens
+                or m.get("tombstones", []) != self._tomb_gens):
             self._load()
             return True
         return False
@@ -124,8 +145,9 @@ class LocalGrep:
                & pads.field("tg").isin(need))
         if self._range is not None:
             lo, hi = self._range
-            flt = (flt & (pads.field("doc_id") >= lo)
-                   & (pads.field("doc_id") < hi))
+            flt = flt & (pads.field("doc_id") >= lo)
+            if hi is not None:
+                flt = flt & (pads.field("doc_id") < hi)
         t = self._cells.to_table(filter=flt, columns=["doc_id"])
         ids = t.column("doc_id").to_numpy()
         if ids.size == 0:
@@ -133,7 +155,10 @@ class LocalGrep:
         # (tg, doc_id) rows are distinct per doc by construction, so a
         # doc covering all |need| trigrams appears exactly |need| times
         uniq, counts = np.unique(ids, return_counts=True)
-        return uniq[counts == len(need)]
+        cov = uniq[counts == len(need)]
+        if self._tombs.size:
+            cov = cov[~np.isin(cov, self._tombs)]
+        return cov
 
     def _verify(self, cand, count_fn, k):
         """Exact-match counting over the candidates' text rows (cand
@@ -144,16 +169,27 @@ class LocalGrep:
         flt = None
         if self._range is not None:
             lo, hi = self._range
-            flt = ((pads.field("doc_id") >= lo)
-                   & (pads.field("doc_id") < hi))
+            flt = pads.field("doc_id") >= lo
+            if hi is not None:
+                flt = flt & (pads.field("doc_id") < hi)
         if cand is not None:
             c = pads.field("doc_id").isin(cand.tolist())
             flt = c if flt is None else (flt & c)
         dt = ds.to_table(filter=flt, columns=["doc_id", "text"])
+        doc_ids = dt.column("doc_id").to_numpy()
+        # the unpruned full-scan path (cand None) bypasses _candidates'
+        # tombstone mask — mask here so no surface serves a dead doc
+        live = (
+            ~np.isin(doc_ids, self._tombs)
+            if (cand is None and self._tombs.size)
+            else None
+        )
         out = []
-        for d, text in zip(
-            dt.column("doc_id").to_pylist(), dt.column("text").to_pylist()
-        ):
+        for i, (d, text) in enumerate(zip(
+            doc_ids.tolist(), dt.column("text").to_pylist()
+        )):
+            if live is not None and not live[i]:
+                continue
             n = count_fn(text.lower()) if text is not None else 0
             if n:
                 out.append((int(d), n))
@@ -201,8 +237,14 @@ class ShardedGrep:
             b = hi if s == n_shards - 1 else min(hi, a + step)
             if a >= hi:
                 break
+            # the LAST shard's upper bound stays OPEN: docs appended
+            # after construction get ids >= hi, and a frozen bound
+            # would silently exclude them from every replica — an open
+            # tail keeps the router lossless under growth (ranges
+            # still partition the id space disjointly)
+            rng = (a, None) if b == hi else (a, b)
             self._shards.append(
-                LocalGrep(index_dir, docs_parquet, doc_range=(a, b))
+                LocalGrep(index_dir, docs_parquet, doc_range=rng)
             )
 
     @staticmethod

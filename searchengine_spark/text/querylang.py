@@ -23,8 +23,19 @@ Syntax:
                         Alternatives are single tokens; a term may
                         appear in only ONE scoring slot (two groups, or
                         a group and a bare/phrase token, would double-
-                        count its BM25 — ambiguous, so it raises), and
-                        OR cannot combine with -/:/* operators.
+                        count its BM25 — ambiguous, so it raises).
+  -a|b               -> negated OR group: pure De Morgan — the doc must
+                        contain NEITHER alternative (== -a -b);
+                        eligibility-only like any -term.  '-' anywhere
+                        but the front of the group raises, and a
+                        negated group cannot carry boosts.
+  a^2|b              -> boosted alternative inside an OR group: slot
+                        eligibility is weight-blind, but a matched
+                        boosted term's BM25 contribution scales by its
+                        weight (the ^ rule applied per-alternative);
+                        the same term repeated in the group with a
+                        different weight raises.  OR still cannot
+                        combine with :/* operators.
   tok* / *tok        -> wildcard clause (prefix / suffix): the doc must
                         contain at least one dictionary term matching
                         the pattern.  ELIGIBILITY-ONLY and uncapped —
@@ -68,23 +79,70 @@ def parse_query(q: str) -> dict:
     must, must_not, filters, wildcards, groups = [], [], {}, [], []
     boosts: dict[str, float] = {}
     plain: list[str] = []  # bare must terms (boost-ambiguity check)
+    def _parse_boost(tok: str, num: str) -> float:
+        try:
+            wt = float(num)
+        except ValueError:
+            raise ValueError(f"bad boost value: {tok!r}") from None
+        if not (wt > 0 and math.isfinite(wt)):
+            raise ValueError(
+                f"boost must be a positive finite number: {tok!r}"
+            )
+        return wt
+
+    def _record_boost(term: str, wt: float, tok: str) -> None:
+        if term in boosts and boosts[term] != wt:
+            raise ValueError(f"conflicting boosts for {term!r}")
+        boosts[term] = wt
+
     for tok in rest.split():
         if "|" in tok:
-            if ("*" in tok or tok.startswith("-") or ":" in tok
-                    or "^" in tok):
+            if "*" in tok or ":" in tok:
                 raise ValueError(
-                    f"OR group cannot combine with -/:/*/^: {tok!r}"
+                    f"OR group cannot combine with :/*: {tok!r}"
                 )
-            alts = []
-            for part in tok.split("|"):
-                bt = tokenize(part)
+            # -a|b negates the WHOLE group (pure De Morgan: NOT(a OR b)
+            # == must_not a AND must_not b — eligibility-only, like any
+            # -term); a '-' anywhere else would silently vanish in the
+            # tokenizer, so it raises.  a^2|b boosts ONE alternative:
+            # the slot's eligibility is weight-blind, the boosted
+            # term's BM25 contribution scales when matched (the slot
+            # scorer's per-term wt column / the serving tier's idf
+            # scaling).  A negated group cannot carry boosts (nothing
+            # to score).
+            neg = tok.startswith("-")
+            body = tok[1:] if neg else tok
+            if "-" in body:
+                raise ValueError(
+                    f"'-' must prefix the whole OR group: {tok!r}"
+                )
+            if neg and "^" in body:
+                raise ValueError(
+                    f"negated OR group cannot carry boosts: {tok!r}"
+                )
+            alts: list[str] = []
+            seen_wt: dict[str, float | None] = {}
+            for part in body.split("|"):
+                base, caret, num = part.partition("^")
+                wt = _parse_boost(tok, num) if caret else None
+                bt = tokenize(base)
                 if len(bt) != 1:
                     raise ValueError(
                         f"OR alternative must be one token: {tok!r}"
                     )
-                alts.append(bt[0])
+                t = bt[0]
+                if t in seen_wt and seen_wt[t] != wt:
+                    raise ValueError(
+                        f"conflicting weights inside OR group: {tok!r}"
+                    )
+                seen_wt[t] = wt
+                if wt is not None and not neg:
+                    _record_boost(t, wt, tok)
+                alts.append(t)
             g = tuple(sorted(set(alts)))
-            if len(g) == 1:
+            if neg:
+                must_not.extend(g)
+            elif len(g) == 1:
                 must.extend(g)  # degenerate group == bare token
                 plain.extend(g)
             else:
@@ -97,22 +155,13 @@ def parse_query(q: str) -> dict:
             base, _, num = tok.partition("^")
             if not base or "^" in num:
                 raise ValueError(f"bad boost: {tok!r}")
-            try:
-                wt = float(num)
-            except ValueError:
-                raise ValueError(f"bad boost value: {tok!r}") from None
-            if not (wt > 0 and math.isfinite(wt)):
-                raise ValueError(
-                    f"boost must be a positive finite number: {tok!r}"
-                )
+            wt = _parse_boost(tok, num)
             bt = tokenize(base)
             if len(bt) != 1:
                 raise ValueError(
                     f"boost base must be one token: {tok!r}"
                 )
-            if bt[0] in boosts and boosts[bt[0]] != wt:
-                raise ValueError(f"conflicting boosts for {bt[0]!r}")
-            boosts[bt[0]] = wt
+            _record_boost(bt[0], wt, tok)
             must.append(bt[0])
         elif "*" in tok:
             if tok.startswith("-") or ":" in tok:

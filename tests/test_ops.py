@@ -3167,6 +3167,153 @@ def test_trigram_append_generations(spark, tmp_path):
     assert "t2" in man_after["tags"]
 
 
+def test_trigram_liveness_all_tiers(spark, tmp_path):
+    """Grep-tier liveness (VERDICT r4 #3): delete_trigram tombstones
+    must stop substring AND regex serving from returning dead docs on
+    EVERY tier — the Spark ondisk ops (pruned and full-scan paths),
+    LocalGrep (stale replica via maybe_refresh), and ShardedGrep —
+    with survivors exactly equal to a rebuild over the live set, and
+    idempotent replays committing nothing."""
+    import json
+    import os
+
+    from searchengine_spark.index.trigram import (
+        build_trigram_index,
+        delete_trigram,
+        regex_topk_ondisk,
+        substring_topk_ondisk,
+    )
+    from searchengine_spark.query.serve_grep import (
+        LocalGrep,
+        ShardedGrep,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    d = str(tmp_path / "tri")
+    build_trigram_index(spark, docs, d)
+
+    q = "table hash"
+    pat_pruned = "tab[a-z]e +hash"
+    pat_scan = "a.c"  # no >= 3-char literal run → unpruned full scan
+
+    base = [tuple(r) for r in
+            substring_topk_ondisk(spark, d, docs, q, k=50).collect()]
+    g0 = LocalGrep(d, f"{SF}/documents.parquet")
+    sg0 = ShardedGrep(d, f"{SF}/documents.parquet", n_shards=3)
+    scan_hits = g0.grep(pat_scan, k=5)
+    assert base and scan_hits
+    dead = sorted({base[0][0], base[1][0], scan_hits[0][0]})
+
+    n = delete_trigram(spark, d, doc_ids=dead)
+    assert n == len(dead)
+    # replay: no-op, and NO new tombstone generation committed
+    man = json.load(open(os.path.join(d, "trigram_index.json")))
+    assert delete_trigram(spark, d, doc_ids=dead) == 0
+    man2 = json.load(open(os.path.join(d, "trigram_index.json")))
+    assert man2["tombstones"] == man["tombstones"]
+
+    # ground truth: a fresh build over the survivor set
+    live = docs.join(
+        spark.createDataFrame([(i,) for i in dead], "doc_id long"),
+        "doc_id", "left_anti",
+    )
+    live_pq = str(tmp_path / "live_docs.parquet")
+    live.write.parquet(live_pq)
+    d2 = str(tmp_path / "tri_rebuild")
+    build_trigram_index(spark, live, d2)
+
+    # Spark tier — substring, pruned regex, and full-scan regex
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    assert rows(substring_topk_ondisk(spark, d, docs, q, k=50)) == rows(
+        substring_topk_ondisk(spark, d2, live, q, k=50)
+    )
+    for pat in (pat_pruned, pat_scan):
+        assert rows(
+            regex_topk_ondisk(spark, d, docs, pat, k=50)
+        ) == rows(regex_topk_ondisk(spark, d2, live, pat, k=50)), pat
+
+    # stale replicas must refresh onto the tombstones
+    assert g0.maybe_refresh() is True
+    assert g0.maybe_refresh() is False
+    assert sg0.maybe_refresh() is True
+    g2 = LocalGrep(d2, live_pq)
+    assert g0.search(q, k=50) == g2.search(q, k=50)
+    for pat in (pat_pruned, pat_scan):
+        assert g0.grep(pat, k=50) == g2.grep(pat, k=50), pat
+        assert sg0.grep(pat, k=50) == g2.grep(pat, k=50), pat
+    assert sg0.search(q, k=50) == g2.search(q, k=50)
+    # and the dead ids are really gone from every surface
+    for out in (g0.search(q, k=50), g0.grep(pat_scan, k=50),
+                sg0.search(q, k=50)):
+        assert not ({i for i, _ in out} & set(dead))
+
+
+def test_trigram_liveness_syncs_from_segmented_index(spark, tmp_path):
+    """The GDPR bridge: delete_docs on the segmented TEXT index +
+    sync_trigram_liveness must make the grep shard (built over the
+    same docid space) forget the same docs — the one surface that
+    previously kept serving deleted content (VERDICT r4 #3)."""
+    from searchengine_spark.corpus import synth_corpus
+    from searchengine_spark.index import build_tables
+    from searchengine_spark.index.pipeline import assign_docids
+    from searchengine_spark.index.segments import (
+        delete_docs,
+        init_segmented,
+        load_segments,
+    )
+    from searchengine_spark.index.trigram import (
+        build_trigram_index,
+        sync_trigram_liveness,
+    )
+    from searchengine_spark.query.serve_grep import LocalGrep
+
+    corpus = spark.createDataFrame(synth_corpus(120))
+    seg_dir = str(tmp_path / "seg")
+    init_segmented(
+        spark,
+        build_tables(spark, corpus, compute_quality=False,
+                     near_dup=False),
+        seg_dir,
+    )
+    # the same deterministic docid assignment the build used
+    docs = assign_docids(corpus).select(
+        F.col("docid").alias("doc_id"), F.col("content").alias("text")
+    )
+    docs_pq = str(tmp_path / "docs_by_docid.parquet")
+    docs.write.parquet(docs_pq)
+    tri_dir = str(tmp_path / "tri")
+    build_trigram_index(spark, spark.read.parquet(docs_pq), tri_dir)
+
+    # no tombstones yet → sync is a no-op
+    assert sync_trigram_liveness(spark, tri_dir, seg_dir) == 0
+
+    victims = sorted(
+        r["docid"]
+        for r in load_segments(spark, seg_dir).docs
+        .select("docid").limit(3).collect()
+    )
+    probe = None  # a substring guaranteed to hit victim[0] pre-delete
+    for r in spark.read.parquet(docs_pq).filter(
+        F.col("doc_id") == victims[0]
+    ).collect():
+        probe = r["text"][:12].lower()
+    g = LocalGrep(tri_dir, docs_pq)
+    assert victims[0] in {i for i, _ in g.search(probe, k=200)}
+
+    assert delete_docs(spark, seg_dir, victims) == len(victims)
+    assert sync_trigram_liveness(spark, tri_dir, seg_dir) == len(victims)
+    assert sync_trigram_liveness(spark, tri_dir, seg_dir) == 0  # replay
+
+    assert g.maybe_refresh() is True
+    hits = {i for i, _ in g.search(probe, k=200)}
+    assert victims[0] not in hits
+    assert not (hits & set(victims))
+
+
 def test_wildcard_docs_plan_termdict_pruned(spark):
     """The batch wildcard clause must resolve through the term
     dictionary and broadcast-prune the token stream (the serving

@@ -1436,3 +1436,43 @@ def test_mass_delete_stays_distributed(spark, tmp_path_factory,
     monkeypatch.setattr(ClassicDataFrame, "collect", spy)
     assert delete_where(spark, seg_dir, pred) == 0
     monkeypatch.undo()
+
+
+def test_tombstone_corrections_df_wide_block(spark):
+    """The corrections prune's bucket explode is CAPPED
+    (CORR_SPAN_CAP): a rare term's single block spanning the whole
+    docid space (10^9 ids → ~244k buckets) must NOT explode — wide
+    blocks skip pruning and decode unconditionally (a superset `hit`
+    is safe: the exact docid semi-join after decode filters
+    precisely), and the per-term corrections stay exact for wide,
+    narrow, and untouched blocks alike."""
+    from searchengine_spark.index.segments import (
+        CORR_RANGE,
+        CORR_SPAN_CAP,
+        _tombstone_corrections_df,
+    )
+    from searchengine_spark.index.varbyte import encode_block
+
+    wide_ids = [1, 500_000_000, 1_000_000_000]
+    assert (wide_ids[-1] - 1) // CORR_RANGE > CORR_SPAN_CAP
+    blocks = spark.createDataFrame(
+        [
+            ("rareterm", wide_ids[0], wide_ids[-1],
+             bytes(encode_block(wide_ids, [3, 5, 7], [[], [], []]))),
+            ("denseterm", 10, 12,
+             bytes(encode_block([10, 11, 12], [2, 4, 6],
+                                [[], [], []]))),
+            ("untouched", 20, 22,
+             bytes(encode_block([20, 21, 22], [1, 1, 1],
+                                [[], [], []]))),
+        ],
+        "term string, docid_first long, docid_last long, payload binary",
+    )
+    tomb = spark.createDataFrame(
+        [(500_000_000,), (11,), (12,)], "docid long"
+    )
+    got = {
+        r["term"]: (r["df_sub"], r["cf_sub"])
+        for r in _tombstone_corrections_df(blocks, tomb).collect()
+    }
+    assert got == {"rareterm": (1, 5), "denseterm": (2, 10)}

@@ -1143,6 +1143,74 @@ def test_search_or_groups_match_oracle(searcher, oracle):
     ]
 
 
+def test_search_or_group_not_and_boost(searcher, oracle):
+    """Round-5 composition lifts on the serving tier: a negated OR
+    group equals its De Morgan expansion (-a|b == -a -b, verified
+    against the separate-NOTs query), and a boost inside an OR group
+    scales ONLY the matched boosted alternative's BM25 (verified
+    against an independent slot recompute)."""
+    from searchengine_spark.params import BM25_B, BM25_K1
+    from searchengine_spark.query.wand import bm25_idf
+
+    terms = sorted(oracle.postings,
+                   key=lambda t: -len(oracle.postings[t]))
+    m, ga, gb = None, None, None
+    for t1 in terms[:8]:
+        for t2 in terms[:8]:
+            for t3 in terms[:8]:
+                if len({t1, t2, t3}) != 3:
+                    continue
+                dm = set(oracle.postings[t1])
+                da, db = (set(oracle.postings[t2]),
+                          set(oracle.postings[t3]))
+                if (dm & da - db) and (dm & db - da) and (dm & da & db):
+                    m, ga, gb = t1, t2, t3
+                    break
+            if m:
+                break
+        if m:
+            break
+    assert m is not None
+
+    # negated group == separate NOTs (De Morgan), exactly
+    ex1, ex2 = (t for t in terms[8:10])
+    lhs = searcher.search(f"{m} -{ex1}|{ex2}", k=50, analyzer=_ident)
+    rhs = searcher.search(f"{m} -{ex1} -{ex2}", k=50, analyzer=_ident)
+    assert lhs == rhs and lhs
+
+    # boosted alternative: independent slot recompute with per-term w
+    w = 2.5
+    got = searcher.search(f"{m} {ga}^{w}|{gb}", k=10, analyzer=_ident)
+    pm_ = oracle.postings[m]
+    out = []
+    for d in pm_:
+        if not (d in oracle.postings[ga] or d in oracle.postings[gb]):
+            continue
+        dl = oracle.docs[d]["total_tokens"]
+        s = 0.0
+        for t, tw in ((m, 1.0), (ga, w), (gb, 1.0)):
+            p = oracle.postings.get(t, {})
+            if d not in p:
+                continue
+            tf = p[d][0]
+            s += (
+                (bm25_idf(oracle.n_survivors, len(p)) * tw)
+                * tf * (BM25_K1 + 1.0)
+                / (tf + BM25_K1
+                   * (1 - BM25_B + BM25_B * dl / oracle.avgdl))
+            )
+        out.append((d, s))
+    out.sort(key=lambda ds: (-ds[1], ds[0]))
+    exp = [(r + 1, d, s) for r, (d, s) in enumerate(out[:10])]
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in exp]
+    for (_, _, gs), (_, _, es) in zip(got, exp):
+        assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+    assert got
+    # eligibility is weight-blind: same docids as the unboosted group
+    base = searcher.search(f"{m} {ga}|{gb}", k=10 ** 6, analyzer=_ident)
+    assert {d for _, d, _ in got} <= {d for _, d, _ in base}
+
+
 def test_search_query_language_edges(searcher):
     with pytest.raises(ValueError):
         searcher.search("parser lang:en")  # no metadata on this tier

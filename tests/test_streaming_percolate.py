@@ -159,3 +159,18 @@ def test_inverted_query_index_scale_shape():
     ]
     assert sorted(idx.match(wide)) == naive_w
     assert idx.touched(wide) < nq / 10
+
+
+def test_rich_parser_gate_rejects_non_subset():
+    """The rich percolator accepts bare/phrase/-not ONLY; the gate
+    must actually fire for OR groups / wildcards / boosts / filters
+    (a .get('groups') typo once made the OR check vacuous)."""
+    import pytest
+
+    from searchengine_spark.ops.search import _parse_perc_rich
+
+    assert _parse_perc_rich(['spark "merge join" -dup'])
+    for bad in ("spark a|b", "spark sc*", "spark a^2",
+                "spark lang:en", "-a -b"):
+        with pytest.raises(ValueError):
+            _parse_perc_rich([bad])

@@ -290,8 +290,8 @@ def test_parse_query_or_groups():
     for bad in ("a|b a", "a|b b|c", 'a|b "b c"'):
         with pytest.raises(ValueError):
             parse_query(bad)
-    # OR cannot combine with other operators
-    for bad in ("-a|b", "lang:a|b", "a*|b", "a.b|c"):
+    # OR cannot combine with :/* (and multi-token alternatives raise)
+    for bad in ("lang:a|b", "a*|b", "a.b|c"):
         with pytest.raises(ValueError):
             parse_query(bad)
 
@@ -474,7 +474,6 @@ def test_parse_query_boosts():
         'a^2 "a b"',    # boosted AND in a phrase
         "-a^2",         # NOT
         "a*^2",         # wildcard
-        "a|b^2",        # OR group
         "lang:en^2",    # field filter
         "a^",           # missing value
         "^2",           # missing base
@@ -507,11 +506,49 @@ def test_parse_query_or_group_composition():
     assert p2["boosts"] == {"src": 2.0}
     assert p2["filters"] == {"source": "src3"}
 
-    # within-token mixes stay refused
+    # :/* within a group stay refused
     import pytest as _pt
-    for bad in ("lang:a|b", "-a|b", "a|b*", "a|b^2"):
+    for bad in ("lang:a|b", "a|b*"):
         with _pt.raises(ValueError):
             parse_query(bad)
     # cross-slot duplicates stay refused even with filters present
     with _pt.raises(ValueError):
         parse_query('spark spark|query lang:en')
+
+
+def test_parse_query_or_group_not_and_boost():
+    """Round-5 composition lifts: -a|b negates the WHOLE group (De
+    Morgan — must_not both alternatives, no slot), and a^2|b boosts
+    ONE alternative (slot unchanged, weight recorded); the genuinely
+    ambiguous residue still raises."""
+    import pytest
+
+    from searchengine_spark.text.querylang import parse_query
+
+    p = parse_query("spark part|stream -dup|slow")
+    assert p["or_groups"] == [("part", "stream")]
+    assert p["must_not"] == ["dup", "slow"]
+    assert p["scoring"] == ["part", "spark", "stream"]
+
+    p2 = parse_query('spark part^2|stream "table hash"')
+    assert p2["or_groups"] == [("part", "stream")]
+    assert p2["boosts"] == {"part": 2.0}
+    assert p2["slots"] == [
+        ("hash",), ("part", "stream"), ("spark",), ("table",),
+    ]
+    # weight agreement across clauses: the group's boost and a bare
+    # boost of the same term must agree... but a bare repeat is a
+    # cross-slot duplicate anyway; a DIFFERENT group-internal weight
+    # for a repeated alternative raises
+    with pytest.raises(ValueError):
+        parse_query("a^2|a|b c")
+    with pytest.raises(ValueError):
+        parse_query("a^2|b a^3 c")   # conflicting weights (also dup slot)
+    # '-' anywhere but the front raises (a silent tokenize would
+    # swallow it); negated groups cannot carry boosts
+    for bad in ("a|-b", "-a|b^2", "x|-y|z"):
+        with pytest.raises(ValueError):
+            parse_query(f"spark {bad}")
+    # degenerate negated group == plain NOTs of one term
+    p3 = parse_query("spark -a|a")
+    assert p3["must_not"] == ["a"] and p3["or_groups"] == []
