@@ -2910,7 +2910,7 @@ def oracle_sql() -> dict[str, str]:
                     WHERE shingle NOT IN (SELECT shingle FROM hot))
             SELECT doc_id, count(*)::BIGINT AS n_overlap
             FROM tr2 JOIN ev USING (shingle)
-            GROUP BY doc_id
+            GROUP BY doc_id ORDER BY doc_id
         """,
         # eval-side contamination audit (ops/mix.contamination_report):
         # same constants/cap, built by the module's oracle builder

@@ -174,15 +174,24 @@ def _raw_docs(spark: SparkSession, index_dir: str,
 
 
 def init_segmented(spark: SparkSession, tables, index_dir: str,
-                   store_content: bool = False) -> str:
-    """Write the first generation from built IndexTables."""
+                   store_content: bool = False,
+                   store_importance: bool = False) -> str:
+    """Write the first generation from built IndexTables.
+
+    ``store_importance=True`` (segmented BM25F): the generation is
+    written in the importance-payload flavor (write_index), and the
+    flavor becomes a property of the WHOLE index — appends inherit it
+    (append_segment reads it from the committed mergeinfo), merges
+    preserve it, and load_segments refuses a mixed index.  Requires
+    ``tables`` built with ``importance_fn``."""
     os.makedirs(index_dir, exist_ok=True)
     meta = _read_meta(index_dir)
     if meta["segments"]:
         raise ValueError(f"{index_dir} already has segments")
     name = _reserve_name(index_dir, meta)
     write_index(spark, tables, os.path.join(index_dir, name),
-                store_content=store_content)
+                store_content=store_content,
+                store_importance=store_importance)
     _commit_segment(index_dir, name)
     return name
 
@@ -201,6 +210,12 @@ def append_segment(
     prior segment — INCLUDING tombstoned docs — is dropped.
     ``build_kwargs`` pass through to build_tables
     (stem/simhash_bits/id_order/compute_quality...).
+
+    The importance-payload flavor is INHERITED from the committed
+    segments (never a parameter: a per-append choice would mix
+    flavors, which every reader refuses).  On a BM25F index the
+    caller must pass ``importance_fn`` in ``build_kwargs`` — a
+    missing ``important`` column fails loudly in write_index.
     """
     from .pipeline import build_tables
 
@@ -208,13 +223,25 @@ def append_segment(
     segs = meta["segments"]
     if not segs:
         raise ValueError(f"{index_dir} has no segments; init_segmented first")
+    seg_stats = _seg_stats(index_dir, segs)
+    store_importance = _index_flavor(seg_stats)
+    if store_importance and not build_kwargs.get("importance_fn"):
+        # build_tables would silently fall back to the const-0 parity
+        # default (every posting priority 0 → uniform 0.8 multiplier),
+        # making the appended docs' field weighting differ from the
+        # index's — a BM25F index demands its extractor on every append
+        raise ValueError(
+            "appending to an importance-payload (BM25F) index requires"
+            " importance_fn= (the flavor is inherited, the extractor"
+            " is not)"
+        )
     # dedup against the STORED segment docs, not the serving view:
     # load_segments anti-joins tombstones, and a new doc whose content
     # equals a tombstoned doc's must NOT re-enter while the near-dup
     # twin that caused the tombstone is still alive
     raw = _raw_docs(spark, index_dir, segs)
     known = raw.select("sha256") if "sha256" in raw.columns else None
-    n_total = sum(st["n_total"] for st in _seg_stats(index_dir, segs))
+    n_total = sum(st["n_total"] for st in seg_stats)
     tables = build_tables(
         spark,
         corpus,
@@ -224,9 +251,41 @@ def append_segment(
     )
     name = _reserve_name(index_dir, meta)
     write_index(spark, tables, os.path.join(index_dir, name),
-                store_content=store_content)
+                store_content=store_content,
+                store_importance=store_importance)
     _commit_segment(index_dir, name)
     return name
+
+
+def _decode_postings(blocks: DataFrame, flavor: bool) -> DataFrame:
+    """(term, docid, tf, positions[, important]) rows from block
+    payloads, decoding with the index's payload flavor — the merge
+    paths' shared decode step (a plain decode of an importance payload
+    would drop the field priorities; write_index could then never
+    re-encode them)."""
+    from .shards import (
+        DECODE_SCHEMA,
+        DECODE_SCHEMA_IMP,
+        decode_blocks,
+        decode_blocks_imp,
+    )
+
+    return blocks.select("term", "payload").mapInArrow(
+        decode_blocks_imp if flavor else decode_blocks,
+        schema=DECODE_SCHEMA_IMP if flavor else DECODE_SCHEMA,
+    )
+
+
+def _index_flavor(seg_stats) -> bool:
+    """The index-wide importance-payload flavor; mixed segments raise
+    (block maxima and decode layouts differ — no reader can serve a
+    mix losslessly, the serve_local rule)."""
+    flags = {bool(st.get("importance_payload")) for st in seg_stats}
+    if len(flags) > 1:
+        raise ValueError(
+            "mixed importance-payload flavors across segments"
+        )
+    return flags.pop()
 
 
 def load_segments(spark: SparkSession, index_dir: str,
@@ -261,12 +320,23 @@ def load_segments(spark: SparkSession, index_dir: str,
         "n_terms": None,  # unknown without an agg job; unused by queries
         "posting_block": seg_stats[0].get("posting_block"),
         "n_buckets": seg_stats[0].get("n_buckets"),
+        # segmented BM25F: the flavor is index-wide (mixed raises) and
+        # rides the stats so every reader (fetch_postings decode
+        # variant, wand_topk's two-way flavor guard, score_queries_
+        # ondisk) treats the union exactly like a monolithic index
+        "importance_payload": _index_flavor(seg_stats),
     }
 
     # ---- blocks: lazy union, per-segment max_weight correction.
     # factor = max(1, avgdl_serve / avgdl_build) keeps the stored bound
     # an upper bound under the serving avgdl (proof: module docstring);
     # factor 1 when avgdl only shrank (weights shrink with it).
+    # The proof carries UNCHANGED to importance-payload segments: a
+    # stored BM25F max_weight is max over postings of (mult · w) with
+    # mult a per-posting CONSTANT, and w_serve <= f · w_build per
+    # posting implies mult·w_serve <= f · (mult·w_build) <= f ·
+    # stored_max — scaling by f keeps the importance-scaled bound an
+    # upper bound, so segmented BM25F WAND stays lossless.
     def corrected_blocks(p, st):
         build_avgdl = st["avgdl"] or 1.0
         factor = max(1.0, avgdl / build_avgdl) if avgdl else 1.0
@@ -907,20 +977,18 @@ def merge_segments(spark: SparkSession, index_dir: str) -> str:
     """
     import shutil
 
-    from .shards import decode_blocks
-
     meta = _read_meta(index_dir)
     segs = meta["segments"]
     if not segs:
         raise ValueError(f"{index_dir} has no segments")
     cur = load_segments(spark, index_dir, cache_meta=False)
 
+    # flavor-preserving: an importance-payload index decodes the
+    # trailing important[n] section and re-encodes it (merge must not
+    # silently downgrade BM25F segments to the plain flavor)
+    flavor = bool(cur.stats.get("importance_payload"))
     postings = (
-        cur.blocks.select("term", "payload")
-        .mapInArrow(
-            decode_blocks,
-            schema="term string, docid long, tf int, positions array<int>",
-        )
+        _decode_postings(cur.blocks, flavor)
         # liveness + doc length in one join against the serving docs
         .join(
             cur.docs.select("docid", "total_tokens"), "docid"
@@ -942,7 +1010,8 @@ def merge_segments(spark: SparkSession, index_dir: str) -> str:
     # name reserved (counter persisted) BEFORE any write: a crashed
     # merge leaves an orphan dir a later append can never collide with
     name = _reserve_name(index_dir, meta)
-    write_index(spark, tables, os.path.join(index_dir, name))
+    write_index(spark, tables, os.path.join(index_dir, name),
+                store_importance=flavor)
     _merge_stored_sidecar(spark, index_dir, segs,
                           os.path.join(index_dir, name), cur.docs)
 
@@ -1000,7 +1069,6 @@ def merge_run(spark: SparkSession, index_dir: str, start: int,
     import shutil
 
     from .pipeline import IndexTables
-    from .shards import decode_blocks
 
     meta = _read_meta(index_dir)
     segs = meta["segments"]
@@ -1050,13 +1118,10 @@ def merge_run(spark: SparkSession, index_dir: str, start: int,
         rem_df = tombs.filter(~in_run).select("docid").persist()
         docs = docs.join(tombs, "docid", "left_anti")
 
-    postings = (
-        blocks.select("term", "payload")
-        .mapInArrow(
-            decode_blocks,
-            schema="term string, docid long, tf int, positions array<int>",
-        )
-        .join(docs.select("docid", "total_tokens"), "docid")
+    # flavor-preserving decode + re-encode (the merge_segments rule)
+    flavor = _index_flavor(all_stats)
+    postings = _decode_postings(blocks, flavor).join(
+        docs.select("docid", "total_tokens"), "docid"
     )
 
     n_total = sum(st["n_total"] for st in run_stats)
@@ -1083,7 +1148,8 @@ def merge_run(spark: SparkSession, index_dir: str, start: int,
         },
     )
     name = _reserve_name(index_dir, meta)
-    write_index(spark, tables, os.path.join(index_dir, name))
+    write_index(spark, tables, os.path.join(index_dir, name),
+                store_importance=flavor)
     _merge_stored_sidecar(spark, index_dir, run,
                           os.path.join(index_dir, name), docs)
 
@@ -1250,6 +1316,14 @@ def fsck_index(spark: SparkSession, index_dir: str) -> DataFrame:
       * block-sorted    — decoded docids strictly ascending
       * block-bounds    — first/last decoded == docid_first/docid_last
       * block-cf        — sum of decoded tf == stored ``cf``
+      * block-bytes     — payload re-encodes byte-identically through
+                          the scalar reference encoder in the index's
+                          payload FLAVOR (mergeinfo importance_payload
+                          picks the decode; catches trailing garbage,
+                          truncated importance sections, non-canonical
+                          encodes)
+      * block-imp-range — (importance flavor only) every decoded field
+                          priority lies in params.IMPORTANCE's domain
       * block-bucket    — bucket == xxhash64 routing of the term (the
                           reader's pruning reaches this block)
       * posting-orphan  — decoded docid absent from the STORED docs
@@ -1280,10 +1354,23 @@ def fsck_index(spark: SparkSession, index_dir: str) -> DataFrame:
         sh = load_index(spark, index_dir, cache_meta=False)
         stored = sh.docs
 
+    # payload flavor from the committed mergeinfo (never guessed from
+    # bytes): an importance index decodes the trailing important[n]
+    # section and audits it — values in the multiplier table's domain,
+    # and the payload re-encodes BYTE-IDENTICALLY through the scalar
+    # reference encoder (catches trailing garbage, truncated sections,
+    # and non-canonical encodes in either flavor)
+    has_imp = bool(sh.stats.get("importance_payload"))
+    n_imp_levels = None
+    if has_imp:
+        from ..params import IMPORTANCE
+
+        n_imp_levels = len(IMPORTANCE)
+
     def _audit(batches):
         import pyarrow as pa
 
-        from .varbyte import decode_block_py
+        from .varbyte import decode_block_py, encode_block
 
         for b in batches:
             terms = b.column("term").to_pylist()
@@ -1296,7 +1383,26 @@ def fsck_index(spark: SparkSession, index_dir: str) -> DataFrame:
             for t, n, lo, hi, cf, pl in zip(
                 terms, ns, firsts, lasts, cfs, payloads
             ):
-                ids, tfs, _ = decode_block_py(bytes(pl))
+                pl = bytes(pl)
+                if has_imp:
+                    ids, tfs, poss, imps = decode_block_py(
+                        pl, with_importance=True
+                    )
+                    if any(
+                        not (0 <= v < n_imp_levels) for v in imps
+                    ):
+                        out.append(("block-imp-range", t,
+                                    f"importance value outside "
+                                    f"[0,{n_imp_levels})"))
+                    reenc = encode_block(ids, tfs, poss, imps)
+                else:
+                    ids, tfs, poss = decode_block_py(pl)
+                    reenc = encode_block(ids, tfs, poss)
+                if reenc != pl:
+                    out.append(("block-bytes", t,
+                                "payload is not the canonical scalar "
+                                "encode of its decode (flavor "
+                                f"importance={has_imp})"))
                 if len(ids) != n:
                     out.append(("block-count", t,
                                 f"decoded {len(ids)} != n {n}"))

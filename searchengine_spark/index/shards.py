@@ -68,6 +68,14 @@ BLOCK_SCHEMA = (
     "term string, bucket int, n int, docid_first long, docid_last long, "
     "cf long, max_weight double, payload binary"
 )
+# encoder output: bucket is NOT carried through the wide (term, salt)
+# shuffle — it re-derives from term (one JVM xxhash64 per BLOCK row,
+# rows/128) after encoding; shuffle bytes are the build's scaling
+# ceiling on a shared bus, so every droppable column counts
+BLOCK_ENC_SCHEMA = (
+    "term string, n int, docid_first long, docid_last long, "
+    "cf long, max_weight double, payload binary"
+)
 
 DECODE_SCHEMA = "term string, docid long, tf int, positions array<int>"
 DECODE_SCHEMA_IMP = DECODE_SCHEMA + ", important int"
@@ -130,9 +138,11 @@ def _pre_positions(batches):
 
 
 def _encode_blocks(batches):
-    """mapInArrow over (term, salt, bucket, docid, tf, npos, pos_vb,
+    """mapInArrow over (term, salt, docid, tf, npos, pos_vb,
     weight) rows sorted by (term, salt, docid) within the partition →
-    block rows.  Positions arrive PRE-ENCODED (_pre_positions).
+    block rows (bucket re-derives from term AFTER encoding — it never
+    rides the wide shuffle).  Positions arrive PRE-ENCODED
+    (_pre_positions).
     (`_encode_blocks_imp` is the importance-payload twin: rows carry an
     extra ``important`` column that lands as the payload's trailing
     section — see varbyte.encode_block.)
@@ -227,7 +237,6 @@ def _encode_table(tbl, with_importance: bool = False):
 
     out_schema = pa.schema([
         ("term", pa.string()),
-        ("bucket", pa.int32()),
         ("n", pa.int32()),
         ("docid_first", pa.int64()),
         ("docid_last", pa.int64()),
@@ -241,7 +250,6 @@ def _encode_table(tbl, with_importance: bool = False):
         return
 
     term = tbl.column("term").chunk(0)
-    bucket = tbl.column("bucket").chunk(0)
     docid = tbl.column("docid").chunk(0).to_numpy().astype(np.int64)
     tf = tbl.column("tf").chunk(0).to_numpy().astype(np.int64)
     weight = tbl.column("weight").chunk(0).to_numpy().astype(np.float64)
@@ -282,7 +290,6 @@ def _encode_table(tbl, with_importance: bool = False):
     last = docid[bounds[1:] - 1]
     idx = pa.array(starts, pa.int64())
     term_b = pc.take(term, idx)
-    bucket_b = pc.cast(pc.take(bucket, idx), pa.int32())
 
     n_blocks = starts.size
     for lo in range(0, n_blocks, 4096):
@@ -290,7 +297,6 @@ def _encode_table(tbl, with_importance: bool = False):
         yield pa.RecordBatch.from_arrays(
             [
                 term_b.slice(lo, hi - lo),
-                bucket_b.slice(lo, hi - lo),
                 pa.array(lens[lo:hi], pa.int32()),
                 pa.array(first[lo:hi], pa.int64()),
                 pa.array(last[lo:hi], pa.int64()),
@@ -583,9 +589,15 @@ def write_index(
             gdir = os.path.join(index_dir, "postings", f"group={g}")
             part = (
                 enriched.filter(F.col("bucket") % RESUME_GROUPS == g)
+                # bucket does NOT ride the wide shuffle: it re-derives
+                # from term per BLOCK row after encoding (rows/128
+                # hashes, JVM-side) — parity with the build rule is the
+                # xxhash64 contract term_bucket_col encodes
+                .drop("bucket")
                 .repartition(max(n_parts // 4, 4), "term", "salt")
                 .sortWithinPartitions("term", "salt", "docid")
-                .mapInArrow(encode_fn, schema=BLOCK_SCHEMA)
+                .mapInArrow(encode_fn, schema=BLOCK_ENC_SCHEMA)
+                .withColumn("bucket", term_bucket_col())
             )
             # lineage metrics ride on the write job itself (Observation)
             # instead of a read-back job per group

@@ -686,3 +686,20 @@ def test_contamination_report_matches_python(spark, docs_pd):
             )
     assert got == expect
     assert expect, "fixture must exercise a non-empty report"
+
+
+def test_decon_cap_has_no_broadcast_hint(spark):
+    """The hot-shingle cap must ride a keyed-aggregate equi-join, not
+    a hard-coded broadcast of the >cap set (at a 10^9-doc train side
+    that set is unbounded — VERDICT r4 #8).  AQE may still broadcast
+    adaptively at runtime; what the plan must NOT carry is the
+    explicit hint."""
+    from searchengine_spark.ops.mix import (
+        contamination_report,
+        decontaminate,
+    )
+
+    for df in (decontaminate(spark, SF), contamination_report(spark, SF)):
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, analyzed[:2000]
+        assert "UnresolvedHint" not in analyzed, analyzed[:2000]

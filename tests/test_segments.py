@@ -1476,3 +1476,136 @@ def test_tombstone_corrections_df_wide_block(spark):
         for r in _tombstone_corrections_df(blocks, tomb).collect()
     }
     assert got == {"rareterm": (1, 5), "denseterm": (2, 10)}
+
+
+def test_segmented_bm25f_matches_monolithic(spark, split_corpora,
+                                            tmp_path_factory):
+    """Segmented BM25F (VERDICT r4 #6): init_segmented(
+    store_importance=True) + append (flavor INHERITED from mergeinfo)
+    must serve importance=True WAND and the on-disk blended scorer
+    rank-identical to a monolithic BM25F rebuild of the same corpus;
+    WAND stays lossless vs exhaustive over the segment union (the
+    avgdl-drift factor bounds importance-scaled maxima too); merges
+    preserve the flavor byte-contract (fsck block-bytes clean); both
+    flavor-mismatch directions fail loudly."""
+    import math
+
+    from searchengine_spark.index.segments import fsck_index, merge_run
+    from searchengine_spark.query.wand import exhaustive_topk, wand_topk
+    from searchengine_spark.text.importance import (
+        extract_importance_text,
+    )
+
+    full, a, b = split_corpora
+    base = tmp_path_factory.mktemp("segimp")
+
+    mono_dir = str(base / "mono")
+    write_index(
+        spark,
+        build_tables(spark, full, compute_quality=False, near_dup=False,
+                     importance_fn=extract_importance_text),
+        mono_dir, store_importance=True,
+    )
+    mono = load_index(spark, mono_dir)
+
+    seg_dir = str(base / "seg")
+    init_segmented(
+        spark,
+        build_tables(spark, a, compute_quality=False, near_dup=False,
+                     importance_fn=extract_importance_text),
+        seg_dir, store_importance=True,
+    )
+    append_segment(
+        spark, seg_dir, b, compute_quality=False, near_dup=False,
+        importance_fn=extract_importance_text,
+    )
+    seg = load_segments(spark, seg_dir)
+    assert seg.stats["importance_payload"] is True
+
+    queries = [(qid, q) for qid, q in QUERIES]
+
+    def rows(df):
+        return [
+            (r["qid"], r["rank"], r["docid"], round(r["score"], 9))
+            for r in df.orderBy("qid", "rank").collect()
+        ]
+
+    wm = rows(wand_topk(spark, mono, queries, k=10, importance=True))
+    ws = rows(wand_topk(spark, seg, queries, k=10, docs_per_range=64,
+                        importance=True))
+    assert wm == ws and ws
+    # lossless over the union: WAND == exhaustive BM25F on the
+    # segmented handle (importance-scaled maxima + avgdl-drift factor)
+    es = rows(exhaustive_topk(spark, seg, queries, k=10,
+                              importance=True))
+    assert ws == es
+    # blended on-disk chain: segmented == monolithic
+    sm = rows(score_queries_ondisk(spark, queries, mono, k=10,
+                                   stem=False, importance=True))
+    ss = rows(score_queries_ondisk(spark, queries, seg, k=10,
+                                   stem=False, importance=True))
+    assert sm == ss and sm
+
+    # both flavor-mismatch directions refuse on the segmented handle
+    with pytest.raises(ValueError):
+        wand_topk(spark, seg, queries)              # field-blind over BM25F
+    plain_dir = str(base / "plain")
+    init_segmented(
+        spark,
+        build_tables(spark, a, compute_quality=False, near_dup=False),
+        plain_dir,
+    )
+    with pytest.raises(ValueError):
+        wand_topk(spark, load_segments(spark, plain_dir), queries,
+                  importance=True)
+    # a plain append into a BM25F index fails loudly (build_tables
+    # would silently fall back to the const-0 parity importance)
+    extra = spark.createDataFrame([
+        {**r, "path": r["path"] + "x", "content": r["content"] + " zz"}
+        for r in sorted(
+            synth_corpus(200),
+            key=lambda r: (r["repo"], r["path"], r["commit"]),
+        )[:5]
+    ])
+    with pytest.raises(ValueError, match="importance_fn"):
+        append_segment(spark, seg_dir, extra, compute_quality=False,
+                       near_dup=False)
+
+    # serving tier: LocalSearcher auto-detects the flavor across the
+    # segment union and serves BM25F values identical to wand_topk
+    from searchengine_spark.query.serve_local import LocalSearcher
+
+    lsr = LocalSearcher(seg_dir, stem=True)
+    by_qid = {}
+    for qid, rk, d, s in ws:
+        by_qid.setdefault(qid, []).append((rk, d, s))
+    n_checked = 0
+    for qid, q in queries:
+        mine = lsr.topk(q, k=10)
+        want = sorted(by_qid.get(qid, []))
+        assert len(mine) == len(want), (qid, q)
+        for (ra_, da_, sa_), (rb_, db_, sb_) in zip(mine, want):
+            assert (ra_, da_) == (rb_, db_), (qid, q)
+            assert math.isclose(sa_, sb_, rel_tol=1e-9), (qid, q)
+        n_checked += len(mine)
+    assert n_checked > 0
+
+    # merge preserves the flavor and the served values exactly
+    merge_run(spark, seg_dir, 0, 2)
+    seg2 = load_segments(spark, seg_dir)
+    assert seg2.stats["importance_payload"] is True
+    ws2 = rows(wand_topk(spark, seg2, queries, k=10, docs_per_range=64,
+                         importance=True))
+    assert ws2 == ws
+    # ...and the serving tier refreshes onto the merged generation
+    assert lsr.maybe_refresh() is True
+    for qid, q in queries[:3]:
+        got_m = lsr.topk(q, k=10)
+        want_m = sorted(by_qid.get(qid, []))
+        assert [(r_, d_) for r_, d_, _ in got_m] == [
+            (r_, d_) for r_, d_, _ in want_m
+        ], q
+        for (_, _, ga_), (_, _, wa_) in zip(got_m, want_m):
+            assert math.isclose(ga_, wa_, rel_tol=1e-9), q
+    # flavor-aware audit: byte-identity + importance-range checks clean
+    assert fsck_index(spark, seg_dir).count() == 0
