@@ -546,6 +546,14 @@ def run_scaling():
                 ]
                 if scratch:
                     cmd += ["--conf", f"spark.local.dir={scratch}/local"]
+                # probe hook: SPARK_GRAFT_EXTRA_CONFS="k=v;k=v" rides
+                # every leg — for controlled shuffle/AQE config A/Bs
+                # without editing the pinned protocol
+                for kv in os.environ.get(
+                    "SPARK_GRAFT_EXTRA_CONFS", ""
+                ).split(";"):
+                    if kv.strip():
+                        cmd += ["--conf", kv.strip()]
                 cmd += [
                     "--py-files", zpath,
                     job,

@@ -22,6 +22,10 @@ in order — the typical maintenance window.
 repeatedly merge the first adjacent same-tier run of N segments
 (segments.maybe_merge), the 100-TB steady-state policy where a full
 rewrite per window is not an option.
+``--sync-trigram TRI_DIR``: propagate this index's tombstones into the
+trigram grep shard (GDPR forgetting must reach every serving surface);
+runs BEFORE any physical merge — merges reset the tombstone state the
+sync reads.  Idempotent, so a window that also merges loses nothing.
 ``--backup DST`` / ``--restore-from SRC [--overwrite]`` /
 ``--verify-backup DIR``: crash-safe snapshot machinery
 (index/backup.py — manifest-last, concurrent-commit safe, Spark-free;
@@ -86,16 +90,22 @@ def main():
                          "re-derive every stored invariant from the "
                          "raw bytes; violations in the JSON line and "
                          "a nonzero exit when any are found")
+    ap.add_argument("--sync-trigram", default=None, metavar="TRI_DIR",
+                    help="after deletes/maintenance, propagate this "
+                         "index's tombstones into the trigram grep "
+                         "shard at TRI_DIR (trigram.sync_trigram_"
+                         "liveness — GDPR forgetting must reach every "
+                         "serving surface); idempotent")
     args = ap.parse_args()
     if not (args.compact or args.merge or args.tiered
             or args.expunge is not None or args.delete_ids
             or args.delete_where
             or args.backup or args.restore_from or args.verify_backup
-            or args.stats or args.fsck):
+            or args.stats or args.fsck or args.sync_trigram):
         ap.error("nothing to do: pass --delete-ids, --compact, "
                  "--merge, --tiered, --expunge, --backup, "
-                 "--restore-from, --verify-backup, --stats and/or "
-                 "--fsck")
+                 "--restore-from, --verify-backup, --stats, "
+                 "--sync-trigram and/or --fsck")
 
     try:
         from searchengine_spark.index.backup import (
@@ -127,7 +137,8 @@ def main():
         )
     spark_work = (args.compact or args.merge or args.tiered
                   or args.expunge is not None or args.delete_ids
-                  or args.delete_where or args.stats or args.fsck)
+                  or args.delete_where or args.stats or args.fsck
+                  or args.sync_trigram)
     if not spark_work:
         out = {"metric": "segment maintenance", "index": args.index}
         if args.restore_from:
@@ -181,6 +192,17 @@ def main():
     if args.compact:
         out["tombstoned"] = compact_near_dups(
             spark, args.index, bits=args.simhash_bits
+        )
+    if args.sync_trigram:
+        # BEFORE any physical merge: merge_segments/merge_run RESET the
+        # text index's tombstone state (dead postings are reclaimed),
+        # so the grep sync must read the tombstones while they exist
+        from searchengine_spark.index.trigram import (
+            sync_trigram_liveness,
+        )
+
+        out["trigram_tombstoned"] = sync_trigram_liveness(
+            spark, args.sync_trigram, args.index
         )
     if args.merge:
         out["merged_into"] = merge_segments(spark, args.index)
