@@ -233,6 +233,95 @@ def delete_trigram(spark: SparkSession, index_dir: str,
     return n_new
 
 
+def compact_trigram(spark: SparkSession, index_dir: str) -> int:
+    """Physically reclaim tombstoned docs: rewrite the union of cells
+    generations MINUS the tombstone set into ONE fresh generation and
+    clear the tombstone list — the trigram shard's merge_segments
+    analogue (until this runs, dead rows are only masked).
+
+    Crash-safe commit: the survivor cells land in a fresh
+    ``cells_c<K>`` dir (K = persisted compaction counter, never
+    reused), then ONE atomic manifest swap lists it as the sole
+    generation with empty tombstones; merged-away dirs and tombstone
+    files are deleted best-effort AFTER the swap (a crash in between
+    leaves reclaimable orphans, never a broken reader).  Batch TAGS
+    SURVIVE compaction (the append_ivf rule: a replayed streaming
+    batch must still no-op).  After compaction a previously deleted
+    doc_id MAY re-enter via append — the same physical-reclaim
+    semantics as the text index after merge_segments.
+
+    Refuses a zero-survivor rewrite (an empty partitionBy dir is
+    schema-less and poisons the union read — rebuild instead).
+
+    :return: number of tombstoned docs physically reclaimed.
+    """
+    import shutil
+    from functools import reduce
+
+    mpath = os.path.join(index_dir, MANIFEST)
+    if not os.path.exists(mpath):
+        raise ValueError(f"no committed trigram index at {index_dir}")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    dead = _tombstones_df(spark, index_dir, manifest)
+    if dead is None:
+        return 0
+    gens = _gens(manifest)
+    cells = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(os.path.join(index_dir, g))
+            for g in gens
+        ],
+    )
+    live = cells.join(dead, "doc_id", "left_anti")
+    n_dead = int(dead.count())
+    if not n_dead:
+        # tombstone dirs may exist but cover no ids (shouldn't happen
+        # via delete_trigram, which skips empty commits) — just clear
+        manifest["tombstones"] = []
+    else:
+        k = int(manifest.get("n_compactions", 0)) + 1
+        gen = f"cells_c{k}"
+        # persist the bumped counter BEFORE writing so a crashed
+        # compaction's dir name is never reused (the _reserve_name
+        # rule); an uncommitted dir is invisible to readers
+        manifest["n_compactions"] = k
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+        if live.isEmpty():
+            raise ValueError(
+                "compaction would leave zero survivors; rebuild the "
+                "shard instead (empty partitionBy dirs are schema-less)"
+            )
+        live.write.mode("overwrite").partitionBy("tb").parquet(
+            os.path.join(index_dir, gen)
+        )
+        old_gens = gens
+        old_tombs = manifest.get("tombstones", [])
+        manifest["generations"] = [gen]
+        manifest["tombstones"] = []
+        manifest["n_docs"] = int(
+            spark.read.parquet(os.path.join(index_dir, gen))
+            .select("doc_id").distinct().count()
+        )
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)  # the one commit
+        for d in old_gens + old_tombs:
+            shutil.rmtree(os.path.join(index_dir, d),
+                          ignore_errors=True)
+        return n_dead
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)
+    return 0
+
+
 def sync_trigram_liveness(spark: SparkSession, index_dir: str,
                           text_index_dir: str) -> int:
     """Propagate the segmented text index's tombstones into the

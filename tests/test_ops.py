@@ -3252,6 +3252,100 @@ def test_trigram_liveness_all_tiers(spark, tmp_path):
         assert not ({i for i, _ in out} & set(dead))
 
 
+def test_compact_trigram_reclaims_and_preserves_tags(spark, tmp_path):
+    """compact_trigram: physical reclaim must serve identically to a
+    fresh build over the survivors (Spark + LocalGrep tiers), clear
+    tombstones, PRESERVE batch tags (replayed appends still no-op),
+    accept new appends afterwards, and refuse a zero-survivor
+    rewrite."""
+    import json
+    import os
+
+    from searchengine_spark.index.trigram import (
+        append_trigram,
+        build_trigram_index,
+        compact_trigram,
+        delete_trigram,
+        substring_topk_ondisk,
+    )
+    from searchengine_spark.query.serve_grep import LocalGrep
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    d = str(tmp_path / "tri")
+    build_trigram_index(spark, half_a, d)
+    assert append_trigram(spark, half_b, d, batch_tag="b1") > 0
+
+    # no tombstones -> no-op
+    assert compact_trigram(spark, d) == 0
+
+    q = "table hash"
+    base = [tuple(r) for r in
+            substring_topk_ondisk(spark, d, docs, q, k=50).collect()]
+    dead = sorted({base[0][0], base[1][0]})
+    assert delete_trigram(spark, d, doc_ids=dead) == len(dead)
+    g = LocalGrep(d, f"{SF}/documents.parquet")
+    masked = g.search(q, k=50)
+
+    n = compact_trigram(spark, d)
+    assert n == len(dead)
+    man = json.load(open(os.path.join(d, "trigram_index.json")))
+    assert man["tombstones"] == [] and man["generations"] == ["cells_c1"]
+    assert "b1" in man.get("tags", [])      # tags survive compaction
+    # replayed tagged append still no-ops post-compaction
+    assert append_trigram(spark, half_b, d, batch_tag="b1") == 0
+
+    # serving equals the masked pre-compaction view AND a fresh build
+    # over the survivors, on both tiers
+    live = docs.join(
+        spark.createDataFrame([(i,) for i in dead], "doc_id long"),
+        "doc_id", "left_anti",
+    )
+    d2 = str(tmp_path / "tri_rebuild")
+    build_trigram_index(spark, live, d2)
+    got = [tuple(r) for r in
+           substring_topk_ondisk(spark, d, docs, q, k=50).collect()]
+    want = [tuple(r) for r in
+            substring_topk_ondisk(spark, d2, live, q, k=50).collect()]
+    assert got == want
+    assert g.maybe_refresh() is True
+    assert g.search(q, k=50) == masked == [
+        (i, c) for i, c in want
+    ]
+    assert json.load(
+        open(os.path.join(d, "trigram_index.json"))
+    )["n_docs"] == json.load(
+        open(os.path.join(d2, "trigram_index.json"))
+    )["n_docs"]
+
+    # append still works after compaction (fresh generation name)
+    extra = spark.createDataFrame(
+        [(10_000_001, "zzcompact unique trigram content here")],
+        "doc_id long, text string",
+    )
+    assert append_trigram(spark, extra, d) == 1
+    assert g.maybe_refresh() is True   # new generation list reloads
+    # verify reads text from the caller's docs table — use the one
+    # that contains the appended doc (the Spark tier's contract)
+    assert [tuple(r) for r in substring_topk_ondisk(
+        spark, d, docs.unionByName(extra), "zzcompact", k=5
+    ).collect()] == [(10_000_001, 1)]
+
+    # zero-survivor rewrite refuses (schema-less partitionBy dir)
+    d3 = str(tmp_path / "tri_all_dead")
+    small = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")],
+        "doc_id long, text string",
+    )
+    build_trigram_index(spark, small, d3)
+    delete_trigram(spark, d3, doc_ids=[1, 2])
+    with pytest.raises(ValueError, match="zero survivors"):
+        compact_trigram(spark, d3)
+
+
 def test_trigram_liveness_syncs_from_segmented_index(spark, tmp_path):
     """The GDPR bridge: delete_docs on the segmented TEXT index +
     sync_trigram_liveness must make the grep shard (built over the

@@ -36,6 +36,14 @@ def main():
     ap.add_argument("--batch-tag", default=None,
                     help="idempotence tag for --append (a committed "
                          "tag no-ops — the streaming replay contract)")
+    ap.add_argument("--delete-ids", default=None,
+                    help="comma-separated doc_ids to tombstone "
+                         "(index/trigram.delete_trigram; masked "
+                         "immediately, reclaimed by --compact)")
+    ap.add_argument("--compact", action="store_true",
+                    help="physically reclaim tombstoned docs into one "
+                         "fresh generation (index/trigram."
+                         "compact_trigram; tags survive)")
     ap.add_argument("--probe", default=None,
                     help="substring to serve as a post-build smoke")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -58,6 +66,8 @@ def main():
     from searchengine_spark.index.trigram import (
         append_trigram,
         build_trigram_index,
+        compact_trigram,
+        delete_trigram,
         substring_topk_ondisk,
     )
 
@@ -66,7 +76,19 @@ def main():
     ).select("doc_id", "text")
     n_docs = docs.count()
     t0 = time.time()
-    if args.append:
+    maint = {}
+    if args.delete_ids or args.compact:
+        # maintenance mode: no rebuild — delete and/or reclaim only
+        if args.delete_ids:
+            ids = [int(x) for x in args.delete_ids.split(",")
+                   if x.strip()]
+            maint["deleted"] = delete_trigram(
+                spark, args.index, doc_ids=ids
+            )
+        if args.compact:
+            maint["reclaimed"] = compact_trigram(spark, args.index)
+        n_docs = 0
+    elif args.append:
         n_docs = append_trigram(spark, docs, args.index,
                                 batch_tag=args.batch_tag)
     else:
@@ -81,6 +103,7 @@ def main():
         "n_docs": n_docs,
         "build_sec": round(build_sec, 3),
         "value": round(n_docs / build_sec, 2) if build_sec else None,
+        **maint,
     }
     if args.probe:
         t1 = time.time()
