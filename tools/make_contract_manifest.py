@@ -4,7 +4,7 @@ The driver's CORRECTNESS gate samples ~50 of the (currently 159)
 queries()/oracle_sql() entries per round; r3 and r4 checked the SAME
 50, so round-new entries never got a driver row (VERDICT r4 #5).  This
 script publishes, per entry: its FAMILY, its measured sf0.01 wall
-(from tools/contract_walls_r4.json where known), whether it has a SQL
+(from tools/contract_walls_r5.json), whether it has a SQL
 oracle, and the round it was added — plus a SUGGESTED stratified
 50-entry sample that (a) includes every entry added in the last two
 rounds, (b) covers every family with at least one row, and (c) fills
@@ -92,7 +92,7 @@ def main(round_tag: str = "r5") -> None:
     osql = entrymod.oracle_sql()
     walls_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "contract_walls_r4.json",
+        "contract_walls_r5.json",
     )
     walls = {}
     if os.path.exists(walls_path):
