@@ -753,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_score": S.explain_score,
         "percolate": S.percolate,
         "percolate_rich": S.percolate_rich,
+        "percolate_or": S.percolate_or,
         # passage/chunk family (ops/passages.py): RAG chunking,
         # passage-level BM25, positions-based best-window snippets —
         # pinned-constant ops with same-constant oracle builders
@@ -4927,6 +4928,7 @@ def oracle_sql() -> dict[str, str]:
     d["explain_score"] = SRCH.explain_score_oracle_sql()
     d["percolate"] = SRCH.percolate_oracle_sql()
     d["percolate_rich"] = SRCH.percolate_rich_oracle_sql()
+    d["percolate_or"] = SRCH.percolate_or_oracle_sql()
     # passage/chunk family: oracles built from the same pinned constants
     from searchengine_spark.ops import passages as PSGO
 

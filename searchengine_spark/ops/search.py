@@ -1119,6 +1119,170 @@ def percolate_rich(spark, sf_dir,
     )
 
 
+# OR-capable standing queries (round 5): the percolator subset widened
+# to a|b OR groups — a doc alerts iff every SLOT is satisfied (a bare
+# or phrase token = a singleton slot; an OR group = any member
+# present), phrases adjacent, -nots absent.  Pinned + interpolated
+# into the DuckDB oracle — change Spark and SQL together.
+PERC_OR_QUERIES = (
+    "spark part|stream",
+    '"table hash" merge|join',
+    "query window|stream -dup",
+    "fast|slow customer",
+)
+
+
+def _parse_perc_or(queries):
+    """(qid, slots, phrase_strings, not_terms) per standing query —
+    the OR-capable percolator subset (bare / phrase / -not / a|b);
+    filters, wildcards, and boosts still raise (no containment
+    semantics).  ``slots`` comes straight from the shared parser:
+    singleton slots for bare+phrase tokens plus the OR groups — the
+    uniform requirement list (every slot needs >= 1 member present),
+    which is exactly what the prune counts."""
+    from ..text.querylang import parse_query
+
+    parsed = []
+    for qi, q in enumerate(queries):
+        p = parse_query(q)
+        if p["filters"] or p["wildcards"] or p["boosts"]:
+            raise ValueError(
+                "percolate_or supports bare terms, phrases, -not, and "
+                f"a|b OR groups only: {q!r}"
+            )
+        if not p["slots"]:
+            raise ValueError(
+                f"standing query needs a positive part: {q!r}"
+            )
+        parsed.append((
+            qi, list(p["slots"]),
+            [" ".join(ph) for ph in p["phrases"]],
+            sorted(set(p["must_not"])),
+        ))
+    return parsed
+
+
+def percolate_or(spark, sf_dir, queries=PERC_OR_QUERIES) -> DataFrame:
+    """(qid, doc_id) — the percolator over OR-capable standing
+    queries: every scoring SLOT must be satisfied (bare/phrase token =
+    singleton slot, ``a|b`` = any-member slot), phrase adjacency and
+    ``-not`` verified on candidates only — percolate_rich's two-stage
+    plan with the arity count generalized to DISTINCT-REQUIREMENT
+    counting.
+
+    Stage 1 assigns every slot a requirement id ``rid`` and joins the
+    doc's (in-row-distinct) tokens against the broadcast (term, rid)
+    rows: a doc is a candidate iff countDistinct(rid) == n_slots —
+    two members of one OR slot present count ONCE (the distinctness
+    the plain arity count cannot express).  EXACT for bare terms and
+    slots (not just a prune); phrases still need stage 2.  Scale: the
+    same one-shuffle-over-matched-rows plan as percolate, and the
+    streaming twin (streaming/percolate.percolate_or_stream) rides
+    the same requirement-id inverted index."""
+    from ..text.tokenizer import TOKEN_PATTERN
+    from .textops import documents
+
+    parsed = _parse_perc_or(queries)
+    rows = [
+        (qi, t, ri, len(slots))
+        for qi, slots, _, _ in parsed
+        for ri, slot in enumerate(slots)
+        for t in slot
+    ]
+    qt = spark.createDataFrame(
+        rows, "qid long, term string, rid int, nreq int"
+    )
+    docs = documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(TOKEN_PATTERN), 0
+                )
+            )
+        ).alias("term"),
+    )
+    cand = (
+        toks.join(F.broadcast(qt), "term")
+        .groupBy("qid", "nreq", "doc_id")
+        .agg(F.countDistinct("rid").alias("ns"))
+        .filter(F.col("ns") == F.col("nreq"))
+        .select("qid", "doc_id")
+    )
+    jd = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(TOKEN_PATTERN), 0
+                ),
+                " ",
+            ),
+            F.lit(" "),
+        ).alias("j"),
+    )
+    cond = None
+    for qi, _, phs, nots in parsed:
+        c = F.lit(True)
+        for ph in phs:
+            c = c & F.col("j").contains(f" {ph} ")
+        for t in nots:
+            c = c & ~F.col("j").contains(f" {t} ")
+        cond = (
+            F.when(F.col("qid") == qi, c) if cond is None
+            else cond.when(F.col("qid") == qi, c)
+        )
+    return (
+        cand.join(jd, "doc_id")
+        .filter(cond.otherwise(F.lit(False)))
+        .select("qid", "doc_id")
+        .orderBy("qid", "doc_id")
+    )
+
+
+def percolate_or_oracle_sql(queries=PERC_OR_QUERIES) -> str:
+    """DuckDB mirror of percolate_or: the same (qid, term, rid, nreq)
+    VALUES rows, count(DISTINCT rid) = nreq candidates, per-qid CASE
+    verify — change the pinned query set and BOTH engines move."""
+    parsed = _parse_perc_or(queries)
+    vals = ", ".join(
+        f"({qi}, '{t}', {ri}, {len(slots)})"
+        for qi, slots, _, _ in parsed
+        for ri, slot in enumerate(slots)
+        for t in slot
+    )
+    cases = []
+    for qi, _, phs, nots in parsed:
+        conds = (
+            [f"instr(j, ' {ph} ') > 0" for ph in phs]
+            + [f"instr(j, ' {t} ') = 0" for t in nots]
+        ) or ["TRUE"]
+        cases.append(f"WHEN qid = {qi} THEN ({' AND '.join(conds)})")
+    return f"""
+        WITH toks AS ({_TOKS}),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               GROUP BY doc_id, term),
+        qt AS (SELECT * FROM (VALUES {vals}) v(qid, term, rid, nreq)),
+        cand AS (
+          SELECT qid, doc_id
+          FROM tf JOIN qt USING (term)
+          GROUP BY qid, doc_id, nreq
+          HAVING count(DISTINCT rid) = nreq),
+        jd AS (
+          SELECT doc_id,
+                 ' ' || array_to_string(
+                   regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')
+                 || ' ' AS j
+          FROM documents)
+        SELECT qid::BIGINT AS qid, doc_id
+        FROM cand JOIN jd USING (doc_id)
+        WHERE CASE {' '.join(cases)} ELSE FALSE END
+        ORDER BY qid, doc_id
+    """
+
+
 def percolate_rich_oracle_sql(queries=PERC_RICH_QUERIES) -> str:
     """DuckDB mirror: identical candidate stage + per-qid CASE with
     instr() token-string containment for phrases / absence for -not."""

@@ -174,3 +174,111 @@ def test_rich_parser_gate_rejects_non_subset():
                 "spark lang:en", "-a -b"):
         with pytest.raises(ValueError):
             _parse_perc_rich([bad])
+
+
+def test_or_stream_alerts_match_batch(spark, docs_table, tmp_path):
+    """The OR-capable gate (bare/phrase/-not/a|b slots) equals
+    ops/search.percolate_or over the same docs, and replays append
+    nothing."""
+    from searchengine_spark.ops.search import percolate_or
+    from searchengine_spark.streaming.percolate import (
+        percolate_or_stream,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ckpt")
+    _write_chunks(src, docs_table, 3)
+
+    percolate_or_stream(spark, src, out, ckpt)
+    got = sorted(
+        (r["qid"], r["doc_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = [
+        (r["qid"], r["doc_id"])
+        for r in percolate_or(spark, SF).collect()
+    ]
+    assert got == want
+    assert len({q for q, _ in got}) == 4  # every OR query fires
+
+    percolate_or_stream(spark, src, out, ckpt)
+    again = sorted(
+        (r["qid"], r["doc_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert again == got
+
+
+def test_slot_query_index_matches_naive_and_bounds_work():
+    """SlotQueryIndex vs the naive every-query slot loop on random
+    slot structures (incl. shared members across queries), slot
+    dedup (two members of one slot count once), the conjunctive
+    degeneration, and the posting-entry work bound."""
+    import random
+
+    from searchengine_spark.streaming.percolate import (
+        InvertedQueryIndex,
+        SlotQueryIndex,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(300)]
+    queries = []
+    for _ in range(500):
+        slots = []
+        for _ in range(rng.randint(1, 4)):
+            k = rng.randint(1, 3)
+            slots.append(tuple(rng.sample(vocab, k)))
+        queries.append(tuple(slots))
+    idx = SlotQueryIndex(queries)
+
+    def naive(tokens):
+        ts = set(tokens)
+        return [
+            qi for qi, slots in enumerate(queries)
+            if all(any(m in ts for m in slot) for slot in slots)
+        ]
+
+    for _ in range(50):
+        doc = rng.sample(vocab, rng.randint(1, 40))
+        assert idx.match(doc) == naive(doc)
+
+    # slot dedup: both members present still needs the OTHER slot
+    idx2 = SlotQueryIndex([(("a", "b"), ("c",))])
+    assert idx2.match(["a", "b"]) == []       # slot 0 twice != slot 1
+    assert idx2.match(["a", "c"]) == [0]
+    assert idx2.match(["b", "c", "a"]) == [0]
+
+    # conjunctive degeneration: singleton slots == InvertedQueryIndex
+    conj = [tuple(rng.sample(vocab, rng.randint(1, 4)))
+            for _ in range(200)]
+    a = SlotQueryIndex([tuple((t,) for t in q) for q in conj])
+    b = InvertedQueryIndex([frozenset(q) for q in conj])
+    for _ in range(30):
+        doc = rng.sample(vocab, rng.randint(1, 30))
+        assert a.match(doc) == b.match(doc)
+
+    # work bound: matching touches only the doc's terms' postings
+    doc = rng.sample(vocab, 10)
+    bound = sum(len(idx.postings.get(t, ())) for t in set(doc))
+    assert idx.touched(doc) == bound
+
+
+def test_parse_perc_or_gate():
+    """percolate_or's subset: OR groups now ACCEPTED; filters,
+    wildcards, and boosts still raise; negated groups fold into
+    -nots (parser-level De Morgan)."""
+    import pytest
+
+    from searchengine_spark.ops.search import _parse_perc_or
+
+    parsed = _parse_perc_or(['spark part|stream "merge join" -dup'])
+    qi, slots, phs, nots = parsed[0]
+    assert ("part", "stream") in slots
+    assert phs == ["merge join"] and nots == ["dup"]
+    parsed2 = _parse_perc_or(["spark -fast|slow"])
+    assert parsed2[0][3] == ["fast", "slow"]
+    for bad in ("spark lang:en", "spark sc*", "spark a^2", "-a -b"):
+        with pytest.raises(ValueError):
+            _parse_perc_or([bad])

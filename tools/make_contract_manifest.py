@@ -76,6 +76,7 @@ ADDED_LATE = {
     "contamination_report": "r4",
     "query_or_not_topk": "r5",
     "query_or_boost_topk": "r5",
+    "percolate_or": "r5",
 }
 
 
