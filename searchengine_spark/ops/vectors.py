@@ -128,8 +128,13 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
     """Scale-path near-dup: sign-LSH band blocking → exact cosine filter.
 
     Candidate pairs come from a shuffle join on (band, key) — the same
-    shape as dedup.minhash_pairs — so no all-pairs product ever
-    materializes; the exact cosine then keeps pairs >= threshold.
+    shape as dedup.minhash_pairs: no corpus-wide all-pairs product,
+    but WITHIN a bucket the join is all-pairs, so this is the
+    bounded-report form (a cluster of m near-identical embeddings in
+    one sign bucket emits O(m²) candidate rows).  Connectivity
+    consumers (components/drop sets) should use
+    :func:`embedding_star_edges` — linear per bucket, identical
+    components.  The exact cosine then keeps pairs >= threshold.
     Output ⊆ embedding_neardup's with recall 1-(1-p^bits)^bands
     (deterministic here — fixed hyperplanes — and pinned by
     tests/test_ops.py against the exhaustive baseline).
@@ -160,6 +165,43 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
         )
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
+    )
+
+
+def embedding_star_edges(spark: SparkSession, sf_dir: str,
+                         n_bands: int = LSH_BANDS,
+                         band_bits: int = LSH_BITS) -> DataFrame:
+    """(a, b) min-hub star edges per sign-LSH bucket, a < b distinct —
+    the LINEAR candidate shape for connectivity consumers
+    (dedup.dup_clusters over embedding buckets, drop-the-non-min
+    dedup policies), exactly dedup.minhash_star_edges' construction
+    on the embedding side: per (band, key) bucket emit only
+    (bucket_min, member), so a template cluster of m near-identical
+    embeddings contributes m−1 edges instead of m²/2.  Components and
+    "has a smaller-id bucket-mate" drop sets equal the all-pairs
+    candidate form's (the minhash_star_edges docstring proof applies
+    verbatim — union of per-bucket cliques and per-bucket stars
+    connect identical vertex sets).
+
+    NOTE: star edges carry NO cosine — they encode BUCKET
+    connectivity (the unverified candidate relation).  A consumer
+    needing pairwise-verified similarity uses the bounded
+    embedding_neardup_lsh report instead.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    bands = lsh_band_keys(emb, n_bands, band_bits).select(
+        "vec_id", "band", "key"
+    )
+    mins = bands.groupBy("band", "key").agg(
+        F.min("vec_id").alias("a")
+    )
+    return (
+        bands.join(mins, ["band", "key"])
+        .filter(F.col("vec_id") > F.col("a"))
+        .select("a", F.col("vec_id").alias("b"))
+        .distinct()
     )
 
 

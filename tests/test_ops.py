@@ -83,6 +83,44 @@ def test_minhash_star_edges_skew_safe(spark, tiny_docs):
     assert hub == {1}                      # min-hub star
 
 
+def test_embedding_star_edges_matches_allpairs_candidates(spark):
+    """The embedding-side star edges must yield the same components
+    and drop set as the all-pairs sign-LSH candidate relation (the
+    minhash_star_edges equivalence, on the vectors table)."""
+    from searchengine_spark.ops.dedup import dup_clusters
+    from searchengine_spark.ops.vectors import (
+        embedding_star_edges,
+        lsh_band_keys,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    bands = lsh_band_keys(emb, 4, 8).select("vec_id", "band", "key")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a"),
+                F.col("b.vec_id").alias("b"))
+        .distinct()
+    )
+    star = embedding_star_edges(spark, SF, 4, 8)
+    p_rows = {(r["a"], r["b"]) for r in pairs.collect()}
+    s_rows = {(r["a"], r["b"]) for r in star.collect()}
+    assert s_rows <= p_rows and s_rows
+    assert {y for _, y in s_rows} == {y for _, y in p_rows}  # drop set
+    comp_p = {r["doc_id"]: r["cluster_id"]
+              for r in dup_clusters(pairs).collect()}
+    comp_s = {r["doc_id"]: r["cluster_id"]
+              for r in dup_clusters(star).collect()}
+    assert comp_p == comp_s and comp_p
+
+
 def test_jaccard_exact_values(tiny_docs):
     from searchengine_spark.ops.dedup import doc_shingles, jaccard_pairs
 

@@ -1590,6 +1590,22 @@ def test_segmented_bm25f_matches_monolithic(spark, split_corpora,
         n_checked += len(mine)
     assert n_checked > 0
 
+    # sharded router over the 2-segment BM25F index (before the merge
+    # collapses it to one segment): per-shard BM25F answers merge to
+    # the unsharded values exactly — importance multipliers ride the
+    # per-shard idf plan, which is global-stats-only like plain BM25
+    from searchengine_spark.query.serve_local import ShardedSearcher
+
+    rtr = ShardedSearcher(seg_dir, n_shards=2, stem=True)
+    for qid, q in queries:
+        got_r = rtr.topk(q, k=10)
+        want_r = sorted(by_qid.get(qid, []))
+        assert [(r_, d_) for r_, d_, _ in got_r] == [
+            (r_, d_) for r_, d_, _ in want_r
+        ], (qid, q)
+        for (_, _, ga_), (_, _, wa_) in zip(got_r, want_r):
+            assert math.isclose(ga_, wa_, rel_tol=1e-9), (qid, q)
+
     # merge preserves the flavor and the served values exactly
     merge_run(spark, seg_dir, 0, 2)
     seg2 = load_segments(spark, seg_dir)
