@@ -654,6 +654,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": __import__(
             "searchengine_spark.ops.relational", fromlist=["tpch_q17"]
         ).tpch_q17,
+        "tpch_q6": __import__(
+            "searchengine_spark.ops.relational", fromlist=["tpch_q6"]
+        ).tpch_q6,
+        "tpch_q19": __import__(
+            "searchengine_spark.ops.relational", fromlist=["tpch_q19"]
+        ).tpch_q19,
         "pricing_rollup": __import__(
             "searchengine_spark.ops.relational",
             fromlist=["pricing_rollup"],
@@ -3469,6 +3475,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14": _REL.tpch_q14_oracle_sql(),
         "tpch_q4": _REL.tpch_q4_oracle_sql(),
         "tpch_q17": _REL.tpch_q17_oracle_sql(),
+        "tpch_q6": _REL.tpch_q6_oracle_sql(),
+        "tpch_q19": _REL.tpch_q19_oracle_sql(),
         "pricing_rollup": _REL.pricing_rollup_oracle_sql(),
         "bucketed_revenue": _REL.bucketed_revenue_oracle_sql(),
         "user_sessions": f"""

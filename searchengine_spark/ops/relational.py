@@ -493,6 +493,134 @@ def bucketed_revenue_oracle_sql() -> str:
     """
 
 
+# Q6 forecasting-revenue-change parameters (pinned, interpolated into
+# the oracle — change Spark and SQL together).  The discount bounds
+# are exact double literals shared by both engines (testdata discounts
+# are exact hundredths, so >=/<= on the identical literals is safe).
+Q6_DATE_LO = "1996-01-01"
+Q6_DATE_HI = "1997-01-01"
+Q6_DISC_LO = 0.05
+Q6_DISC_HI = 0.07
+Q6_QTY = 24
+
+
+def tpch_q6(spark: SparkSession, sf_dir: str,
+            date_lo: str = Q6_DATE_LO, date_hi: str = Q6_DATE_HI,
+            disc_lo: float = Q6_DISC_LO, disc_hi: float = Q6_DISC_HI,
+            qty: int = Q6_QTY) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change: one fact-only scan with
+    every predicate (shipdate range, discount band, quantity cap)
+    pushed to the parquet reader — the purest pushdown showcase in
+    the family (plan-asserted: all three columns appear in
+    PushedFilters, ReadSchema reads only the 4 needed columns).
+
+    revenue = sum(l_extendedprice * l_discount): cents × discount-pct
+    is an EXACT BIGINT product in 1e-4-dollar units (both factors are
+    exact integers), so the sum is order-free and the single divide
+    back to dollars is bit-identical across engines — no rounding
+    anywhere."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(date_lo))
+        & (F.col("l_shipdate") < F.lit(date_hi))
+        & (F.col("l_discount") >= F.lit(disc_lo))
+        & (F.col("l_discount") <= F.lit(disc_hi))
+        & (F.col("l_quantity") < F.lit(qty))
+    )
+    return li.select(
+        (F.expr(_CENTS) * F.expr(_DISC_PCT)).alias("e4")
+    ).agg(
+        (
+            F.coalesce(F.sum("e4"), F.lit(0)).cast("double")
+            / F.lit(10000.0)
+        ).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+def tpch_q6_oracle_sql(date_lo: str = Q6_DATE_LO,
+                       date_hi: str = Q6_DATE_HI,
+                       disc_lo: float = Q6_DISC_LO,
+                       disc_hi: float = Q6_DISC_HI,
+                       qty: int = Q6_QTY) -> str:
+    return f"""
+        SELECT coalesce(sum({_CENTS} * {_DISC_PCT}), 0)::DOUBLE
+                 / 10000.0 AS revenue,
+               count(*)::BIGINT AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= '{date_lo}' AND l_shipdate < '{date_hi}'
+          AND l_discount >= {repr(float(disc_lo))}
+          AND l_discount <= {repr(float(disc_hi))}
+          AND l_quantity < {qty}
+    """
+
+
+# Q19 discounted-revenue parameters, ADAPTED to the trimmed part
+# schema (no p_container/l_shipmode in the testdata): each branch is
+# (brand, max_size, qty_lo, qty_hi) — the OR-of-ANDs spanning both
+# tables that makes Q19 the disjunctive-predicate benchmark.  Pinned +
+# interpolated into the oracle.
+Q19_BRANCHES = (
+    ("Brand#12", 5, 1, 11),
+    ("Brand#23", 10, 10, 20),
+    ("Brand#3", 15, 20, 30),
+)
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str,
+             branches=Q19_BRANCHES) -> DataFrame:
+    """TPC-H Q19 discounted revenue (trimmed-schema adaptation): the
+    classic OR-of-ANDs across lineitem × part — each branch constrains
+    a part attribute band AND a lineitem quantity band, so no single
+    branch predicate can be pushed to either scan alone; the plan the
+    fact table wants is part BROADCAST (dim-sized) and lineitem
+    streamed ONCE with the disjunction evaluated post-join
+    (plan-asserted: broadcast hash join, no shuffle before the final
+    single-group agg).  Money follows the exact-1e-4-unit discipline;
+    the one divide is bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    cond = None
+    for brand, szhi, qlo, qhi in branches:
+        c = (
+            (F.col("p_brand") == F.lit(brand))
+            & (F.col("p_size") >= F.lit(1))
+            & (F.col("p_size") <= F.lit(szhi))
+            & (F.col("l_quantity") >= F.lit(qlo))
+            & (F.col("l_quantity") <= F.lit(qhi))
+        )
+        cond = c if cond is None else (cond | c)
+    return (
+        li.join(F.broadcast(pt),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .select(F.expr(_DISC_E4).alias("e4"))
+        .agg(
+            (
+                F.coalesce(F.sum("e4"), F.lit(0)).cast("double")
+                / F.lit(10000.0)
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+def tpch_q19_oracle_sql(branches=Q19_BRANCHES) -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {sz}"
+        f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, sz, qlo, qhi in branches
+    )
+    return f"""
+        SELECT coalesce(sum({_DISC_E4}), 0)::DOUBLE / 10000.0
+                 AS revenue,
+               count(*)::BIGINT AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE {ors}
+    """
+
+
 Q17_BRAND = "Brand#1"
 
 

@@ -205,3 +205,58 @@ def test_q17_values_and_decorrelated_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_values_and_full_pushdown(spark):
+    """Q6: every predicate (shipdate range, discount band, quantity
+    cap) must reach the parquet scan, and the scan reads only the 4
+    needed columns; values bit-exact vs DuckDB (exact cents × pct
+    BIGINT products, one divide)."""
+    import duckdb as _d
+
+    from searchengine_spark.ops.relational import (
+        tpch_q6,
+        tpch_q6_oracle_sql,
+    )
+
+    c = _d.connect()
+    c.execute(
+        f"CREATE VIEW lineitem AS SELECT * "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    df = tpch_q6(spark, SF)
+    _match(df, c, tpch_q6_oracle_sql())
+    assert df.collect()[0]["n_items"] > 0  # predicates not vacuous
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.index("PushedFilters"):].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, (col, pf)
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+
+
+def test_q19_values_and_broadcast_disjunction(spark):
+    """Q19 (trimmed-schema adaptation): the OR-of-ANDs across
+    lineitem × part must ride ONE broadcast hash join with the fact
+    table never shuffled before the final single-group agg; values
+    bit-exact vs DuckDB."""
+    import duckdb as _d
+
+    from searchengine_spark.ops.relational import (
+        tpch_q19,
+        tpch_q19_oracle_sql,
+    )
+
+    c = _d.connect()
+    for t in ("lineitem", "part"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    df = tpch_q19(spark, SF)
+    _match(df, c, tpch_q19_oracle_sql())
+    assert df.collect()[0]["n_items"] > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

@@ -77,6 +77,8 @@ ADDED_LATE = {
     "query_or_not_topk": "r5",
     "query_or_boost_topk": "r5",
     "percolate_or": "r5",
+    "tpch_q6": "r5",
+    "tpch_q19": "r5",
 }
 
 
